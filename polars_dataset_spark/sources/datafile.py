@@ -1,0 +1,152 @@
+"""Scans and sinks: the ``Datafile`` path binding and multi-file ingestion.
+
+Reference parity:
+
+- ``Datafile`` (``/root/reference/polars_dataset.py:309-338``): a path +
+  index/id_vars binding with ``load()``/``write()``. ``load()`` on a missing
+  file logs and returns ``None`` (reference ``:322-323``) — a deliberate
+  no-throw contract, reproduced here.
+- ``create_dataset`` (historical multi-file ingestion,
+  ``/root/reference/build/lib/polars_dataset.py:385-454``): read one
+  tab-separated, headerless, ``#``-commented CSV per trace, attach literal
+  id-column values per file, union all.
+
+Spark-first details: formats beyond CSV (parquet/orc/json) come free via
+``spark.read``; the multi-file path reads ALL files in one distributed scan
+(one job, not a per-file driver loop) and attaches id values by joining the
+path manifest on ``input_file_name()`` — at 100 TB this is the difference
+between a scalable scan and a driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.core import Dataset
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Datafile", "create_dataset"]
+
+
+class Datafile:
+    """A path bound to Dataset roles, with load/write.
+
+    ``fmt`` is inferred from the extension when not given (csv default, to
+    match the reference; parquet preferred at scale).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        index: str | None = None,
+        id_vars=None,
+        fmt: str | None = None,
+        **options,
+    ):
+        self.path = str(path)
+        self.index = index
+        self.id_vars = list(id_vars) if id_vars else []
+        if fmt is None:
+            ext = os.path.splitext(self.path)[1].lstrip(".").lower()
+            fmt = ext if ext in {"parquet", "csv", "json", "orc"} else "csv"
+        self.fmt = fmt
+        self.options = options
+
+    def load(self, spark: SparkSession):
+        """Read the file; wrap as Dataset when an index is bound. Missing
+        file → log + return None (reference contract,
+        /root/reference/polars_dataset.py:322-323)."""
+        reader = spark.read
+        opts = dict(self.options)
+        try:
+            if self.fmt == "csv":
+                opts.setdefault("header", True)
+                opts.setdefault("inferSchema", True)
+                df = reader.options(**opts).csv(self.path)
+            elif self.fmt == "parquet":
+                df = reader.options(**opts).parquet(self.path)
+            elif self.fmt == "json":
+                df = reader.options(**opts).json(self.path)
+            elif self.fmt == "orc":
+                df = reader.options(**opts).orc(self.path)
+            else:
+                df = reader.format(self.fmt).options(**opts).load(self.path)
+            # schema resolution is the call-time existence check
+            _ = df.columns
+        except Exception as exc:  # noqa: BLE001 — no-throw load contract
+            logger.warning("Datafile.load(%s) failed: %s", self.path, exc)
+            return None
+        if self.index is not None:
+            return Dataset(df, index=self.index, id_vars=self.id_vars)
+        return df
+
+    def write(self, data, mode: str = "overwrite", single_file: bool = True) -> None:
+        """Write a Dataset/DataFrame to the bound path. ``single_file=True``
+        coalesces for small-output parity with the reference's one-file CSV
+        sink; leave False for distributed many-part output at scale."""
+        df = data.df if isinstance(data, Dataset) else data
+        if single_file:
+            df = df.coalesce(1)
+        writer = df.write.mode(mode)
+        if self.fmt == "csv":
+            writer.option("header", True).csv(self.path)
+        elif self.fmt == "parquet":
+            writer.parquet(self.path)
+        elif self.fmt == "json":
+            writer.json(self.path)
+        elif self.fmt == "orc":
+            writer.orc(self.path)
+        else:
+            writer.format(self.fmt).save(self.path)
+
+
+def create_dataset(
+    spark: SparkSession,
+    paths: DataFrame | Sequence[Mapping],
+    index: str,
+    column_names: Sequence[str],
+    id_schema: Mapping[str, str] | None = None,
+    separator: str = "\t",
+    comment: str = "#",
+) -> Dataset:
+    """Multi-file trace ingestion (reference ``create_dataset``,
+    ``/root/reference/build/lib/polars_dataset.py:385-454``).
+
+    ``paths``: a manifest with a ``path`` column plus one column per id_var
+    (e.g. temperature, field). Each file is a headerless, ``separator``-
+    separated CSV whose columns are ``column_names``; ``comment``-prefixed
+    lines are skipped.
+
+    Implementation: ONE distributed csv scan over every path, then a
+    broadcast join of ``input_file_name()`` against the manifest to attach
+    id values — no per-file driver loop, so ingestion parallelism equals
+    the cluster, not the driver.
+    """
+    if not isinstance(paths, DataFrame):
+        paths = spark.createDataFrame(list(paths))
+    id_cols = [c for c in paths.columns if c != "path"]
+    path_rows = [r.asDict() for r in paths.collect()]  # manifest: small by definition
+    file_list = [r["path"] for r in path_rows]
+
+    df = (
+        spark.read.option("sep", separator)
+        .option("header", False)
+        .option("comment", comment)
+        .option("inferSchema", True)
+        .csv(file_list)
+    )
+    df = df.toDF(*column_names)
+    # attach id values: normalize file_name to the manifest's path spelling
+    manifest = paths.withColumn("_file", F.concat(F.lit("file://"), F.col("path")))
+    df = df.withColumn("_file", F.input_file_name())
+    joined = df.join(F.broadcast(manifest), on="_file", how="left").drop("_file")
+    if id_schema:
+        joined = joined.withColumns({c: F.col(c).cast(t) for c, t in id_schema.items()})
+    ds = Dataset(joined, index=index, id_vars=id_cols)
+    return ds.sort()
