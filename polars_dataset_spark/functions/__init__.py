@@ -1,0 +1,47 @@
+from polars_dataset_spark.functions.text import (
+    with_text_stats,
+    with_language_id,
+    with_quality_score,
+    with_fingerprint,
+    tokenize,
+)
+from polars_dataset_spark.functions.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    minhash_dedup,
+    simhash,
+    simhash_dedup,
+    ngram_jaccard_pairs,
+    embedding_neardup,
+)
+from polars_dataset_spark.functions.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from polars_dataset_spark.functions.multimodal import (
+    binary_with_metadata,
+    decode_media,
+    extract_features,
+)
+
+__all__ = [
+    "with_text_stats",
+    "with_language_id",
+    "with_quality_score",
+    "with_fingerprint",
+    "tokenize",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_dedup",
+    "simhash",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "binary_with_metadata",
+    "decode_media",
+    "extract_features",
+]

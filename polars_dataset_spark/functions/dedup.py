@@ -1,0 +1,359 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.4).
+
+Five families, each with the candidate-generation / exact-verify split that
+survives 100 TB:
+
+- :func:`exact_dedup` — hash group-by on (normalized) content. One shuffle.
+- MinHash + LSH — :func:`minhash_signatures` (JVM-side, no UDF: shingles →
+  ``xxhash64`` per seed → ``array_min``), banded into buckets
+  (:func:`minhash_lsh_candidates`); candidate pairs are verified with the
+  EXACT Jaccard on shingle sets before anything is dropped. Pair blow-up is
+  bounded by bucket size, never |docs|².
+- SimHash — :func:`simhash` (token hashes JVM-side, the 64-bit sign-sum in
+  one Arrow-batched pandas UDF); near-duplicates found by Hamming-band
+  blocking + exact ``bit_count(xor)`` verify.
+- n-gram Jaccard — character-shingle variant of the MinHash path.
+- :func:`embedding_neardup` — cosine near-dup over an embedding column via
+  random-hyperplane LSH buckets + exact cosine verify.
+
+Representative selection everywhere is "keep the smallest id among
+near-duplicates": any row with a confirmed duplicate of smaller id drops.
+This is the standard single-pass LSH-dedup contract (transitive chains
+collapse toward the minimum per *connected bucket*, not full connected
+components — full CC is an iterative algorithm out of scope for one pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_dataset_spark.functions.text import tokenize
+
+__all__ = [
+    "exact_dedup",
+    "token_shingles",
+    "char_shingles",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_dedup",
+    "simhash",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
+]
+
+
+def exact_dedup(
+    df: DataFrame,
+    subset: list[str] | str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: one representative (minimal ``id_col``) per distinct
+    content. Single hash aggregation — the cheapest possible dedup, always
+    run it before any fuzzy pass. ``normalize`` lowercases and collapses
+    whitespace for string keys."""
+    subset = [subset] if isinstance(subset, str) else list(subset)
+    keys = [
+        F.regexp_replace(F.trim(F.lower(F.col(c))), r"\s+", " ").alias(f"__k_{c}")
+        if normalize and isinstance(df.schema[c].dataType.simpleString(), str)
+        and df.schema[c].dataType.simpleString() == "string"
+        else F.col(c).alias(f"__k_{c}")
+        for c in subset
+    ]
+    keyed = df.select(*df.columns, *keys)
+    w = Window.partitionBy(*[f"__k_{c}" for c in subset]).orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[f"__k_{c}" for c in subset])
+    )
+
+
+def token_shingles(text, n: int = 3):
+    """Distinct word n-grams of lowercased text → array<string>. Documents
+    shorter than n tokens fall back to the whole text as one shingle (so
+    short docs still dedup against identical short docs)."""
+    tokens = tokenize(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    whole = F.array(F.concat_ws(" ", tokens))
+    return F.array_distinct(F.when(F.size(grams) > 0, grams).otherwise(whole))
+
+
+def char_shingles(text, n: int = 5):
+    """Distinct character n-grams of normalized text → array<string>."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
+        lambda i: F.substring(norm, i, n),
+    )
+    return F.array_distinct(F.when(F.size(grams) > 0, grams).otherwise(F.array(norm)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    shingle_kind: str = "token",
+    shingles_col: str = "shingles",
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """Attach shingle set + MinHash signature (array<long>, one min per
+    seeded ``xxhash64``). Entirely JVM-side column expressions — the
+    signature pass is a map-only stage with zero Python."""
+    sh = (token_shingles if shingle_kind == "token" else char_shingles)(
+        F.col(text_col), shingle_size
+    )
+    tmp = df.withColumn(shingles_col, sh)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col(shingles_col), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return tmp.withColumn(sig_col, sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    shingle_kind: str = "token",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact ``jaccard``) via banded
+    MinHash LSH.
+
+    Banding: ``num_hashes`` minhashes → ``bands`` buckets of
+    ``num_hashes/bands`` rows each; two docs collide if any band matches
+    exactly (P[collide] = 1-(1-j^r)^b). Collisions are grouped per
+    (band_id, band_hash) — the self-join is on the bucket key, so shuffle
+    volume is |docs|·bands, never |docs|². Every candidate is then verified
+    with the exact Jaccard over the true shingle sets; only pairs ≥
+    ``threshold`` survive."""
+    rows = num_hashes // bands
+    sigd = minhash_signatures(
+        df.select(id_col, text_col),
+        text_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        shingle_kind=shingle_kind,
+    )
+    banded = sigd.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("minhash")[i] for i in range(b * rows, (b + 1) * rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "shingles", "bk.band", "bk.bh")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bh"
+    )
+    pairs = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop every row with a confirmed near-duplicate of smaller id."""
+    pairs = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, **lsh_kwargs
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from an array<long> of token hashes: per bit, sum of
+    ±1 across tokens; sign → bit. Arrow-batched numpy (one matrix op per
+    batch row), never per-row Python."""
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, h in enumerate(hashes):
+        if h is None or len(h) == 0:
+            continue
+        arr = np.asarray(h, dtype=np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sh)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """Attach a 64-bit SimHash of the token set. Token hashing is JVM-side
+    (``xxhash64`` inside ``transform``); only the bit-vote reduction runs in
+    the Arrow-batched UDF."""
+    tokens = tokenize(F.col(text_col))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return df.withColumn(out_col, _simhash_from_hashes(hashes))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup removal by SimHash: candidates from Hamming-band blocking
+    (pigeonhole: two hashes within Hamming distance k must agree exactly on
+    at least one of k+1 bit-chunks), verified with exact
+    ``bit_count(a XOR b) <= k``. Drops the larger id of each pair."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = simhash(df.select(id_col, text_col), text_col)
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.chunk", "bk.key")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "key")
+    pairs = (
+        a.join(b, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming)
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Character n-gram Jaccard near-duplicate pairs: the MinHash-LSH
+    candidate path over char shingles, exact-verified. Same scaling story
+    as :func:`minhash_lsh_candidates`."""
+    return minhash_lsh_candidates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_size=n,
+        shingle_kind="char",
+        threshold=threshold,
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column: random-
+    hyperplane LSH buckets (sign signature of ``planes`` fixed projections,
+    computed in one Arrow-batched UDF), then EXACT cosine verification of
+    within-bucket pairs with JVM-side ``aggregate``/``zip_with`` arithmetic.
+
+    With ``planes=p``, P[same bucket] = (1 - θ/π)^p — at threshold 0.95
+    (θ≈18°) ≈ 0.96^16 ≈ 0.5 per table; callers needing higher recall can
+    union several seeds. Shuffle volume is |vecs|, pair work is per-bucket."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.RandomState(seed)
+    hyper = rng.normal(size=(dim, planes)).astype(np.float64)
+
+    @F.pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        signs = (mat @ hyper) > 0
+        weights = (1 << np.arange(planes, dtype=np.int64))
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    vd = df.select(
+        id_col,
+        F.col(vec_col),
+        bucket_of(F.col(vec_col)).alias("bucket"),
+        norm.alias("__norm"),
+    )
+    a = vd.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("__norm").alias("n_a"), "bucket"
+    )
+    b = vd.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("__norm").alias("n_b"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("n_a") * F.col("n_b")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

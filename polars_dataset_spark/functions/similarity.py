@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (SURVEY §2.4).
+
+Two tiers:
+
+- :func:`cosine_topk` — exact brute-force top-k: probes × corpus join with
+  a JVM-side dot product (``zip_with`` + ``aggregate``) and a per-probe
+  ``row_number`` window. The correctness baseline. Cost |P|·|C| — fine when
+  either side is small enough to broadcast, which Catalyst/AQE does
+  automatically under the threshold (explicit ``broadcast()`` applied to
+  the probe side).
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane buckets
+  (same signature family as
+  :func:`polars_dataset_spark.functions.dedup.embedding_neardup`) with
+  multi-probe (flip the ``probe_bits`` weakest bits) so each probe only
+  scans its buckets. Approximate: recall grows with ``probe_bits`` and
+  falls with ``planes``; exact re-ranking happens inside the candidate
+  set. At 100 TB the bucket join shuffles |C| + |P|·(probes) rows instead
+  of |P|·|C|.
+
+  Recall depends on how clustered the embeddings are: hyperplane LSH
+  exploits angular structure, so on *uniform random* vectors (no structure
+  — the worst case, and what the synthetic test fixture contains) recall
+  ≈ fraction of space probed; on real embedding clusters the same settings
+  recover most true neighbors. Defaults (``planes=8``, ``probe_bits=3``)
+  probe 93/256 buckets ≈ 36% of the space for a ~3× candidate-scan saving;
+  raise ``planes`` when the corpus is strongly clustered.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "lsh_bucketed_topk"]
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(col: str):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    probe_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of every probe against the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k per probe,
+    ties broken by neighbor id for determinism. Self-matches (same id) are
+    excluded when probe and corpus ids share a namespace."""
+    p = probes.select(
+        F.col(probe_id).alias("query_id"),
+        F.col(vec_col).alias("__pv"),
+        _norm(vec_col).alias("__pn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
+    )
+    if broadcast_probes:
+        p = F.broadcast(p)
+    joined = p.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn(
+        "cosine", F.round(_dot("__pv", "__cv") / (F.col("__pn") * F.col("__cn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    probe_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    probe_bits: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: corpus rows land in one hyperplane bucket;
+    each probe multi-probes its own bucket plus every bucket within
+    ``probe_bits`` bit flips. Candidates are exactly re-ranked.
+
+    Output schema matches :func:`cosine_topk`; probes whose buckets hold
+    fewer than k candidates return fewer rows (approximate contract)."""
+    if dim is None:
+        dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    rng = np.random.RandomState(seed)
+    hyper = rng.normal(size=(dim, planes)).astype(np.float64)
+    flips = [0] + [
+        int(sum(1 << b for b in combo))
+        for r in range(1, probe_bits + 1)
+        for combo in itertools.combinations(range(planes), r)
+    ]
+
+    @F.pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        signs = (mat @ hyper) > 0
+        weights = 1 << np.arange(planes, dtype=np.int64)
+        return pd.Series(signs.astype(np.int64) @ weights)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
+    )
+    p = probes.select(
+        F.col(probe_id).alias("query_id"),
+        F.col(vec_col).alias("__pv"),
+        _norm(vec_col).alias("__pn"),
+        bucket_of(F.col(vec_col)).alias("__b0"),
+    ).withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("__b0").bitwiseXOR(F.lit(fl)) for fl in flips])),
+    )
+    joined = p.join(c, on="bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn(
+        "cosine", F.round(_dot("__pv", "__cv") / (F.col("__pn") * F.col("__cn")), 6)
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,144 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond the reference's surface (driver north-star, SURVEY §2.4): language
+identification, quality scoring, token counting and document
+fingerprinting over a ``documents``-shaped table (``doc_id, text, ...``).
+
+Everything here is **pure built-in column expressions** — no Python UDFs —
+so the whole pass stays inside whole-stage codegen and runs at parquet-scan
+speed: at 100 TB these are embarrassingly parallel map-only stages with
+zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize",
+    "with_text_stats",
+    "with_language_id",
+    "with_quality_score",
+    "with_fingerprint",
+    "STOPWORDS",
+]
+
+# Small, fixed stopword lists: enough signal for a coarse n-gram/stopword
+# language heuristic. Deliberately tiny — the point is the *operator shape*
+# (map-only, codegen'd); richer models plug into the same column.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans", "une", "des"],
+    "es": ["el", "la", "los", "que", "de", "es", "para", "con", "una", "por"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text → array<string>.
+    ``F.split`` on ``\\s+`` after trim; empty text yields an empty array."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _stop_hits(tokens: Column, words: list[str]) -> Column:
+    stop = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token/char statistics: ``n_tokens``, ``n_chars_actual``,
+    ``mean_token_len``, ``punct_ratio``, ``upper_ratio``, ``digit_ratio``."""
+    text = F.col(text_col)
+    tokens = tokenize(text)
+    n_chars = F.length(text)
+    nz = F.when(n_chars > 0, n_chars.cast("double"))  # null-divide guard
+    return df.withColumns(
+        {
+            "n_tokens": F.size(tokens),
+            "n_chars_actual": n_chars,
+            "mean_token_len": F.when(
+                F.size(tokens) > 0,
+                (F.length(F.regexp_replace(F.trim(text), r"\s+", ""))).cast("double")
+                / F.size(tokens),
+            ).otherwise(F.lit(0.0)),
+            "punct_ratio": F.coalesce(
+                (n_chars - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))).cast("double") / nz,
+                F.lit(0.0),
+            ),
+            "upper_ratio": F.coalesce(
+                (n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))).cast("double") / nz,
+                F.lit(0.0),
+            ),
+            "digit_ratio": F.coalesce(
+                (n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double") / nz,
+                F.lit(0.0),
+            ),
+        }
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Coarse language ID: most stopword hits wins; zero hits → ``und``.
+    Ties break in fixed language order (en, de, fr, es) for determinism."""
+    tokens = tokenize(F.col(text_col))
+    hits = {lang: _stop_hits(tokens, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Heuristic quality in [0, 1]: rewards mid-length documents and prose-
+    like token lengths, penalizes punctuation/digit noise. Deterministic,
+    fully codegen'd; thresholds follow common pretraining-filter heuristics
+    (Gopher-style length/punct rules)."""
+    with_stats = with_text_stats(df, text_col)
+    n_tok = F.col("n_tokens")
+    length_score = F.when(n_tok <= 0, 0.0).otherwise(
+        F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
+    )
+    token_len_score = F.when(
+        (F.col("mean_token_len") >= 3.0) & (F.col("mean_token_len") <= 10.0), 1.0
+    ).otherwise(0.5)
+    noise_score = F.lit(1.0) - F.least(
+        F.lit(1.0), F.col("punct_ratio") * 2.0 + F.col("digit_ratio")
+    )
+    return with_stats.withColumn(
+        out_col,
+        F.round((length_score * 0.4 + token_len_score * 0.3 + noise_score * 0.3), 6),
+    ).drop(
+        "n_tokens", "n_chars_actual", "mean_token_len", "punct_ratio", "upper_ratio", "digit_ratio"
+    )
+
+
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    modulus: int = 1_000_000_007,
+    base: int = 31,
+) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    normalized (lowercased, whitespace-collapsed) character codes,
+    ``acc = (acc*base + code) mod m``. Chosen over ``xxhash64`` so the same
+    value is reproducible in any engine (the DuckDB oracle computes it with
+    the same recurrence); the per-step modulus keeps every intermediate
+    < 2^63 in engines that error on overflow."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(F.substring(norm, i, 1)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(base) + c) % F.lit(modulus),
+    )
+    return df.withColumn(out_col, fp)

@@ -1,0 +1,178 @@
+"""Structured Streaming operators over event tables.
+
+The reference has no streaming surface at all (SURVEY §2.3: the word
+"stream" never occurs in it); this module is the driver-mandated extension
+scope, built directly from Structured Streaming primitives over the
+``events`` table shape (``event_id, ts, user_id, event_type, value,
+props``).
+
+Design rule: every aggregation here is defined ONCE as a batch-compatible
+transformation — ``F.window`` / ``F.session_window`` evaluate identically
+over a static DataFrame and a stream — so batch runs (and the DuckDB
+oracle) pin the semantics, and ``readStream`` + watermark turns the same
+plan incremental. That is the Spark-idiomatic way to keep a streaming
+operator testable.
+
+At scale: windowed aggs shuffle by (key, window) with partial aggregation
+map-side; the watermark bounds state size; session windows merge state
+per key. No Python in any of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "windowed_agg",
+    "session_agg",
+    "sessionize_batch",
+    "run_stream_to_memory",
+]
+
+# The fixture's ts column is parquet TIMESTAMP(NANOS) — Spark reads it only
+# as a raw long (see sources/tables.py); the stream reader converts inline.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Open the events table as a file-source stream (explicit schema — a
+    streaming source cannot infer) with the nano-timestamp normalized."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a DIRECTORY; when given the events
+    # file itself, stream its parent with a glob filter instead.
+    import os
+
+    glob_filter = None
+    if path.endswith(".parquet") and os.path.isfile(path):
+        glob_filter = os.path.basename(path)
+        path = os.path.dirname(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) event-time windowed
+    aggregation: count / sum / avg of ``value`` per key per window. Works
+    identically on a batch DataFrame and a stream; pass ``watermark`` on
+    the streaming side to bound state and enable append mode."""
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        src.groupBy(win.alias("w"), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation (gap-based) via ``F.session_window`` —
+    Spark merges overlapping per-key sessions in state; batch-compatible."""
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("s"), *keys)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_seconds: int = 600,
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Batch sessionization by the classic lag+cumsum pattern: a new
+    session starts where the gap to the previous event exceeds
+    ``gap_seconds``. Pure window functions, ANSI-SQL-expressible (this is
+    the oracle-checkable twin of :func:`session_agg`; note the two differ
+    on session *end* semantics — session_window extends end by the gap)."""
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    gap_break = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+    ) / 1e6 > gap_seconds
+    with_sid = events.withColumn(
+        "session_id",
+        F.sum(F.when(gap_break, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy(*keys, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming plan to completion against the currently available
+    files via the memory sink (test/smoke harness: synchronous
+    ``processAllAvailable``)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
