@@ -332,10 +332,13 @@ class Dataset:
 
     def rename(self, mapping: Mapping[str, str]) -> "Dataset":
         """Rename columns and remap index/id_vars through the mapping
-        (reference ``rename`` :189-194)."""
-        out = self._rewrap(self._df.withColumnsRenamed(dict(mapping)))
+        (reference ``rename`` :189-194). Metadata is remapped BEFORE the
+        invariant check so renaming the index itself is legal."""
+        out = object.__new__(Dataset)
         out._index = mapping.get(self._index, self._index)
         out._id_vars = [mapping.get(c, c) for c in self._id_vars]
+        out._df = self._df.withColumnsRenamed(dict(mapping))
+        out.df = out._df  # run invariants against the new names
         return out
 
     def pipe(self, func: Callable, *args, **kwargs):

@@ -79,22 +79,24 @@ def token_shingles(text, n: int = 3):
     shorter than n tokens fall back to the whole text as one shingle (so
     short docs still dedup against identical short docs)."""
     tokens = tokenize(text)
+    # NB: F.sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
+    # explicitly instead of relying on an empty sequence.
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
     whole = F.array(F.concat_ws(" ", tokens))
-    return F.array_distinct(F.when(F.size(grams) > 0, grams).otherwise(whole))
+    return F.array_distinct(F.when(F.size(tokens) >= n, grams).otherwise(whole))
 
 
 def char_shingles(text, n: int = 5):
     """Distinct character n-grams of normalized text → array<string>."""
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.length(norm) - (n - 1)),
         lambda i: F.substring(norm, i, n),
     )
-    return F.array_distinct(F.when(F.size(grams) > 0, grams).otherwise(F.array(norm)))
+    return F.array_distinct(F.when(F.length(norm) >= n, grams).otherwise(F.array(norm)))
 
 
 def minhash_signatures(
@@ -113,11 +115,16 @@ def minhash_signatures(
         F.col(text_col), shingle_size
     )
     tmp = df.withColumn(shingles_col, sh)
+
+    def hasher(j: int):
+        # NB: a bound default (lambda s, j=j: ...) would make the lambda
+        # 2-ary, and pyspark's `transform` passes the ARRAY INDEX as the
+        # second argument — silently shadowing the seed. Keep it 1-ary.
+        return lambda s: F.xxhash64(s, F.lit(j))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col(shingles_col), lambda s, j=j: F.xxhash64(s, F.lit(j)))
-            )
+            F.array_min(F.transform(F.col(shingles_col), hasher(j)))
             for j in range(num_hashes)
         ]
     )

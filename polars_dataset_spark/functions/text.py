@@ -66,7 +66,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 / F.size(tokens),
             ).otherwise(F.lit(0.0)),
             "punct_ratio": F.coalesce(
-                (n_chars - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))).cast("double") / nz,
+                (n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))).cast("double") / nz,
                 F.lit(0.0),
             ),
             "upper_ratio": F.coalesce(
@@ -141,4 +141,5 @@ def with_fingerprint(
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(base) + c) % F.lit(modulus),
     )
-    return df.withColumn(out_col, fp)
+    # F.sequence(1, 0) is descending — empty text hashes to 0 explicitly
+    return df.withColumn(out_col, F.when(F.length(norm) == 0, F.lit(0)).otherwise(fp))

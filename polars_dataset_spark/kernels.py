@@ -30,6 +30,8 @@ def _thomas(sub: np.ndarray, diag: np.ndarray, sup: np.ndarray, rhs: np.ndarray)
     """Solve a tridiagonal system in O(n) (Thomas algorithm). ``sub`` and
     ``sup`` have length n-1."""
     n = diag.size
+    if n == 1:
+        return rhs / diag
     c = np.empty(n - 1)
     d = np.empty(n)
     c[0] = sup[0] / diag[0]
@@ -56,8 +58,10 @@ def _spline_second_derivatives(x: np.ndarray, y: np.ndarray, bc_type: str) -> np
             # quadratic through 3 points == spline with linear M
             # fall through to natural which is close; keep simple & stable
             pass
-        sub = h[:-1].copy()
-        sup = h[1:].copy()
+        # reduced system over interior unknowns M1..M_{n-2} with M0=M_{n-1}=0:
+        # off-diagonals couple interior neighbours → h[1:-1] on both sides
+        sub = h[1:-1]
+        sup = h[1:-1]
         diag = 2.0 * (h[:-1] + h[1:])
         rhs = 6.0 * np.diff(delta)
         m_inner = _thomas(sub, diag, sup, rhs) if n > 2 else np.array([])

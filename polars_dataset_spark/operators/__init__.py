@@ -1,7 +1,7 @@
 from polars_dataset_spark.operators.structs import unnest_structs, rebuild_structs
 from polars_dataset_spark.operators.regrid import regrid, interpolate_frame
 from polars_dataset_spark.operators.fourier import fourier_transform
-from polars_dataset_spark.operators.autophase import autophase, zero_quadrature
+from polars_dataset_spark.operators.autophase import autophase, fit_phase, zero_quadrature
 from polars_dataset_spark.operators.asof import join_asof
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "interpolate_frame",
     "fourier_transform",
     "autophase",
+    "fit_phase",
     "zero_quadrature",
     "join_asof",
 ]

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import types as T
 
 from polars_dataset_spark.core import Dataset
-from polars_dataset_spark.operators.structs import unnest_structs
+from polars_dataset_spark.operators.structs import sanitize_columns, unnest_structs
 
 __all__ = ["fourier_transform"]
 
@@ -28,6 +28,7 @@ def fourier_transform(ds: Dataset, value_vars=None, freq_name: str = "frequency"
     """rFFT of each value column per trace. Output columns per value var
     ``v``: ``{v}_re``, ``{v}_im``, ``{v}_abs``."""
     flat_df, _ = unnest_structs(ds.df)
+    flat_df, _dots = sanitize_columns(flat_df)  # dotted names break applyInPandas
     index = ds.index
     id_vars = list(ds.id_vars)
     vv = list(value_vars) if value_vars else [c for c in flat_df.columns if c not in id_vars and c != index]

@@ -40,7 +40,12 @@ from pyspark.sql import types as T
 
 from polars_dataset_spark.core import Dataset
 from polars_dataset_spark.kernels import interp_trace
-from polars_dataset_spark.operators.structs import rebuild_structs, unnest_structs
+from polars_dataset_spark.operators.structs import (
+    rebuild_structs,
+    restore_columns,
+    sanitize_columns,
+    unnest_structs,
+)
 
 __all__ = ["regrid", "interpolate_frame"]
 
@@ -81,6 +86,7 @@ def regrid(
         raise ValueError(f"grid name {name!r} is neither the index nor an id_var")
 
     flat_df, schema_map = unnest_structs(ds.df)
+    flat_df, dot_map = sanitize_columns(flat_df)  # applyInPandas can't take dotted names
     index = ds.index
     id_vars = list(ds.id_vars)
     vv = list(value_vars) if value_vars else [c for c in flat_df.columns if c not in id_vars and c != index]
@@ -108,7 +114,7 @@ def regrid(
             .groupBy("_g")
             .applyInPandas(lambda p: fn(p.drop(columns=["_g"])), schema=out_schema)
         )
-    result = rebuild_structs(result, schema_map)
+    result = rebuild_structs(restore_columns(result, dot_map), schema_map)
     out = Dataset(result, index=index, id_vars=id_vars)
     return out.sort_columns()
 
@@ -128,6 +134,7 @@ def interpolate_frame(
     index = ds.index
     id_vars = list(ds.id_vars)
     flat_df, schema_map = unnest_structs(ds.df)
+    flat_df, dot_map = sanitize_columns(flat_df)
     vv = [c for c in flat_df.columns if c not in id_vars and c != index]
 
     in_schema = flat_df.schema
@@ -152,5 +159,5 @@ def interpolate_frame(
 
     grouped = flat_df.groupBy(*id_vars) if id_vars else flat_df.groupBy()
     result = grouped.applyInPandas(fn, schema=out_schema)
-    result = rebuild_structs(result, schema_map)
+    result = rebuild_structs(restore_columns(result, dot_map), schema_map)
     return Dataset(result, index=index, id_vars=id_vars).sort_columns()

@@ -14,7 +14,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["unnest_structs", "rebuild_structs"]
+__all__ = ["unnest_structs", "rebuild_structs", "sanitize_columns", "restore_columns"]
+
+# applyInPandas resolves its input with df[col], which parses "." as struct
+# access — flattened "{struct}.{field}" names must be made dot-free around
+# any grouped-map operator and restored afterwards.
+_DOT = "__dot__"
+
+
+def sanitize_columns(df: DataFrame) -> tuple[DataFrame, dict[str, str]]:
+    """Replace '.' in column names with a safe token; returns (df, mapping
+    safe→original)."""
+    mapping = {c.replace(".", _DOT): c for c in df.columns if "." in c}
+    if not mapping:
+        return df, {}
+    return df.toDF(*[c.replace(".", _DOT) for c in df.columns]), mapping
+
+
+def restore_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Inverse of :func:`sanitize_columns`."""
+    if not mapping:
+        return df
+    return df.toDF(*[mapping.get(c, c) for c in df.columns])
 
 
 def unnest_structs(df: DataFrame) -> tuple[DataFrame, dict[str, list[str]]]:

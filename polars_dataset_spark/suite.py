@@ -1,0 +1,1105 @@
+"""The engine's query suite: one entry per operator from SURVEY §2, each
+expressed through the package's public API, plus (wherever ANSI SQL can
+express the semantics) a DuckDB oracle string computing the same result.
+
+Contract (driver, ``/root/repo/__spark_entry__.py``): the driver runs the
+Spark query and the oracle side by side at sf=0.01 and compares row count,
+schema and an order-insensitive value hash with columns sorted by name —
+so every computed column is aliased identically on both sides, floats are
+rounded identically on both sides (money-scale sums to 2 decimals,
+averages to 4, per-row arithmetic to 6 — coarse enough that engine-order
+float noise of ~1e-9 relative cannot flip a rounded digit), and timestamps
+are emitted as formatted strings (engine-neutral).
+
+Queries with no oracle entry (LSH, regrid, FFT, streaming-native session
+windows) are the genuinely non-SQL-expressible ops; the driver applies a
+rows-only check and the test suite pins their semantics with
+self-verifying properties instead (``tests/``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.core import Dataset
+from polars_dataset_spark.operators import (
+    autophase,
+    fourier_transform,
+    join_asof,
+    regrid,
+)
+from polars_dataset_spark.functions import (
+    cosine_topk,
+    embedding_neardup,
+    exact_dedup,
+    lsh_bucketed_topk,
+    minhash_lsh_candidates,
+    simhash_dedup,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
+from polars_dataset_spark.functions.text import STOPWORDS
+from polars_dataset_spark.sources.tables import load_table
+from polars_dataset_spark.streaming import sessionize_batch, session_agg, windowed_agg
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _prep(spark: SparkSession) -> None:
+    """Dynamic confs the comparisons rely on, safe on any session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _lineitem_ds(spark: SparkSession, sf_dir: str) -> Dataset:
+    return Dataset(
+        load_table(spark, sf_dir, "lineitem"),
+        index="l_shipdate",
+        id_vars=["l_returnflag", "l_linestatus"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.1/§2.3: E1-E21 + delegated ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)       AS avg_qty,
+           round(avg(l_extendedprice), 4)  AS avg_price,
+           round(avg(l_discount), 4)       AS avg_disc,
+           count(*)                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: the groupBy-agg core (E2 delegation + hash agg).
+    Catalyst plans partial+final hash aggregation; the only shuffle is on
+    the two grouping keys."""
+    _prep(spark)
+    ds = _lineitem_ds(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        ds.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '{TS_FMT_DUCK}') AS ship_s,
+           round(l_extendedprice * (1 - l_discount), 6) AS revenue
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 25 AND l_discount > 0.02
+    """,
+)
+def q02(spark, sf_dir):
+    """Filter + projection (E3/E4): predicates push to the parquet scan
+    (PushedFilters), projection prunes columns (ReadSchema)."""
+    _prep(spark)
+    ds = _lineitem_ds(spark, sf_dir)
+    out = ds.filter(
+        F.col("l_quantity").between(5, 25), F.col("l_discount") > 0.02
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", TS_FMT_SPARK).alias("ship_s"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.col("l_shipdate"),
+    )
+    return out.df.drop("l_shipdate")
+
+
+@query(
+    "q03_join_agg",
+    """
+    SELECT o.o_orderstatus,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q03(spark, sf_dir):
+    """Equi-join + aggregate (E7): Catalyst/AQE picks the physical join."""
+    _prep(spark)
+    li = _lineitem_ds(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+    return joined.group_by("o_orderstatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "q04_semi_join",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    """,
+)
+def q04(spark, sf_dir):
+    """Semi join (polars how='semi' → Spark left_semi)."""
+    _prep(spark)
+    orders = Dataset(load_table(spark, sf_dir, "orders"), index="o_orderdate", id_vars=["o_orderstatus"])
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    out = orders.join(big, left_on="o_orderkey", right_on="l_orderkey", how="semi")
+    return out.fetch("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05(spark, sf_dir):
+    """Anti join (polars how='anti' → Spark left_anti)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "q06_star_join",
+    """
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q06(spark, sf_dir):
+    """Star join over the full dimension chain: every dimension is
+    explicitly broadcast (they are small by schema design), so the fact
+    table never shuffles — the plan is a chain of BroadcastHashJoins plus
+    one final agg exchange. This is the 100 TB-safe shape."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q07_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS F,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q07(spark, sf_dir):
+    """Pivot (E6): supplying ``values`` up front avoids the distinct-
+    discovery job — the whole pivot is one hash aggregation."""
+    _prep(spark)
+    ds = _lineitem_ds(spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"
+    )
+    pv = ds.pivot(
+        on="l_linestatus", index=["l_returnflag"], values=["F", "O"], aggregate_function="sum"
+    )
+    return pv.select("l_returnflag", F.round("F", 2).alias("F"), F.round("O", 2).alias("O"))
+
+
+@query(
+    "q08_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q08(spark, sf_dir):
+    """Unpivot/melt (delegated surface): wide → long."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "variable",
+        "value",
+    )
+
+
+_TRACE_ORDER = "ORDER BY l_shipdate, l_orderkey, l_linenumber"
+
+
+@query(
+    "q09_cumsum",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus
+                 {_TRACE_ORDER} ROWS UNBOUNDED PRECEDING), 6) AS qty_cumsum
+    FROM lineitem
+    """,
+)
+def q09(spark, sf_dir):
+    """Per-trace cumulative sum — the idiomatic id_vars/index window op
+    this data model exists for (SURVEY §2.3 windows)."""
+    _prep(spark)
+    w = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 6).alias("qty_cumsum"),
+    )
+
+
+@query(
+    "q10_diff",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice - lag(l_extendedprice) OVER (
+                 PARTITION BY l_returnflag, l_linestatus {_TRACE_ORDER}), 6) AS price_diff
+    FROM lineitem
+    """,
+)
+def q10(spark, sf_dir):
+    """Per-trace first difference (shift/diff via lag)."""
+    _prep(spark)
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") - F.lag("l_extendedprice").over(w), 6).alias("price_diff"),
+    )
+
+
+@query(
+    "q11_rolling_mean",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           round(avg(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus
+                 {_TRACE_ORDER} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS qty_roll
+    FROM lineitem
+    """,
+)
+def q11(spark, sf_dir):
+    """Rolling mean over a 7-row trace window."""
+    _prep(spark)
+    w = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 4).alias("qty_roll"),
+    )
+
+
+@query(
+    "q12_rank",
+    """
+    SELECT o_orderkey,
+           rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS price_dense
+    FROM orders
+    """,
+)
+def q12(spark, sf_dir):
+    """Ranking windows (rank / dense_rank)."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense"),
+    )
+
+
+@query(
+    "q13_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q13(spark, sf_dir):
+    """Top-k (E: top_k → orderBy+limit): Catalyst plans
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q14_coord",
+    f"SELECT DISTINCT strftime(l_shipdate, '{TS_FMT_DUCK}') AS ship_s FROM lineitem",
+)
+def q14(spark, sf_dir):
+    """Distinct coordinate values (E16, sorted-coordinate variant)."""
+    _prep(spark)
+    ds = _lineitem_ds(spark, sf_dir)
+    coord = ds.coord("l_shipdate", maintain_order=False)
+    return coord.select(F.date_format("l_shipdate", TS_FMT_SPARK).alias("ship_s"))
+
+
+@query(
+    "q15_extrema",
+    """
+    SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           round(avg(l_quantity), 4) AS avg_qty, count(*) AS n
+    FROM lineitem
+    """,
+)
+def q15(spark, sf_dir):
+    """Global aggregate row (E17 extrema generalized)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q16_unique",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q16(spark, sf_dir):
+    """Distinct rows over a subset (unique/dropDuplicates)."""
+    _prep(spark)
+    ds = _lineitem_ds(spark, sf_dir)
+    return ds.fetch("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q17_quantiles",
+    """
+    SELECT round(median(o_totalprice), 4) AS med_price,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders
+    """,
+)
+def q17(spark, sf_dir):
+    """Exact median / interpolated quantiles (delegated agg surface)."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "q18_drop_nan",
+    """
+    WITH t AS (
+      SELECT l_orderkey,
+             CASE WHEN l_discount > 0.05 THEN 'NaN'::DOUBLE ELSE l_quantity END AS val
+      FROM lineitem)
+    SELECT count(*) AS n_rows, round(sum(val), 2) AS sum_val
+    FROM t WHERE NOT isnan(val)
+    """,
+)
+def q18(spark, sf_dir):
+    """NaN-vs-null duality (E20 drop_nan): IEEE NaN rows filtered, nulls
+    untouched — the polars semantics mapped onto F.isnan."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ds = Dataset(
+        li.select(
+            "l_orderkey",
+            "l_shipdate",
+            F.when(F.col("l_discount") > 0.05, F.lit(float("nan")))
+            .otherwise(F.col("l_quantity"))
+            .alias("val"),
+        ),
+        index="l_shipdate",
+    )
+    out = ds.drop_nan()
+    return out.df.agg(F.count("*").alias("n_rows"), F.round(F.sum("val"), 2).alias("sum_val"))
+
+
+@query(
+    "q19_fill_null",
+    """
+    SELECT coalesce(nullif(o_orderpriority, '1-URGENT'), 'none') AS prio, count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q19(spark, sf_dir):
+    """Null handling (fill_null/fillna)."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    ds = Dataset(
+        o.select(
+            "o_orderdate",
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
+        ),
+        index="o_orderdate",
+    )
+    filled = ds.fill_null("none")
+    return filled.df.groupBy("prio").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q20_row_index",
+    """
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+    FROM orders
+    """,
+)
+def q20(spark, sf_dir):
+    """with_row_index: Spark has no implicit row order, so the index is
+    defined over an explicit (id_vars, index) ordering."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    ds = Dataset(o.select("o_orderkey"), index="o_orderkey")
+    return ds.with_row_index("rn").fetch("o_orderkey", "rn")
+
+
+@query(
+    "q21_concat_diagonal",
+    """
+    SELECT l_orderkey AS k, l_quantity AS qty, NULL::DOUBLE AS price
+    FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT l_orderkey, NULL::DOUBLE, l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q21(spark, sf_dir):
+    """Diagonal concat (pl.concat(how='diagonal') →
+    unionByName(allowMissingColumns=True))."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_orderkey").alias("k"), F.col("l_quantity").alias("qty")
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k"), F.col("l_extendedprice").alias("price")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
+    "q22_asof_join",
+    f"""
+    WITH od AS (
+      SELECT o_orderdate, max(o_totalprice) AS best_price
+      FROM orders GROUP BY o_orderdate)
+    SELECT l.l_orderkey, l.l_linenumber,
+           strftime(l.l_shipdate, '{TS_FMT_DUCK}') AS ship_s,
+           od.best_price
+    FROM lineitem l ASOF LEFT JOIN od ON l.l_shipdate >= od.o_orderdate
+    """,
+)
+def q22(spark, sf_dir):
+    """As-of join (polars join_asof, backward): union-sort realization —
+    one shuffle, no range-join candidate explosion. The right side is
+    pre-aggregated per key so ties are deterministic."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    out = join_asof(li, od, on="l_shipdate", right_on="o_orderdate", strategy="backward")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", TS_FMT_SPARK).alias("ship_s"),
+        "best_price",
+    )
+
+
+@query(
+    "q23_struct_roundtrip",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS "qty.amount", l_extendedprice AS "qty.price"
+    FROM lineitem
+    """,
+)
+def q23(spark, sf_dir):
+    """Struct build → unnest round-trip (E13/E14): pure projections that
+    Catalyst collapses — the flattened output equals the plain projection."""
+    _prep(spark)
+    from polars_dataset_spark.operators import rebuild_structs, unnest_structs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct(
+            F.col("l_quantity").alias("amount"), F.col("l_extendedprice").alias("price")
+        ).alias("qty"),
+    )
+    flat, smap = unnest_structs(li)
+    rebuilt = rebuild_structs(flat, smap)  # exercise the inverse too
+    flat2, _ = unnest_structs(rebuilt)
+    return flat2
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed / sessionized time series (SURVEY §2.3 streaming scope)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_windowed_agg",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q24(spark, sf_dir):
+    """Tumbling event-time window aggregation — the batch twin of the
+    streaming plan (same code path runs on readStream + watermark)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_agg(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+    )
+
+
+@query(
+    "q25_sessionize",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q25(spark, sf_dir):
+    """Batch sessionization (lag + cumsum gap-break), 30-minute gap."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q26_session_window",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q26(spark, sf_dir):
+    """F.session_window semantics (end = last event + gap): the native
+    Structured-Streaming session operator run in batch mode."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = session_agg(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q27_json_props",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q27(spark, sf_dir):
+    """Semi-structured access: JSON property extraction + aggregate."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("long")), 4).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (SURVEY §2.4 pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_text_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+           round(CASE WHEN trim(text) = '' THEN 0.0
+                 ELSE length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+')) END, 6) AS mean_tok_len,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+                 / length(text), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def q28(spark, sf_dir):
+    """Token counting + quality stats: pure codegen'd expressions."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_text_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_tok_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def _duck_langid_sql() -> str:
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    hits = {
+        lang: f"len(list_filter({toks}, x -> list_contains({words!r}, x)))".replace("'", "'")
+        for lang, words in STOPWORDS.items()
+    }
+    hit_cols = ",\n           ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+           {hit_cols}
+      FROM documents WHERE trim(text) <> '')
+    SELECT {case} AS lang_pred, count(*) AS n
+    FROM h GROUP BY 1
+    """
+
+
+@query("q29_language_id", _duck_langid_sql())
+def q29(spark, sf_dir):
+    """Language identification (stopword-hit heuristic), counts per
+    detected language."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    out = with_language_id(docs)
+    return out.groupBy("lang_pred").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q30_quality_score",
+    r"""
+    WITH s AS (
+      SELECT source, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_tokens,
+             CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                       / len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS mtl,
+             coalesce((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+                   / nullif(length(text), 0), 0.0) AS punct,
+             coalesce((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / nullif(length(text), 0), 0.0) AS digit
+      FROM documents),
+    q AS (
+      SELECT source,
+             round(0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0 ELSE least(n_tokens / 20.0, 1.0) END)
+                 + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - least(1.0, punct * 2.0 + digit)), 6) AS quality
+      FROM s)
+    SELECT source, round(avg(quality), 4) AS avg_quality, count(*) AS n
+    FROM q GROUP BY source
+    """,
+)
+def q30(spark, sf_dir):
+    """Heuristic quality scoring, aggregated per source."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_quality_score(docs)
+    return out.groupBy("source").agg(
+        F.round(F.avg("quality"), 4).alias("avg_quality"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q31_fingerprint",
+    r"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(norm) = 0 THEN 0
+                ELSE list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(range(1, length(norm) + 1),
+                                        i -> ascii(substring(norm, i::INT, 1))::BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) END AS fingerprint
+    FROM n
+    """,
+)
+def q31(spark, sf_dir):
+    """Document fingerprint: engine-reproducible polynomial rolling hash."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "q32_exact_dedup",
+    r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+    """,
+)
+def q32(spark, sf_dir):
+    """Exact dedup: representative (min id) per normalized text."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.groupBy(norm.alias("__norm"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .drop("__norm")
+    )
+
+
+@query(
+    "q33_media_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+)
+def q33(spark, sf_dir):
+    """Multimodal column shape: opaque binary payload + typed metadata
+    (size, content hash) — all JVM-side."""
+    _prep(spark)
+    from polars_dataset_spark.functions import binary_with_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = binary_with_metadata(docs, "text", "text/plain")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@query(
+    "q34_cosine_topk",
+    """
+    WITH p AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+                 list_transform(p.embedding, x -> x::DOUBLE),
+                 list_transform(c.embedding, x -> x::DOUBLE)), 6) AS cosine
+      FROM p, embeddings c WHERE p.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q34(spark, sf_dir):
+    """Exact brute-force cosine top-k — the ANN correctness baseline."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(probes, emb, k=5)
+
+
+@query(
+    "q35_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+               list_transform(a.embedding, x -> x::DOUBLE),
+               list_transform(b.embedding, x -> x::DOUBLE)), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(
+               list_transform(a.embedding, x -> x::DOUBLE),
+               list_transform(b.embedding, x -> x::DOUBLE)) >= 0.32
+    """,
+)
+def q35(spark, sf_dir):
+    """Embedding near-duplicate pairs above a cosine threshold, exact
+    (brute-force) variant — the oracle-checkable twin of the LSH path
+    (q36). Threshold tuned to the fixture's random-vector similarity
+    range so the result set is non-trivial."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(F.aggregate("v_a", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    norm_b = F.sqrt(F.aggregate("v_b", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm_a * norm_b))
+        .filter(F.col("cosine") >= 0.32)
+        .withColumn("cosine", F.round("cosine", 6))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---- rows-only queries (no ANSI-SQL oracle; driver records weaker check) --
+
+
+@query("q36_neardup_lsh")
+def q36(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs (the 100 TB path for q35): bucketed
+    candidate generation + exact verify. Approximate recall — no SQL
+    oracle; tests assert every returned pair is a true pair."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, threshold=0.32, planes=8)
+
+
+@query("q37_minhash_pairs")
+def q37(spark, sf_dir):
+    """MinHash-LSH near-duplicate text pairs with exact-Jaccard verify
+    (xxhash64 signatures are Spark-specific — rows-only check)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, threshold=0.6)
+
+
+@query("q38_simhash_dedup")
+def q38(spark, sf_dir):
+    """SimHash hamming-band dedup survivors."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup(docs, max_hamming=3).select("doc_id", "source", "lang")
+
+
+@query("q39_lsh_topk")
+def q39(spark, sf_dir):
+    """Approximate (multi-probe LSH) cosine top-k — scale path of q34."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(probes, emb, k=5)
+
+
+@query("q40_regrid")
+def q40(spark, sf_dir):
+    """Flagship regrid on trace data derived from lineitem: per
+    (returnflag, linestatus) daily-revenue traces spline-interpolated onto
+    a uniform day grid. Custom kernel — self-verified in tests."""
+    _prep(spark)
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem")
+    traces = (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("day"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .withColumn("day", (F.col("day") / (86400.0 * 1e6)).cast("double"))
+    )
+    ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
+    lo, hi = ds.extrema("day")
+    grid = np.linspace(float(lo), float(hi), 200)
+    return regrid(ds, grid).df
+
+
+@query("q41_fourier")
+def q41(spark, sf_dir):
+    """Per-trace rFFT of the regridded revenue traces (H5)."""
+    _prep(spark)
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem")
+    traces = (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("day"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .withColumn("day", (F.col("day") / (86400.0 * 1e6)).cast("double"))
+    )
+    ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
+    lo, hi = ds.extrema("day")
+    grid = np.linspace(float(lo), float(hi), 128)
+    return fourier_transform(regrid(ds, grid)).df
+
+
+@query(
+    "q42_autophase",
+    """
+    WITH m AS (
+      SELECT sum(l_discount * l_discount) AS sxx,
+             sum(l_tax * l_tax)           AS syy,
+             sum(l_discount * l_tax)      AS sxy
+      FROM lineitem),
+    cand AS (
+      SELECT sxx, syy, sxy,
+             0.5 * atan2(-2 * sxy, sxx - syy) AS p,
+             0.5 * atan2(-2 * sxy, sxx - syy) + pi() / 2 AS q
+      FROM m),
+    phi AS (
+      SELECT CASE
+               WHEN (sin(p) * sin(p) * sxx + 2 * sin(p) * cos(p) * sxy + cos(p) * cos(p) * syy)
+                 <= (sin(q) * sin(q) * sxx + 2 * sin(q) * cos(q) * sxy + cos(q) * cos(q) * syy)
+               THEN p ELSE q END AS phi
+      FROM cand)
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(l.l_discount * cos(phi.phi) - l.l_tax * sin(phi.phi), 6) AS x_rot,
+           round(l.l_discount * sin(phi.phi) + l.l_tax * cos(phi.phi), 6) AS y_rot
+    FROM lineitem l, phi
+    """,
+)
+def q42(spark, sf_dir):
+    """Autophase (H2): closed-form global phase from three distributed
+    second moments, then a plain column rotation — no iterative fit."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ds = Dataset(
+        li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_tax"),
+        index="l_shipdate",
+    )
+    rot = autophase(ds, "l_discount", "l_tax")
+    return rot.fetch(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_discount"), 6).alias("x_rot"),
+        F.round(F.col("l_tax"), 6).alias("y_rot"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() query: the star join (q06) through the Dataset API —
+    construct, join, filter, aggregate, sort in one plan."""
+    _prep(spark)
+    return (
+        q06(spark, sf_dir)
+        .orderBy(F.col("revenue").desc())
+    )

@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's t2 correctness gate: run every
+``queries()`` entry at sf0.01 and compare with its DuckDB oracle —
+row count, column names, and order-insensitive values (columns sorted by
+name, rows sorted by all columns). Rows-only entries just execute and
+count. Exit code 0 = all green.
+
+Usage: python tests/run_oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from polars_dataset_spark.session import get_spark
+from polars_dataset_spark.sources.tables import TABLES
+import __spark_entry__ as entrymod
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        try:
+            pdf[c] = pd.to_numeric(pdf[c])
+        except (ValueError, TypeError):
+            pass
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sv = pd.to_numeric(sv, errors="coerce").astype(float).round(9)
+            dv = pd.to_numeric(dv, errors="coerce").astype(float).round(9)
+            bad = ~((sv == dv) | (sv.isna() & dv.isna()))
+        else:
+            sv2, dv2 = sv.astype(str), dv.astype(str)
+            bad = sv2 != dv2
+        if bad.any():
+            i = bad.idxmax()
+            problems.append(
+                f"value mismatch col={c} ({int(bad.sum())} rows), first at idx {i}: "
+                f"spark={sv[i]!r} duck={dv[i]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(spark_pdf)} rows)")
+            if len(spark_pdf) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: {len(spark_pdf)} rows match oracle")
+    # smoke: entry()
+    if not only:
+        res = entrymod.entry(spark)
+        n = res.count()
+        print(f"entry(): {n} rows, schema: {[f.name for f in res.schema.fields]}")
+        if n <= 0:
+            failures.append("entry")
+    spark.stop()
+    print(("ALL GREEN" if not failures else f"FAILURES: {failures}"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,167 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_dataset_spark import Dataset, Datafile
+
+
+@pytest.fixture(scope="module")
+def lineitem_ds(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return Dataset(li, index="l_shipdate", id_vars=["l_returnflag", "l_linestatus"])
+
+
+def test_value_vars_derived(lineitem_ds):
+    vv = lineitem_ds.value_vars
+    assert "l_quantity" in vv
+    assert "l_shipdate" not in vv and "l_returnflag" not in vv
+
+
+def test_index_drop_raises(lineitem_ds):
+    with pytest.raises(ValueError, match="index"):
+        lineitem_ds.select("l_returnflag", "l_quantity")
+
+
+def test_id_vars_prune_silently(lineitem_ds):
+    out = lineitem_ds.select("l_shipdate", "l_quantity")
+    assert out.id_vars == []
+
+
+def test_delegation_rewraps(lineitem_ds):
+    out = lineitem_ds.selectExpr("l_shipdate", "l_returnflag", "l_quantity * 2 as q2")
+    assert isinstance(out, Dataset)
+    assert out.value_vars == ["q2"]
+    assert out.id_vars == ["l_returnflag"]
+
+
+def test_delegation_passthrough_non_dataframe(lineitem_ds):
+    assert isinstance(lineitem_ds.count(), int)
+
+
+def test_rename_remaps_metadata(lineitem_ds):
+    out = lineitem_ds.rename({"l_shipdate": "ship", "l_returnflag": "flag"})
+    assert out.index == "ship"
+    assert out.id_vars == ["flag", "l_linestatus"]
+
+
+def test_sort_columns_canonical(lineitem_ds):
+    cols = lineitem_ds.sort_columns().columns
+    assert cols[:3] == ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def test_drop_guards_index(lineitem_ds):
+    with pytest.raises(ValueError):
+        lineitem_ds.drop("l_shipdate")
+    assert "l_tax" not in lineitem_ds.drop("l_tax").columns
+
+
+def test_set_and_select_data(lineitem_ds):
+    ds = lineitem_ds.set(id_vars=["l_returnflag"])
+    assert ds.id_vars == ["l_returnflag"]
+    out = ds.select_data(F.col("l_quantity").alias("q"))
+    assert out.columns == ["l_returnflag", "l_shipdate", "q"]
+
+
+def test_union_construction_requires_shared_index(spark):
+    a = spark.createDataFrame(pd.DataFrame({"x": [1.0], "v": [2.0]}))
+    dsa = Dataset(a, index="x")
+    dsb = Dataset(a.withColumnRenamed("x", "y"), index="y")
+    with pytest.raises(ValueError, match="share index"):
+        Dataset([dsa, dsb], index="x")
+
+
+def test_union_idvars_set_union(spark):
+    a = spark.createDataFrame(pd.DataFrame({"t": [1.0], "u": [0.0], "x": [0.0], "v": [5.0]}))
+    c = spark.createDataFrame(pd.DataFrame({"t": [3.0], "u": [9.0], "x": [0.5], "v": [1.0]}))
+    u = Dataset(
+        [Dataset(a, index="x", id_vars=["t"]), Dataset(c, index="x", id_vars=["t", "u"])],
+        index="x",
+    )
+    assert u.id_vars == ["t", "u"]
+    assert u.df.count() == 2
+
+
+def test_union_missing_column_raises(spark):
+    a = spark.createDataFrame(pd.DataFrame({"t": [1.0], "x": [0.0], "v": [5.0]}))
+    b = spark.createDataFrame(pd.DataFrame({"x": [0.0], "v": [7.0]}))
+    with pytest.raises(KeyError, match="missing required column"):
+        Dataset([Dataset(a, index="x", id_vars=["t"]), b], index="x", id_vars=["t"])
+
+
+def test_coord_first_seen_order(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [3.0, 1.0, 3.0, 2.0], "v": [0.0] * 4}))
+    ds = Dataset(df.coalesce(1), index="x")
+    vals = [r["x"] for r in ds.coord("x", maintain_order=True).collect()]
+    assert vals == [3.0, 1.0, 2.0]
+
+
+def test_extrema_and_quantile(lineitem_ds):
+    mn, mx = lineitem_ds.extrema("l_quantity")
+    assert mn == 1.0 and mx == 50.0
+    med = lineitem_ds.quantile("l_quantity", 0.5)
+    assert 1.0 <= med <= 50.0
+
+
+def test_drop_nan_struct_aware(spark):
+    # NB: pandas NaN → Spark NULL through Arrow; a true IEEE NaN must be
+    # constructed Spark-side to exercise the NaN/null duality.
+    df = (
+        spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0, 3.0]}))
+        .withColumn("v", F.when(F.col("x") == 2.0, F.lit(float("nan"))).otherwise(F.col("x")))
+        .withColumn("s", F.struct(F.col("v").alias("a"), F.lit(1.0).alias("b")))
+    )
+    ds = Dataset(df, index="x")
+    out = ds.drop_nan()
+    assert out.df.count() == 2
+    # nulls are NOT NaN: a null row survives
+    df2 = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0], "v": [None, 5.0]}))
+    assert Dataset(df2, index="x").drop_nan().df.count() == 2
+
+
+def test_pipe(lineitem_ds):
+    out = lineitem_ds.pipe(lambda ds: ds.df.filter(F.col("l_quantity") > 49))
+    assert isinstance(out, Dataset)
+    assert out.df.count() > 0
+
+
+def test_per_trace_windows(lineitem_ds):
+    small = lineitem_ds.select(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"
+    )
+    cs = small.cum_sum("l_quantity")
+    assert "l_quantity_cumsum" in cs.columns
+    d = small.diff("l_quantity")
+    assert "l_quantity_diff" in d.columns
+    rm = small.rolling_mean("l_quantity", 5)
+    assert "l_quantity_rolling_mean" in rm.columns
+
+
+def test_join_merges_idvars(spark, sf_dir, lineitem_ds):
+    orders = Dataset(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        index="o_orderdate",
+        id_vars=["o_orderstatus"],
+    )
+    out = lineitem_ds.join(orders, left_on="l_orderkey", right_on="o_orderkey")
+    assert out.id_vars == ["l_returnflag", "l_linestatus", "o_orderstatus"]
+
+
+def test_datafile_roundtrip(tmp_path, spark):
+    pdf = pd.DataFrame({"t": [1.0, 1.0], "x": [0.0, 1.0], "v": [5.0, 6.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["t"])
+    f = Datafile(str(tmp_path / "out_csv"), index="x", id_vars=["t"], fmt="csv")
+    f.write(ds)
+    back = f.load(spark)
+    assert isinstance(back, Dataset)
+    assert back.df.count() == 2
+    assert back.index == "x"
+
+
+def test_datafile_missing_returns_none(spark):
+    assert Datafile("/tmp/nope_does_not_exist.csv", index="x").load(spark) is None
+
+
+def test_partition_hint_plan(lineitem_ds):
+    plan = lineitem_ds.partition_hint(8).df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan or "ShuffleExchange" in plan

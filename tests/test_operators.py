@@ -1,0 +1,190 @@
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_dataset_spark import Dataset
+from polars_dataset_spark.operators import (
+    autophase,
+    fit_phase,
+    fourier_transform,
+    interpolate_frame,
+    join_asof,
+    rebuild_structs,
+    regrid,
+    unnest_structs,
+    zero_quadrature,
+)
+
+
+@pytest.fixture(scope="module")
+def traces(spark):
+    rng = np.random.RandomState(42)
+    rows = []
+    for t in [10.0, 20.0, 30.0]:
+        for f in [0.0, 1.0]:
+            x = np.sort(rng.uniform(0, 10, 120))
+            for xi in x:
+                rows.append(
+                    (t, f, float(xi), float(np.sin(xi) + 0.1 * t), float(np.cos(xi)))
+                )
+    pdf = pd.DataFrame(rows, columns=["temperature", "field", "wavelength", "signal", "ref"])
+    return Dataset(
+        spark.createDataFrame(pdf), index="wavelength", id_vars=["temperature", "field"]
+    )
+
+
+def test_regrid_grid_contract(traces):
+    grid = np.linspace(1, 9, 50)
+    out = regrid(traces, grid).df.toPandas()
+    assert len(out) == 6 * 50  # groups × grid points
+    got = np.sort(out["wavelength"].unique())
+    assert np.allclose(got, grid)
+
+
+def test_regrid_accuracy(traces):
+    grid = np.linspace(1, 9, 50)
+    out = regrid(traces, grid).df.toPandas()
+    g = out[(out.temperature == 20.0) & (out.field == 1.0)].sort_values("wavelength")
+    assert np.max(np.abs(g.signal.to_numpy() - (np.sin(grid) + 2.0))) < 1e-2
+    assert np.max(np.abs(g.ref.to_numpy() - np.cos(grid))) < 1e-2
+
+
+def test_regrid_identity_on_grid(spark):
+    grid = np.linspace(0, 9, 40)
+    pdf = pd.DataFrame(
+        {"g": [1.0] * 40 + [2.0] * 40, "x": list(grid) * 2, "y": list(np.sin(grid)) * 2}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = regrid(ds, grid).df.toPandas().sort_values(["g", "x"])
+    assert np.max(np.abs(out.y.to_numpy() - pdf.sort_values(["g", "x"]).y.to_numpy())) < 1e-9
+
+
+def test_regrid_role_swap(traces):
+    # grid over the temperature id_var: index/id swap (reference :219-223)
+    out = regrid(traces, pd.Series(np.linspace(10, 30, 5), name="temperature"))
+    assert out.index == "temperature"
+    assert "wavelength" in out.id_vars
+
+
+def test_regrid_struct_roundtrip(spark):
+    grid = np.linspace(0, 5, 20)
+    pdf = pd.DataFrame(
+        {
+            "g": [1.0] * 30,
+            "t": np.linspace(0, 5, 30),
+            "xc": np.cos(np.linspace(0, 5, 30)),
+            "yc": np.sin(np.linspace(0, 5, 30)),
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        "g", "t", F.struct(F.col("xc").alias("X"), F.col("yc").alias("Y")).alias("lockin")
+    )
+    ds = Dataset(df, index="t", id_vars=["g"])
+    out = regrid(ds, grid)
+    assert out.schema["lockin"].dataType.simpleString() == "struct<X:double,Y:double>"
+    assert out.df.count() == 20
+
+
+def test_regrid_nan_tolerant(spark):
+    grid = np.linspace(0, 9, 10)
+    xs = np.linspace(0, 9, 50)
+    ys = np.sin(xs)
+    ys[5] = np.nan
+    pdf = pd.DataFrame({"g": [1.0] * 50, "x": xs, "y": ys})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = regrid(ds, grid).df.toPandas()
+    assert np.all(np.isfinite(out.y))
+
+
+def test_regrid_degenerate_group_nan_fill(spark):
+    pdf = pd.DataFrame({"g": [1.0, 2.0, 2.0], "x": [0.5, 0.1, 0.9], "y": [1.0, 2.0, 3.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = regrid(ds, np.linspace(0, 1, 5)).df.toPandas()
+    assert len(out) == 10  # grid kept for both groups
+    assert out[out.g == 1.0].y.isna().all()  # single-point trace → NaN
+    assert out[out.g == 2.0].y.notna().all()
+
+
+def test_interpolate_frame_passthrough_single_point(spark):
+    pdf = pd.DataFrame({"g": [1.0, 2.0, 2.0], "x": [0.5, 0.1, 0.9], "y": [1.0, 2.0, 3.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = interpolate_frame(ds, np.linspace(0, 1, 5)).df.toPandas()
+    # single-point group passes through unchanged (reference H4 :316-317)
+    assert len(out[out.g == 1.0]) == 1
+    assert len(out[out.g == 2.0]) == 5
+
+
+def test_fourier_peak(spark):
+    n = 256
+    xs = np.arange(n) * 0.05
+    pdf = pd.DataFrame({"g": [1.0] * n, "t": xs, "s": np.sin(2 * np.pi * 3.0 * xs)})
+    ds = Dataset(spark.createDataFrame(pdf), index="t", id_vars=["g"])
+    ft = fourier_transform(ds)
+    peak = ft.df.orderBy(F.desc("s_abs")).first()
+    assert peak["frequency"] == pytest.approx(3.0, abs=0.1)
+    assert ft.index == "frequency"
+
+
+def test_autophase_zeroes_quadrature(spark):
+    phi0 = 0.7
+    xs = np.linspace(0, 10, 300)
+    amp = np.sin(xs) * 2.0
+    pdf = pd.DataFrame(
+        {"t": xs, "X": amp * np.cos(phi0), "Y": -amp * np.sin(phi0)}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="t")
+    phi = fit_phase(ds, "X", "Y")
+    assert math.isfinite(phi)
+    rot = autophase(ds, "X", "Y")
+    resid = rot.df.agg(F.sum(F.col("Y") * F.col("Y"))).first()[0]
+    assert resid == pytest.approx(0.0, abs=1e-18)
+    # in-phase channel keeps the full amplitude (up to sign)
+    power = rot.df.agg(F.sum(F.col("X") * F.col("X"))).first()[0]
+    assert power == pytest.approx(float(np.sum(amp**2)), rel=1e-9)
+
+
+def test_zero_quadrature_struct(spark):
+    xs = np.linspace(0, 5, 50)
+    df = spark.createDataFrame(pd.DataFrame({"t": xs, "a": np.sin(xs)})).select(
+        "t",
+        F.struct((F.col("a") * 0.6).alias("X"), (F.col("a") * -0.3).alias("Y")).alias("lockin"),
+    )
+    out = zero_quadrature(Dataset(df, index="t"), "lockin")
+    assert dict(out.df.dtypes)["lockin"] == "double"
+
+
+def test_unnest_rebuild_inverse(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0], "a": [2.0], "b": [3.0]})).select(
+        "x", F.struct(F.col("a"), F.col("b")).alias("s")
+    )
+    flat, smap = unnest_structs(df)
+    assert set(flat.columns) == {"x", "s.a", "s.b"}
+    back = rebuild_structs(flat, smap)
+    assert set(back.columns) == {"x", "s"}
+    assert back.select("s.a").first()[0] == 2.0
+
+
+def test_join_asof_backward_forward_tolerance(spark):
+    left = spark.createDataFrame(pd.DataFrame({"g": ["a", "a", "b"], "k": [1.0, 5.0, 5.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "b"], "k": [2.0, 4.0, 10.0], "val": [10.0, 20.0, 30.0]})
+    )
+    back = join_asof(left, right, on="k", by="g", strategy="backward")
+    got = {(r.g, r.k): r.val for r in back.collect()}
+    assert got == {("a", 1.0): None, ("a", 5.0): 20.0, ("b", 5.0): None}
+    fwd = join_asof(left, right, on="k", by="g", strategy="forward")
+    got = {(r.g, r.k): r.val for r in fwd.collect()}
+    assert got == {("a", 1.0): 10.0, ("a", 5.0): None, ("b", 5.0): 30.0}
+    tol = join_asof(left, right, on="k", by="g", strategy="forward", tolerance=2.0)
+    got = {(r.g, r.k): r.val for r in tol.collect()}
+    assert got[("b", 5.0)] is None  # 10-5 > 2 nulled by tolerance
+
+
+def test_join_asof_equal_keys_inclusive(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [2.0]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [2.0], "val": [7.0]}))
+    out = join_asof(left, right, on="k", strategy="backward").collect()
+    assert out[0].val == 7.0
