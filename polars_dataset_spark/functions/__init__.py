@@ -17,6 +17,7 @@ from polars_dataset_spark.functions.dedup import (
 )
 from polars_dataset_spark.functions.similarity import (
     cosine_topk,
+    cosine_pairs_block,
     lsh_bucketed_topk,
 )
 from polars_dataset_spark.functions.multimodal import (
@@ -40,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_neardup",
     "cosine_topk",
+    "cosine_pairs_block",
     "lsh_bucketed_topk",
     "binary_with_metadata",
     "decode_media",

