@@ -129,7 +129,11 @@ def create_dataset(
     the cluster, not the driver.
     """
     if not isinstance(paths, DataFrame):
-        paths = spark.createDataFrame(list(paths))
+        import pandas as pd
+
+        # via pandas: createDataFrame over dicts alphabetizes keys, which
+        # would scramble the id_vars order
+        paths = spark.createDataFrame(pd.DataFrame(list(paths)))
     id_cols = [c for c in paths.columns if c != "path"]
     path_rows = [r.asDict() for r in paths.collect()]  # manifest: small by definition
     file_list = [r["path"] for r in path_rows]

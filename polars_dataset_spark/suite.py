@@ -1083,6 +1083,313 @@ def q42(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Delegated-surface parity batch 2 (SURVEY §2.3: expression namespaces,
+# set ops, theta joins, multidimensional aggs, more window shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_explode_tokens",
+    r"""
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> '')
+    GROUP BY tok HAVING count(*) >= 10
+    """,
+)
+def q43(spark, sf_dir):
+    """explode (list namespace): token frequency via explode(split(...))."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return toks.groupBy("tok").agg(F.count("*").alias("n")).filter(F.col("n") >= 10)
+
+
+@query(
+    "q44_string_namespace",
+    """
+    SELECT p_partkey,
+           upper(p_name)                       AS name_u,
+           length(p_name)                      AS name_len,
+           contains(p_name, 'a')               AS has_a,
+           replace(p_type, ' ', '_')           AS type_u,
+           substring(p_brand, 1, 5)            AS brand5,
+           starts_with(p_name, 'p')            AS starts_p
+    FROM part
+    """,
+)
+def q44(spark, sf_dir):
+    """str.* namespace parity: upper/length/contains/replace/substr/
+    starts_with as built-in codegen'd expressions."""
+    _prep(spark)
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.length("p_name").alias("name_len"),
+        F.contains("p_name", F.lit("a")).alias("has_a"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_u"),
+        F.substring("p_brand", 1, 5).alias("brand5"),
+        F.startswith("p_name", F.lit("p")).alias("starts_p"),
+    )
+
+
+@query(
+    "q45_datetime_namespace",
+    f"""
+    SELECT o_orderkey,
+           date_part('year', o_orderdate)  AS y,
+           date_part('month', o_orderdate) AS m,
+           date_part('dow', o_orderdate)   AS dow,
+           strftime(date_trunc('month', o_orderdate), '{TS_FMT_DUCK}') AS month_start,
+           strftime(o_orderdate + INTERVAL 90 DAY, '{TS_FMT_DUCK}')    AS due
+    FROM orders
+    """,
+)
+def q45(spark, sf_dir):
+    """dt.* namespace parity: year/month/dow/truncate/offset. Spark dayofweek
+    is 1=Sunday; duckdb dow is 0=Sunday — aligned by subtraction."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), TS_FMT_SPARK).alias("month_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), TS_FMT_SPARK).alias("due"),
+    )
+
+
+@query(
+    "q46_cross_join",
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def q46(spark, sf_dir):
+    """Cross join (polars how='cross')."""
+    _prep(spark)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q47_theta_join",
+    """
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    """,
+)
+def q47(spark, sf_dir):
+    """Theta/inequality join (polars join_where): equi-key plus inequality
+    residual — Catalyst keeps the hash join on the equi part and applies
+    the inequality as a post-filter (no nested-loop blowup)."""
+    _prep(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(
+        c,
+        (s["s_nationkey"] == c["c_nationkey"]) & (s["s_acctbal"] > c["c_acctbal"]),
+    ).select("s_suppkey", "c_custkey")
+
+
+@query(
+    "q48_set_ops",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q48(spark, sf_dir):
+    """Set ops (intersect — native in Spark, expressible as semi join in
+    polars)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.intersect(r)
+
+
+@query(
+    "q49_multi_distinct",
+    """
+    SELECT count(DISTINCT l_orderkey)                       AS d_orders,
+           count(DISTINCT l_partkey)                        AS d_parts,
+           count(DISTINCT (l_returnflag, l_linestatus))     AS d_flags
+    FROM lineitem
+    """,
+)
+def q49(spark, sf_dir):
+    """Multiple exact distinct aggregates in one pass (n_unique)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("d_flags"),
+    )
+
+
+@query(
+    "q50_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q50(spark, sf_dir):
+    """Cube (multidimensional agg — free in Spark, beyond the polars
+    surface; SURVEY §2.3 notes it as available)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q51_case_bucketing",
+    """
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                WHEN o_totalprice < 10000 THEN 'mid'
+                ELSE 'large' END AS bucket,
+           count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q51(spark, sf_dir):
+    """Conditional expressions (when/otherwise) + agg."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "mid")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@query(
+    "q52_collect_sorted",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q52(spark, sf_dir):
+    """implode/collect_list parity: per-group sorted distinct list,
+    emitted as a joined string for engine-neutral comparison."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses")
+    )
+
+
+@query(
+    "q53_window_distribution",
+    """
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q53(spark, sf_dir):
+    """Distribution windows: ntile / percent_rank / cume_dist."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q54_first_last",
+    f"""
+    SELECT DISTINCT l_returnflag, l_linestatus,
+           first_value(l_quantity) OVER w AS first_qty,
+           last_value(l_quantity)  OVER w AS last_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag, l_linestatus {_TRACE_ORDER}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q54(spark, sf_dir):
+    """first/last over the whole trace (delegated agg surface)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w).alias("last_qty"),
+    ).distinct()
+
+
+@query(
+    "q55_slice",
+    """
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders)
+    WHERE rn BETWEEN 101 AND 120
+    """,
+)
+def q55(spark, sf_dir):
+    """slice/tail semantics: rows [100, 120) of an explicit order (Spark
+    has no implicit row order — defined via row_number, SURVEY §7
+    hard-parts #2)."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn").between(101, 120))
+        .drop("rn")
+    )
+
+
+@query(
+    "q56_regexp_extract",
+    r"""
+    SELECT event_id,
+           regexp_extract(props, '"k": (\d+)', 1) AS k_str
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def q56(spark, sf_dir):
+    """Regex extraction (str.extract)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("props").isNotNull()).select(
+        "event_id", F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -1,0 +1,81 @@
+"""Scale-contract regression tests: assert the physical-plan properties
+that make each operator viable at 100 TB, so an API change that silently
+breaks pushdown/broadcast/top-k shows up here instead of on a cluster."""
+
+import pytest
+
+from polars_dataset_spark import suite
+from polars_dataset_spark.plans import (
+    count_exchanges,
+    count_joins,
+    explain_str,
+    has_take_ordered,
+    plan_report,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = suite.QUERIES["q02_filter_project"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_quantity" in p for p in pf)
+    assert any("l_discount" in p for p in pf)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = suite.QUERIES["q02_filter_project"](spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    # 6 of lineitem's 11 columns read: projection pruned the scan
+    assert len(cols) == 6
+    assert "l_returnflag" not in cols and "l_partkey" not in cols
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    df = suite.QUERIES["q06_star_join"](spark, sf_dir)
+    joins = count_joins(df)
+    assert joins["broadcast_hash"] == 4
+    assert joins["sort_merge"] == 0
+    # the fact table never shuffles: the only shuffle is the final agg
+    assert count_exchanges(df) <= 1
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = suite.QUERIES["q13_topk"](spark, sf_dir)
+    assert has_take_ordered(df)
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    df = suite.QUERIES["q01_pricing_summary"](spark, sf_dir)
+    text = explain_str(df)
+    assert "partial" in text.lower()  # map-side combine before the shuffle
+    assert count_exchanges(df) <= 1
+
+
+def test_asof_single_shuffle_per_side(spark, sf_dir):
+    df = suite.QUERIES["q22_asof_join"](spark, sf_dir)
+    # union-sort asof: bounded exchanges, no nested-loop/range join blowup
+    joins = count_joins(df)
+    assert joins["broadcast_nested_loop"] == 0
+
+
+def test_regrid_single_group_shuffle(spark, sf_dir):
+    df = suite.QUERIES["q40_regrid"](spark, sf_dir)
+    text = explain_str(df)
+    assert "FlatMapGroupsInPandas" in text or "FlatMapGroupsInArrow" in text
+
+
+def test_partition_hint_sets_layout(spark, sf_dir):
+    from polars_dataset_spark import Dataset
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ds = Dataset(li, index="l_shipdate", id_vars=["l_returnflag"]).partition_hint(8)
+    text = explain_str(ds.df)
+    assert "hashpartitioning(l_returnflag" in text
+    # sortWithinPartitions → a non-global Sort node over the index column
+    assert "Sort" in text and "l_shipdate" in text
+
+
+def test_plan_report_shape(spark, sf_dir):
+    rep = plan_report(suite.QUERIES["q06_star_join"](spark, sf_dir))
+    assert set(rep) == {"pushed_filters", "read_schemas", "joins", "shuffle_exchanges", "take_ordered"}

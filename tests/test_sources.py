@@ -1,0 +1,65 @@
+"""Multi-file trace ingestion (reference ``create_dataset``, SURVEY §2.2
+H1) against the FIXTURES.md traces_csv shape: one tab-separated,
+headerless, #-commented CSV per (temperature, field) pair plus a manifest."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_dataset_spark.sources import create_dataset, load_table, register_views
+
+
+@pytest.fixture(scope="module")
+def trace_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traces_csv")
+    rng = np.random.RandomState(42)
+    manifest = []
+    for t in [10.0, 20.0]:
+        for f in [0.5, 1.5]:
+            path = root / f"trace_T{t}_F{f}.tsv"
+            x = np.sort(rng.uniform(0, 5, 25))
+            with open(path, "w") as fh:
+                fh.write("# lock-in sweep export\n# columns: wavelength signal reference\n")
+                for xi in x:
+                    fh.write(f"{xi}\t{np.sin(xi) + t}\t{np.cos(xi)}\n")
+            manifest.append({"temperature": t, "field": f, "path": str(path)})
+    return manifest
+
+
+def test_create_dataset_multifile(spark, trace_files):
+    ds = create_dataset(
+        spark,
+        trace_files,
+        index="wavelength",
+        column_names=["wavelength", "signal", "reference_signal"],
+        id_schema={"temperature": "double", "field": "double"},
+    )
+    assert ds.id_vars == ["temperature", "field"]
+    assert ds.index == "wavelength"
+    pdf = ds.df.toPandas()
+    assert len(pdf) == 4 * 25
+    # id values attached per file via input_file_name join
+    assert set(zip(pdf.temperature, pdf.field)) == {(10.0, 0.5), (10.0, 1.5), (20.0, 0.5), (20.0, 1.5)}
+    # comment lines skipped, data parsed
+    g = pdf[(pdf.temperature == 20.0) & (pdf.field == 0.5)]
+    assert np.allclose(g.signal, np.sin(g.wavelength) + 20.0)
+
+
+def test_create_dataset_is_distributed_scan(spark, trace_files):
+    ds = create_dataset(
+        spark,
+        trace_files,
+        index="wavelength",
+        column_names=["wavelength", "signal", "reference_signal"],
+    )
+    # single csv relation over all files, not a per-file union
+    plan = ds.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan csv") == 1
+
+
+def test_register_views(spark, sf_dir):
+    tables = register_views(spark, sf_dir)
+    assert set(tables) >= {"lineitem", "orders", "events"}
+    assert spark.sql("select count(*) n from lineitem").first()["n"] == 6000
+    # events view has the normalized timestamp
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
