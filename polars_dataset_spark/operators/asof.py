@@ -51,11 +51,32 @@ def join_asof(
     tolerance: float | None = None,
     right_on: str | None = None,
     suffix: str = "_right",
+    method: str = "sort",
 ) -> "Dataset | DataFrame":
     """As-of join ``left`` with ``right`` on key ``on`` (``right_on`` if the
     right key is named differently), per ``by`` group, ``backward`` or
     ``forward``, optionally within ``tolerance`` (in key units; timestamps
-    compare as epoch seconds)."""
+    compare as epoch seconds).
+
+    ``method``:
+
+    - ``"sort"`` (default): the union-sort realization described above —
+      both sides arbitrarily large, one shuffle on ``by``.
+    - ``"broadcast"``: collect + broadcast the RIGHT side and answer each
+      left row by binary search (``np.searchsorted``) inside
+      ``mapInPandas`` — MAP-ONLY: no shuffle, no sort, left side any size.
+      The scale path whenever the right side fits in executor memory
+      (reference-data / aggregated-dimension joins, the overwhelmingly
+      common case); also the only method that avoids a single-partition
+      global sort when ``by`` is empty.
+    """
+    if method == "broadcast":
+        return _join_asof_broadcast(
+            left, right, on, by=by, strategy=strategy, tolerance=tolerance,
+            right_on=right_on, suffix=suffix,
+        )
+    if method != "sort":
+        raise ValueError(f"method must be 'sort' or 'broadcast', got {method!r}")
     was_dataset = isinstance(left, Dataset)
     ldf = left.df if isinstance(left, Dataset) else left
     rdf = right.df if isinstance(right, Dataset) else right
@@ -116,3 +137,95 @@ def join_asof(
     if was_dataset:
         return left._rewrap(out)
     return out
+
+
+def _join_asof_broadcast(
+    left,
+    right,
+    on: str,
+    by=None,
+    strategy: str = "backward",
+    tolerance: float | None = None,
+    right_on: str | None = None,
+    suffix: str = "_right",
+):
+    """Broadcast binary-search as-of join (see :func:`join_asof`,
+    ``method="broadcast"``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
+
+    was_dataset = isinstance(left, Dataset)
+    ldf = left.df if isinstance(left, Dataset) else left
+    rdf = right.df if isinstance(right, Dataset) else right
+    r_on = right_on or on
+    by = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in rdf.columns if c != r_on and c not in by]
+    renames = {c: (f"{c}{suffix}" if c in ldf.columns else c) for c in payload}
+
+    spark = SparkSession.getActiveSession()
+    rp = (
+        rdf.select(*by, _numeric_key(rdf, r_on).alias("__k"), *payload)
+        .orderBy(*by, "__k")
+        .toPandas()
+    )
+    # per-by-group sorted key arrays + aligned payload arrays
+    groups: dict = {}
+    if by:
+        for key_vals, g in rp.groupby(by, sort=False):
+            k = key_vals if isinstance(key_vals, tuple) else (key_vals,)
+            groups[k] = (g["__k"].to_numpy(np.float64), {c: g[c].to_numpy() for c in payload})
+    else:
+        groups[()] = (rp["__k"].to_numpy(np.float64), {c: rp[c].to_numpy() for c in payload})
+    b_groups = spark.sparkContext.broadcast(groups)
+
+    lcols = ldf.columns
+    out_fields = list(ldf.schema.fields) + [
+        T.StructField(renames[c], rdf.schema[c].dataType, True) for c in payload
+    ]
+    out_schema = T.StructType(out_fields)
+    backward = strategy == "backward"
+    if strategy not in ("backward", "forward"):
+        raise ValueError(f"strategy must be 'backward' or 'forward', got {strategy!r}")
+
+    keyed = ldf.withColumn("__k", _numeric_key(ldf, on))
+
+    side = "right" if backward else "left"
+
+    def lookup(batches):
+        grp = b_groups.value
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            out = pdf.copy()
+            kq = pdf["__k"].to_numpy(np.float64)
+            n = len(pdf)
+            for c in payload:
+                out[renames[c]] = np.full(n, None, dtype=object)
+            row_groups = (
+                pdf.groupby(by, sort=False).indices.items()
+                if by
+                else [((), np.arange(n))]
+            )
+            for key_vals, rows_pos in row_groups:
+                k = key_vals if isinstance(key_vals, tuple) else (key_vals,)
+                if k not in grp:
+                    continue
+                keys, pay = grp[k]
+                pos = np.searchsorted(keys, kq[rows_pos], side=side)
+                il = pos - 1 if backward else pos
+                valid = (il >= 0) & (il < keys.size)
+                if tolerance is not None:
+                    matched_keys = keys[np.clip(il, 0, keys.size - 1)]
+                    valid &= np.abs(kq[rows_pos] - matched_keys) <= tolerance
+                il = np.clip(il, 0, keys.size - 1)
+                for c in payload:
+                    col = out[renames[c]].to_numpy()
+                    col[rows_pos[valid]] = pay[c][il[valid]]
+                    out[renames[c]] = col
+            yield out.drop(columns=["__k"])
+
+    result = keyed.mapInPandas(lookup, schema=out_schema)
+    if was_dataset:
+        return left._rewrap(result)
+    return result

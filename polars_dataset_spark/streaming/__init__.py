@@ -5,6 +5,7 @@ from polars_dataset_spark.streaming.ops import (
     sessionize_batch,
     run_stream_to_memory,
 )
+from polars_dataset_spark.streaming.stateful import running_trace_stats
 
 __all__ = [
     "read_events_stream",
@@ -12,4 +13,5 @@ __all__ = [
     "session_agg",
     "sessionize_batch",
     "run_stream_to_memory",
+    "running_trace_stats",
 ]

@@ -188,3 +188,48 @@ def test_join_asof_equal_keys_inclusive(spark):
     right = spark.createDataFrame(pd.DataFrame({"k": [2.0], "val": [7.0]}))
     out = join_asof(left, right, on="k", strategy="backward").collect()
     assert out[0].val == 7.0
+
+
+def test_join_asof_broadcast_matches_sort(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag"
+    )
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderdate")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    kw = dict(on="l_shipdate", right_on="o_orderdate")
+    for strategy in ("backward", "forward"):
+        a = join_asof(li, od, strategy=strategy, method="sort", **kw)
+        b = join_asof(li, od, strategy=strategy, method="broadcast", **kw)
+        # NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # data — compare whole frames sorted by every column
+        cols = sorted(a.columns)
+        pa = a.toPandas()[cols].sort_values(cols, ignore_index=True)
+        pb = b.toPandas()[cols].sort_values(cols, ignore_index=True)
+        pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_join_asof_broadcast_by_and_tolerance(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({"g": ["a", "a", "b"], "k": [1.0, 5.0, 5.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", "b"], "k": [2.0, 4.0, 10.0], "val": [10.0, 20.0, 30.0]})
+    )
+    got = {
+        (r.g, r.k): r.val
+        for r in join_asof(left, right, on="k", by="g", strategy="backward", method="broadcast").collect()
+    }
+    assert got == {("a", 1.0): None, ("a", 5.0): 20.0, ("b", 5.0): None}
+    got = {
+        (r.g, r.k): r.val
+        for r in join_asof(
+            left, right, on="k", by="g", strategy="forward", tolerance=2.0, method="broadcast"
+        ).collect()
+    }
+    assert got == {("a", 1.0): 10.0, ("a", 5.0): None, ("b", 5.0): None}

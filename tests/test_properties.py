@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the numeric kernels — spark-free,
+so hundreds of examples run in seconds."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from polars_dataset_spark.kernels import cubic_spline_interp, interp_trace, pchip_interp
+
+
+def _knots(draw, min_size=4, max_size=40):
+    xs = draw(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+            min_size=min_size,
+            max_size=max_size,
+            unique=True,
+        )
+    )
+    return np.sort(np.asarray(xs, dtype=np.float64))
+
+
+knot_arrays = st.builds(
+    lambda xs: np.sort(np.asarray(sorted(set(xs)), dtype=np.float64)),
+    st.lists(st.floats(-100, 100, allow_nan=False, allow_infinity=False), min_size=4, max_size=40, unique=True),
+)
+
+
+@given(
+    xs=knot_arrays,
+    seed=st.integers(0, 2**31 - 1),
+    bc=st.sampled_from(["not-a-knot", "natural"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_spline_interpolates_knots(xs, seed, bc):
+    if xs.size < 4 or np.min(np.diff(xs)) < 1e-9:
+        return
+    h = np.diff(xs)
+    if np.max(h) / np.min(h) > 1e5:
+        # knot spacings spanning >5 orders of magnitude make the spline
+        # system inherently ill-conditioned (any implementation loses
+        # precision there) — out of scope for the exactness property
+        return
+    y = np.random.RandomState(seed).uniform(-1e3, 1e3, xs.size)
+    out = cubic_spline_interp(xs, y, xs, bc_type=bc)
+    scale = max(1.0, np.max(np.abs(y)))
+    assert np.allclose(out, y, atol=1e-7 * scale)
+
+
+@given(xs=knot_arrays, a=st.floats(-10, 10), b=st.floats(-10, 10))
+@settings(max_examples=100, deadline=None)
+def test_spline_reproduces_linear_exactly(xs, a, b):
+    # a cubic spline through points of a line IS that line (both BCs)
+    if xs.size < 4 or np.min(np.diff(xs)) < 1e-6:
+        return
+    h = np.diff(xs)
+    if np.max(h) / np.min(h) > 1e5:
+        return
+    y = a * xs + b
+    xq = np.linspace(xs[0] - 1, xs[-1] + 1, 50)
+    for bc in ("not-a-knot", "natural"):
+        out = cubic_spline_interp(xs, y, xq, bc_type=bc)
+        scale = max(1.0, np.max(np.abs(y)))
+        assert np.allclose(out, a * xq + b, atol=1e-6 * scale)
+
+
+@given(xs=knot_arrays, seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=100, deadline=None)
+def test_pchip_monotone_and_bounded(xs, seed):
+    if xs.size < 4 or np.min(np.diff(xs)) < 1e-9:
+        return
+    rng = np.random.RandomState(seed)
+    y = np.cumsum(rng.uniform(0, 10, xs.size))
+    xq = np.linspace(xs[0], xs[-1], 200)
+    out = pchip_interp(xs, y, xq)
+    assert np.all(np.diff(out) >= -1e-8 * max(1.0, np.max(np.abs(y))))  # monotone
+    assert out.min() >= y.min() - 1e-9 and out.max() <= y.max() + 1e-9  # no overshoot
+
+
+@given(
+    n=st.integers(0, 30),
+    nan_frac=st.floats(0, 1),
+    seed=st.integers(0, 2**31 - 1),
+    method=st.sampled_from(["cubic", "pchip", "linear"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_interp_trace_total(n, nan_frac, seed, method):
+    # interp_trace never raises and returns the grid's shape, whatever the
+    # NaN pattern, duplicates, or (lack of) data
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(-5, 5, n)
+    mask = rng.uniform(size=n) < nan_frac
+    y[mask] = np.nan
+    if n > 3:
+        x[1] = x[0]  # duplicate knot
+    xq = np.linspace(0, 10, 17)
+    out = interp_trace(x, y, xq, method=method)
+    assert out.shape == xq.shape
+    valid = np.isfinite(x) & np.isfinite(y)
+    if np.unique(x[valid]).size < 2:
+        assert np.all(np.isnan(out))

@@ -49,3 +49,43 @@ def test_sessionize_batch_and_session_window_agree_on_count(events):
 def test_session_window_end_extends_gap(events):
     row = session_agg(events, gap="1 hour").first()
     assert (row.session_end - row.session_start).total_seconds() >= 3600
+
+
+def test_running_trace_stats_matches_batch(spark, sf_dir, events):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from polars_dataset_spark.streaming import read_events_stream, running_trace_stats, run_stream_to_memory
+
+    st = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    stats = running_trace_stats(st, key_col="user_id", value_col="value")
+    run_stream_to_memory(stats, "t_stats", output_mode="update")
+    # after the whole (single-file) stream is folded, the final state per
+    # key must equal the batch aggregation over the full table
+    got = {
+        r.key: r
+        for r in spark.sql(
+            """select * from (
+                 select *, row_number() over (partition by key order by n desc) rn
+                 from t_stats) where rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for k, b in batch.items():
+        g = got[k]
+        assert g.n == b.n
+        assert g.sum == _pytest.approx(b.sum, rel=1e-9)
+        assert g.var == _pytest.approx(b["var"], rel=1e-6, abs=1e-9)
+        assert (g.min, g.max) == (b["min"], b["max"])
