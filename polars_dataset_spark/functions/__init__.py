@@ -1,5 +1,6 @@
 from polars_dataset_spark.functions.text import (
     with_text_stats,
+    with_token_count,
     with_language_id,
     with_quality_score,
     with_fingerprint,
@@ -18,6 +19,7 @@ from polars_dataset_spark.functions.dedup import (
 from polars_dataset_spark.functions.similarity import (
     cosine_topk,
     cosine_pairs_block,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from polars_dataset_spark.functions.multimodal import (
@@ -42,7 +44,9 @@ __all__ = [
     "embedding_neardup",
     "cosine_topk",
     "cosine_pairs_block",
+    "ivf_topk",
     "lsh_bucketed_topk",
+    "with_token_count",
     "binary_with_metadata",
     "decode_media",
     "extract_features",

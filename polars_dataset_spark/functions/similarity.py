@@ -35,7 +35,83 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_bucketed_topk", "cosine_pairs_block"]
+__all__ = ["cosine_topk", "lsh_bucketed_topk", "cosine_pairs_block", "ivf_topk"]
+
+
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    probe_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the clustered-corpus
+    scale path beside :func:`lsh_bucketed_topk`.
+
+    1. TRAIN a coarse quantizer: KMeans over (a sample of) the corpus —
+       ``n_cells`` centroids (distributed ``pyspark.ml``; sample when the
+       corpus is huge).
+    2. ASSIGN each corpus vector to its nearest centroid (map-only).
+    3. PROBE: each query searches only its ``n_probe`` nearest cells, then
+       exact cosine re-ranks inside the candidate set.
+
+    Scan fraction ≈ n_probe/n_cells (on clustered data the true neighbors
+    concentrate in the probed cells; on uniform data recall ≈ the scan
+    fraction — same caveat as hyperplane LSH). The cell assignment join is
+    an equi-join on cell id: shuffle ∝ |C| + |P|·n_probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    to_vec = lambda c: array_to_vector(F.col(c).cast("array<double>"))  # noqa: E731
+    train = corpus.select(to_vec(vec_col).alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centers = np.stack(model.clusterCenters())  # (n_cells, dim) — tiny
+
+    c_assigned = model.transform(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            _norm(vec_col).alias("__cn"),
+            to_vec(vec_col).alias("features"),
+        )
+    ).select("neighbor_id", "__cv", "__cn", F.col("prediction").alias("cell"))
+
+    # each probe → its n_probe nearest centroids (centroid table is tiny:
+    # compute the ranking driver-side-free via a pandas UDF over batches)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def near_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    p = probes.select(
+        F.col(probe_id).alias("query_id"),
+        F.col(vec_col).alias("__pv"),
+        _norm(vec_col).alias("__pn"),
+        F.explode(near_cells(F.col(vec_col))).alias("cell"),
+    )
+    joined = p.join(c_assigned, on="cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn(
+        "cosine", F.round(_dot("__pv", "__cv") / (F.col("__pn") * F.col("__cn")), 6)
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def cosine_pairs_block(

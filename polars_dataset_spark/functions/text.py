@@ -21,10 +21,12 @@ from pyspark.sql import types as T
 __all__ = [
     "tokenize",
     "with_text_stats",
+    "with_token_count",
     "with_language_id",
     "with_quality_score",
     "with_fingerprint",
     "STOPWORDS",
+    "BPE_TOKEN_PATTERN",
 ]
 
 # Small, fixed stopword lists: enough signal for a coarse n-gram/stopword
@@ -45,6 +47,30 @@ def tokenize(text: Column) -> Column:
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
+
+
+# A GPT-2-flavoured pretokenizer regex ("BPE-ish"): contractions, letter
+# runs, digit runs, punctuation runs — each optionally space-prefixed.
+# RE2-compatible, so the identical pattern runs in Spark and DuckDB.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def with_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_tokens", mode: str = "whitespace"
+) -> DataFrame:
+    """Token count per document. ``mode="whitespace"`` counts
+    whitespace-separated tokens; ``mode="bpe"`` counts matches of
+    :data:`BPE_TOKEN_PATTERN` — a cheap, deterministic proxy for an LLM
+    tokenizer's token count (pretraining data budgeting). Both are pure
+    codegen'd expressions."""
+    if mode == "whitespace":
+        return df.withColumn(out_col, F.size(tokenize(F.col(text_col))))
+    if mode == "bpe":
+        return df.withColumn(
+            out_col,
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))),
+        )
+    raise ValueError(f"mode must be 'whitespace' or 'bpe', got {mode!r}")
 
 
 def _stop_hits(tokens: Column, words: list[str]) -> Column:

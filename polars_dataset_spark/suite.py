@@ -1393,6 +1393,37 @@ def q56(spark, sf_dir):
     )
 
 
+@query(
+    "q57_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_tokens
+    FROM documents
+    """,
+)
+def q57(spark, sf_dir):
+    """BPE-ish token counting (LLM-token budget proxy): identical RE2
+    pattern evaluated by both engines."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_count(docs, mode="bpe").select("doc_id", "n_tokens")
+
+
+@query("q58_ivf_topk")
+def q58(spark, sf_dir):
+    """IVF approximate cosine top-k: KMeans coarse quantizer + probed-cell
+    exact re-rank (the clustered-corpus ANN path; rows-only — the model
+    training is not SQL-expressible)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(probes, emb, k=5, n_cells=8, n_probe=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

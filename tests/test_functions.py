@@ -152,3 +152,25 @@ def test_decode_media_pil_gate(docs):
     bm = binary_with_metadata(docs.limit(1), "text")
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_media(bm, decoder="pil")
+
+
+def test_token_count_modes(docs):
+    from polars_dataset_spark.functions import with_token_count
+
+    ws = {r.doc_id: r.n_tokens for r in with_token_count(docs, mode="whitespace").collect()}
+    bpe = {r.doc_id: r.n_tokens for r in with_token_count(docs, mode="bpe").collect()}
+    assert ws[0] == 14
+    assert bpe[0] >= ws[0]  # BPE-ish splits at least as fine as whitespace
+    assert bpe[7] == 0
+    with pytest.raises(ValueError, match="mode"):
+        with_token_count(docs, mode="nope")
+
+
+def test_ivf_topk_finds_near_dup(vecs):
+    from polars_dataset_spark.functions import ivf_topk
+
+    out = ivf_topk(
+        vecs.filter(F.col("vec_id") == 0), vecs, k=2, n_cells=2, n_probe=2
+    ).collect()
+    # probing ALL cells == exact: the planted near-dup must rank first
+    assert out[0].neighbor_id == 100 and out[0].cosine > 0.99
