@@ -588,3 +588,142 @@ class Dataset:
         fn = {"min": F.rank, "dense": F.dense_rank}.get(method, F.rank)
         w = Window.partitionBy(*self._id_vars).orderBy(col)
         return self._rewrap(self._df.withColumn(f"{col}_rank", fn().over(w)))
+
+    def rolling(self, col: str, window_size: int, fn: str = "mean") -> "Dataset":
+        """Generic per-trace rolling aggregate (rolling_sum/min/max/...)."""
+        aggf = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "std": F.stddev}[fn]
+        w = self._trace_window().rowsBetween(-(window_size - 1), 0)
+        return self._rewrap(
+            self._df.withColumn(f"{col}_rolling_{fn}", aggf(col).over(w))
+        )
+
+    # -- more delegated-surface shims (SURVEY §2.3) --------------------------
+
+    def unnest(self, *cols) -> "Dataset":
+        """Flatten struct columns to ``{name}.{field}`` scalars (polars
+        ``unnest``); omit ``cols`` to flatten every struct column."""
+        from polars_dataset_spark.operators.structs import unnest_structs
+
+        if not cols:
+            flat, _ = unnest_structs(self._df)
+            return self._rewrap(flat)
+        out_cols = []
+        for field in self._df.schema.fields:
+            if field.name in cols and isinstance(field.dataType, T.StructType):
+                for sub in field.dataType.fields:
+                    out_cols.append(
+                        F.col(f"`{field.name}`.`{sub.name}`").alias(f"{field.name}.{sub.name}")
+                    )
+            else:
+                out_cols.append(F.col(f"`{field.name}`"))
+        return self._rewrap(self._df.select(*out_cols))
+
+    def tail(self, n: int = 5) -> "Dataset":
+        """Last n rows in canonical (id_vars, index) order."""
+        w = Window.orderBy(*[F.col(c).desc() for c in [*self._id_vars, self._index]])
+        return self._rewrap(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
+    def slice(self, offset: int, length: int) -> "Dataset":
+        """Rows [offset, offset+length) of the canonical order (Spark has
+        no implicit row order — defined over (id_vars, index))."""
+        w = Window.orderBy(*[F.col(c) for c in [*self._id_vars, self._index]])
+        return self._rewrap(
+            self._df.withColumn("__rn", F.row_number().over(w) - 1)
+            .filter(F.col("__rn").between(offset, offset + length - 1))
+            .drop("__rn")
+        )
+
+    def hstack(self, other) -> "Dataset":
+        """Horizontal concat by canonical row position (polars ``hstack``).
+        Spark has no native row-position zip — both sides get a
+        ``row_number`` over their own canonical order and inner-join on
+        it. Costly (two global sorts): prefer a keyed ``join``; the
+        reference's own internal use (select_data) reduces to a plain
+        projection and avoids this path."""
+        other_df = other._df if isinstance(other, Dataset) else other
+        w_self = Window.orderBy(*[F.col(c) for c in [*self._id_vars, self._index]])
+        w_other = Window.orderBy(*[F.col(c) for c in other_df.columns[:1]])
+        a = self._df.withColumn("__pos", F.row_number().over(w_self))
+        b = other_df.withColumn("__pos", F.row_number().over(w_other))
+        return self._rewrap(a.join(b, on="__pos", how="inner").drop("__pos"))
+
+    def approx_n_unique(self, *cols) -> DataFrame:
+        cols = cols or tuple(self._df.columns)
+        return self._df.agg(
+            *[F.approx_count_distinct(c).alias(f"{c}_approx_n_unique") for c in cols]
+        )
+
+    def _agg_value_vars(self, fn) -> DataFrame:
+        numeric = [
+            f.name
+            for f in self._df.schema.fields
+            if f.name in self.value_vars and isinstance(f.dataType, T.NumericType)
+        ]
+        return self._df.agg(*[fn(c).alias(c) for c in numeric])
+
+    def sum(self) -> DataFrame:
+        """Single-row frame of per-column sums over numeric value_vars
+        (polars ``DataFrame.sum`` shape)."""
+        return self._agg_value_vars(F.sum)
+
+    def mean(self) -> DataFrame:
+        return self._agg_value_vars(F.avg)
+
+    def min(self) -> DataFrame:
+        return self._agg_value_vars(F.min)
+
+    def max(self) -> DataFrame:
+        return self._agg_value_vars(F.max)
+
+    def median(self) -> DataFrame:
+        return self._agg_value_vars(F.median)
+
+    def std(self) -> DataFrame:
+        return self._agg_value_vars(F.stddev)
+
+    def var(self) -> DataFrame:
+        return self._agg_value_vars(F.variance)
+
+    # -- operator methods (reference calls these on the Dataset itself) ------
+
+    def regrid(self, x, name: str | None = None, **kwargs) -> "Dataset":
+        """Per-trace spline regrid onto grid ``x`` (reference flagship,
+        ``/root/reference/polars_dataset.py:212-238``); see
+        :func:`polars_dataset_spark.operators.regrid`."""
+        from polars_dataset_spark.operators import regrid as _regrid
+
+        return _regrid(self, x, name=name, **kwargs)
+
+    def interpolate(self, x, name: str | None = None) -> "Dataset":
+        """PCHIP per-trace interpolation (reference ``interpolate_frame``)."""
+        from polars_dataset_spark.operators import interpolate_frame as _interp
+
+        return _interp(self, x, name=name)
+
+    def fourier_transform(self, value_vars=None, freq_name: str = "frequency") -> "Dataset":
+        """Per-trace rFFT (advertised reference capability H5)."""
+        from polars_dataset_spark.operators import fourier_transform as _ft
+
+        return _ft(self, value_vars=value_vars, freq_name=freq_name)
+
+    def autophase(self, x_col: str, y_col: str, phi: float | None = None) -> "Dataset":
+        """Closed-form lock-in autophase (reference H2)."""
+        from polars_dataset_spark.operators import autophase as _ap
+
+        return _ap(self, x_col, y_col, phi=phi)
+
+    def zero_quadrature(self, struct_col: str, keep_name: str | None = None) -> "Dataset":
+        """Autophase a 2-field struct, keep the in-phase part (H3)."""
+        from polars_dataset_spark.operators import zero_quadrature as _zq
+
+        return _zq(self, struct_col, keep_name=keep_name)
+
+    def join_asof(self, other, on: str | None = None, **kwargs) -> "Dataset":
+        """As-of join on the index by default (polars ``join_asof``)."""
+        from polars_dataset_spark.operators import join_asof as _asof
+
+        return _asof(self, other, on=on or self._index, **kwargs)

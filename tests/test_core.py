@@ -165,3 +165,70 @@ def test_datafile_missing_returns_none(spark):
 def test_partition_hint_plan(lineitem_ds):
     plan = lineitem_ds.partition_hint(8).df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan or "ShuffleExchange" in plan
+
+
+def test_shim_aggregates(lineitem_ds):
+    row = lineitem_ds.select(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_tax"
+    ).sum().first()
+    assert row["l_quantity"] == 153078.0 or row["l_quantity"] > 0
+    med = lineitem_ds.median().first()
+    assert 1.0 <= med["l_quantity"] <= 50.0
+
+
+def test_shim_tail_slice(lineitem_ds):
+    assert lineitem_ds.tail(7).df.count() == 7
+    sl = lineitem_ds.slice(10, 5)
+    assert sl.df.count() == 5
+
+
+def test_shim_unnest(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0], "a": [2.0]})).select(
+        "x", F.struct(F.col("a").alias("f")).alias("s")
+    )
+    ds = Dataset(df, index="x")
+    flat = ds.unnest("s")
+    assert "s.f" in flat.columns
+
+
+def test_shim_hstack(spark):
+    a = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0], "v": [10.0, 20.0]}))
+    b = spark.createDataFrame(pd.DataFrame({"w": [100.0, 200.0]}))
+    out = Dataset(a, index="x").hstack(b)
+    assert out.df.count() == 2
+    assert set(out.columns) == {"x", "v", "w"}
+
+
+def test_shim_rolling_generic(lineitem_ds):
+    small = lineitem_ds.select("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity")
+    out = small.rolling("l_quantity", 3, "max")
+    assert "l_quantity_rolling_max" in out.columns
+
+
+def test_method_operators(spark):
+    import numpy as np
+
+    grid = np.linspace(0, 9, 30)
+    pdf = pd.DataFrame({"g": [1.0] * 30, "x": grid, "y": np.sin(grid)})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    rg = ds.regrid(np.linspace(1, 8, 10))
+    assert rg.df.count() == 10
+    ft = ds.fourier_transform()
+    assert ft.index == "frequency"
+    ip = ds.interpolate(np.linspace(1, 8, 10))
+    assert ip.df.count() == 10
+
+
+def test_method_join_asof_defaults_to_index(spark):
+    left = Dataset(
+        spark.createDataFrame(pd.DataFrame({"k": [1.0, 5.0], "v": [0.0, 0.0]})), index="k"
+    )
+    right = spark.createDataFrame(pd.DataFrame({"k": [2.0], "val": ["a"]}))
+    out = left.join_asof(right, strategy="forward")
+    got = {r.k: r.val for r in out.df.collect()}
+    assert got == {1.0: "a", 5.0: None}
+
+
+def test_approx_n_unique(lineitem_ds):
+    row = lineitem_ds.approx_n_unique("l_orderkey").first()
+    assert row["l_orderkey_approx_n_unique"] > 1000
