@@ -688,6 +688,30 @@ class Dataset:
     def var(self) -> DataFrame:
         return self._agg_value_vars(F.variance)
 
+    def group_by_dynamic(self, every, offset: float = 0.0):
+        """Dynamic (windowed) group-by over the index (polars
+        ``group_by_dynamic``): tumbling buckets of width ``every``.
+
+        Numeric index: bucket start = ``floor((index - offset)/every)·every
+        + offset``. Timestamp index: pass a Spark interval string (e.g.
+        ``"1 hour"``) — realized as ``F.window`` (same operator the
+        streaming path uses). Returns a GroupedData with the bucket as
+        ``index_start`` plus the id_vars; call ``.agg(...)`` on it."""
+        dt = self._df.schema[self._index].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            win = F.window(self._index, every)
+            keyed = self._df.withColumn("__w", win).withColumn(
+                "index_start", F.col("__w.start")
+            ).drop("__w")
+        else:
+            every = float(every)
+            bucket = (
+                F.floor((F.col(self._index) - F.lit(offset)) / F.lit(every)) * F.lit(every)
+                + F.lit(offset)
+            )
+            keyed = self._df.withColumn("index_start", bucket)
+        return keyed.groupBy(*self._id_vars, "index_start")
+
     # -- operator methods (reference calls these on the Dataset itself) ------
 
     def regrid(self, x, name: str | None = None, **kwargs) -> "Dataset":

@@ -86,14 +86,28 @@ class Datafile:
             return Dataset(df, index=self.index, id_vars=self.id_vars)
         return df
 
-    def write(self, data, mode: str = "overwrite", single_file: bool = True) -> None:
+    def write(
+        self,
+        data,
+        mode: str = "overwrite",
+        single_file: bool = True,
+        partition_by=None,
+    ) -> None:
         """Write a Dataset/DataFrame to the bound path. ``single_file=True``
         coalesces for small-output parity with the reference's one-file CSV
-        sink; leave False for distributed many-part output at scale."""
+        sink; leave False for distributed many-part output at scale.
+        ``partition_by`` (column name/list) produces hive-style partitioned
+        output — for a Dataset the natural choice is its id_vars, making
+        later per-trace scans partition-pruned."""
         df = data.df if isinstance(data, Dataset) else data
-        if single_file:
-            df = df.coalesce(1)
-        writer = df.write.mode(mode)
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = df.write.mode(mode).partitionBy(*cols)
+            single_file = False
+        else:
+            if single_file:
+                df = df.coalesce(1)
+            writer = df.write.mode(mode)
         if self.fmt == "csv":
             writer.option("header", True).csv(self.path)
         elif self.fmt == "parquet":

@@ -1424,6 +1424,29 @@ def q58(spark, sf_dir):
     return ivf_topk(probes, emb, k=5, n_cells=8, n_probe=3)
 
 
+@query(
+    "q59_group_by_dynamic",
+    """
+    SELECT l_returnflag, l_linestatus,
+           floor(l_quantity / 10) * 10 AS index_start,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def q59(spark, sf_dir):
+    """Dynamic group-by (polars ``group_by_dynamic``): tumbling numeric-
+    index buckets per trace, one hash aggregation."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ds = Dataset(li, index="l_quantity", id_vars=["l_returnflag", "l_linestatus"])
+    return (
+        ds.group_by_dynamic(10.0)
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .withColumn("index_start", F.col("index_start").cast("double"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -232,3 +232,30 @@ def test_method_join_asof_defaults_to_index(spark):
 def test_approx_n_unique(lineitem_ds):
     row = lineitem_ds.approx_n_unique("l_orderkey").first()
     assert row["l_orderkey_approx_n_unique"] > 1000
+
+
+def test_group_by_dynamic_numeric(lineitem_ds):
+    ds = lineitem_ds.set(index="l_quantity")
+    out = ds.group_by_dynamic(10.0).agg(F.count("*").alias("n"))
+    rows = {r.index_start for r in out.collect()}
+    assert rows <= {0.0, 10.0, 20.0, 30.0, 40.0, 50.0}
+
+
+def test_group_by_dynamic_timestamp(spark, sf_dir):
+    from polars_dataset_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ds = Dataset(ev, index="ts", id_vars=["event_type"])
+    out = ds.group_by_dynamic("1 hour").agg(F.count("*").alias("n"))
+    assert out.agg(F.sum("n")).first()[0] == ev.count()
+
+
+def test_datafile_partitioned_write(tmp_path, spark):
+    pdf = pd.DataFrame({"t": [1.0, 1.0, 2.0], "x": [0.0, 1.0, 0.5], "v": [5.0, 6.0, 7.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["t"])
+    f = Datafile(str(tmp_path / "part_out"), index="x", id_vars=["t"], fmt="parquet")
+    f.write(ds, partition_by="t")
+    import os
+    assert any(d.startswith("t=") for d in os.listdir(tmp_path / "part_out"))
+    back = spark.read.parquet(str(tmp_path / "part_out"))
+    assert back.count() == 3
