@@ -11,11 +11,18 @@ an operator from SURVEY.md §2 expressed through the package's public API.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from polars_dataset_spark import suite
+# make the package importable regardless of the caller's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from polars_dataset_spark import suite  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
