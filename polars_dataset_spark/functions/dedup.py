@@ -289,31 +289,39 @@ def minhash_dedup(
 
 
 @F.pandas_udf(T.LongType())
-def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash from an array<long> of token hashes: per bit, sum of
-    ±1 across tokens; sign → bit. Arrow-batched numpy (one matrix op per
-    batch row), never per-row Python."""
-    out = np.zeros(len(hashes), dtype=np.int64)
-    for i, h in enumerate(hashes):
-        if h is None or len(h) == 0:
+def _simhash_of_text(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash computed wholly Arrow-side: tokenize, hash tokens
+    (blake2b, 8 bytes; term-frequency-weighted votes — classic Charikar),
+    per-bit ±count votes, sign → bit. One python pass per doc + one numpy
+    matrix op — Spark's interpreted higher-order functions made the JVM
+    tokenize+hash pass the bottleneck, same finding as the MinHash path."""
+    import re
+    from collections import Counter
+    from hashlib import blake2b
+
+    ws = re.compile(r"\s+")
+    bitcols = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, s in enumerate(texts):
+        norm = ws.sub(" ", (s or "").strip().lower())
+        if not norm:
             continue
-        arr = np.asarray(h, dtype=np.uint64)
-        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sh |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sh)
+        counts = Counter(norm.split(" "))
+        arr = np.frombuffer(
+            b"".join(blake2b(t.encode(), digest_size=8).digest() for t in counts),
+            dtype=np.uint64,
+        )
+        w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        bits = ((arr[:, None] >> bitcols) & np.uint64(1)).astype(np.int64)
+        votes = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+        out[i] = np.int64(np.uint64(np.packbits((votes > 0)[::-1]).view(">u8")[0]))
     return pd.Series(out)
 
 
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """Attach a 64-bit SimHash of the token set. Token hashing is JVM-side
-    (``xxhash64`` inside ``transform``); only the bit-vote reduction runs in
-    the Arrow-batched UDF."""
-    tokens = tokenize(F.col(text_col))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    return df.withColumn(out_col, _simhash_from_hashes(hashes))
+    """Attach a 64-bit SimHash of the (distinct) token set — Arrow-batched,
+    map-only."""
+    return df.withColumn(out_col, _simhash_of_text(F.col(text_col)))
 
 
 def simhash_dedup(
@@ -328,7 +336,9 @@ def simhash_dedup(
     ``bit_count(a XOR b) <= k``. Drops the larger id of each pair."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = simhash(df.select(id_col, text_col), text_col)
+    # persist: the banded self-join references this frame twice and the
+    # simhash UDF would otherwise run once per branch
+    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash").persist()
     banded = sh.select(
         id_col,
         "simhash",

@@ -72,7 +72,9 @@ def ivf_topk(
     train = corpus.select(to_vec(vec_col).alias("features"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    # a coarse quantizer doesn't need convergence — a few iterations give
+    # the same cell structure at a fraction of the training cost
+    model = KMeans(k=n_cells, seed=seed, maxIter=8, tol=1e-3).fit(train)
     centers = np.stack(model.clusterCenters())  # (n_cells, dim) — tiny
 
     c_assigned = model.transform(

@@ -1016,8 +1016,14 @@ def q40(spark, sf_dir):
         .withColumn("day", (F.col("day") / (86400.0 * 1e6)).cast("double"))
     )
     ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
-    lo, hi = ds.extrema("day")
-    grid = np.linspace(float(lo), float(hi), 200)
+    # grid bounds from the RAW column min/max: parquet footer statistics
+    # answer this without recomputing the traces aggregation (epoch math
+    # stays in Spark — python .timestamp() on naive datetimes is tz-local)
+    day_of = lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(86400.0 * 1e6)  # noqa: E731
+    row = li.agg(
+        day_of(F.min("l_shipdate")).alias("lo"), day_of(F.max("l_shipdate")).alias("hi")
+    ).first()
+    grid = np.linspace(float(row["lo"]), float(row["hi"]), 200)
     return regrid(ds, grid).df
 
 
@@ -1038,8 +1044,11 @@ def q41(spark, sf_dir):
         .withColumn("day", (F.col("day") / (86400.0 * 1e6)).cast("double"))
     )
     ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
-    lo, hi = ds.extrema("day")
-    grid = np.linspace(float(lo), float(hi), 128)
+    day_of = lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(86400.0 * 1e6)  # noqa: E731
+    row = li.agg(
+        day_of(F.min("l_shipdate")).alias("lo"), day_of(F.max("l_shipdate")).alias("hi")
+    ).first()
+    grid = np.linspace(float(row["lo"]), float(row["hi"]), 128)
     return fourier_transform(regrid(ds, grid)).df
 
 

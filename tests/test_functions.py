@@ -93,7 +93,9 @@ def test_minhash_finds_near_dups(docs):
 
 def test_simhash_near_dups(docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
-    ham = bin(sh[0] ^ sh[2]).count("1")
+    # mask: hashes are signed int64; bin() of a negative python int would
+    # count magnitude bits, not the 64-bit pattern
+    ham = bin((sh[0] ^ sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert ham <= 12  # near-dups land close in hamming space
     assert sh[0] == sh[1] == sh[5]
     survivors = sorted(r.doc_id for r in simhash_dedup(docs, max_hamming=3).collect())
