@@ -6,8 +6,10 @@ from polars_dataset_spark.streaming.ops import (
     run_stream_to_memory,
 )
 from polars_dataset_spark.streaming.stateful import running_trace_stats
+from polars_dataset_spark.streaming.regrid_stream import regrid_stream
 
 __all__ = [
+    "regrid_stream",
     "read_events_stream",
     "windowed_agg",
     "session_agg",

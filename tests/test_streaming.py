@@ -89,3 +89,43 @@ def test_running_trace_stats_matches_batch(spark, sf_dir, events):
         assert g.sum == _pytest.approx(b.sum, rel=1e-9)
         assert g.var == _pytest.approx(b["var"], rel=1e-6, abs=1e-9)
         assert (g.min, g.max) == (b["min"], b["max"])
+
+
+def test_regrid_stream_converges_to_batch(spark, sf_dir):
+    import numpy as np
+    from polars_dataset_spark import Dataset
+    from polars_dataset_spark.operators import regrid
+    from polars_dataset_spark.streaming import read_events_stream, regrid_stream, run_stream_to_memory
+
+    grid = np.linspace(0.0, 200.0, 25)
+    st = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # stream value over a numeric index derived from the event id
+    st2 = st.select(
+        (st.user_id % 3).alias("trace"),
+        (st.event_id % 211).cast("double").alias("xi"),
+        "value",
+    )
+    out = regrid_stream(st2, grid, key_col="trace", index_col="xi", value_col="value")
+    run_stream_to_memory(out, "t_regrid", output_mode="update")
+    # final (max n_samples) emission per key must equal the batch regrid
+    final = spark.sql(
+        """select * from (
+             select *, row_number() over (partition by key, xi order by n_samples desc) rn
+             from t_regrid) where rn = 1"""
+    ).toPandas()
+    from polars_dataset_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).alias("trace"),
+        (F.col("event_id") % 211).cast("double").alias("xi"),
+        "value",
+    )
+    ds = Dataset(ev, index="xi", id_vars=["trace"])
+    batch = regrid(ds, grid).df.toPandas()
+    merged = final.merge(
+        batch, left_on=["key", "xi"], right_on=["trace", "xi"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == 3 * 25
+    import numpy as np
+    ok = np.isfinite(merged.value_s) & np.isfinite(merged.value_b)
+    assert np.allclose(merged.value_s[ok], merged.value_b[ok], rtol=1e-9)
+    assert (np.isfinite(merged.value_s) == np.isfinite(merged.value_b)).all()
