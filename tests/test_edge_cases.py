@@ -1,0 +1,56 @@
+"""Empty-input totality: every operator must return an empty (not crash)
+result on an empty frame — a filter that matches nothing must never take
+down a pipeline."""
+
+import numpy as np
+import pytest
+
+from polars_dataset_spark import Dataset
+from polars_dataset_spark.functions import (
+    cosine_topk,
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_dedup,
+    with_fingerprint,
+    with_language_id,
+)
+from polars_dataset_spark.operators import autophase, fourier_transform, join_asof, regrid
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_traces(spark):
+    return spark.createDataFrame([], "g double, x double, y double")
+
+
+def test_text_ops_empty(empty_docs):
+    assert exact_dedup(empty_docs).count() == 0
+    assert minhash_lsh_candidates(empty_docs).count() == 0
+    assert simhash_dedup(empty_docs).count() == 0
+    assert with_fingerprint(empty_docs).count() == 0
+    assert with_language_id(empty_docs).count() == 0
+
+
+def test_kernel_ops_empty(empty_traces):
+    ds = Dataset(empty_traces, index="x", id_vars=["g"])
+    assert regrid(ds, np.linspace(0, 1, 5)).df.count() == 0
+    assert fourier_transform(ds).df.count() == 0
+    assert autophase(ds, "y", "y").df.count() == 0
+
+
+def test_similarity_ops_empty(spark):
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_topk(empty_emb, empty_emb).count() == 0
+    assert embedding_neardup(empty_emb, dim=8).count() == 0
+
+
+def test_asof_empty(spark):
+    lft = spark.createDataFrame([], "k double")
+    rgt = spark.createDataFrame([], "k double, v double")
+    assert join_asof(lft, rgt, on="k").count() == 0
+    assert join_asof(lft, rgt, on="k", method="broadcast").count() == 0
