@@ -140,7 +140,9 @@ def cosine_pairs_block(
     from pyspark.sql import SparkSession
     from pyspark.sql import types as T
 
-    spark = SparkSession.getActiveSession()
+    # df.sparkSession, not getActiveSession(): the latter is thread-local
+    # and None when called from a worker thread
+    spark = df.sparkSession
     corpus = df.select(id_col, vec_col).toPandas()
     ids = corpus[id_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)

@@ -164,7 +164,9 @@ def _join_asof_broadcast(
     payload = [c for c in rdf.columns if c != r_on and c not in by]
     renames = {c: (f"{c}{suffix}" if c in ldf.columns else c) for c in payload}
 
-    spark = SparkSession.getActiveSession()
+    # NB: not getActiveSession() — that is thread-local and None when the
+    # caller runs in a worker thread (e.g. a concurrent benchmark driver)
+    spark = ldf.sparkSession
     rp = (
         rdf.select(*by, _numeric_key(rdf, r_on).alias("__k"), *payload)
         .orderBy(*by, "__k")
