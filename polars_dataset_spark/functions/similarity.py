@@ -137,7 +137,6 @@ def cosine_pairs_block(
     :func:`polars_dataset_spark.functions.dedup.embedding_neardup` (LSH),
     which has no broadcast requirement at all.
     """
-    from pyspark.sql import SparkSession
     from pyspark.sql import types as T
 
     # df.sparkSession, not getActiveSession(): the latter is thread-local

@@ -152,8 +152,6 @@ def _join_asof_broadcast(
     """Broadcast binary-search as-of join (see :func:`join_asof`,
     ``method="broadcast"``)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import SparkSession
     from pyspark.sql import types as T
 
     was_dataset = isinstance(left, Dataset)
