@@ -478,8 +478,25 @@ class Dataset:
         return self._df.groupBy(*keys)
 
     def unique(self, subset=None, keep: str = "any") -> "Dataset":
+        """Distinct rows over ``subset``. ``keep="any"`` maps to
+        ``dropDuplicates`` (cheapest); ``"first"``/``"last"`` pick the
+        representative by canonical (id_vars, index) order via a window —
+        Spark has no implicit row order, so polars' maintain_order
+        semantics are defined over the canonical order here."""
         sub = _as_list(subset) or None
-        return self._rewrap(self._df.dropDuplicates(sub) if sub else self._df.dropDuplicates())
+        if keep == "any" or not sub:
+            return self._rewrap(self._df.dropDuplicates(sub) if sub else self._df.dropDuplicates())
+        if keep not in ("first", "last"):
+            raise ValueError(f"keep must be 'any', 'first' or 'last', got {keep!r}")
+        order_cols = [F.col(c) for c in [*self._id_vars, self._index]]
+        if keep == "last":
+            order_cols = [c.desc() for c in order_cols]
+        w = Window.partitionBy(*sub).orderBy(*order_cols)
+        return self._rewrap(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     def n_unique(self, subset=None) -> int:
         sub = _as_list(subset) or self._df.columns

@@ -259,3 +259,29 @@ def test_datafile_partitioned_write(tmp_path, spark):
     assert any(d.startswith("t=") for d in os.listdir(tmp_path / "part_out"))
     back = spark.read.parquet(str(tmp_path / "part_out"))
     assert back.count() == 3
+
+
+def test_unique_keep_semantics(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 2.0, 3.0], "v": [10.0, 20.0, 30.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    first = {r.g: r.v for r in ds.unique(subset="g", keep="first").df.collect()}
+    last = {r.g: r.v for r in ds.unique(subset="g", keep="last").df.collect()}
+    assert first == {"a": 10.0, "b": 30.0}
+    assert last == {"a": 20.0, "b": 30.0}
+    with pytest.raises(ValueError, match="keep"):
+        ds.unique(subset="g", keep="nope")
+
+
+def test_repr_html_colors_roles(lineitem_ds):
+    html = lineitem_ds._repr_html_()
+    assert "#d3f8d3" in html  # index cell green
+    assert "#d3e8f8" in html  # id_vars cells blue
+
+
+def test_interchange_and_arrow(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0], "v": [3.0, 4.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x")
+    tbl = ds.to_arrow()
+    assert tbl.num_rows == 2
+    obj = ds.__dataframe__()
+    assert obj.num_rows() == 2
