@@ -22,6 +22,7 @@ from polars_dataset_spark.functions.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from polars_dataset_spark.functions.pipeline import clean_corpus, corpus_report
 from polars_dataset_spark.functions.multimodal import (
     binary_with_metadata,
     decode_media,
@@ -50,4 +51,6 @@ __all__ = [
     "binary_with_metadata",
     "decode_media",
     "extract_features",
+    "clean_corpus",
+    "corpus_report",
 ]

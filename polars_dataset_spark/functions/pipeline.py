@@ -1,0 +1,54 @@
+"""End-to-end training-corpus preparation: the §2.4 operators composed the
+way a 100 TB pretraining pipeline actually runs them.
+
+Order matters and is chosen by cost: cheap map-only filters first (quality,
+language — pure codegen'd expressions that shrink the data at scan speed),
+then exact dedup (one shuffle), then the expensive fuzzy pass (MinHash-LSH)
+over the already-reduced corpus, and finally token accounting for budget
+reports. Every stage is the library operator — this module only composes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.functions.dedup import exact_dedup, minhash_dedup
+from polars_dataset_spark.functions.text import (
+    with_language_id,
+    with_quality_score,
+    with_token_count,
+)
+
+__all__ = ["clean_corpus", "corpus_report"]
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] | None = None,
+    fuzzy_threshold: float = 0.8,
+    token_mode: str = "bpe",
+) -> DataFrame:
+    """Filter → dedup → account. Returns the surviving rows with
+    ``lang_pred``, ``quality`` and ``n_tokens`` columns attached."""
+    staged = with_quality_score(docs, text_col)
+    staged = staged.filter(F.col("quality") >= min_quality)
+    staged = with_language_id(staged, text_col)
+    if languages:
+        staged = staged.filter(F.col("lang_pred").isin(list(languages)))
+    staged = exact_dedup(staged, subset=text_col, id_col=id_col)
+    staged = minhash_dedup(staged, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold)
+    return with_token_count(staged, text_col, mode=token_mode)
+
+
+def corpus_report(clean: DataFrame) -> DataFrame:
+    """One-row budget summary of a cleaned corpus."""
+    return clean.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )

@@ -1456,6 +1456,21 @@ def q59(spark, sf_dir):
     )
 
 
+@query("q60_clean_corpus")
+def q60(spark, sf_dir):
+    """Composed training-corpus pipeline: quality filter → language filter
+    → exact dedup → MinHash-LSH fuzzy dedup → BPE-ish token accounting
+    (rows-only: the MinHash stage is not SQL-expressible; stage semantics
+    are individually oracle-checked by q29/q30/q32/q37/q57)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs, min_quality=0.5, fuzzy_threshold=0.7).select(
+        "doc_id", "lang_pred", "quality", "n_tokens"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

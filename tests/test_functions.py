@@ -176,3 +176,16 @@ def test_ivf_topk_finds_near_dup(vecs):
     ).collect()
     # probing ALL cells == exact: the planted near-dup must rank first
     assert out[0].neighbor_id == 100 and out[0].cosine > 0.99
+
+
+def test_clean_corpus_pipeline(docs):
+    from polars_dataset_spark.functions import clean_corpus, corpus_report
+
+    out = clean_corpus(docs, min_quality=0.0, fuzzy_threshold=0.5)
+    ids = sorted(r.doc_id for r in out.collect())
+    # exact dups (1, 5) and near-dup 2 collapse into 0; empty doc 7 may
+    # survive quality=0 but must carry n_tokens
+    assert 0 in ids and 1 not in ids and 5 not in ids and 2 not in ids
+    rep = corpus_report(out).first()
+    assert rep.n_docs == len(ids)
+    assert rep.total_tokens > 0
