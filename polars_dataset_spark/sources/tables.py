@@ -27,17 +27,25 @@ TABLES = [
 
 __all__ = ["TABLES", "load_table", "register_views"]
 
-# (session id, sf_dir, name) → DataFrame. DataFrames are immutable logical
+# session → {(sf_dir, name): DataFrame}. DataFrames are immutable logical
 # plans, so reuse across queries is safe and skips repeated footer reads /
 # file listings (~0.1 s per load, and most queries load several tables).
-_cache: dict[tuple, DataFrame] = {}
+# Keyed WEAKLY by the session object: a stopped/collected session drops its
+# whole entry, so a recycled id() can never alias stale plans.
+import weakref
+
+_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table; normalizes the events nano-timestamp.
     Plans are memoized per (session, sf_dir, table)."""
-    key = (id(spark), sf_dir, name)
-    hit = _cache.get(key)
+    try:
+        per_session = _cache.setdefault(spark, {})
+    except TypeError:  # session type not weak-referenceable: skip caching
+        per_session = {}
+    key = (sf_dir, name)
+    hit = per_session.get(key)
     if hit is not None:
         return hit
     if name == "events":
@@ -47,7 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _cache[key] = df
+    per_session[key] = df
     return df
 
 

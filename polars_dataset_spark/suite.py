@@ -1456,6 +1456,62 @@ def q59(spark, sf_dir):
     )
 
 
+@query(
+    "q61_join_where",
+    """
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c ON s.s_acctbal < c.c_acctbal - 9000
+    """,
+)
+def q61(spark, sf_dir):
+    """Pure inequality join (polars ``join_where`` with no equi key):
+    Catalyst plans BroadcastNestedLoop with the small side broadcast —
+    inherently O(|S|·|C|) work but no shuffle; the selective predicate
+    keeps output small. At scale: add any equi conjunct (see q47) or
+    bucketize the range key to regain a hash join."""
+    _prep(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(c, s["s_acctbal"] < c["c_acctbal"] - 9000).select(
+        "s_suppkey", "c_custkey"
+    )
+
+
+@query(
+    "q62_fill_nan",
+    """
+    WITH t AS (
+      SELECT CASE WHEN l_discount > 0.05 THEN 'NaN'::DOUBLE ELSE l_quantity END AS val
+      FROM lineitem)
+    SELECT count(*) AS n,
+           round(sum(CASE WHEN isnan(val) THEN 0.0 ELSE val END), 2) AS sum_filled,
+           sum(CASE WHEN isnan(val) THEN 1 ELSE 0 END) AS n_was_nan
+    FROM t
+    """,
+)
+def q62(spark, sf_dir):
+    """fill_nan (the complement of q18's drop_nan): NaN → 0 replacement,
+    nulls untouched — polars NaN/null duality again."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ds = Dataset(
+        li.select(
+            "l_shipdate",
+            F.when(F.col("l_discount") > 0.05, F.lit(float("nan")))
+            .otherwise(F.col("l_quantity"))
+            .alias("val"),
+        ),
+        index="l_shipdate",
+    )
+    was_nan = F.sum(F.when(F.isnan("val"), 1).otherwise(0)).alias("n_was_nan")
+    pre = ds.df.agg(F.count("*").alias("n"), was_nan)
+    filled = ds.fill_nan(0.0)
+    return (
+        filled.df.agg(F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("sum_filled"))
+        .crossJoin(pre.select("n_was_nan"))
+    )
+
+
 @query("q60_clean_corpus")
 def q60(spark, sf_dir):
     """Composed training-corpus pipeline: quality filter → language filter

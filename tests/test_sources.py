@@ -63,3 +63,25 @@ def test_register_views(spark, sf_dir):
     assert spark.sql("select count(*) n from lineitem").first()["n"] == 6000
     # events view has the normalized timestamp
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_datafile_json_orc_roundtrip(tmp_path, spark):
+    import pandas as pd
+    from polars_dataset_spark import Dataset, Datafile
+
+    pdf = pd.DataFrame({"t": [1.0, 2.0], "x": [0.0, 1.0], "v": [5.0, 6.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["t"])
+    for fmt in ("json", "orc", "parquet"):
+        f = Datafile(str(tmp_path / f"out_{fmt}"), index="x", id_vars=["t"], fmt=fmt)
+        f.write(ds)
+        back = f.load(spark)
+        assert isinstance(back, Dataset), fmt
+        assert back.df.count() == 2, fmt
+
+
+def test_load_table_cache_per_session(spark, sf_dir):
+    from polars_dataset_spark.sources.tables import load_table
+
+    a = load_table(spark, sf_dir, "lineitem")
+    b = load_table(spark, sf_dir, "lineitem")
+    assert a is b  # memoized plan reused within a session
