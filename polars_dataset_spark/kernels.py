@@ -68,19 +68,32 @@ def _spline_second_derivatives(x: np.ndarray, y: np.ndarray, bc_type: str) -> np
         m = np.zeros(n)
         m[1:-1] = m_inner
         return m
-    # not-a-knot: third-derivative continuity at x1 and x_{n-2}.
-    # Rows 0 and n-1 touch columns 0..2 / n-3..n-1, so solve dense — traces
-    # are one sweep (~10^2..10^3 points), negligible next to Arrow transfer.
-    a = np.zeros((n, n))
-    rhs = np.zeros(n)
-    a[0, 0], a[0, 1], a[0, 2] = h[1], -(h[0] + h[1]), h[0]
-    a[n - 1, n - 3], a[n - 1, n - 2], a[n - 1, n - 1] = h[-1], -(h[-2] + h[-1]), h[-2]
-    for i in range(1, n - 1):
-        a[i, i - 1] = h[i - 1]
-        a[i, i] = 2.0 * (h[i - 1] + h[i])
-        a[i, i + 1] = h[i]
-        rhs[i] = 6.0 * (delta[i] - delta[i - 1])
-    return np.linalg.solve(a, rhs)
+    # not-a-knot: third-derivative continuity at x1 and x_{n-2}, i.e.
+    #   M0 = (1 + h0/h1)·M1 − (h0/h1)·M2
+    #   M_{n-1} = (1 + h_{n-2}/h_{n-3})·M_{n-2} − (h_{n-2}/h_{n-3})·M_{n-3}
+    # Substituting these into the first/last interior equations ELIMINATES
+    # M0 and M_{n-1}, leaving a strictly tridiagonal system over the
+    # interior unknowns M1..M_{n-2} → O(n) Thomas solve. (A naive dense
+    # formulation is O(n³) — ruinous for long traces.)
+    m_unknowns = n - 2
+    sub = h[1:-1].copy()
+    sup = h[1:-1].copy()
+    diag = 2.0 * (h[:-1] + h[1:])
+    rhs = 6.0 * np.diff(delta)
+    r0 = h[0] / h[1]
+    diag[0] = h[0] * (1.0 + r0) + 2.0 * (h[0] + h[1])
+    if m_unknowns > 1:
+        sup[0] = h[1] - h[0] * r0
+    rn = h[-1] / h[-2]
+    diag[-1] = 2.0 * (h[-2] + h[-1]) + h[-1] * (1.0 + rn)
+    if m_unknowns > 1:
+        sub[-1] = h[-2] - h[-1] * rn
+    m_inner = _thomas(sub, diag, sup, rhs)
+    m = np.empty(n)
+    m[1:-1] = m_inner
+    m[0] = (1.0 + r0) * m[1] - r0 * m[2]
+    m[-1] = (1.0 + rn) * m[-2] - rn * m[-3]
+    return m
 
 
 def cubic_spline_interp(
