@@ -22,6 +22,11 @@ from polars_dataset_spark.functions.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from polars_dataset_spark.functions.graph import (
+    chain_edges,
+    connected_components,
+    dedup_by_components,
+)
 from polars_dataset_spark.functions.pipeline import clean_corpus, corpus_report
 from polars_dataset_spark.functions.multimodal import (
     binary_with_metadata,
@@ -53,4 +58,7 @@ __all__ = [
     "extract_features",
     "clean_corpus",
     "corpus_report",
+    "chain_edges",
+    "connected_components",
+    "dedup_by_components",
 ]

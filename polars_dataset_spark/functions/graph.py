@@ -1,0 +1,151 @@
+"""Distributed connected components over a DataFrame edge list.
+
+The reference has no graph machinery at all; this exists for the
+transitive-closure step of fuzzy deduplication (ROUND1_NOTES "known
+limitations"): MinHash/SimHash emit near-duplicate PAIRS, but a dedup
+that keeps one representative per *cluster* needs the components of the
+pair graph — a one-pass "drop the larger id of each pair" over-deletes
+when A~B and B~C but A is also C's only link to the kept set.
+
+Algorithm: alternating large-star / small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014 — public). Each round is one shuffle (groupBy(u) + join
+back); the edge set monotonically contracts toward star graphs
+(every node → its component's minimum id) in O(log^2 n) rounds —
+on the chain graphs used in tests, ~log n doubling steps, never the
+O(diameter) rounds naive label propagation would need. All DataFrame
+ops: the only driver-side values are the per-round convergence
+fingerprint (2 longs) — nothing scales with |V| or |E| on the driver.
+
+Scale notes (100 TB / 1000-executor framing):
+- Each round's shuffle is keyed on node id; skewed degree (one hub
+  node) is exactly what large-star is designed to shatter — the hub's
+  neighbors re-key to the component min after one round. AQE skew-join
+  splitting covers the join side.
+- ``localCheckpoint`` (eager) truncates lineage each round; without it
+  the plan doubles per iteration and the optimizer re-walks ~2^rounds
+  nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_by_components", "chain_edges"]
+
+
+def _symmetrize(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    e = (
+        edges.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u}); output symmetric."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    out = (
+        e.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    return out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Center each edge at its larger endpoint; link all smaller neighbors
+    (and the center) to the minimum. Output symmetric."""
+    d = e.filter(F.col("v") < F.col("u"))  # directed: center u > neighbor v
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    link_nbrs = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    link_center = mins.select("u", F.col("m").alias("v"))
+    out = link_nbrs.union(link_center).filter(F.col("u") != F.col("v")).distinct()
+    return out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given as an edge list.
+
+    Returns ``(id, component)`` for every node that appears in an edge,
+    where ``component`` is the minimum node id reachable from ``id``.
+    Isolated nodes (absent from ``edges``) are absent from the result —
+    join back ``how="left"`` + ``coalesce(component, id)`` if needed.
+    """
+    e = _symmetrize(edges, id_a, id_b).localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # Converged star graphs: a non-root's minimum neighbor IS the root,
+    # and the root's own minimum is itself — both covered by
+    # least(u, min over neighbors).
+    return e.groupBy("u").agg(F.min("v").alias("mv")).select(
+        F.col("u").alias("id"), F.least(F.col("u"), F.col("mv")).alias("component")
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Transitive fuzzy dedup: keep one representative (the minimum id)
+    per connected component of the near-duplicate pair graph.
+
+    This is the cluster-correct upgrade of ``minhash_dedup``'s one-pass
+    rule: with pairs {(1,2),(2,3)}, one-pass drops {2,3} and keeps 1;
+    so does this — but with pairs {(2,3)} plus (1 isolated), one-pass
+    and CC agree, while with a chain 1-2, 2-3, 3-4 arriving as
+    unordered pairs the CC answer is stable under pair ordering."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def chain_edges(df: DataFrame, id_col: str, *group_cols: str) -> DataFrame:
+    """Deterministic edge list linking consecutive ids (ascending) within
+    each group: a length-k group becomes a k-node path. Paths are the
+    adversarial case for naive label propagation (O(diameter) rounds) and
+    exercise the star-contraction's doubling; used by the oracle-checked
+    CC query, where the expected component of every node is its group
+    minimum."""
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.col(id_col))
+    return (
+        df.select(
+            F.col(id_col).alias("id_a"),
+            F.lead(F.col(id_col)).over(w).alias("id_b"),
+        )
+        .filter(F.col("id_b").isNotNull())
+    )

@@ -3,8 +3,10 @@ from polars_dataset_spark.operators.regrid import regrid, interpolate_frame
 from polars_dataset_spark.operators.fourier import fourier_transform
 from polars_dataset_spark.operators.autophase import autophase, fit_phase, zero_quadrature
 from polars_dataset_spark.operators.asof import join_asof
+from polars_dataset_spark.operators.skew import salted_join
 
 __all__ = [
+    "salted_join",
     "unnest_structs",
     "rebuild_structs",
     "regrid",

@@ -1527,6 +1527,76 @@ def q60(spark, sf_dir):
     )
 
 
+@query(
+    "q63_connected_components",
+    """
+    SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY lang, source) AS component
+    FROM documents
+    QUALIFY count(*) OVER (PARTITION BY lang, source) > 1
+    """,
+)
+def q63(spark, sf_dir):
+    """Distributed connected components (large-star/small-star,
+    functions/graph.py) — value-matched: the edge list is a
+    deterministic PATH through each (lang, source) group (worst case
+    for naive propagation), so every node's true component is its
+    group minimum, which the oracle states directly while the Spark
+    side actually runs the iterative contraction."""
+    _prep(spark)
+    from polars_dataset_spark.functions import chain_edges, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = chain_edges(docs, "doc_id", "lang", "source")
+    return connected_components(edges)
+
+
+@query("q64_dedup_components")
+def q64(spark, sf_dir):
+    """Transitive fuzzy dedup: MinHash-LSH near-duplicate pairs →
+    connected components → keep the minimum-id representative per
+    CLUSTER (rows-only: LSH stage not SQL-expressible; the CC stage is
+    value-matched by q63 and the pair stage row-checked by q37)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        dedup_by_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, threshold=0.7)
+    return dedup_by_components(docs, pairs).select("doc_id", "lang", "source")
+
+
+@query(
+    "q65_salted_join",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q65(spark, sf_dir):
+    """Skew-mitigated join (operators/skew.py): lineitem salted 8 ways,
+    orders replicated per salt, joined on (key, salt) — value-matched
+    against the plain equi-join, proving the salt never changes the
+    result, only the shuffle distribution."""
+    _prep(spark)
+    from polars_dataset_spark.operators import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    od = load_table(spark, sf_dir, "orders")
+    joined = salted_join(li, od, on="o_orderkey", how="inner", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
