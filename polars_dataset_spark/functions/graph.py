@@ -35,42 +35,54 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_by_components", "chain_edges"]
 
 
-def _symmetrize(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
-    e = (
-        edges.select(
-            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+def _canonicalize(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Undirected edges stored once as (u, v) with u < v, distinct."""
+    e = edges.select(
+        F.least(F.col(id_a), F.col(id_b)).cast("long").alias("u"),
+        F.greatest(F.col(id_a), F.col(id_b)).cast("long").alias("v"),
     )
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every neighbor v > u to min(N(u) ∪ {u}); output symmetric."""
-    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    """Connect every neighbor w > c to min(N(c) ∪ {c}), for every center c.
+    Input and output are canonical (u < v, distinct): the emitted link
+    (w, m) always has m < w, so (m, w) is already canonical."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
-    out = (
-        e.join(mins, "u")
+    # No distinct here: duplicate (m, w) links from different centers are
+    # bounded by deg(w) and the small-star that always follows ends in a
+    # distinct — one less shuffle per round.
+    return (
+        sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(F.col("m").alias("u"), F.col("v"))
         .filter(F.col("u") != F.col("v"))
     )
-    return out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Center each edge at its larger endpoint; link all smaller neighbors
-    (and the center) to the minimum. Output symmetric."""
-    d = e.filter(F.col("v") < F.col("u"))  # directed: center u > neighbor v
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    """Center each edge at its LARGER endpoint; link all smaller neighbors
+    (and the center) to the neighborhood minimum. On canonical input the
+    directed view (center > neighbor) is just the edge list read as
+    (center=v, nbr=u) — no symmetrize needed; emitted links (x, m) have
+    m ≤ x, so (m, x) is canonical."""
+    mins = e.groupBy("v").agg(F.min("u").alias("m"))  # per center v: min nbr
     link_nbrs = (
-        d.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        e.join(mins, "v")
+        .select(F.col("m").alias("u"), F.col("u").alias("v"))
     )
-    link_center = mins.select("u", F.col("m").alias("v"))
-    out = link_nbrs.union(link_center).filter(F.col("u") != F.col("v")).distinct()
-    return out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    link_center = mins.select(F.col("m").alias("u"), F.col("v"))
+    return (
+        link_nbrs.union(link_center)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
@@ -94,10 +106,12 @@ def connected_components(
     Isolated nodes (absent from ``edges``) are absent from the result —
     join back ``how="left"`` + ``coalesce(component, id)`` if needed.
     """
-    e = _symmetrize(edges, id_a, id_b).localCheckpoint(eager=True)
+    # eager=False: the fingerprint action doubles as the checkpoint
+    # materialization — one job per round, not two.
+    e = _canonicalize(edges, id_a, id_b).localCheckpoint(eager=False)
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _fingerprint(e)
         if cur == prev:
             break
@@ -106,8 +120,9 @@ def connected_components(
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # Converged star graphs: a non-root's minimum neighbor IS the root,
     # and the root's own minimum is itself — both covered by
-    # least(u, min over neighbors).
-    return e.groupBy("u").agg(F.min("v").alias("mv")).select(
+    # least(node, min over neighbors) on the symmetric view.
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy("u").agg(F.min("v").alias("mv")).select(
         F.col("u").alias("id"), F.least(F.col("u"), F.col("mv")).alias("component")
     )
 
