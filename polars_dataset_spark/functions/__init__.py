@@ -27,6 +27,8 @@ from polars_dataset_spark.functions.graph import (
     connected_components,
     dedup_by_components,
 )
+from polars_dataset_spark.functions.sampling import hash_sample, stratified_sample
+from polars_dataset_spark.functions.packing import pack_sequences
 from polars_dataset_spark.functions.pipeline import clean_corpus, corpus_report
 from polars_dataset_spark.functions.multimodal import (
     binary_with_metadata,
@@ -61,4 +63,7 @@ __all__ = [
     "chain_edges",
     "connected_components",
     "dedup_by_components",
+    "hash_sample",
+    "stratified_sample",
+    "pack_sequences",
 ]

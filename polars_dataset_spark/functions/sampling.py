@@ -1,0 +1,67 @@
+"""Deterministic sampling for training-data mixing.
+
+Random `df.sample()` is neither reproducible across retries/cluster
+layouts nor stratifiable with exact quotas; data-mixing pipelines want
+"at most N docs per (lang, source), chosen stably" and "p% of the
+corpus, the SAME p% every run". Both are expressed as pure hash
+arithmetic — no RNG state, no seed plumbing through tasks, identical
+output on any cluster topology.
+
+The hash is ``md5(cast(id))`` — computable bit-identically in Spark,
+DuckDB, and most engines, so the selections are oracle-checkable and
+portable (a sample drawn by this engine can be re-derived by another).
+
+Scale: ``hash_sample`` is a map-only filter (predicate-pushdown
+friendly, no shuffle). ``stratified_sample`` is one shuffle on the
+strata keys + a per-partition top-quota; skewed strata are bounded by
+the quota itself, so reducers do O(quota) retained work regardless of
+stratum size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_sample", "stratified_sample"]
+
+
+def _hash_key(id_col: str, salt: str) -> "F.Column":
+    return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — deterministic,
+    stateless, map-only. ``salt`` decorrelates independent draws (two
+    samples with different salts overlap proportionally, same salt →
+    identical sample)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # First 15 hex digits → 60 bits, exact in a long; threshold compare.
+    bucket = F.conv(F.substring(_hash_key(id_col, salt), 1, 15), 16, 10).cast("long")
+    return df.filter(bucket < F.lit(int(fraction * (16**15))))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    quota: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``quota`` rows per stratum, selected in id-hash order —
+    the deterministic version of capped data mixing ("≤ N documents per
+    (lang, source)"). Selection is stable under row order, partitioning,
+    and retries; changing ``salt`` rotates which rows are kept."""
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(
+        _hash_key(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

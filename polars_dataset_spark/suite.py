@@ -1597,6 +1597,79 @@ def q65(spark, sf_dir):
     )
 
 
+@query(
+    "q66_stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang, source
+        ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+    ) <= 5
+    """,
+)
+def q66(spark, sf_dir):
+    """Deterministic stratified sampling (functions/sampling.py): at most
+    5 docs per (lang, source), selected in md5(id)-hash order — the
+    engine-portable capped data-mixing draw. Value-matched because both
+    engines compute the identical md5 hex, so they pick the identical
+    rows."""
+    _prep(spark)
+    from polars_dataset_spark.functions import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang", "source"], quota=5, id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "q67_hash_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(cast(doc_id AS VARCHAR)), 1, 15) < '199999999999999'
+    """,
+)
+def q67(spark, sf_dir):
+    """Deterministic ~10% corpus sample by id hash (map-only, no RNG
+    state): fraction 0.1 → 60-bit threshold 0.1·16^15 = 0x19999…, which
+    the oracle states as a fixed-length hex-string compare — the same
+    set either way."""
+    _prep(spark)
+    from polars_dataset_spark.functions import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", fraction=0.1).select("doc_id", "lang")
+
+
+@query(
+    "q68_pack_sequences",
+    """
+    SELECT doc_id, lang,
+           sum(n_chars) OVER w AS cum_tokens,
+           (sum(n_chars) OVER w - n_chars) // 4096 AS bin,
+           (sum(n_chars) OVER w - n_chars) % 4096 AS offset
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q68(spark, sf_dir):
+    """Sequence packing (functions/packing.py): concat-and-chunk window
+    assignment for pretraining — per-lang streams ordered by doc_id,
+    4096-token budget, each doc gets its window index and offset from
+    one prefix sum (exact-integer value match)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget=4096, tokens_col="n_chars", order_col="doc_id",
+        stream_cols=["lang"],
+    ).select("doc_id", "lang", "cum_tokens", "bin", "offset")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -1,0 +1,85 @@
+"""Deterministic sampling (hash_sample / stratified_sample) and sequence
+packing — properties beyond the q66-q68 oracle value checks: stability
+under re-execution and partitioning, quota bounds, salt decorrelation,
+and packing coordinates vs a driver-side replay."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.functions.packing import pack_sequences
+from polars_dataset_spark.functions.sampling import hash_sample, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") % 350 + 10).alias("n_tok"),
+    )
+
+
+def test_hash_sample_deterministic_and_sized(corpus):
+    a = sorted(r["doc_id"] for r in hash_sample(corpus, "doc_id", 0.2).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(corpus.repartition(13), "doc_id", 0.2).collect()
+    )
+    assert a == b  # partitioning-independent
+    assert 0.1 < len(a) / 1000 < 0.3  # ~binomial(1000, .2)
+
+
+def test_hash_sample_salt_decorrelates(corpus):
+    a = {r["doc_id"] for r in hash_sample(corpus, "doc_id", 0.5, salt="s1").collect()}
+    b = {r["doc_id"] for r in hash_sample(corpus, "doc_id", 0.5, salt="s2").collect()}
+    assert a != b
+    # independent 50% draws overlap ~25% of the corpus
+    assert 0.1 < len(a & b) / 1000 < 0.4
+
+
+def test_hash_sample_edge_fractions(corpus):
+    assert hash_sample(corpus, "doc_id", 0.0).count() == 0
+    assert hash_sample(corpus, "doc_id", 1.0).count() == 1000
+    with pytest.raises(ValueError):
+        hash_sample(corpus, "doc_id", 1.5)
+
+
+def test_stratified_sample_quota_and_determinism(corpus):
+    out = stratified_sample(corpus, ["g"], quota=20, id_col="doc_id")
+    per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {str(i) for i in range(7)}
+    assert all(n == 20 for n in per.values())  # every stratum has >20 rows
+    again = stratified_sample(corpus.repartition(11), ["g"], quota=20, id_col="doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_sample_small_stratum_passthrough(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, g string")
+    out = stratified_sample(df, ["g"], quota=10, id_col="doc_id")
+    assert out.count() == 3  # quota above stratum size keeps everything
+
+
+def test_pack_sequences_matches_replay(corpus):
+    rows = pack_sequences(
+        corpus, budget=512, tokens_col="n_tok", order_col="doc_id", stream_cols=["g"]
+    ).collect()
+    by_stream = {}
+    for r in sorted(rows, key=lambda r: (r["g"], r["doc_id"])):
+        pos = by_stream.get(r["g"], 0)
+        assert r["bin"] == pos // 512
+        assert r["offset"] == pos % 512
+        assert r["cum_tokens"] == pos + r["n_tok"]
+        by_stream[r["g"]] = pos + r["n_tok"]
+
+
+def test_pack_sequences_single_stream_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "doc_id long, n_tok long"
+    )
+    rows = {
+        r["doc_id"]: (r["bin"], r["offset"])
+        for r in pack_sequences(df, 250, "n_tok", "doc_id").collect()
+    }
+    assert rows == {1: (0, 0), 2: (0, 100), 3: (0, 200)}
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0, "n_tok", "doc_id")
