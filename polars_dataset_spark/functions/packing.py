@@ -11,9 +11,13 @@ is embarrassingly parallel and exactly expressible as a prefix sum.
 
 One shuffle (the per-stream window sort); all arithmetic stays in
 whole-stage codegen. At 100 TB the stream key (e.g. ``lang`` or a
-shard id) bounds each window partition; a single global stream would
-serialize — callers wanting one stream should pre-shard and offset by
-per-shard totals (one extra tiny aggregate).
+shard id) bounds each window partition. With NO stream key the naive
+plan is a single-partition global window — the classic serialization
+bottleneck — so the global path here is the two-pass distributed
+prefix sum instead: range-partition on the order key, per-partition
+token totals (one tiny aggregate, #partitions rows), cumulative
+partition offsets, then within-partition windows. Two data shuffles,
+no single-reducer stage, same exact result.
 """
 
 from __future__ import annotations
@@ -22,6 +26,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pack_sequences"]
+
+
+def _global_prefix_sum(
+    df: DataFrame, tokens_col: str, order_col: str, num_parts: int
+) -> DataFrame:
+    """Exact global running total of ``tokens_col`` in ``order_col``
+    order, without a single-partition window: range partitions preserve
+    global order between partitions, so each row's global prefix =
+    (sum of all earlier partitions' totals) + (its within-partition
+    prefix). The only driver-side data is one total per partition."""
+    d = df.repartitionByRange(num_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=False)  # pin partition ids across reuse
+    totals = (
+        d.groupBy("__pid").agg(F.sum(F.col(tokens_col)).alias("__t")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__t"]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid, base in offsets.items() for x in (pid, base)]
+        ),
+        F.col("__pid"),
+    ) if offsets else F.lit(0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.withColumn(
+        "__cum", F.sum(F.col(tokens_col)).over(w) + off
+    )
 
 
 def pack_sequences(
@@ -41,18 +81,24 @@ def pack_sequences(
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
-    part = [F.col(c) for c in (stream_cols or [])]
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(order_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.sum(F.col(tokens_col)).over(w)
-    before = cum - F.col(tokens_col)
-    return df.withColumns(
-        {
-            "cum_tokens": cum,
-            "bin": (before / budget).cast("long"),
-            "offset": before % budget,
-        }
+    if stream_cols:
+        w = (
+            Window.partitionBy(*[F.col(c) for c in stream_cols])
+            .orderBy(F.col(order_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+    else:
+        parts = df.sparkSession.sparkContext.defaultParallelism
+        out = _global_prefix_sum(df, tokens_col, order_col, max(parts, 1))
+    before = F.col("__cum") - F.col(tokens_col)
+    return (
+        out.withColumns(
+            {
+                "cum_tokens": F.col("__cum"),
+                "bin": (before / budget).cast("long"),
+                "offset": before % budget,
+            }
+        )
+        .drop("__cum", "__pid")
     )

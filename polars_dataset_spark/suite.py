@@ -1670,6 +1670,33 @@ def q68(spark, sf_dir):
     ).select("doc_id", "lang", "cum_tokens", "bin", "offset")
 
 
+@query(
+    "q69_pack_global",
+    """
+    SELECT doc_id,
+           sum(n_chars) OVER w AS cum_tokens,
+           (sum(n_chars) OVER w - n_chars) // 4096 AS bin,
+           (sum(n_chars) OVER w - n_chars) % 4096 AS offset
+    FROM documents
+    WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q69(spark, sf_dir):
+    """Single-stream packing: the oracle is a global window (fine for
+    DuckDB single-node); the Spark side runs the TWO-PASS distributed
+    prefix sum (range partition → per-partition totals → offset map →
+    within-partition windows, functions/packing._global_prefix_sum) —
+    value-matching proves the scale path computes the identical global
+    running total with no single-reducer stage."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget=4096, tokens_col="n_chars", order_col="doc_id"
+    ).select("doc_id", "cum_tokens", "bin", "offset")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -72,6 +72,24 @@ def test_pack_sequences_matches_replay(corpus):
         by_stream[r["g"]] = pos + r["n_tok"]
 
 
+def test_pack_global_matches_replay_and_avoids_single_partition(corpus):
+    df = corpus.repartition(8)
+    out = pack_sequences(df, budget=512, tokens_col="n_tok", order_col="doc_id")
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    pos = 0
+    for r in rows:
+        assert (r["bin"], r["offset"], r["cum_tokens"]) == (
+            pos // 512,
+            pos % 512,
+            pos + r["n_tok"],
+        )
+        pos += r["n_tok"]
+    # the scale property: the two-pass global prefix sum never funnels
+    # the data through one reducer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_pack_sequences_single_stream_and_validation(spark):
     df = spark.createDataFrame(
         [(1, 100), (2, 100), (3, 100)], "doc_id long, n_tok long"
