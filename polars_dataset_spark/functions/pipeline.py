@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from polars_dataset_spark.functions.dedup import exact_dedup, minhash_dedup
+from polars_dataset_spark.functions.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+)
+from polars_dataset_spark.functions.graph import dedup_by_components
 from polars_dataset_spark.functions.text import (
     with_language_id,
     with_quality_score,
@@ -31,16 +36,31 @@ def clean_corpus(
     languages: tuple[str, ...] | None = None,
     fuzzy_threshold: float = 0.8,
     token_mode: str = "bpe",
+    transitive: bool = False,
 ) -> DataFrame:
     """Filter → dedup → account. Returns the surviving rows with
-    ``lang_pred``, ``quality`` and ``n_tokens`` columns attached."""
+    ``lang_pred``, ``quality`` and ``n_tokens`` columns attached.
+
+    ``transitive=True`` upgrades the fuzzy stage to cluster-correct
+    dedup: connected components over the near-duplicate pair graph, one
+    representative kept per CLUSTER — the right semantics when chains
+    A~B~C occur (the one-pass rule can over-delete); costs O(log n)
+    extra contraction rounds over the (small) pair graph only."""
     staged = with_quality_score(docs, text_col)
     staged = staged.filter(F.col("quality") >= min_quality)
     staged = with_language_id(staged, text_col)
     if languages:
         staged = staged.filter(F.col("lang_pred").isin(list(languages)))
     staged = exact_dedup(staged, subset=text_col, id_col=id_col)
-    staged = minhash_dedup(staged, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold)
+    if transitive:
+        pairs = minhash_lsh_candidates(
+            staged, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold
+        )
+        staged = dedup_by_components(staged, pairs, id_col=id_col)
+    else:
+        staged = minhash_dedup(
+            staged, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold
+        )
     return with_token_count(staged, text_col, mode=token_mode)
 
 

@@ -189,3 +189,22 @@ def test_clean_corpus_pipeline(docs):
     rep = corpus_report(out).first()
     assert rep.n_docs == len(ids)
     assert rep.total_tokens > 0
+
+
+def test_clean_corpus_transitive_is_subset_of_one_pass(docs):
+    from polars_dataset_spark.functions import clean_corpus
+
+    one_pass = {
+        r.doc_id
+        for r in clean_corpus(docs, min_quality=0.0, fuzzy_threshold=0.5).collect()
+    }
+    transitive = {
+        r.doc_id
+        for r in clean_corpus(
+            docs, min_quality=0.0, fuzzy_threshold=0.5, transitive=True
+        ).collect()
+    }
+    # a cluster minimum never appears as the larger id of a pair, so the
+    # cluster-correct keep-set is contained in the one-pass keep-set
+    assert transitive <= one_pass
+    assert transitive  # and it's not trivially empty
