@@ -33,7 +33,6 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "4"))
     spark = get_spark("bench")
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
     queries = entrymod.queries()
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -42,6 +41,12 @@ def main() -> None:
 
     def run_one(item):
         name, fn = item
+        # distinct fair pool per query: with spark.scheduler.mode=FAIR
+        # (session.py), pools share executor slots round-robin, so a
+        # query made of many small jobs (iterative CC, two-pass prefix
+        # sum) isn't starved behind a concurrent query's big stages.
+        # The property is thread-local; set per submission.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -28,6 +28,12 @@ def get_spark(app_name: str = "polars_dataset_spark", shuffle_partitions: int | 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # FAIR job scheduling (static conf — a local property cannot set
+        # it): concurrent submitters each get a fair share of executor
+        # slots, so an iterative query's many small jobs are not starved
+        # behind another query's large FIFO-queued stages. Threads opt
+        # into separate pools via the spark.scheduler.pool local property.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
