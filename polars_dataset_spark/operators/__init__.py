@@ -4,9 +4,11 @@ from polars_dataset_spark.operators.fourier import fourier_transform
 from polars_dataset_spark.operators.autophase import autophase, fit_phase, zero_quadrature
 from polars_dataset_spark.operators.asof import join_asof
 from polars_dataset_spark.operators.skew import salted_join
+from polars_dataset_spark.operators.range_join import range_join
 
 __all__ = [
     "salted_join",
+    "range_join",
     "unnest_structs",
     "rebuild_structs",
     "regrid",

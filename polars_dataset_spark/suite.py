@@ -1697,6 +1697,39 @@ def q69(spark, sf_dir):
     ).select("doc_id", "cum_tokens", "bin", "offset")
 
 
+@query(
+    "q70_range_join",
+    """
+    WITH win AS (
+      SELECT event_id AS win_id, ts AS s, ts + INTERVAL 2 MINUTE AS e
+      FROM events WHERE event_type = 'error')
+    SELECT w.win_id, count(*) AS n, round(sum(ev.value), 2) AS sum_value
+    FROM win w JOIN events ev ON ev.ts >= w.s AND ev.ts <= w.e
+    GROUP BY 1
+    """,
+)
+def q70(spark, sf_dir):
+    """Bucketized range join (operators/range_join.py): events inside the
+    2-minute window after each error event. The naive inequality join
+    plans BroadcastNestedLoop (O(|P|·|I|), broadcast side must fit);
+    bucketing the time axis at the max window length turns it into an
+    equi hash join on the bucket (each pair meets in exactly one bucket,
+    so no dedup) — value-matched against DuckDB's plain theta join."""
+    _prep(spark)
+    from polars_dataset_spark.operators import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    win = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("e"),
+    )
+    out = range_join(ev.select("ts", "value"), win, "ts", "s", "e")
+    return out.groupBy("win_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
