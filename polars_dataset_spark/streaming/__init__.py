@@ -3,6 +3,7 @@ from polars_dataset_spark.streaming.ops import (
     windowed_agg,
     session_agg,
     sessionize_batch,
+    stream_dedup,
     run_stream_to_memory,
 )
 from polars_dataset_spark.streaming.stateful import running_trace_stats
@@ -14,6 +15,7 @@ __all__ = [
     "windowed_agg",
     "session_agg",
     "sessionize_batch",
+    "stream_dedup",
     "run_stream_to_memory",
     "running_trace_stats",
 ]

@@ -30,6 +30,7 @@ __all__ = [
     "windowed_agg",
     "session_agg",
     "sessionize_batch",
+    "stream_dedup",
     "run_stream_to_memory",
 ]
 
@@ -124,6 +125,39 @@ def session_agg(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    subset: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup on ``subset``, batch- and stream-compatible. Batch:
+    plain ``dropDuplicates``. Stream: ``dropDuplicatesWithinWatermark``
+    — a duplicate arriving within ``watermark`` of the first-seen row is
+    dropped, and the key state is EVICTED once the watermark passes it,
+    so state stays bounded by the duplicate-arrival horizon instead of
+    growing with every key ever seen (which is what plain stream
+    ``dropDuplicates`` would do — unusable on an unbounded stream).
+    Returns ``subset`` + ``first_ts``: the batch path keeps min(ts) per
+    key (deterministic, hence SQL-oracle-able); the stream path keeps
+    the first ARRIVAL, which equals min(ts) whenever the source is
+    time-ordered (the file stream here) — the parity test compares key
+    sets, which agree regardless."""
+    cols = [*subset, ts_col]
+    if events.isStreaming:
+        return (
+            events.select(*[F.col(c) for c in cols])
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(subset))
+            .withColumnRenamed(ts_col, "first_ts")
+        )
+    return (
+        events.select(*[F.col(c) for c in cols])
+        .groupBy(*[F.col(c) for c in subset])
+        .agg(F.min(ts_col).alias("first_ts"))
     )
 
 

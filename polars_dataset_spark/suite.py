@@ -1730,6 +1730,33 @@ def q70(spark, sf_dir):
     )
 
 
+@query(
+    "q71_stream_dedup",
+    f"""
+    SELECT user_id, event_type,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS first_ts
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q71(spark, sf_dir):
+    """Streaming exact dedup, batch twin (streaming/ops.stream_dedup):
+    one surviving row per (user_id, event_type) with its first event
+    time. The stream side is dropDuplicatesWithinWatermark — duplicate
+    suppression with state EVICTED past the watermark, the only dedup
+    that stays bounded on an unbounded stream; parity with this batch
+    plan is pinned in tests/test_streaming.py."""
+    _prep(spark)
+    from polars_dataset_spark.streaming import stream_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stream_dedup(ev, ("user_id", "event_type"))
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("first_ts", TS_FMT_SPARK).alias("first_ts"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

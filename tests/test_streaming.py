@@ -39,6 +39,26 @@ def test_windowed_agg_stream_matches_batch(spark, sf_dir, events):
         assert bmap[(r.window_start, r.event_type)] == (r.n_events, r.sum_value)
 
 
+def test_stream_dedup_matches_batch_keys(spark, sf_dir, events):
+    from polars_dataset_spark.streaming import stream_dedup
+
+    batch = stream_dedup(events, ("user_id", "event_type"))
+    batch_keys = {(r.user_id, r.event_type) for r in batch.collect()}
+    st = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sd = stream_dedup(st, ("user_id", "event_type"), watermark="1 hour")
+    assert sd.isStreaming
+    run_stream_to_memory(sd, "t_dedup", output_mode="append")
+    stream_rows = spark.sql("select user_id, event_type, first_ts from t_dedup").collect()
+    stream_keys = {(r.user_id, r.event_type) for r in stream_rows}
+    # every key appears exactly once in the stream output, same key set
+    assert len(stream_rows) == len(stream_keys)
+    assert stream_keys == batch_keys
+    # time-ordered arrival => first arrival is min(ts): spot-check parity
+    bmap = {(r.user_id, r.event_type): r.first_ts for r in batch.collect()}
+    for r in stream_rows:
+        assert bmap[(r.user_id, r.event_type)] == r.first_ts
+
+
 def test_sessionize_batch_and_session_window_agree_on_count(events):
     a = sessionize_batch(events, gap_seconds=3600)
     b = session_agg(events, gap="1 hour")
