@@ -766,3 +766,54 @@ class Dataset:
         from polars_dataset_spark.operators import join_asof as _asof
 
         return _asof(self, other, on=on or self._index, **kwargs)
+
+    def salted_join(self, other, on, how: str = "inner", salt: int = 8) -> "Dataset":
+        """Equi-join with explicit key salting for the single-hot-key
+        skew regime AQE cannot split; result metadata as :meth:`join`."""
+        from polars_dataset_spark.operators import salted_join as _salted
+
+        right = other._df if isinstance(other, Dataset) else other
+        return self._rewrap(_salted(self._df, right, on=on, how=how, salt=salt))
+
+    def join_range(self, intervals, start_col: str, end_col: str, **kwargs) -> "Dataset":
+        """Bucketized interval-containment join of this Dataset's index
+        against ``intervals`` — hash join, never BroadcastNestedLoop."""
+        from polars_dataset_spark.operators import range_join as _range
+
+        right = intervals._df if isinstance(intervals, Dataset) else intervals
+        return self._rewrap(
+            _range(self._df, right, self._index, start_col, end_col, **kwargs)
+        )
+
+    def sample_hash(self, fraction: float, salt: str = "") -> "Dataset":
+        """Deterministic ~``fraction`` sample by id-hash of the index —
+        reproducible across retries, partitionings, and engines."""
+        from polars_dataset_spark.functions import hash_sample as _hs
+
+        return self._rewrap(_hs(self._df, self._index, fraction, salt=salt))
+
+    def sample_stratified(self, quota: int, strata=None, salt: str = "") -> "Dataset":
+        """At most ``quota`` rows per stratum (default: the id_vars) in
+        deterministic hash order."""
+        from polars_dataset_spark.functions import stratified_sample as _ss
+
+        cols = list(strata) if strata is not None else list(self._id_vars)
+        return self._rewrap(
+            _ss(self._df, cols, quota, id_col=self._index, salt=salt)
+        )
+
+    def pack_sequences(self, budget: int, tokens_col: str, streams=None) -> "Dataset":
+        """Concat-and-chunk packing coordinates (bin + offset) per row,
+        streamed per id_vars by default, ordered by the index."""
+        from polars_dataset_spark.functions import pack_sequences as _pack
+
+        stream_cols = list(streams) if streams is not None else list(self._id_vars)
+        return self._rewrap(
+            _pack(
+                self._df,
+                budget,
+                tokens_col,
+                self._index,
+                stream_cols=stream_cols or None,
+            )
+        )

@@ -285,3 +285,34 @@ def test_interchange_and_arrow(spark):
     assert tbl.num_rows == 2
     obj = ds.__dataframe__()
     assert obj.num_rows() == 2
+
+
+def test_dataset_salted_join_method(spark, lineitem_ds, sf_dir):
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    out = lineitem_ds.salted_join(od, on="l_orderkey", salt=4)
+    assert out.index == "l_shipdate"
+    assert "o_orderpriority" in out.df.columns
+    assert out.df.count() == lineitem_ds.df.count()  # fk join, 1:1
+
+
+def test_dataset_sampling_methods(lineitem_ds):
+    li = lineitem_ds
+    # index is a date column: hash-sampling over it still deterministic
+    a = li.sample_hash(0.3)
+    b = li.sample_hash(0.3)
+    assert a.df.count() == b.df.count() > 0
+    strat = li.sample_stratified(quota=7)
+    per = strat.df.groupBy("l_returnflag", "l_linestatus").count().collect()
+    assert all(r["count"] <= 7 for r in per)
+    assert strat.index == "l_shipdate"
+
+
+def test_dataset_pack_sequences_method(lineitem_ds):
+    out = lineitem_ds.pack_sequences(budget=1000, tokens_col="l_quantity")
+    cols = out.df.columns
+    assert {"bin", "offset", "cum_tokens"} <= set(cols)
+    assert out.df.filter("offset >= 1000 or offset < 0").count() == 0
