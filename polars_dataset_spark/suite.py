@@ -1757,6 +1757,38 @@ def q71(spark, sf_dir):
     )
 
 
+@query(
+    "q72_rolling_range",
+    """
+    SELECT l_returnflag, l_linestatus, l_quantity,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY l_quantity
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS roll_sum
+    FROM lineitem
+    """,
+)
+def q72(spark, sf_dir):
+    """Value-based rolling window (polars ``rolling_sum_by``): sum over
+    all rows whose l_quantity lies within 5 UNITS (not 5 rows) of the
+    current row's, per trace — ``rangeBetween``, the frame kind q11's
+    row-based rolling cannot express; ties share one frame, so the
+    result is deterministic in both engines."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(F.col("l_quantity"))
+        .rangeBetween(-5, 0)
+    )
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("roll_sum"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
