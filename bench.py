@@ -51,13 +51,30 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Longest-job-first submission: the handful of heavy queries
+    # (iterative CC, LSH pipelines) start immediately and overlap the
+    # stream of sub-second queries, instead of piling up together at the
+    # tail where they contend only with each other — classic makespan
+    # scheduling, and it also cuts run-to-run wall variance.
+    heavy = [
+        "q63_connected_components",
+        "q60_clean_corpus",
+        "q64_dedup_components",
+        "q58_ivf_topk",
+        "q65_salted_join",
+        "q37_minhash_pairs",
+        "q36_neardup_lsh",
+    ]
+    ordered = [(n, queries[n]) for n in heavy if n in queries]
+    ordered += [it for it in queries.items() if it[0] not in heavy]
+
     t_start = time.perf_counter()
     if workers <= 1:
-        for item in queries.items():
+        for item in ordered:
             run_one(item)
     else:
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(run_one, queries.items()))
+            list(pool.map(run_one, ordered))
     wall = round(time.perf_counter() - t_start, 3)
     print(
         json.dumps(
