@@ -27,7 +27,11 @@ from polars_dataset_spark.functions.graph import (
     connected_components,
     dedup_by_components,
 )
-from polars_dataset_spark.functions.sampling import hash_sample, stratified_sample
+from polars_dataset_spark.functions.sampling import (
+    hash_sample,
+    hash_sample_by,
+    stratified_sample,
+)
 from polars_dataset_spark.functions.packing import pack_sequences
 from polars_dataset_spark.functions.pipeline import clean_corpus, corpus_report
 from polars_dataset_spark.functions.multimodal import (
@@ -64,6 +68,7 @@ __all__ = [
     "connected_components",
     "dedup_by_components",
     "hash_sample",
+    "hash_sample_by",
     "stratified_sample",
     "pack_sequences",
 ]

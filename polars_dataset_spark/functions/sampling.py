@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "stratified_sample"]
+__all__ = ["hash_sample", "hash_sample_by", "stratified_sample"]
 
 
 def _hash_key(id_col: str, salt: str) -> "F.Column":
@@ -42,6 +42,33 @@ def hash_sample(
     # First 15 hex digits → 60 bits, exact in a long; threshold compare.
     bucket = F.conv(F.substring(_hash_key(id_col, salt), 1, 15), 16, 10).cast("long")
     return df.filter(bucket < F.lit(int(fraction * (16**15))))
+
+
+def hash_sample_by(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum fraction sampling — the deterministic analogue of
+    ``DataFrame.sampleBy``, for mixing recipes stated as rates ("keep
+    40% of en, 100% of de, drop the rest"). Same map-only id-hash
+    filter as :func:`hash_sample`, with the threshold chosen per stratum
+    via one CASE expression; strata absent from ``fractions`` get
+    ``default``. A row kept at fraction f stays kept at any f' > f
+    (nested samples — raising a rate only ADDS documents)."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    bucket = F.conv(F.substring(_hash_key(id_col, salt), 1, 15), 16, 10).cast("long")
+    thr = F.lit(int(default * (16**15)))
+    for k, v in fractions.items():
+        thr = F.when(F.col(strata_col) == F.lit(k), F.lit(int(v * (16**15)))).otherwise(
+            thr
+        )
+    return df.filter(bucket < thr)
 
 
 def stratified_sample(

@@ -1789,6 +1789,89 @@ def q72(spark, sf_dir):
     )
 
 
+@query(
+    "q73_hash_sample_by",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE substring(md5(cast(doc_id AS VARCHAR)), 1, 15) <
+          CASE source WHEN 'src1' THEN 'ffffffffffffffff'
+                      WHEN 'src2' THEN '666666666666666'
+                      ELSE '199999999999999' END
+    """,
+)
+def q73(spark, sf_dir):
+    """Per-stratum fraction sampling (the deterministic ``sampleBy``):
+    keep 100% of src1, 40% of src2, 10% of everything else — a mixing
+    recipe as one map-only CASE threshold on the id hash. 0.4·16^15 =
+    0x6666…6 (15 digits), 0.1·16^15 = 0x19999…9; the src1 threshold
+    exceeds any 15-digit hash, keeping all."""
+    _prep(spark)
+    from polars_dataset_spark.functions import hash_sample_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample_by(
+        docs, "doc_id", "source", {"src1": 1.0, "src2": 0.4}, default=0.1
+    ).select("doc_id", "source")
+
+
+@query(
+    "q74_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q74(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (q50 covers CUBE): per (flag,
+    status), per flag, and grand total in ONE pass — Catalyst expands
+    grouping sets into a single Expand + hash aggregate, not three
+    scans."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q75_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey
+    ) <= 3
+    """,
+)
+def q75(spark, sf_dir):
+    """Top-k per group (polars ``group_by(...).head(k)`` after sort):
+    rank inside each partition, keep k — one shuffle on the group key,
+    per-partition heap via the window sort; the id tiebreak makes the
+    cut deterministic in both engines."""
+    _prep(spark)
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -44,6 +44,22 @@ def test_hash_sample_edge_fractions(corpus):
         hash_sample(corpus, "doc_id", 1.5)
 
 
+def test_hash_sample_by_rates_and_nesting(corpus):
+    from polars_dataset_spark.functions.sampling import hash_sample_by
+
+    out = hash_sample_by(
+        corpus, "doc_id", "g", {"0": 1.0, "1": 0.5}, default=0.0
+    )
+    per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per.get("0") == corpus.filter("g = '0'").count()  # fraction 1.0 keeps all
+    assert 0.25 < per.get("1", 0) / corpus.filter("g = '1'").count() < 0.75
+    assert set(per) == {"0", "1"}  # default 0.0 drops every other stratum
+    # nesting: raising a rate only adds rows, never swaps them
+    small = {r["doc_id"] for r in hash_sample_by(corpus, "doc_id", "g", {"1": 0.2}).collect()}
+    large = {r["doc_id"] for r in hash_sample_by(corpus, "doc_id", "g", {"1": 0.6}).collect()}
+    assert small <= large
+
+
 def test_stratified_sample_quota_and_determinism(corpus):
     out = stratified_sample(corpus, ["g"], quota=20, id_col="doc_id")
     per = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
