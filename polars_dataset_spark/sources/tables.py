@@ -50,8 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # `ts div 1000`, not `ts / 1000`: `/` produces a double and
+        # epoch-nano magnitudes (~1.7e18) exceed 2^53, so a non-µs-aligned
+        # nano value would truncate to an off-by-one microsecond
         df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -48,6 +48,20 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _dec_sum(col: str):
+    """Order-independent sum of a money-like double column.
+
+    A plain ``F.sum(double)`` depends on partition/merge order — the same
+    query can produce hash-different floats between a multi-worker run and
+    a single-threaded oracle (observed: q25 driver hash-fail round 1).
+    Casting each row to DECIMAL(28,6) first (lossless for the ≤2-dp fixture
+    values) makes the summation exact integer arithmetic, hence identical
+    regardless of order; the final cast back to double is exact while
+    ``|sum| * 1e6 < 2^53``.
+    """
+    return F.sum(F.col(col).cast("decimal(28,6)")).cast("double")
+
+
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """Open the events table as a file-source stream (explicit schema — a
     streaming source cannot infer) with the nano-timestamp normalized."""
@@ -66,7 +80,9 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division: `/` would go through double and epoch-nano
+    # magnitudes (~1.7e18) exceed 2^53, truncating off-alignment inputs
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_agg(
@@ -89,8 +105,8 @@ def windowed_agg(
         src.groupBy(win.alias("w"), *keys)
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            _dec_sum("value").alias("sum_value"),
+            F.round(_dec_sum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -117,7 +133,7 @@ def session_agg(
         src = events.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.session_window(ts_col, gap).alias("s"), *keys)
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _dec_sum("value").alias("sum_value"))
         .select(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
@@ -189,7 +205,7 @@ def sessionize_batch(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _dec_sum("value").alias("sum_value"),
         )
     )
 

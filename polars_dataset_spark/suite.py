@@ -633,8 +633,8 @@ def q23(spark, sf_dir):
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -668,7 +668,7 @@ def q24(spark, sf_dir):
            strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
            strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -702,7 +702,7 @@ def q25(spark, sf_dir):
            strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
            strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, sid
     """,
 )
