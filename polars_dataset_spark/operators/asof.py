@@ -51,32 +51,61 @@ def join_asof(
     tolerance: float | None = None,
     right_on: str | None = None,
     suffix: str = "_right",
-    method: str = "sort",
+    method: str = "auto",
+    broadcast_limit: int = 1_000_000,
 ) -> "Dataset | DataFrame":
     """As-of join ``left`` with ``right`` on key ``on`` (``right_on`` if the
-    right key is named differently), per ``by`` group, ``backward`` or
-    ``forward``, optionally within ``tolerance`` (in key units; timestamps
-    compare as epoch seconds).
+    right key is named differently), per ``by`` group, ``backward``,
+    ``forward`` or ``nearest``, optionally within ``tolerance`` (in key
+    units; timestamps compare as epoch seconds).
 
     ``method``:
 
-    - ``"sort"`` (default): the union-sort realization described above —
-      both sides arbitrarily large, one shuffle on ``by``.
+    - ``"auto"`` (default): probe the right side with a bounded collect
+      (``limit(broadcast_limit + 1)``); if it fits, take the broadcast
+      path, else fall back to ``"sort"``. An as-of right side is almost
+      always reference data or a pre-aggregation, so at 100 TB this keeps
+      the common case map-only instead of a global sort — without the
+      caller having to know the right side's size.
+    - ``"sort"``: the union-sort realization described above — both sides
+      arbitrarily large, one shuffle on ``by``. NOTE: with no ``by`` this
+      is a single-partition global sort over |L|+|R| rows; prefer ``auto``.
     - ``"broadcast"``: collect + broadcast the RIGHT side and answer each
       left row by binary search (``np.searchsorted``) inside
       ``mapInPandas`` — MAP-ONLY: no shuffle, no sort, left side any size.
       The scale path whenever the right side fits in executor memory
       (reference-data / aggregated-dimension joins, the overwhelmingly
       common case); also the only method that avoids a single-partition
-      global sort when ``by`` is empty.
+      global sort when ``by`` is empty. Raises when the right side
+      exceeds ``broadcast_limit`` rows (driver-OOM guard) — pass
+      ``method="sort"`` for a genuinely large right side.
     """
-    if method == "broadcast":
-        return _join_asof_broadcast(
-            left, right, on, by=by, strategy=strategy, tolerance=tolerance,
-            right_on=right_on, suffix=suffix,
+    if strategy not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"strategy must be 'backward', 'forward' or 'nearest', got {strategy!r}"
         )
-    if method != "sort":
-        raise ValueError(f"method must be 'sort' or 'broadcast', got {method!r}")
+    if method not in ("auto", "sort", "broadcast"):
+        raise ValueError(f"method must be 'auto', 'sort' or 'broadcast', got {method!r}")
+    if method in ("auto", "broadcast"):
+        rp = _collect_right(right, on, by, right_on, broadcast_limit)
+        if rp is not None:
+            return _join_asof_broadcast(
+                left, right, on, by=by, strategy=strategy, tolerance=tolerance,
+                right_on=right_on, suffix=suffix, right_pdf=rp,
+            )
+        if method == "broadcast":
+            raise ValueError(
+                f"join_asof(method='broadcast'): right side exceeds "
+                f"broadcast_limit={broadcast_limit} rows; use method='sort' "
+                f"(shuffle-based, both sides arbitrarily large) or raise the limit"
+            )
+    if strategy == "nearest":
+        # realized in the broadcast path; the union-sort realization would
+        # need a second ordering pass — route large-right nearest there
+        raise NotImplementedError(
+            "strategy='nearest' with a right side above broadcast_limit is not "
+            "supported by the sort method; raise broadcast_limit or pre-aggregate"
+        )
     was_dataset = isinstance(left, Dataset)
     ldf = left.df if isinstance(left, Dataset) else left
     rdf = right.df if isinstance(right, Dataset) else right
@@ -139,6 +168,26 @@ def join_asof(
     return out
 
 
+def _collect_right(right, on: str, by, right_on: str | None, limit: int):
+    """Bounded collect of the as-of right side: select only (by, key,
+    payload), take ``limit + 1`` rows, sort driver-side. Returns the sorted
+    pandas frame, or ``None`` when the right side exceeds ``limit`` (the
+    caller decides: fall back to the shuffle path, or raise). The limit is
+    applied BEFORE any ordering so the probe never pays a global sort."""
+    rdf = right.df if isinstance(right, Dataset) else right
+    r_on = right_on or on
+    by = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in rdf.columns if c != r_on and c not in by]
+    rp = (
+        rdf.select(*by, _numeric_key(rdf, r_on).alias("__k"), *payload)
+        .limit(limit + 1)
+        .toPandas()
+    )
+    if len(rp) > limit:
+        return None
+    return rp.sort_values([*by, "__k"], ignore_index=True, kind="mergesort")
+
+
 def _join_asof_broadcast(
     left,
     right,
@@ -148,6 +197,7 @@ def _join_asof_broadcast(
     tolerance: float | None = None,
     right_on: str | None = None,
     suffix: str = "_right",
+    right_pdf=None,
 ):
     """Broadcast binary-search as-of join (see :func:`join_asof`,
     ``method="broadcast"``)."""
@@ -165,11 +215,14 @@ def _join_asof_broadcast(
     # NB: not getActiveSession() — that is thread-local and None when the
     # caller runs in a worker thread (e.g. a concurrent benchmark driver)
     spark = ldf.sparkSession
-    rp = (
-        rdf.select(*by, _numeric_key(rdf, r_on).alias("__k"), *payload)
-        .orderBy(*by, "__k")
-        .toPandas()
-    )
+    if right_pdf is not None:
+        rp = right_pdf
+    else:
+        rp = (
+            rdf.select(*by, _numeric_key(rdf, r_on).alias("__k"), *payload)
+            .orderBy(*by, "__k")
+            .toPandas()
+        )
     # per-by-group sorted key arrays + aligned payload arrays
     groups: dict = {}
     if by:
@@ -185,13 +238,34 @@ def _join_asof_broadcast(
         T.StructField(renames[c], rdf.schema[c].dataType, True) for c in payload
     ]
     out_schema = T.StructType(out_fields)
-    backward = strategy == "backward"
-    if strategy not in ("backward", "forward"):
-        raise ValueError(f"strategy must be 'backward' or 'forward', got {strategy!r}")
+    if strategy not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"strategy must be 'backward', 'forward' or 'nearest', got {strategy!r}"
+        )
 
     keyed = ldf.withColumn("__k", _numeric_key(ldf, on))
 
-    side = "right" if backward else "left"
+    def pick(keys, kq_rows):
+        """Matched right-index per query key + validity mask, per strategy
+        (nearest = closer of the backward/forward candidates, ties backward)."""
+        if strategy == "backward":
+            il = np.searchsorted(keys, kq_rows, side="right") - 1
+            valid = il >= 0
+        elif strategy == "forward":
+            il = np.searchsorted(keys, kq_rows, side="left")
+            valid = il < keys.size
+        else:
+            ib = np.searchsorted(keys, kq_rows, side="right") - 1
+            ifw = np.searchsorted(keys, kq_rows, side="left")
+            vb, vf = ib >= 0, ifw < keys.size
+            db = np.where(vb, np.abs(kq_rows - keys[np.clip(ib, 0, keys.size - 1)]), np.inf)
+            dfw = np.where(vf, np.abs(keys[np.clip(ifw, 0, keys.size - 1)] - kq_rows), np.inf)
+            il = np.where(db <= dfw, ib, ifw)
+            valid = vb | vf
+        if tolerance is not None:
+            matched = keys[np.clip(il, 0, keys.size - 1)]
+            valid = valid & (np.abs(kq_rows - matched) <= tolerance)
+        return np.clip(il, 0, keys.size - 1), valid
 
     def lookup(batches):
         grp = b_groups.value
@@ -209,16 +283,10 @@ def _join_asof_broadcast(
             )
             for key_vals, rows_pos in row_groups:
                 k = key_vals if isinstance(key_vals, tuple) else (key_vals,)
-                if k not in grp:
+                if k not in grp or grp[k][0].size == 0:
                     continue
                 keys, pay = grp[k]
-                pos = np.searchsorted(keys, kq[rows_pos], side=side)
-                il = pos - 1 if backward else pos
-                valid = (il >= 0) & (il < keys.size)
-                if tolerance is not None:
-                    matched_keys = keys[np.clip(il, 0, keys.size - 1)]
-                    valid &= np.abs(kq[rows_pos] - matched_keys) <= tolerance
-                il = np.clip(il, 0, keys.size - 1)
+                il, valid = pick(keys, kq[rows_pos])
                 for c in payload:
                     col = out[renames[c]].to_numpy()
                     col[rows_pos[valid]] = pay[c][il[valid]]

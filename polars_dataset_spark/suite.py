@@ -571,12 +571,12 @@ def q21(spark, sf_dir):
     """,
 )
 def q22(spark, sf_dir):
-    """As-of join (polars join_asof, backward): union-sort realization —
-    one shuffle, no range-join candidate explosion. The right side is
-    pre-aggregated per key so ties are deterministic. A broadcast binary-
-    search method (map-only, no global sort) exists for huge-left/small-
-    right cases — tested equivalent, but the JVM window wins at this
-    bench size, so it is not the default here."""
+    """As-of join (polars join_asof, backward). method='auto' probes the
+    right side and — here, a small pre-aggregation — takes the broadcast
+    binary-search path: MAP-ONLY over the left side, no shuffle, and in
+    particular no single-partition global sort (which is what the
+    union-sort realization degrades to when `by` is empty). The right
+    side is pre-aggregated per key so ties are deterministic."""
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"

@@ -233,3 +233,36 @@ def test_join_asof_broadcast_by_and_tolerance(spark):
         ).collect()
     }
     assert got == {("a", 1.0): 10.0, ("a", 5.0): None, ("b", 5.0): None}
+
+
+def test_join_asof_nearest(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1.0, 2.9, 3.0, 100.0]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [2.0, 4.0], "val": [10.0, 20.0]}))
+    got = {r.k: r.val for r in join_asof(left, right, on="k", strategy="nearest").collect()}
+    # 1.0→2.0 (only forward), 2.9→2.0 (closer back), 3.0→2.0 (tie → backward),
+    # 100.0→4.0 (only backward in range... nearest overall)
+    assert got == {1.0: 10.0, 2.9: 10.0, 3.0: 10.0, 100.0: 20.0}
+    got = {
+        r.k: r.val
+        for r in join_asof(left, right, on="k", strategy="nearest", tolerance=1.5).collect()
+    }
+    assert got == {1.0: 10.0, 2.9: 10.0, 3.0: 10.0, 100.0: None}
+
+
+def test_join_asof_auto_fallback_and_guard(spark):
+    import pandas as pd
+    import pytest
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1.0, 5.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [0.0, 2.0, 4.0], "val": [1.0, 2.0, 3.0]})
+    )
+    # auto with a tiny limit → falls back to the sort path, same answer
+    a = join_asof(left, right, on="k", method="auto", broadcast_limit=1)
+    b = join_asof(left, right, on="k", method="sort")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # explicit broadcast over the limit → loud error, not a driver OOM
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        join_asof(left, right, on="k", method="broadcast", broadcast_limit=1)

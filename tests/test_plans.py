@@ -54,9 +54,13 @@ def test_agg_is_partial_then_final(spark, sf_dir):
 
 def test_asof_single_shuffle_per_side(spark, sf_dir):
     df = suite.QUERIES["q22_asof_join"](spark, sf_dir)
-    # union-sort asof: bounded exchanges, no nested-loop/range join blowup
+    # auto-selected broadcast asof: no nested-loop/range join blowup and —
+    # the 100-TB contract — no single-partition global sort of |L|+|R| rows
     joins = count_joins(df)
     assert joins["broadcast_nested_loop"] == 0
+    text = explain_str(df)
+    assert "Exchange SinglePartition" not in text
+    assert "FlatMapGroupsInPandas" in text or "MapInPandas" in text
 
 
 def test_regrid_single_group_shuffle(spark, sf_dir):
