@@ -122,33 +122,37 @@ def cosine_pairs_block(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_to: int = 6,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold over one table — the BLOCK-MATRIX
-    realization: the (normalized) corpus matrix is broadcast to every
-    executor once; each partition then scores its own rows against the
-    whole corpus with a single numpy matmul inside ``mapInPandas`` and
-    emits only surviving pairs (``id_a < id_b``).
+    realization: a (normalized) corpus TILE is broadcast to every executor;
+    each partition scores its own rows against the tile with a single numpy
+    matmul inside ``mapInPandas`` and emits only surviving pairs
+    (``id_a < id_b``); per-tile results are unioned.
 
     Versus the expression-based cross join this trades |C|² interpreted
     per-pair expressions for |C|²/cores fused BLAS flops — ~20× here.
-    Scale note: one broadcast side must fit in executor memory (at 768-dim
-    float64, 1 M vectors ≈ 6 GB); beyond that, tile the corpus into
-    broadcast-sized chunks and union the results, or switch to
+
+    Scale: the corpus is split into ``ceil(n·dim·8 / max_broadcast_bytes)``
+    hash tiles (``pmod(xxhash64(id), n_tiles)``); only one tile is ever
+    collected/broadcast at a time, so the driver/executor footprint is
+    bounded by ``max_broadcast_bytes`` regardless of corpus size. Every
+    (i, j) pair is still scored exactly once: j's tile owns it, and the
+    ``id_a < id_b`` filter dedups within a tile. The |C|²·dim flops are
+    inherent to the exact all-pairs contract — for corpora where even that
+    is too much, use
     :func:`polars_dataset_spark.functions.dedup.embedding_neardup` (LSH),
-    which has no broadcast requirement at all.
+    which has no quadratic term at all.
     """
     from pyspark.sql import types as T
 
     # df.sparkSession, not getActiveSession(): the latter is thread-local
     # and None when called from a worker thread
     spark = df.sparkSession
-    corpus = df.select(id_col, vec_col).toPandas()
-    ids = corpus[id_col].to_numpy()
-    mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    slim = df.select(id_col, vec_col)
+    n = slim.count()
+    dim = 0 if n == 0 else int(slim.select(F.size(vec_col).alias("d")).first()["d"])
+    n_tiles = max(1, -(-(n * dim * 8) // max_broadcast_bytes))
 
     out_schema = T.StructType(
         [
@@ -157,27 +161,54 @@ def cosine_pairs_block(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
 
-    def score(batches):
-        # dot/(|a||b|), matching the per-pair formula (and the SQL oracle)
-        # more closely than pre-normalized rows would
-        cids, cmat, cnorms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            sims = (q @ cmat.T) / (qn[:, None] * cnorms[None, :])
-            qids = pdf[id_col].to_numpy()
-            rows_i, rows_j = np.nonzero(sims >= threshold)
-            keep = qids[rows_i] < cids[rows_j]  # dedup + drop self-pairs
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[rows_i[keep]],
-                    "id_b": cids[rows_j[keep]],
-                    "cosine": np.round(sims[rows_i[keep], rows_j[keep]], round_to),
-                }
-            )
+    def tile_scorer(tile_pdf):
+        ids = tile_pdf[id_col].to_numpy()
+        mat = np.stack(tile_pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
+        b_norms = spark.sparkContext.broadcast(norms)
 
-    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+        def score(batches):
+            # dot/(|a||b|), matching the per-pair formula (and the SQL
+            # oracle) more closely than pre-normalized rows would
+            cids, cmat, cnorms = b_ids.value, b_mat.value, b_norms.value
+            for pdf in batches:
+                q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                sims = (q @ cmat.T) / (qn[:, None] * cnorms[None, :])
+                qids = pdf[id_col].to_numpy()
+                rows_i, rows_j = np.nonzero(sims >= threshold)
+                keep = qids[rows_i] < cids[rows_j]  # dedup + drop self-pairs
+                yield pd.DataFrame(
+                    {
+                        "id_a": qids[rows_i[keep]],
+                        "id_b": cids[rows_j[keep]],
+                        "cosine": np.round(sims[rows_i[keep], rows_j[keep]], round_to),
+                    }
+                )
+
+        return score
+
+    if n_tiles == 1:
+        return slim.mapInPandas(tile_scorer(slim.toPandas()), schema=out_schema)
+
+    parts = []
+    tile_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles))
+    for t in range(n_tiles):
+        tile_pdf = slim.filter(tile_of == t).toPandas()
+        if len(tile_pdf) == 0:
+            continue
+        parts.append(slim.mapInPandas(tile_scorer(tile_pdf), schema=out_schema))
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _dot(a: str, b: str):

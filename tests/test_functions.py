@@ -137,6 +137,18 @@ def test_lsh_topk_subset_of_exact_scores(vecs):
         assert -1.0 <= r.cosine <= 1.0
 
 
+def test_cosine_pairs_block_tiled_matches_untiled(vecs):
+    from polars_dataset_spark.functions import cosine_pairs_block
+
+    untiled = cosine_pairs_block(vecs, threshold=0.3)  # default: one tile
+    # 8 vecs × 16 dims × 8 B = 1 KiB; a 300 B cap forces several hash tiles
+    tiled = cosine_pairs_block(vecs, threshold=0.3, max_broadcast_bytes=300)
+    cols = ["id_a", "id_b", "cosine"]
+    a = sorted(map(tuple, untiled.select(cols).collect()))
+    b = sorted(map(tuple, tiled.select(cols).collect()))
+    assert a == b and len(a) >= 2  # (0,100) and (1,101) at least
+
+
 def test_multimodal_plumbing(docs):
     bm = binary_with_metadata(docs, "text", "text/plain")
     row = bm.filter(F.col("doc_id") == 0).select("media_meta.*").first()
