@@ -958,23 +958,96 @@ def q35(spark, sf_dir):
     return cosine_pairs_block(emb, threshold=0.32)
 
 
-# ---- rows-only queries (no ANSI-SQL oracle; driver records weaker check) --
+# ---- LSH oracles: the hyperplane family is DETERMINISTIC given its seed,
+# so the full algorithm (bucket assignment included) is SQL-expressible by
+# inlining the seeded hyperplanes as literal vectors in the oracle. The
+# remaining float risk is a sign flip of a near-zero projection under a
+# different summation order — probability ~1e-9 on this fixture.
 
 
-@query("q36_neardup_lsh")
+def _hyperplane_bucket_sql(dim: int, planes: int, seed: int = 42, e: str = "e") -> str:
+    """DuckDB expression for the hyperplane-LSH bucket id of a double-list
+    column ``e`` — the exact twin of ``bucket_of`` in
+    :mod:`polars_dataset_spark.functions.dedup` /
+    :mod:`~.functions.similarity` (same RandomState(seed) planes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    hyper = rng.normal(size=(dim, planes)).astype(np.float64)
+    terms = []
+    for j in range(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in hyper[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({e}, {lit}) > 0.0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _multiprobe_flips(planes: int, probe_bits: int) -> list[int]:
+    """Bucket-xor masks probed by ``lsh_bucketed_topk`` (0 + every mask of
+    ≤ probe_bits set bits)."""
+    import itertools as _it
+
+    return [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_bits + 1)
+        for combo in _it.combinations(range(planes), r)
+    ]
+
+
+@query(
+    "q36_neardup_lsh",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    b AS (
+      SELECT vec_id, e, {_hyperplane_bucket_sql(64, 8)} AS bucket FROM v)
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(x.e, y.e), 6) AS cosine
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.32
+    """,
+)
 def q36(spark, sf_dir):
     """Hyperplane-LSH near-dup pairs (the 100 TB path for q35): bucketed
-    candidate generation + exact verify. Approximate recall — no SQL
-    oracle; tests assert every returned pair is a true pair."""
+    candidate generation + exact verify. The seeded hyperplanes are inlined
+    in the oracle as literals, so the WHOLE algorithm — bucket collisions
+    included — is driver-checked, not just executed."""
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup(emb, threshold=0.32, planes=8)
 
 
-@query("q37_minhash_pairs")
+@query(
+    "q37_minhash_pairs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.6
+    """,
+)
 def q37(spark, sf_dir):
-    """MinHash-LSH near-duplicate text pairs with exact-Jaccard verify
-    (xxhash64 signatures are Spark-specific — rows-only check)."""
+    """MinHash-LSH near-duplicate text pairs with exact-Jaccard verify.
+    The oracle is the EXACT all-pairs token-3-shingle Jaccard (O(n²) is
+    fine for DuckDB at sf0.01): since every emitted pair is exact-verified,
+    LSH output ⊆ exact set always, and on this fixture the near-dups sit
+    far above the banding s-curve (64 hashes / 16 bands), so recall is 1
+    and the sets coincide — checked as full equality."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, threshold=0.6)
@@ -982,74 +1055,194 @@ def q37(spark, sf_dir):
 
 @query("q38_simhash_dedup")
 def q38(spark, sf_dir):
-    """SimHash hamming-band dedup survivors."""
+    """SimHash hamming-band dedup survivors (blake2b token hashes are not
+    reproducible in DuckDB SQL — rows-only; pytest covers semantics)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dedup(docs, max_hamming=3).select("doc_id", "source", "lang")
 
 
-@query("q39_lsh_topk")
+@query(
+    "q39_lsh_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    b AS (
+      SELECT vec_id, e, {_hyperplane_bucket_sql(64, 8)} AS bucket FROM v),
+    pr AS (
+      SELECT p.vec_id AS query_id, xor(p.bucket, f.fl) AS bucket
+      FROM b p, (SELECT unnest({_multiprobe_flips(8, 3)}) AS fl) f
+      WHERE p.vec_id < 10),
+    cand AS (
+      SELECT DISTINCT pr.query_id, c.vec_id AS neighbor_id
+      FROM pr JOIN b c USING (bucket)
+      WHERE pr.query_id <> c.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+      FROM cand
+      JOIN b q ON q.vec_id = cand.query_id
+      JOIN b c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def q39(spark, sf_dir):
-    """Approximate (multi-probe LSH) cosine top-k — scale path of q34."""
+    """Approximate (multi-probe LSH) cosine top-k — scale path of q34.
+    Oracle replays the full algorithm in SQL: literal seeded hyperplanes,
+    the same 93 multi-probe bucket flips, exact re-rank inside the
+    candidate set — so the approximation itself is driver-checked."""
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(probes, emb, k=5)
 
 
-@query("q40_regrid")
+def _daily_traces(spark, sf_dir):
+    """Per-(returnflag, linestatus) daily revenue traces. day = integer
+    days since epoch (exact in both engines); revenue summed as
+    DECIMAL(28,6) (the products are exact 4-dp values) so the result is
+    identical regardless of partition/merge order — the property the
+    regrid/FFT oracles below rely on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    ).cast("double")
+    return li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01"))).alias(
+            "day"
+        ),
+    ).agg(rev.alias("revenue"))
+
+
+def _common_days(traces) -> list[int]:
+    """Days observed in EVERY trace, ascending — a deterministic shared
+    grid (a few thousand ints: safe to collect)."""
+    n_traces = traces.select("l_returnflag", "l_linestatus").distinct().count()
+    rows = (
+        traces.groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == n_traces)
+        .select("day")
+        .collect()
+    )
+    return sorted(r["day"] for r in rows)
+
+
+# shared CTE head for the q40/q41 oracles (see _daily_traces)
+_TRACES_SQL = """
+    t AS (
+      SELECT l_returnflag, l_linestatus,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT day FROM t GROUP BY day
+      HAVING count(*) = (SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM t))"""
+
+
+@query(
+    "q40_regrid",
+    f"""
+    WITH {_TRACES_SQL})
+    SELECT t.l_returnflag, t.l_linestatus, CAST(t.day AS DOUBLE) AS day,
+           round(t.revenue, 6) AS revenue
+    FROM t JOIN cd USING (day)
+    """,
+)
 def q40(spark, sf_dir):
-    """Flagship regrid on trace data derived from lineitem: per
-    (returnflag, linestatus) daily-revenue traces spline-interpolated onto
-    a uniform day grid. Custom kernel — self-verified in tests."""
+    """Flagship regrid (E10): per-trace not-a-knot spline interpolation of
+    daily-revenue traces onto the grid of days every trace observed. A
+    spline reproduces its knot values exactly (identity error ~1e-10 ≪
+    the 6-dp rounding), so the full grouped-map spline machinery — group
+    shuffle, kernel solve, grid contract — is driver-checked against the
+    raw daily aggregation. The uniform-grid interpolating variant (points
+    OFF the knots) is q76."""
     _prep(spark)
     import numpy as np
 
-    li = load_table(spark, sf_dir, "lineitem")
-    traces = (
-        li.groupBy(
-            "l_returnflag",
-            "l_linestatus",
-            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("day"),
-        )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .withColumn("day", (F.col("day") / (86400.0 * 1e6)).cast("double"))
+    traces = _daily_traces(spark, sf_dir)
+    days = _common_days(traces)
+    ds = Dataset(
+        traces.withColumn("day", F.col("day").cast("double")),
+        index="day",
+        id_vars=["l_returnflag", "l_linestatus"],
     )
-    ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
-    # grid bounds from the RAW column min/max: parquet footer statistics
-    # answer this without recomputing the traces aggregation (epoch math
-    # stays in Spark — python .timestamp() on naive datetimes is tz-local)
-    day_of = lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(86400.0 * 1e6)  # noqa: E731
-    row = li.agg(
-        day_of(F.min("l_shipdate")).alias("lo"), day_of(F.max("l_shipdate")).alias("hi")
-    ).first()
-    grid = np.linspace(float(row["lo"]), float(row["hi"]), 200)
-    return regrid(ds, grid).df
+    out = regrid(ds, np.asarray(days, dtype=np.float64)).df
+    return out.select(
+        "l_returnflag", "l_linestatus", "day", F.round("revenue", 6).alias("revenue")
+    )
 
 
-@query("q41_fourier")
+@query(
+    "q41_fourier",
+    f"""
+    WITH {_TRACES_SQL}
+      ORDER BY day LIMIT 256),
+    s AS (
+      SELECT t.l_returnflag, t.l_linestatus, t.day, t.revenue / 1000000.0 AS y,
+             row_number() OVER (
+               PARTITION BY t.l_returnflag, t.l_linestatus ORDER BY t.day) - 1 AS tt
+      FROM t JOIN cd USING (day)),
+    m AS (
+      SELECT l_returnflag, l_linestatus, count(*) + 1 AS n, median(step) AS step
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+               day - lag(day) OVER (
+                 PARTITION BY l_returnflag, l_linestatus ORDER BY day) AS step
+        FROM s)
+      WHERE step IS NOT NULL GROUP BY 1, 2),
+    k AS (
+      SELECT l_returnflag, l_linestatus, n, step, unnest(range(0, n // 2 + 1)) AS kk
+      FROM m),
+    ft AS (
+      SELECT k.l_returnflag, k.l_linestatus, k.kk, k.n, k.step,
+             sum(s.y * cos(2 * pi() * ((k.kk * s.tt) % k.n) / k.n)) AS re,
+             -sum(s.y * sin(2 * pi() * ((k.kk * s.tt) % k.n) / k.n)) AS im
+      FROM k JOIN s USING (l_returnflag, l_linestatus)
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT l_returnflag, l_linestatus,
+           round(kk / (n * step), 6) AS frequency,
+           round(re, 6) + 0.0 AS re,
+           round(im, 6) + 0.0 AS im,
+           round(sqrt(re * re + im * im), 6) + 0.0 AS amp
+    FROM ft
+    """,
+)
 def q41(spark, sf_dir):
-    """Per-trace rFFT of the regridded revenue traces (H5)."""
+    """Per-trace rFFT (H5) over the first 256 common-grid days, revenue in
+    $M. The oracle is the O(n²) DFT evaluated directly in SQL (6 traces ×
+    256 samples × 129 bins ≈ 200k trig terms — trivial for DuckDB), so
+    the FFT kernel, per-trace grouping, frequency axis and spectra are all
+    value-checked. The spline-regrid→FFT composition (no SQL twin) is
+    q77. `+ 0.0` normalizes -0.0 across engines."""
     _prep(spark)
     import numpy as np
 
-    li = load_table(spark, sf_dir, "lineitem")
-    traces = (
-        li.groupBy(
-            "l_returnflag",
-            "l_linestatus",
-            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("day"),
-        )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .withColumn("day", (F.col("day") / (86400.0 * 1e6)).cast("double"))
+    traces = _daily_traces(spark, sf_dir)
+    days = _common_days(traces)[:256]
+    sub = traces.filter(F.col("day").isin([int(d) for d in days])).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("day").cast("double").alias("day"),
+        (F.col("revenue") / F.lit(1e6)).alias("rev_m"),
     )
-    ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
-    day_of = lambda c: F.unix_micros(c.cast("timestamp")) / F.lit(86400.0 * 1e6)  # noqa: E731
-    row = li.agg(
-        day_of(F.min("l_shipdate")).alias("lo"), day_of(F.max("l_shipdate")).alias("hi")
-    ).first()
-    grid = np.linspace(float(row["lo"]), float(row["hi"]), 128)
-    return fourier_transform(regrid(ds, grid)).df
+    ds = Dataset(sub, index="day", id_vars=["l_returnflag", "l_linestatus"])
+    out = fourier_transform(ds).df
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("frequency", 6).alias("frequency"),
+        (F.round("rev_m_re", 6) + F.lit(0.0)).alias("re"),
+        (F.round("rev_m_im", 6) + F.lit(0.0)).alias("im"),
+        (F.round("rev_m_abs", 6) + F.lit(0.0)).alias("amp"),
+    )
 
 
 @query(
@@ -1870,6 +2063,44 @@ def q75(spark, sf_dir):
         .filter(F.col("__rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )
+
+
+@query("q76_regrid_uniform")
+def q76(spark, sf_dir):
+    """Uniform-grid spline regrid — the interpolating path (grid points OFF
+    the knots, so no SQL twin exists; q40 drives the same machinery through
+    its on-knot identity oracle, pytest covers interpolation numerics)."""
+    _prep(spark)
+    import numpy as np
+
+    traces = _daily_traces(spark, sf_dir)
+    ds = Dataset(
+        traces.withColumn("day", F.col("day").cast("double")),
+        index="day",
+        id_vars=["l_returnflag", "l_linestatus"],
+    )
+    row = traces.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).first()
+    grid = np.linspace(float(row["lo"]), float(row["hi"]), 200)
+    return regrid(ds, grid).df
+
+
+@query("q77_fourier_spline")
+def q77(spark, sf_dir):
+    """Spline-regrid to 128 uniform points, then per-trace rFFT — the H5
+    composition over interpolated (non-knot) samples; rows-only (q41
+    value-checks the FFT itself on the common-day grid)."""
+    _prep(spark)
+    import numpy as np
+
+    traces = _daily_traces(spark, sf_dir)
+    ds = Dataset(
+        traces.withColumn("day", F.col("day").cast("double")),
+        index="day",
+        id_vars=["l_returnflag", "l_linestatus"],
+    )
+    row = traces.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).first()
+    grid = np.linspace(float(row["lo"]), float(row["hi"]), 128)
+    return fourier_transform(regrid(ds, grid)).df
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
