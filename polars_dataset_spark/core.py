@@ -560,9 +560,23 @@ class Dataset:
             )
         )
 
-    def quantile(self, colname: str, q: float) -> float:
-        """Exact quantile (linear interpolation), single aggregate row."""
-        return self._df.agg(F.percentile(colname, F.lit(q)).alias("q")).first()["q"]
+    def quantile(
+        self, colname: str, q: float, exact: bool = True, accuracy: int = 10_000
+    ) -> float:
+        """Quantile of one column.
+
+        ``exact=True`` (default, polars parity): ``F.percentile`` — linear
+        interpolation, but a full sort-based aggregate; at 100 TB an exact
+        global quantile is the wrong default. ``exact=False`` is the scale
+        path: ``percentile_approx`` (Greenwald-Khanna sketch) — one pass,
+        bounded memory, mergeable map-side, rank error ≤ n/``accuracy``.
+        Prefer it for anything bigger than a bench fixture unless exact
+        oracle parity is required."""
+        if exact:
+            return self._df.agg(F.percentile(colname, F.lit(q)).alias("q")).first()["q"]
+        return self._df.agg(
+            F.percentile_approx(colname, F.lit(q), F.lit(accuracy)).alias("q")
+        ).first()["q"]
 
     def describe(self) -> DataFrame:
         return self._df.summary()

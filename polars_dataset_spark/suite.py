@@ -2103,6 +2103,50 @@ def q77(spark, sf_dir):
     return fourier_transform(regrid(ds, grid)).df
 
 
+@query(
+    "q78_approx_quantiles",
+    """
+    SELECT count(*) AS n,
+           true AS p25_ok, true AS med_ok, true AS p75_ok
+    FROM orders
+    """,
+)
+def q78(spark, sf_dir):
+    """Approximate quantiles — the 100 TB path beside q17's exact sort
+    aggregate. ``percentile_approx`` (Greenwald-Khanna sketch: one pass,
+    bounded memory, mergeable map-side) guarantees rank error ≤
+    n/accuracy. The sketch's picked VALUE is engine-specific, so the
+    driver-checked contract is the guarantee itself: each returned value's
+    true rank interval must overlap [⌊(p−ε)n⌋, ⌈(p+ε)n⌉]."""
+    _prep(spark)
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    acc = 1000
+    row = o.agg(
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(acc)
+        ).alias("qs"),
+        F.count("*").alias("n"),
+    ).first()
+    (p25, med, p75), n = row["qs"], row["n"]
+    c = F.col("o_totalprice")
+
+    def ok(v: float, p: float):
+        lt = F.sum((c < F.lit(v)).cast("long"))
+        le = F.sum((c <= F.lit(v)).cast("long"))
+        lo = math.floor((p - 1.0 / acc) * n)
+        hi = math.ceil((p + 1.0 / acc) * n)
+        return (lt + 1 <= F.lit(hi)) & (le >= F.lit(lo))
+
+    return o.agg(
+        F.count("*").alias("n"),
+        ok(p25, 0.25).alias("p25_ok"),
+        ok(med, 0.50).alias("med_ok"),
+        ok(p75, 0.75).alias("p75_ok"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
