@@ -64,19 +64,98 @@ def binary_with_metadata(
     )
 
 
+def _decode_ppm(data: bytes) -> "np.ndarray | None":
+    """Pure-python/numpy decode of a binary PGM (P5) / PPM (P6) blob →
+    float32 grayscale (H, W) in [0, 1]; None if the blob isn't one."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    toks: list[bytes] = []
+    i, n = 0, len(data)
+    while i < n and len(toks) < 4:  # magic, width, height, maxval
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":  # comment to end of line
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace():
+                j += 1
+            toks.append(data[i:j])
+            i = j
+    if len(toks) < 4:
+        return None
+    try:
+        w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):  # 2-byte samples unsupported
+        return None
+    ch = 3 if toks[0] == b"P6" else 1
+    i += 1  # exactly one whitespace byte separates maxval from pixels
+    if n - i < w * h * ch:
+        return None
+    px = np.frombuffer(data, np.uint8, count=w * h * ch, offset=i).reshape(h, w, ch)
+    return px.mean(axis=2).astype(np.float32) / float(maxval)
+
+
+def _decode_bmp(data: bytes) -> "np.ndarray | None":
+    """Pure-python/numpy decode of an uncompressed 24-bpp BMP blob →
+    float32 grayscale (H, W) in [0, 1]; None if the blob isn't one."""
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    offset = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down, h = h < 0, abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(data) - offset < row_bytes * h:
+        return None
+    rows = np.frombuffer(data, np.uint8, count=row_bytes * h, offset=offset).reshape(
+        h, row_bytes
+    )
+    px = rows[:, : w * 3].reshape(h, w, 3).astype(np.float32)
+    if not top_down:
+        px = px[::-1]  # BMP default is bottom-up
+    return px.mean(axis=2) / 255.0  # BGR order is irrelevant to the mean
+
+
+def _thumbnail(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample to (th, tw), flattened."""
+    h, w = gray.shape
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return gray[np.ix_(ys, xs)].astype(np.float32).ravel()
+
+
 def decode_media(
     df: DataFrame,
     content_col: str = "content",
     decoder: str = "fake",
     target_size: tuple[int, int] = (8, 8),
 ) -> DataFrame:
-    """Decode binary media to a fixed-size float array (e.g. a thumbnail).
+    """Decode binary media to a fixed-size float array (a ``target_size``
+    grayscale thumbnail, flattened, values in [0, 1]).
 
-    ``decoder="fake"`` (default here): a deterministic stand-in — bytes are
-    hashed into a ``target_size``-length feature block so the full Spark
-    pipeline (schema, Arrow batches, partition shape) runs and is testable
-    without codec libraries. ``decoder="pil"`` requires PIL and raises
-    ``NotImplementedError`` in this container.
+    ``decoder``:
+
+    - ``"ppm"`` / ``"bmp"``: REAL decodes implemented here in pure
+      numpy (binary PGM/PPM headers + samples; uncompressed 24-bpp BMP
+      with row padding and bottom-up order) followed by deterministic
+      nearest-neighbor resampling — no codec library needed. Blobs that
+      fail to parse decode to null.
+    - ``"fake"`` (default): a deterministic stand-in for formats whose
+      codecs aren't installed — bytes tile into the target shape so the
+      full Spark pipeline (schema, Arrow batches, partition shape) stays
+      exercised.
+    - ``"pil"``: the general-codec path; raises ``NotImplementedError``
+      in this container (Pillow absent) — install it on the cluster
+      image for JPEG/PNG/etc.
     """
     n_out = int(np.prod(target_size))
     out_schema = T.StructType(
@@ -86,9 +165,13 @@ def decode_media(
     if decoder == "pil" and not _HAVE_PIL:
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
-            "installed in this environment; use decoder='fake' for plumbing "
-            "tests or install Pillow on the cluster image."
+            "installed in this environment; use decoder='ppm'/'bmp' (built-in "
+            "pure-python decodes), decoder='fake' for plumbing tests, or "
+            "install Pillow on the cluster image."
         )
+    if decoder not in ("fake", "ppm", "bmp", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    parse = {"ppm": _decode_ppm, "bmp": _decode_bmp}.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,6 +179,10 @@ def decode_media(
             for blob in pdf[content_col]:
                 if blob is None:
                     decoded.append(None)
+                    continue
+                if parse is not None:
+                    img = parse(bytes(blob))
+                    decoded.append(None if img is None else _thumbnail(img, *target_size))
                     continue
                 raw = np.frombuffer(bytes(blob), dtype=np.uint8)
                 if raw.size == 0:

@@ -168,6 +168,67 @@ def test_decode_media_pil_gate(docs):
         decode_media(bm, decoder="pil")
 
 
+def _ppm_bytes(w, h, pixel_rows):
+    # binary PPM (P6) with a comment line — exercises the header tokenizer
+    header = f"P6\n# test image\n{w} {h}\n255\n".encode()
+    return header + b"".join(bytes(px) for row in pixel_rows for px in row)
+
+
+def _bmp_bytes(w, h, gray_rows):
+    # uncompressed 24-bpp bottom-up BMP with 4-byte row padding
+    row_bytes = (w * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(gray_rows):  # bottom-up storage
+        line = b"".join(bytes([v, v, v]) for v in row)
+        pix += line + b"\x00" * (row_bytes - len(line))
+    offset = 54
+    header = (
+        b"BM"
+        + (offset + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pix
+
+
+def test_decode_media_ppm_real(spark):
+    # 2x2 image: white, black / mid-gray, white — real bytes → real pixels
+    blob = _ppm_bytes(2, 2, [[(255, 255, 255), (0, 0, 0)], [(102, 102, 102), (255, 255, 255)]])
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, bytearray(b"not an image"))], "id int, content binary")
+    got = {r.id: r.decoded for r in decode_media(df, decoder="ppm", target_size=(2, 2)).collect()}
+    assert got[2] is None  # unparseable blob → null, not garbage
+    px = np.array(got[1]).reshape(2, 2)
+    assert px == pytest.approx(np.array([[1.0, 0.0], [0.4, 1.0]]), abs=1e-6)
+
+
+def test_decode_media_bmp_real(spark):
+    # 3x2 grayscale ramp; odd width exercises the row padding
+    blob = _bmp_bytes(3, 2, [[0, 51, 255], [102, 153, 204]])
+    df = spark.createDataFrame([(1, bytearray(blob))], "id int, content binary")
+    out = decode_media(df, decoder="bmp", target_size=(2, 3)).first()
+    px = np.array(out.decoded).reshape(2, 3)
+    assert px == pytest.approx(np.array([[0.0, 0.2, 1.0], [0.4, 0.6, 0.8]]), abs=1e-6)
+
+
+def test_decode_media_ppm_resample(spark):
+    # 4x4 → 2x2 nearest-neighbor picks the top-left of each 2x2 block
+    rows = [[(16 * (4 * r + c),) * 3 for c in range(4)] for r in range(4)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(4, 4, rows)))], "id int, content binary"
+    )
+    out = decode_media(df, decoder="ppm", target_size=(2, 2)).first()
+    px = np.array(out.decoded).reshape(2, 2) * 255.0
+    assert px == pytest.approx(np.array([[0.0, 32.0], [128.0, 160.0]]), abs=1e-4)
+
+
 def test_token_count_modes(docs):
     from polars_dataset_spark.functions import with_token_count
 
