@@ -394,6 +394,12 @@ class Dataset:
         descending = kwargs.pop("descending", False)
         if descending:
             desc = _as_list(descending) if not isinstance(descending, bool) else [descending] * len(keys)
+            if len(desc) != len(keys):
+                # zip() would silently truncate the key list (polars
+                # broadcasts a scalar or errors) — make it loud
+                raise ValueError(
+                    f"sort: descending has {len(desc)} entries for {len(keys)} keys"
+                )
             keys = [F.col(k).desc() if d else F.col(k) for k, d in zip(keys, desc)]
         return self._rewrap(self._df.orderBy(*keys)) if keys else self._rewrap(self._df)
 
@@ -626,6 +632,120 @@ class Dataset:
             self._df.withColumn(f"{col}_rolling_{fn}", aggf(col).over(w))
         )
 
+    @staticmethod
+    def _sorted_window_quantile(col: str, q: float, w) -> "F.Column":
+        """Linear-interpolated quantile of a rows-frame window: Spark's
+        ``median``/``percentile`` aggregates reject window frames, so
+        collect the (small, bounded by window_size) frame, ``array_sort``
+        it JVM-side, and interpolate between the two bracketing order
+        statistics — the quantile_cont formula."""
+        arr = F.array_sort(F.collect_list(col).over(w))
+        n = F.size(arr)
+        pos = (n - 1).cast("double") * F.lit(float(q))
+        lo = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        a = F.element_at(arr, lo + 1).cast("double")
+        b = F.element_at(arr, F.least(lo + 2, n)).cast("double")
+        return a * (F.lit(1.0) - frac) + b * frac
+
+    def rolling_median(self, col: str, window_size: int) -> "Dataset":
+        """Per-trace rolling median (polars ``rolling_median``): exact
+        order statistic over a trailing rows frame, computed from the
+        sorted frame array — JVM-side, no Python in the loop; per-row
+        cost bounded by ``window_size``."""
+        w = self._trace_window().rowsBetween(-(window_size - 1), 0)
+        return self._rewrap(
+            self._df.withColumn(
+                f"{col}_rolling_median", self._sorted_window_quantile(col, 0.5, w)
+            )
+        )
+
+    def rolling_quantile(self, col: str, q: float, window_size: int) -> "Dataset":
+        """Per-trace rolling quantile (polars ``rolling_quantile``,
+        linear interpolation) over a trailing rows frame."""
+        w = self._trace_window().rowsBetween(-(window_size - 1), 0)
+        return self._rewrap(
+            self._df.withColumn(
+                f"{col}_rolling_q", self._sorted_window_quantile(col, q, w)
+            )
+        )
+
+    def merge_sorted(self, other, key: str | None = None) -> "Dataset":
+        """Union with ``other`` ordered by ``key`` (polars
+        ``merge_sorted``). Spark has no order-preserving k-way merge at
+        the API level — the realization is ``unionByName`` + sort on the
+        key, which Catalyst executes as one shuffle-and-sort regardless
+        of input pre-sortedness."""
+        other_df = other._df if isinstance(other, Dataset) else other
+        key = key or self._index
+        return self._rewrap(self._df.unionByName(other_df).orderBy(key))
+
+    def partition_by(self, *by, include_key: bool = True) -> "dict[tuple, Dataset]":
+        """Split into one lazy Dataset per distinct key (polars
+        ``partition_by``). Only the DISTINCT KEYS are collected (bounded
+        by group count, not rows); each returned Dataset is a filtered
+        view — nothing materializes until the caller acts on it. Meant
+        for low-cardinality keys (polars' own use); at high cardinality
+        use ``groupBy``/``applyInPandas`` instead of per-group frames."""
+        by = list(by) or list(self._id_vars)
+        if not by:
+            raise ValueError("partition_by: no keys (no id_vars and none given)")
+        keys = [tuple(r) for r in self._df.select(*by).distinct().collect()]
+        out = {}
+        for kt in sorted(keys, key=lambda t: tuple(str(v) for v in t)):
+            pred = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                    for c, v in zip(by, kt)
+                ],
+            )
+            part = self._df.filter(pred)
+            if not include_key:
+                part = part.drop(*by)
+            out[kt] = self._rewrap(part) if include_key else Dataset(part, index=self._index)
+        return out
+
+    def sample(self, n: int | None = None, fraction: float | None = None, seed: int = 0) -> "Dataset":
+        """Deterministic sample (polars ``sample``): EXACTLY ``n`` rows
+        (or a hash ``fraction``). The exact-n path orders by an
+        engine-portable md5 of the index and takes ``n`` — Catalyst plans
+        ``TakeOrderedAndProject`` (per-partition top-n, then merge), so
+        no global sort materializes."""
+        if (n is None) == (fraction is None):
+            raise ValueError("sample: pass exactly one of n= or fraction=")
+        if fraction is not None:
+            return self.sample_hash(fraction, salt=str(seed))
+        key = F.md5(F.concat_ws("|", F.col(self._index).cast("string"), F.lit(str(seed))))
+        ranked = self._df.orderBy(key, *[F.col(c) for c in self._df.columns]).limit(int(n))
+        return self._rewrap(ranked)
+
+    def interpolate_nulls(self, *cols) -> "Dataset":
+        """Fill null gaps by linear interpolation against the index
+        within each trace (polars ``interpolate_by(index)``); leading /
+        trailing nulls stay null, matching polars. Pure window
+        expressions — carry the previous/next known (value, index) with
+        ``last/first(ignorenulls)`` frames, then one arithmetic fill."""
+        cols = cols or tuple(
+            f.name
+            for f in self._df.schema.fields
+            if f.name in self.value_vars and isinstance(f.dataType, T.NumericType)
+        )
+        x = F.col(self._index).cast("double")
+        w_prev = self._trace_window().rowsBetween(Window.unboundedPreceding, -1)
+        w_next = self._trace_window().rowsBetween(1, Window.unboundedFollowing)
+        updates = {}
+        for c in cols:
+            v = F.col(c)
+            pv = F.last(v, ignorenulls=True).over(w_prev)
+            px = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(w_prev)
+            nv = F.first(v, ignorenulls=True).over(w_next)
+            nx = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(w_next)
+            updates[c] = F.when(v.isNotNull(), v).otherwise(
+                pv + (nv - pv) * (x - px) / (nx - px)
+            )
+        return self._rewrap(self._df.withColumns(updates))
+
     # -- more delegated-surface shims (SURVEY §2.3) --------------------------
 
     def unnest(self, *cols) -> "Dataset":
@@ -670,12 +790,18 @@ class Dataset:
         """Horizontal concat by canonical row position (polars ``hstack``).
         Spark has no native row-position zip — both sides get a
         ``row_number`` over their own canonical order and inner-join on
-        it. Costly (two global sorts): prefer a keyed ``join``; the
-        reference's own internal use (select_data) reduces to a plain
-        projection and avoids this path."""
+        it. The other side orders by ALL of its columns (its first column
+        alone could tie, making the pairing nondeterministic) and a length
+        mismatch raises like polars instead of silently inner-joining it
+        away. Costly (two global sorts + two counts): prefer a keyed
+        ``join``; the reference's own internal use (select_data) reduces
+        to a plain projection and avoids this path."""
         other_df = other._df if isinstance(other, Dataset) else other
+        n_self, n_other = self._df.count(), other_df.count()
+        if n_self != n_other:
+            raise ValueError(f"hstack: row counts differ ({n_self} vs {n_other})")
         w_self = Window.orderBy(*[F.col(c) for c in [*self._id_vars, self._index]])
-        w_other = Window.orderBy(*[F.col(c) for c in other_df.columns[:1]])
+        w_other = Window.orderBy(*[F.col(c) for c in other_df.columns])
         a = self._df.withColumn("__pos", F.row_number().over(w_self))
         b = other_df.withColumn("__pos", F.row_number().over(w_other))
         return self._rewrap(a.join(b, on="__pos", how="inner").drop("__pos"))

@@ -2147,6 +2147,131 @@ def q78(spark, sf_dir):
     )
 
 
+@query(
+    "q79_merge_sorted",
+    f"""
+    SELECT o_orderkey, strftime(o_orderdate, '{TS_FMT_DUCK}') AS od, o_totalprice
+    FROM orders
+    """,
+)
+def q79(spark, sf_dir):
+    """polars ``merge_sorted``: two disjoint sorted halves re-merged on
+    the sort key — realized as union + one shuffle-sort (Spark has no
+    order-preserving merge primitive; pre-sortedness is a physical
+    property Catalyst re-derives, not an API input)."""
+    _prep(spark)
+    od = load_table(spark, sf_dir, "orders")
+    even = Dataset(od.filter(F.col("o_orderkey") % 2 == 0), index="o_orderkey")
+    odd = od.filter(F.col("o_orderkey") % 2 == 1)
+    merged = even.merge_sorted(odd, key="o_orderdate")
+    return merged.df.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", TS_FMT_SPARK).alias("od"),
+        "o_totalprice",
+    )
+
+
+@query(
+    "q80_rolling_order_stats",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(median(o_totalprice) OVER w, 4) AS med7,
+           round(quantile_cont(o_totalprice, 0.25) OVER w, 4) AS p25_7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q80(spark, sf_dir):
+    """polars ``rolling_median`` / ``rolling_quantile``: exact order
+    statistics over a trailing rows frame — JVM-side window aggregates,
+    unique index so the frame is deterministic."""
+    _prep(spark)
+    od = load_table(spark, sf_dir, "orders")
+    ds = Dataset(
+        od.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        index="o_orderkey",
+        id_vars=["o_orderpriority"],
+    )
+    out = ds.rolling_median("o_totalprice", 7).rolling_quantile("o_totalprice", 0.25, 7)
+    return out.df.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice_rolling_median", 4).alias("med7"),
+        F.round("o_totalprice_rolling_q", 4).alias("p25_7"),
+    )
+
+
+@query(
+    "q81_sample_exact_n",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), '7')) LIMIT 100
+    """,
+)
+def q81(spark, sf_dir):
+    """polars ``sample(n=...)``: EXACTLY n rows, deterministic and
+    engine-portable — order by md5(index, seed), take n. Catalyst plans
+    TakeOrderedAndProject (per-partition top-n, merge), so no global sort
+    materializes; md5 is bit-identical in Spark and DuckDB, which is what
+    makes an exact-sample oracle possible at all."""
+    _prep(spark)
+    od = load_table(spark, sf_dir, "orders")
+    ds = Dataset(od, index="o_orderkey")
+    return ds.sample(n=100, seed=7).df.select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "q82_interpolate_nulls",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 IN (2, 3) THEN NULL ELSE o_totalprice END AS val
+      FROM orders),
+    f AS (
+      SELECT o_orderkey, o_orderpriority, val,
+             CAST(o_orderkey AS DOUBLE) AS x,
+             last_value(val IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) END
+                        IGNORE NULLS) OVER wp AS px,
+             first_value(val IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN CAST(o_orderkey AS DOUBLE) END
+                         IGNORE NULLS) OVER wn AS nx
+      FROM t
+      WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN val IS NOT NULL THEN val
+                ELSE pv + (nv - pv) * (x - px) / (nx - px) END AS val
+    FROM f
+    """,
+)
+def q82(spark, sf_dir):
+    """polars ``interpolate_by(index)``: null gaps filled by linear
+    interpolation against the index within each trace; leading/trailing
+    nulls stay null. Pure window expressions (prev/next known value+index
+    via ignorenulls frames) — no Python, one shuffle on the trace key."""
+    _prep(spark)
+    od = load_table(spark, sf_dir, "orders")
+    sel = od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 2, F.lit(None))
+        .when(F.col("o_orderkey") % 7 == 3, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    ds = Dataset(sel, index="o_orderkey", id_vars=["o_orderpriority"])
+    out = ds.interpolate_nulls("val")
+    # no rounding: both engines evaluate the identical IEEE expression on
+    # identical inputs, so the doubles are bit-equal — while round() at any
+    # fixed precision DISAGREES between engines on the exact-decimal ties
+    # interpolation produces (observed: ...8784375 at 6 dp)
+    return out.df.select("o_orderkey", "o_orderpriority", "val")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -316,3 +316,75 @@ def test_dataset_pack_sequences_method(lineitem_ds):
     cols = out.df.columns
     assert {"bin", "offset", "cum_tokens"} <= set(cols)
     assert out.df.filter("offset >= 1000 or offset < 0").count() == 0
+
+
+def _mini_ds(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 3,
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0, 1.0, 2.0, 3.0],
+            "v": [10.0, None, None, 40.0, None, 7.0, None, 9.0],
+        }
+    )
+    return Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+
+
+def test_interpolate_nulls_linear_and_edges(spark):
+    out = _mini_ds(spark).interpolate_nulls("v").df.collect()
+    got = {(r.g, r.x): r.v for r in out}
+    assert got[("a", 2.0)] == pytest.approx(20.0)  # 10 + (40-10)*(2-1)/(4-1)
+    assert got[("a", 3.0)] == pytest.approx(30.0)
+    assert got[("a", 5.0)] is None  # trailing null stays null (polars)
+    assert got[("b", 2.0)] == pytest.approx(8.0)
+
+
+def test_merge_sorted_contents_and_order(spark):
+    pdf = pd.DataFrame({"k": [1.0, 3.0, 5.0], "v": [1, 3, 5]})
+    qdf = pd.DataFrame({"k": [2.0, 4.0], "v": [2, 4]})
+    a = Dataset(spark.createDataFrame(pdf), index="k")
+    merged = a.merge_sorted(spark.createDataFrame(qdf), key="k")
+    assert [r.v for r in merged.df.collect()] == [1, 2, 3, 4, 5]
+
+
+def test_partition_by_lazy_views(lineitem_ds):
+    parts = lineitem_ds.partition_by("l_returnflag")
+    keys = sorted(k[0] for k in parts)
+    assert keys == ["A", "N", "R"]
+    total = sum(p.df.count() for p in parts.values())
+    assert total == lineitem_ds.df.count()
+    no_key = lineitem_ds.partition_by("l_returnflag", include_key=False)
+    assert "l_returnflag" not in next(iter(no_key.values())).columns
+
+
+def test_sample_exact_n_deterministic(lineitem_ds):
+    ds = Dataset(lineitem_ds.df.select("l_orderkey", "l_shipdate", "l_quantity"), index="l_orderkey")
+    a = ds.sample(n=37, seed=3).df.collect()
+    b = ds.sample(n=37, seed=3).df.collect()
+    assert len(a) == 37 and sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = ds.sample(n=37, seed=4).df.collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed changes the draw
+    with pytest.raises(ValueError, match="exactly one"):
+        ds.sample()
+    with pytest.raises(ValueError, match="exactly one"):
+        ds.sample(n=5, fraction=0.5)
+
+
+def test_rolling_median_and_quantile(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 4, "x": [1.0, 2.0, 3.0, 4.0], "v": [4.0, 1.0, 3.0, 2.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    med = {r.x: r.v_rolling_median for r in ds.rolling_median("v", 3).df.collect()}
+    assert med[1.0] == 4.0 and med[2.0] == 2.5 and med[3.0] == 3.0 and med[4.0] == 2.0
+    q = {r.x: r.v_rolling_q for r in ds.rolling_quantile("v", 0.25, 3).df.collect()}
+    assert q[3.0] == pytest.approx(2.0)  # sorted [1,3,4] → pos 0.5 → 1*(0.5)+3*0.5
+
+
+def test_sort_descending_length_mismatch_raises(lineitem_ds):
+    with pytest.raises(ValueError, match="descending"):
+        lineitem_ds.sort("l_shipdate", "l_orderkey", descending=[True])
+
+
+def test_hstack_count_mismatch_raises(spark):
+    a = Dataset(spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0], "v": [1.0, 2.0]})), index="x")
+    other = spark.createDataFrame(pd.DataFrame({"y": [1.0]}))
+    with pytest.raises(ValueError, match="row counts differ"):
+        a.hstack(other)
