@@ -41,12 +41,16 @@ def main() -> None:
 
     def run_one(item):
         name, fn = item
-        # distinct fair pool per query: with spark.scheduler.mode=FAIR
+        # fair pool per submission: with spark.scheduler.mode=FAIR
         # (session.py), pools share executor slots round-robin, so a
         # query made of many small jobs (iterative CC, two-pass prefix
         # sum) isn't starved behind a concurrent query's big stages.
-        # The property is thread-local; set per submission.
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        # Queries hash onto the fixed pool set declared in
+        # conf/fairscheduler.xml (declared pools ⇒ no builder warnings);
+        # the property is thread-local, set per submission.
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"pool{sum(name.encode()) % 8}"
+        )
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

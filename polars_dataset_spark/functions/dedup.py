@@ -33,6 +33,19 @@ from pyspark.sql import types as T
 
 from polars_dataset_spark.functions.text import tokenize
 
+
+def _swap_cache(result: DataFrame, intermediate: DataFrame) -> DataFrame:
+    """Move the cache from a big intermediate onto the (small) result:
+    persist + materialize the result, then free the intermediate's blocks.
+    Without this, every LSH call in a long-lived session leaks an
+    input-sized cache entry (signatures/shingles) for the session
+    lifetime; after the swap only an output-sized entry remains, and the
+    ContextCleaner drops it once the caller releases the frame."""
+    result = result.persist()
+    result.count()
+    intermediate.unpersist(blocking=False)
+    return result
+
 __all__ = [
     "exact_dedup",
     "token_shingles",
@@ -60,8 +73,7 @@ def exact_dedup(
     subset = [subset] if isinstance(subset, str) else list(subset)
     keys = [
         F.regexp_replace(F.trim(F.lower(F.col(c))), r"\s+", " ").alias(f"__k_{c}")
-        if normalize and isinstance(df.schema[c].dataType.simpleString(), str)
-        and df.schema[c].dataType.simpleString() == "string"
+        if normalize and df.schema[c].dataType.simpleString() == "string"
         else F.col(c).alias(f"__k_{c}")
         for c in subset
     ]
@@ -266,11 +278,14 @@ def minhash_lsh_candidates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    verified = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+    # near-dup pairs are small by contract — cache those, free the
+    # input-sized signature/shingle cache
+    return _swap_cache(verified, sigd)
 
 
 def minhash_dedup(
@@ -365,7 +380,7 @@ def simhash_dedup(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    losers = _swap_cache(pairs.select(F.col("id_b").alias(id_col)).distinct(), sh)
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -37,6 +37,10 @@ def get_spark(app_name: str = "polars_dataset_spark", shuffle_partitions: int | 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    alloc = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "conf", "fairscheduler.xml")
+    if os.path.exists(alloc):  # declared pools: no per-pool builder warnings
+        builder = builder.config("spark.scheduler.allocation.file", alloc)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -160,9 +160,33 @@ def create_dataset(
         .csv(file_list)
     )
     df = df.toDF(*column_names)
-    # attach id values: normalize file_name to the manifest's path spelling
-    manifest = paths.withColumn("_file", F.concat(F.lit("file://"), F.col("path")))
+    # attach id values: canonicalize manifest paths to input_file_name()'s
+    # spelling — a percent-encoded absolute file URI. Relative paths and
+    # special characters would otherwise silently fail the join and null
+    # every id column; non-local URIs (hdfs://, s3a://) pass through as
+    # given.
+    import os as _os
+    from urllib.parse import quote as _quote
+
+    def _canon(p: str) -> str:
+        if "://" in p:
+            return p
+        return "file://" + _quote(_os.path.abspath(p))
+
+    manifest_pdf = paths.toPandas()
+    manifest_pdf["_file"] = [_canon(p) for p in manifest_pdf["path"]]
+    manifest = spark.createDataFrame(manifest_pdf)
     df = df.withColumn("_file", F.input_file_name())
+    # loud ingestion contract: every scanned file must match a manifest row
+    # (the check runs over DISTINCT file names — bounded by file count)
+    seen = {r["_file"] for r in df.select("_file").distinct().collect()}
+    unmatched = sorted(seen - set(manifest_pdf["_file"]))
+    if unmatched:
+        raise ValueError(
+            "create_dataset: scanned file(s) missing from the manifest after "
+            f"path canonicalization: {unmatched[:5]}"
+            + (f" (+{len(unmatched) - 5} more)" if len(unmatched) > 5 else "")
+        )
     joined = df.join(F.broadcast(manifest), on="_file", how="left").drop("_file")
     if id_schema:
         joined = joined.withColumns({c: F.col(c).cast(t) for c, t in id_schema.items()})
