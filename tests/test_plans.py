@@ -80,6 +80,23 @@ def test_partition_hint_sets_layout(spark, sf_dir):
     assert "Sort" in text and "l_shipdate" in text
 
 
+def test_sample_exact_n_plans_take_ordered(spark, sf_dir):
+    # exact-n sampling must NOT materialize a global sort: md5 order + limit
+    # plans TakeOrderedAndProject (per-partition top-n, merged)
+    df = suite.QUERIES["q81_sample_exact_n"](spark, sf_dir)
+    assert has_take_ordered(df)
+
+
+def test_interpolate_nulls_no_single_partition(spark, sf_dir):
+    # both gap-fill lookups are GROWING window frames partitioned by the
+    # trace key — no shrinking frame (O(n²) re-aggregation) and no global
+    # single-partition exchange
+    df = suite.QUERIES["q82_interpolate_nulls"](spark, sf_dir)
+    text = explain_str(df)
+    assert "Exchange SinglePartition" not in text
+    assert "following$()" not in text.lower()
+
+
 def test_plan_report_shape(spark, sf_dir):
     rep = plan_report(suite.QUERIES["q06_star_join"](spark, sf_dir))
     assert set(rep) == {"pushed_filters", "read_schemas", "joins", "shuffle_exchanges", "take_ordered"}
