@@ -97,6 +97,40 @@ def test_interpolate_nulls_no_single_partition(spark, sf_dir):
     assert "following$()" not in text.lower()
 
 
+def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
+    """Every queries() entry is audited for the plan shapes that do not
+    survive 100 TB — single-partition exchanges, nested-loop joins,
+    cartesian products — against an explicit whitelist of the queries
+    where the shape is the documented design. A new query that silently
+    plans one of these fails here instead of on a cluster."""
+    allowed = {
+        "q34_cosine_topk": {"BNL"},  # declared exact baseline: broadcast probes × corpus
+        "q46_cross_join": {"BNL"},  # deliberate 5×5 cross join
+        "q61_join_where": {"BNL"},  # inequality-only theta join (scale path: q70)
+        "q62_fill_nan": {"BNL"},  # 1-row × 1-row aggregate crossJoin
+        # global-order utility ops, documented as driver-bounded output
+        "q13_topk": {"SINGLE_PART"},
+        "q20_row_index": {"SINGLE_PART"},
+        "q53_window_distribution": {"SINGLE_PART"},
+        "q55_slice": {"SINGLE_PART"},
+        "q81_sample_exact_n": {"SINGLE_PART"},
+    }
+    problems = []
+    for name, fn in suite.QUERIES.items():
+        text = explain_str(fn(spark, sf_dir))
+        flags = set()
+        if "Exchange SinglePartition" in text:
+            flags.add("SINGLE_PART")
+        if "BroadcastNestedLoopJoin" in text:
+            flags.add("BNL")
+        if "CartesianProduct" in text:
+            flags.add("CARTESIAN")
+        extra = flags - allowed.get(name, set())
+        if extra:
+            problems.append((name, sorted(extra)))
+    assert not problems, f"unexpected scale red flags: {problems}"
+
+
 def test_plan_report_shape(spark, sf_dir):
     rep = plan_report(suite.QUERIES["q06_star_join"](spark, sf_dir))
     assert set(rep) == {"pushed_filters", "read_schemas", "joins", "shuffle_exchanges", "take_ordered"}
