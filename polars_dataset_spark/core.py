@@ -392,15 +392,23 @@ class Dataset:
         else:
             keys = []
         descending = kwargs.pop("descending", False)
-        if descending:
-            desc = _as_list(descending) if not isinstance(descending, bool) else [descending] * len(keys)
-            if len(desc) != len(keys):
-                # zip() would silently truncate the key list (polars
-                # broadcasts a scalar or errors) — make it loud
-                raise ValueError(
-                    f"sort: descending has {len(desc)} entries for {len(keys)} keys"
-                )
-            keys = [F.col(k).desc() if d else F.col(k) for k, d in zip(keys, desc)]
+        nulls_last = kwargs.pop("nulls_last", False)
+        desc = (
+            _as_list(descending) if not isinstance(descending, bool) else [descending] * len(keys)
+        )
+        if len(desc) != len(keys):
+            # zip() would silently truncate the key list (polars
+            # broadcasts a scalar or errors) — make it loud
+            raise ValueError(
+                f"sort: descending has {len(desc)} entries for {len(keys)} keys"
+            )
+        def order(k, d):
+            c = F.col(k)
+            if d:
+                return c.desc_nulls_last() if nulls_last else c.desc()
+            return c.asc_nulls_last() if nulls_last else c.asc()
+
+        keys = [order(k, d) for k, d in zip(keys, desc)]
         return self._rewrap(self._df.orderBy(*keys)) if keys else self._rewrap(self._df)
 
     def _sorted_columns_df(self, df: DataFrame) -> DataFrame:
@@ -719,6 +727,64 @@ class Dataset:
         key = F.md5(F.concat_ws("|", F.col(self._index).cast("string"), F.lit(str(seed))))
         ranked = self._df.orderBy(key, *[F.col(c) for c in self._df.columns]).limit(int(n))
         return self._rewrap(ranked)
+
+    def cut(
+        self,
+        col: str,
+        breaks: "list[float]",
+        labels: "list[str] | None" = None,
+        left_closed: bool = False,
+        out_col: str | None = None,
+    ) -> "Dataset":
+        """Bin a numeric column at ``breaks`` (polars ``cut``): intervals
+        ``(-inf, b1], (b1, b2], …, (bn, inf)`` (or left-closed with
+        ``left_closed=True``), labeled like polars' defaults. Pure CASE
+        expression — map-only, codegen'd."""
+        bs = sorted(float(b) for b in breaks)
+        if labels is None:
+            edges = ["-inf", *[repr(b) for b in bs], "inf"]
+            if left_closed:
+                labels = [f"[{lo}, {hi})" for lo, hi in zip(edges[:-1], edges[1:])]
+            else:
+                labels = [f"({lo}, {hi}]" for lo, hi in zip(edges[:-1], edges[1:])]
+        if len(labels) != len(bs) + 1:
+            raise ValueError(f"cut: need {len(bs) + 1} labels, got {len(labels)}")
+        c = F.col(col)
+        expr = None
+        for b, lab in zip(bs, labels[:-1]):
+            cond = c < F.lit(b) if left_closed else c <= F.lit(b)
+            expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+        expr = expr.otherwise(F.lit(labels[-1])) if expr is not None else F.lit(labels[-1])
+        return self._rewrap(self._df.withColumn(out_col or f"{col}_bin", expr))
+
+    def qcut(self, col: str, q: int, labels: "list[str] | None" = None, out_col: str | None = None) -> "Dataset":
+        """Quantile binning (polars ``qcut``): ``q`` equal-frequency bins
+        split at the exact interior quantiles (one aggregate job for the
+        breaks — q−1 scalars — then the same map-only CASE as :meth:`cut`)."""
+        probs = [i / q for i in range(1, q)]
+        row = self._df.agg(
+            *[F.percentile(col, F.lit(p)).alias(f"b{i}") for i, p in enumerate(probs)]
+        ).first()
+        return self.cut(col, [row[f"b{i}"] for i in range(len(probs))], labels=labels, out_col=out_col)
+
+    def value_counts(self, col: str, sort: bool = True) -> DataFrame:
+        """Frequency table of one column (polars ``value_counts``):
+        ``(col, count)``, most frequent first with value tie-break."""
+        out = self._df.groupBy(col).agg(F.count("*").alias("count"))
+        if sort:
+            out = out.orderBy(F.col("count").desc(), F.col(col).asc_nulls_last())
+        return out
+
+    def mode(self, col: str) -> DataFrame:
+        """All modal values of one column (polars ``mode``: every value
+        tied for the highest frequency). Two aggregates, no collect of
+        data rows."""
+        counts = self._df.groupBy(col).agg(F.count("*").alias("count"))
+        top = counts.agg(F.max("count").alias("mx"))
+        return (
+            counts.join(F.broadcast(top), on=counts["count"] == top["mx"], how="inner")
+            .select(col)
+        )
 
     def interpolate_nulls(self, *cols) -> "Dataset":
         """Fill null gaps by linear interpolation against the index

@@ -2272,6 +2272,74 @@ def q82(spark, sf_dir):
     return out.df.select("o_orderkey", "o_orderpriority", "val")
 
 
+@query(
+    "q83_cut_bins",
+    """
+    SELECT CASE WHEN l_quantity <= 10 THEN '(-inf, 10.0]'
+                WHEN l_quantity <= 25 THEN '(10.0, 25.0]'
+                WHEN l_quantity <= 40 THEN '(25.0, 40.0]'
+                ELSE '(40.0, inf]' END AS bin,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q83(spark, sf_dir):
+    """polars ``cut``: fixed-break binning as one map-only CASE chain
+    (labels match polars' interval spelling), then a count per bin."""
+    _prep(spark)
+    ds = _lineitem_ds(spark, sf_dir)
+    binned = ds.cut("l_quantity", [10, 25, 40], out_col="bin")
+    return binned.df.groupBy("bin").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q84_value_counts",
+    """
+    SELECT o_orderpriority, count(*) AS count FROM orders GROUP BY 1
+    """,
+)
+def q84(spark, sf_dir):
+    """polars ``value_counts``: frequency table of one column."""
+    _prep(spark)
+    od = load_table(spark, sf_dir, "orders")
+    return Dataset(od, index="o_orderkey").value_counts("o_orderpriority")
+
+
+@query(
+    "q85_list_namespace",
+    r"""
+    WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(t, '\s+') END AS toks
+      FROM d)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           toks[1] AS first_tok,
+           CAST(list_contains(toks, 'the') AS INT) AS has_the,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long
+    FROM tok
+    """,
+)
+def q85(spark, sf_dir):
+    """List namespace parity (polars ``.list.*`` → Spark array functions):
+    size / element access / membership / lambda filter, all JVM-side
+    expressions over the tokenized text."""
+    _prep(spark)
+    from polars_dataset_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.try_element_at(toks, F.lit(1)).alias("first_tok"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -388,3 +388,37 @@ def test_hstack_count_mismatch_raises(spark):
     other = spark.createDataFrame(pd.DataFrame({"y": [1.0]}))
     with pytest.raises(ValueError, match="row counts differ"):
         a.hstack(other)
+
+
+def test_cut_qcut_and_value_counts(lineitem_ds):
+    binned = lineitem_ds.cut("l_quantity", [10, 25, 40], out_col="bin")
+    labs = {r.bin for r in binned.df.select("bin").distinct().collect()}
+    assert labs == {"(-inf, 10.0]", "(10.0, 25.0]", "(25.0, 40.0]", "(40.0, inf]"}
+    with pytest.raises(ValueError, match="labels"):
+        lineitem_ds.cut("l_quantity", [10], labels=["a", "b", "c"])
+    q4 = lineitem_ds.qcut("l_extendedprice", 4, labels=["q1", "q2", "q3", "q4"])
+    counts = {r["l_extendedprice_bin"]: r["n"] for r in
+              q4.df.groupBy("l_extendedprice_bin").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"q1", "q2", "q3", "q4"}
+    assert all(abs(v - n / 4) / n < 0.02 for v in counts.values())  # near-equal bins
+    vc = lineitem_ds.value_counts("l_returnflag").collect()
+    assert [r["l_returnflag"] for r in vc] == sorted(
+        [r["l_returnflag"] for r in vc],
+        key=lambda f: (-dict((x["l_returnflag"], x["count"]) for x in vc)[f], f),
+    )
+
+
+def test_mode_returns_ties(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "v": ["a", "a", "b", "b"]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x")
+    assert sorted(r.v for r in ds.mode("v").collect()) == ["a", "b"]
+
+
+def test_sort_nulls_last(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "v": [None, 5.0, 1.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x")
+    got = [r.v for r in ds.sort("v", nulls_last=True).df.collect()]
+    assert got == [1.0, 5.0, None]
+    got = [r.v for r in ds.sort("v", descending=True, nulls_last=True).df.collect()]
+    assert got == [5.0, 1.0, None]
