@@ -1,6 +1,7 @@
 from polars_dataset_spark.sources.datafile import Datafile, create_dataset
 from polars_dataset_spark.sources.tables import TABLES, load_table, register_views
 from polars_dataset_spark.sources.bucketed import read_bucketed, write_bucketed
+from polars_dataset_spark.sources.partitioned import read_partitioned, write_partitioned
 
 __all__ = [
     "Datafile",
@@ -10,4 +11,6 @@ __all__ = [
     "register_views",
     "read_bucketed",
     "write_bucketed",
+    "read_partitioned",
+    "write_partitioned",
 ]

@@ -91,3 +91,24 @@ def test_bucketed_join_values_match_plain_join(spark, sf_dir, bucketed_pair):
         .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_partitioned_write_prunes_at_planning_time(spark, sf_dir, tmp_path):
+    from polars_dataset_spark.sources import read_partitioned, write_partitioned
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_part")
+    write_partitioned(li, path, "l_returnflag")
+    back = read_partitioned(spark, path)
+    # correctness: layout round-trips
+    assert back.count() == li.count()
+    flt = back.filter(F.col("l_returnflag") == "R")
+    assert flt.count() == li.filter(F.col("l_returnflag") == "R").count()
+    # the 100-TB contract: the filter is a PARTITION filter — directory
+    # pruning at planning time, not a row-level predicate after the scan
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "l_returnflag" in pf
