@@ -99,3 +99,36 @@ def test_interp_trace_total(n, nan_frac, seed, method):
     valid = np.isfinite(x) & np.isfinite(y)
     if np.unique(x[valid]).size < 2:
         assert np.all(np.isnan(out))
+
+
+def test_interpolate_nulls_matches_numpy_interp(spark):
+    # Dataset.interpolate_nulls (window-expression realization) must agree
+    # with numpy's reference linear interpolation on interior gaps, and
+    # leave leading/trailing nulls null, across random gap patterns.
+    import pandas as pd
+
+    from polars_dataset_spark import Dataset
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        n = 40
+        x = np.sort(rng.choice(np.arange(1000), size=n, replace=False)).astype(float)
+        v = rng.uniform(-10, 10, n)
+        mask = rng.uniform(size=n) < 0.4
+        mask[rng.randint(n)] = False  # keep at least one known point
+        v_holes = np.where(mask, np.nan, v)
+        pdf = pd.DataFrame({"g": ["t"] * n, "x": x, "v": v_holes})
+        ds = Dataset(
+            spark.createDataFrame(pdf.where(pd.notna(pdf), None)),
+            index="x",
+            id_vars=["g"],
+        )
+        got = (
+            ds.interpolate_nulls("v").df.orderBy("x").toPandas()["v"].to_numpy()
+        )
+        known = ~mask
+        ref = np.interp(x, x[known], v[known])
+        first, last = np.flatnonzero(known)[0], np.flatnonzero(known)[-1]
+        interior = (np.arange(n) >= first) & (np.arange(n) <= last)
+        assert np.allclose(got[interior], ref[interior], rtol=0, atol=1e-9)
+        assert np.all(np.isnan(got[~interior]))  # outside: stays null

@@ -149,3 +149,21 @@ def test_regrid_stream_converges_to_batch(spark, sf_dir):
     ok = np.isfinite(merged.value_s) & np.isfinite(merged.value_b)
     assert np.allclose(merged.value_s[ok], merged.value_b[ok], rtol=1e-9)
     assert (np.isfinite(merged.value_s) == np.isfinite(merged.value_b)).all()
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, events):
+    # stream-static join: a file-source events stream enriched against a
+    # static per-user dimension — planned as a per-batch join with no
+    # stream-side state; parity against the same join run in batch.
+    from polars_dataset_spark.streaming import read_events_stream, run_stream_to_memory
+
+    dim = events.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = stream.join(dim, on="user_id", how="left").select(
+        "event_id", "user_id", "value", "user_avg"
+    )
+    run_stream_to_memory(enriched, "enriched_events", output_mode="append")
+    got = spark.table("enriched_events")
+    batch = events.join(dim, on="user_id", how="left")
+    assert got.count() == batch.count()
+    assert got.filter(F.col("user_avg").isNull()).count() == 0
