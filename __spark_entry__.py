@@ -43,6 +43,5 @@ def oracle_sql() -> dict[str, str]:
     including the LSH family (seeded hyperplanes inlined as literals),
     regrid (on-knot identity) and FFT (O(n²) SQL DFT). Intentionally
     rows-only: q38 (blake2b simhash), q58 (KMeans IVF), q60 (composed
-    pipeline with a minhash stage), q64 (CC dedup over LSH candidates),
-    q76/q77 (off-knot spline interpolation)."""
+    pipeline with a minhash stage), q76/q77 (off-knot spline interpolation)."""
     return dict(suite.ORACLES)

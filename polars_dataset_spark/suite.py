@@ -1743,12 +1743,45 @@ def q63(spark, sf_dir):
     return connected_components(edges)
 
 
-@query("q64_dedup_components")
+@query(
+    "q64_dedup_components",
+    r"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+    e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+    SELECT doc.doc_id, doc.lang, doc.source
+    FROM documents doc JOIN comp ON doc.doc_id = comp.id
+    WHERE comp.root = doc.doc_id
+    """,
+)
 def q64(spark, sf_dir):
     """Transitive fuzzy dedup: MinHash-LSH near-duplicate pairs →
-    connected components → keep the minimum-id representative per
-    CLUSTER (rows-only: LSH stage not SQL-expressible; the CC stage is
-    value-matched by q63 and the pair stage row-checked by q37)."""
+    connected components (large-star/small-star) → keep the minimum-id
+    representative per CLUSTER. Oracle: the exact-Jaccard pair graph
+    (recall 1 on this fixture, same argument as q37) closed transitively
+    with a recursive CTE — so the LSH+CC composition is value-checked
+    end-to-end, not just its stages."""
     _prep(spark)
     from polars_dataset_spark.functions import (
         dedup_by_components,
