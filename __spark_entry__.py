@@ -42,6 +42,6 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins for every SQL-expressible query —
     including the LSH family (seeded hyperplanes inlined as literals),
     regrid (on-knot identity) and FFT (O(n²) SQL DFT). Intentionally
-    rows-only: q38 (blake2b simhash), q58 (KMeans IVF), q60 (composed
-    pipeline with a minhash stage), q76/q77 (off-knot spline interpolation)."""
+    rows-only: q38 (blake2b simhash), q58 (KMeans IVF), q76/q77
+    (off-knot spline interpolation)."""
     return dict(suite.ORACLES)

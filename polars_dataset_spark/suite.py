@@ -1705,12 +1705,90 @@ def q62(spark, sf_dir):
     )
 
 
-@query("q60_clean_corpus")
+def _duck_clean_corpus_sql() -> str:
+    """q60 oracle: the WHOLE clean_corpus composition in SQL — per-doc
+    quality (q30's formulas), per-doc language id (q29's), exact dedup
+    (q32's), ONE-PASS fuzzy dedup via the exact-Jaccard pair set (recall 1
+    on the fixture, q37's argument: drop the larger id of each verified
+    pair), BPE-ish token count (q57's)."""
+    toks = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    hit_exprs = {
+        lang: f"len(list_filter({toks}, x -> list_contains({words!r}, x)))"
+        for lang, words in STOPWORDS.items()
+    }
+    hit_cols = ",\n             ".join(f"{e} AS h_{l}" for l, e in hit_exprs.items())
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    lang_case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{l} = {best} THEN '{l}'" for l in langs)
+        + " ELSE 'und' END"
+    )
+    return rf"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({toks}) END AS n_toks0,
+             CASE WHEN trim(text) = '' THEN 0.0
+                  ELSE length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                       / len({toks}) END AS mtl,
+             coalesce((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+                   / nullif(length(text), 0), 0.0) AS punct,
+             coalesce((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / nullif(length(text), 0), 0.0) AS digit
+      FROM documents),
+    q AS (
+      SELECT doc_id, text,
+             round(0.4 * (CASE WHEN n_toks0 <= 0 THEN 0.0 ELSE least(n_toks0 / 20.0, 1.0) END)
+                 + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - least(1.0, punct * 2.0 + digit)), 6) AS quality
+      FROM s),
+    f AS (SELECT * FROM q WHERE quality >= 0.5),
+    lg AS (
+      SELECT doc_id, text, quality,
+             {hit_cols}
+      FROM f),
+    l AS (SELECT doc_id, text, quality, {lang_case} AS lang_pred FROM lg),
+    dd AS (
+      SELECT l.* FROM l
+      JOIN (SELECT min(doc_id) AS keep FROM l
+            GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) k
+        ON l.doc_id = k.keep),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN regexp_replace(trim(lower(text)), '\s+', ' ', 'g') = ''
+                  THEN ['']
+                  ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+             END AS toks
+      FROM dd),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+    losers AS (SELECT DISTINCT id_b FROM p)
+    SELECT dd.doc_id, dd.lang_pred, dd.quality,
+           len(regexp_extract_all(dd.text,
+               '''(?:[sdmt]|ll|ve|re)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')) AS n_tokens
+    FROM dd LEFT JOIN losers ON dd.doc_id = losers.id_b
+    WHERE losers.id_b IS NULL
+    """
+
+
+@query("q60_clean_corpus", _duck_clean_corpus_sql())
 def q60(spark, sf_dir):
-    """Composed training-corpus pipeline: quality filter → language filter
-    → exact dedup → MinHash-LSH fuzzy dedup → BPE-ish token accounting
-    (rows-only: the MinHash stage is not SQL-expressible; stage semantics
-    are individually oracle-checked by q29/q30/q32/q37/q57)."""
+    """Composed training-corpus pipeline: quality filter → language id →
+    exact dedup → MinHash-LSH fuzzy dedup → BPE-ish token accounting.
+    The oracle replays the ENTIRE composition in SQL (stage formulas from
+    q29/q30/q32/q57; the fuzzy stage via the exact-Jaccard pair set,
+    recall-1 on this fixture per q37's argument) — so stage ORDERING and
+    interaction are value-checked, not just each stage alone."""
     _prep(spark)
     from polars_dataset_spark.functions import clean_corpus
 
