@@ -786,6 +786,54 @@ class Dataset:
             .select(col)
         )
 
+    def upsample(self, every: float = 1.0) -> "Dataset":
+        """Insert missing index rows every ``every`` units per trace
+        (polars ``upsample``): per-trace [min, max] grids generated
+        distributedly (``sequence`` + ``explode`` — no driver
+        involvement), left-joined back; new rows carry null values for
+        later :meth:`fill_forward` / :meth:`interpolate_nulls`. Exact for
+        integer-valued indexes (grid points are ``min + i·every``)."""
+        ids = list(self._id_vars)
+        idx = self._index
+        b = self._df.groupBy(*ids).agg(
+            F.min(idx).alias("__mn"), F.max(idx).alias("__mx")
+        )
+        n = F.floor((F.col("__mx") - F.col("__mn")) / F.lit(float(every))).cast("long")
+        grid = (
+            b.select(*ids, "__mn", F.explode(F.sequence(F.lit(0).cast("long"), n)).alias("__i"))
+            .select(
+                *ids,
+                (F.col("__mn") + F.col("__i").cast("double") * F.lit(float(every)))
+                .cast(self._df.schema[idx].dataType)
+                .alias(idx),
+            )
+        )
+        out = grid.join(self._df, on=[*ids, idx], how="left")
+        return self._rewrap(out)
+
+    def fill_forward(self, *cols, limit: int | None = None) -> "Dataset":
+        """Forward fill (polars ``fill_null(strategy='forward')``): nulls
+        take the latest known value within the trace, optionally only
+        ``limit`` rows back. Growing window frame — O(n), incremental."""
+        return self._fill_directional(cols, limit, forward=True)
+
+    def fill_backward(self, *cols, limit: int | None = None) -> "Dataset":
+        """Backward fill (polars ``fill_null(strategy='backward')``) —
+        the same growing frame over descending index order."""
+        return self._fill_directional(cols, limit, forward=False)
+
+    def _fill_directional(self, cols, limit, forward: bool) -> "Dataset":
+        cols = cols or tuple(
+            f.name
+            for f in self._df.schema.fields
+            if f.name in self.value_vars
+        )
+        order = F.col(self._index).asc() if forward else F.col(self._index).desc()
+        lo = Window.unboundedPreceding if limit is None else -int(limit)
+        w = Window.partitionBy(*self._id_vars).orderBy(order).rowsBetween(lo, 0)
+        updates = {c: F.last(c, ignorenulls=True).over(w) for c in cols}
+        return self._rewrap(self._df.withColumns(updates))
+
     def interpolate_nulls(self, *cols) -> "Dataset":
         """Fill null gaps by linear interpolation against the index
         within each trace (polars ``interpolate_by(index)``); leading /

@@ -2451,6 +2451,42 @@ def q85(spark, sf_dir):
     )
 
 
+@query(
+    "q86_upsample_ffill",
+    f"""
+    WITH {_TRACES_SQL}),
+    b AS (
+      SELECT l_returnflag, l_linestatus, min(day) AS mn, max(day) AS mx
+      FROM t GROUP BY 1, 2),
+    g AS (
+      SELECT l_returnflag, l_linestatus, unnest(range(mn, mx + 1)) AS day FROM b),
+    j AS (
+      SELECT g.l_returnflag, g.l_linestatus, g.day, t.revenue
+      FROM g LEFT JOIN t USING (l_returnflag, l_linestatus, day))
+    SELECT l_returnflag, l_linestatus, CAST(day AS DOUBLE) AS day,
+           last_value(revenue IGNORE NULLS) OVER (
+             PARTITION BY l_returnflag, l_linestatus ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue
+    FROM j
+    """,
+)
+def q86(spark, sf_dir):
+    """polars ``upsample`` + ``fill_null(strategy='forward')``: per-trace
+    daily grids generated distributedly (sequence+explode, no driver
+    loop), missing days inserted as nulls, then forward-filled with an
+    O(n) growing frame. Unrounded: both engines carry the same decimal-
+    exact revenue doubles, and the fill only SELECTS existing values."""
+    _prep(spark)
+    traces = _daily_traces(spark, sf_dir)
+    ds = Dataset(
+        traces.withColumn("day", F.col("day").cast("double")),
+        index="day",
+        id_vars=["l_returnflag", "l_linestatus"],
+    )
+    out = ds.upsample(every=1.0).fill_forward("revenue")
+    return out.df.select("l_returnflag", "l_linestatus", "day", "revenue")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

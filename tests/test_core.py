@@ -422,3 +422,22 @@ def test_sort_nulls_last(spark):
     assert got == [1.0, 5.0, None]
     got = [r.v for r in ds.sort("v", descending=True, nulls_last=True).df.collect()]
     assert got == [5.0, 1.0, None]
+
+
+def test_upsample_and_directional_fill(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "x": [1.0, 3.0, 6.0, 2.0, 4.0], "v": [10.0, None, 60.0, 1.0, 2.0]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    up = ds.upsample(every=1.0)
+    rows = {(r.g, r.x): r.v for r in up.df.collect()}
+    assert set(k for k in rows if k[0] == "a") == {("a", float(i)) for i in range(1, 7)}
+    assert rows[("a", 2.0)] is None and rows[("a", 6.0)] == 60.0
+    ff = {(r.g, r.x): r.v for r in up.fill_forward("v").df.collect()}
+    assert ff[("a", 2.0)] == 10.0 and ff[("a", 5.0)] is None or ff[("a", 5.0)] == 10.0
+    # v at x=3 was null originally; forward fill carries 10.0 through
+    assert ff[("a", 4.0)] == 10.0
+    bf = {(r.g, r.x): r.v for r in up.fill_backward("v").df.collect()}
+    assert bf[("a", 4.0)] == 60.0 and bf[("b", 3.0)] == 2.0
+    lim = {(r.g, r.x): r.v for r in up.fill_forward("v", limit=1).df.collect()}
+    assert lim[("a", 2.0)] == 10.0 and lim[("a", 4.0)] is None  # beyond limit stays null
