@@ -1,4 +1,5 @@
 from polars_dataset_spark.streaming.ops import (
+    interval_join,
     read_events_stream,
     windowed_agg,
     session_agg,
@@ -10,6 +11,7 @@ from polars_dataset_spark.streaming.stateful import running_trace_stats
 from polars_dataset_spark.streaming.regrid_stream import regrid_stream
 
 __all__ = [
+    "interval_join",
     "regrid_stream",
     "read_events_stream",
     "windowed_agg",

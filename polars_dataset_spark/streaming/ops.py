@@ -210,6 +210,55 @@ def sessionize_batch(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "30 minutes",
+    left_types: tuple[str, ...] = ("view",),
+    right_types: tuple[str, ...] = ("purchase",),
+) -> DataFrame:
+    """Event-correlation interval join: each left event matches right
+    events for the same ``key`` arriving within ``(0, max_delay]`` AFTER
+    it (classic click→conversion attribution).
+
+    Batch and stream share this ONE definition. On streams BOTH sides
+    must carry watermarks (set them before calling): Spark then bounds
+    the join state to the interval — left rows are evicted once the
+    right watermark passes ``left.ts + max_delay``, so state is
+    O(rate × delay), not unbounded. On batch frames the same plan is an
+    equi-join on ``key`` with a range predicate.
+    """
+    secs = _interval_seconds(max_delay)
+    l = left.filter(F.col("event_type").isin(list(left_types))).select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.filter(F.col("event_type").isin(list(right_types))).select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (l["__k"] == r["__k"])
+        & (r["r_ts"] > l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {secs} SECONDS"))
+    )
+    return l.join(r, on=cond, how="inner").select(
+        l["__k"].alias(key), "l_event_id", "r_event_id", "l_ts", "r_ts", "l_value", "r_value"
+    )
+
+
+def _interval_seconds(spec: str) -> int:
+    n, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[unit]
+    return int(n) * mult
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

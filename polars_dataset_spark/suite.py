@@ -2487,6 +2487,39 @@ def q86(spark, sf_dir):
     return out.df.select("l_returnflag", "l_linestatus", "day", "revenue")
 
 
+@query(
+    "q87_interval_join",
+    f"""
+    SELECT l.user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           strftime(l.ts, '{TS_FMT_DUCK}') AS l_ts,
+           strftime(r.ts, '{TS_FMT_DUCK}') AS r_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'purchase'
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q87(spark, sf_dir):
+    """Event-correlation interval join (view→purchase attribution within
+    30 min per user). ONE definition serves batch and stream: on streams
+    both sides carry watermarks and Spark bounds the join state to the
+    interval (see test_interval_join_stream_matches_batch); in batch it
+    is this equi-join + range predicate."""
+    _prep(spark)
+    from polars_dataset_spark.streaming import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_join(ev, ev, max_delay="30 minutes")
+    return out.select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        F.date_format("l_ts", TS_FMT_SPARK).alias("l_ts"),
+        F.date_format("r_ts", TS_FMT_SPARK).alias("r_ts"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -167,3 +167,21 @@ def test_stream_static_enrichment_join(spark, sf_dir, events):
     batch = events.join(dim, on="user_id", how="left")
     assert got.count() == batch.count()
     assert got.filter(F.col("user_avg").isNull()).count() == 0
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, events):
+    # stream-stream interval join: watermarks on BOTH sides bound the
+    # join state to the delay interval; result equals the batch join.
+    from polars_dataset_spark.streaming import interval_join, read_events_stream, run_stream_to_memory
+
+    batch = interval_join(events, events, max_delay="30 minutes")
+    s1 = read_events_stream(spark, f"{sf_dir}/events.parquet").withWatermark("ts", "1 hour")
+    s2 = read_events_stream(spark, f"{sf_dir}/events.parquet").withWatermark("ts", "1 hour")
+    streamed = interval_join(s1, s2, max_delay="30 minutes")
+    assert streamed.isStreaming
+    run_stream_to_memory(streamed, "interval_joined", output_mode="append")
+    got = spark.table("interval_joined")
+    key = ["l_event_id", "r_event_id"]
+    assert got.count() == batch.count()
+    assert got.select(key).subtract(batch.select(key)).count() == 0
+    assert batch.select(key).subtract(got.select(key)).count() == 0
