@@ -54,3 +54,43 @@ def test_asof_empty(spark):
     rgt = spark.createDataFrame([], "k double, v double")
     assert join_asof(lft, rgt, on="k").count() == 0
     assert join_asof(lft, rgt, on="k", method="broadcast").count() == 0
+
+
+def test_round2_methods_empty(empty_traces, spark):
+    ds = Dataset(empty_traces, index="x", id_vars=["g"])
+    assert ds.upsample().df.count() == 0
+    assert ds.fill_forward("y").df.count() == 0
+    assert ds.fill_backward("y").df.count() == 0
+    assert ds.interpolate_nulls("y").df.count() == 0
+    assert ds.rolling_median("y", 3).df.count() == 0
+    assert ds.rolling_quantile("y", 0.5, 3).df.count() == 0
+    assert ds.cut("y", [1.0]).df.count() == 0
+    assert ds.merge_sorted(empty_traces, key="x").df.count() == 0
+    assert ds.value_counts("g").count() == 0
+    assert ds.mode("g").count() == 0
+    assert ds.partition_by("g") == {}
+    assert ds.sample(n=5).df.count() == 0  # n > rows: all (zero) rows
+
+
+def test_interval_join_empty(spark):
+    from polars_dataset_spark.streaming import interval_join
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert interval_join(ev, ev).count() == 0
+
+
+def test_cosine_pairs_block_empty(spark):
+    from polars_dataset_spark.functions import cosine_pairs_block
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_pairs_block(empty_emb).count() == 0
+
+
+def test_decode_media_empty(spark):
+    from polars_dataset_spark.functions import decode_media
+
+    df = spark.createDataFrame([], "id int, content binary")
+    for dec in ("fake", "ppm", "bmp"):
+        assert decode_media(df, decoder=dec).count() == 0
