@@ -38,6 +38,22 @@ from pyspark.sql import functions as F
 __all__ = ["cosine_topk", "lsh_bucketed_topk", "cosine_pairs_block", "ivf_topk"]
 
 
+def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
+    """Plain numpy Lloyd's iterations (k-means++-lite init: distinct random
+    picks) — all a COARSE quantizer needs. Deterministic given the seed."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(x))
+    centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+    return centers
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -48,15 +64,19 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    sample_fraction: float = 1.0,
+    train_cap: int = 65_536,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the clustered-corpus
     scale path beside :func:`lsh_bucketed_topk`.
 
-    1. TRAIN a coarse quantizer: KMeans over (a sample of) the corpus —
-       ``n_cells`` centroids (distributed ``pyspark.ml``; sample when the
-       corpus is huge).
-    2. ASSIGN each corpus vector to its nearest centroid (map-only).
+    1. TRAIN a coarse quantizer on a BOUNDED SAMPLE (≤ ``train_cap``
+       vectors collected via ``limit``): ``n_cells`` centroids from plain
+       numpy Lloyd's iterations. This is the FAISS-style design — a coarse
+       quantizer's quality saturates at a modest sample, so the train step
+       is O(train_cap·n_cells·dim) on the driver regardless of corpus
+       size, and the distributed plan stays pure DataFrame ops.
+    2. ASSIGN each corpus vector to its nearest centroid (map-only
+       Arrow-batched argmin — no ML-pipeline stage in the hot path).
     3. PROBE: each query searches only its ``n_probe`` nearest cells, then
        exact cosine re-ranks inside the candidate set.
 
@@ -65,31 +85,26 @@ def ivf_topk(
     fraction — same caveat as hyperplane LSH). The cell assignment join is
     an equi-join on cell id: shuffle ∝ |C| + |P|·n_probe.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    to_vec = lambda c: array_to_vector(F.col(c).cast("array<double>"))  # noqa: E731
-    train = corpus.select(to_vec(vec_col).alias("features"))
-    if sample_fraction < 1.0:
-        train = train.sample(fraction=sample_fraction, seed=seed)
-    # a coarse quantizer doesn't need convergence — a few iterations give
-    # the same cell structure at a fraction of the training cost
-    model = KMeans(k=n_cells, seed=seed, maxIter=8, tol=1e-3).fit(train)
-    centers = np.stack(model.clusterCenters())  # (n_cells, dim) — tiny
-
-    c_assigned = model.transform(
-        corpus.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            _norm(vec_col).alias("__cn"),
-            to_vec(vec_col).alias("features"),
-        )
-    ).select("neighbor_id", "__cv", "__cn", F.col("prediction").alias("cell"))
-
-    # each probe → its n_probe nearest centroids (centroid table is tiny:
-    # compute the ranking driver-side-free via a pandas UDF over batches)
     import pandas as pd
     from pyspark.sql import types as T
+
+    sample = corpus.select(F.col(vec_col)).limit(train_cap).toPandas()
+    centers = _lloyd_kmeans(
+        np.stack(sample[vec_col].to_numpy()).astype(np.float64), n_cells, seed
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    c_assigned = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def near_cells(vecs: pd.Series) -> pd.Series:
