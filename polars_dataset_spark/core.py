@@ -627,6 +627,51 @@ class Dataset:
         )
         return self._rewrap(self._df.withColumn(f"{col}_rolling_mean", out))
 
+    def pct_change(self, *cols) -> "Dataset":
+        """Relative change vs the previous row per trace (polars
+        ``pct_change``): ``x/lag(x) - 1``; null at trace starts."""
+        cols = cols or self.value_vars
+        w = self._trace_window()
+        return self._rewrap(
+            self._df.withColumns(
+                {
+                    f"{c}_pct_change": F.col(c) / F.lag(c, 1).over(w) - F.lit(1.0)
+                    for c in cols
+                }
+            )
+        )
+
+    def clip(self, col: str, lower: float | None = None, upper: float | None = None) -> "Dataset":
+        """Clamp a column into [lower, upper] (polars ``clip``); one-sided
+        when either bound is None. Pure expression."""
+        c = F.col(col)
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self._rewrap(self._df.withColumn(col, c))
+
+    def ewm_mean(self, col: str, alpha: float, adjust: bool = True) -> "Dataset":
+        """Exponentially weighted mean per trace (polars ``ewm_mean``):
+        the recursion is inherently sequential, so it runs as ONE
+        ``applyInPandas`` pass per trace (vectorized ``pandas.ewm``
+        inside) — the same single-shuffle grouped-map profile as regrid;
+        traces are bounded, so no group exceeds executor memory."""
+        import pandas as pd
+
+        index, ids = self._index, list(self._id_vars)
+        out_name = f"{col}_ewm_mean"
+        fields = list(self._df.schema.fields)
+        out_schema = T.StructType(fields + [T.StructField(out_name, T.DoubleType())])
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(index)
+            pdf[out_name] = pdf[col].ewm(alpha=alpha, adjust=adjust).mean()
+            return pdf
+
+        grouped = self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1))
+        return self._rewrap(grouped.applyInPandas(fn, schema=out_schema))
+
     def rank(self, col: str, method: str = "min") -> "Dataset":
         fn = {"min": F.rank, "dense": F.dense_rank}.get(method, F.rank)
         w = Window.partitionBy(*self._id_vars).orderBy(col)

@@ -2520,6 +2520,30 @@ def q87(spark, sf_dir):
     )
 
 
+@query(
+    "q88_pct_change",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity / lag(l_quantity) OVER (
+             PARTITION BY l_returnflag, l_linestatus {_TRACE_ORDER}) - 1, 6) AS qty_pct
+    FROM lineitem
+    """,
+)
+def q88(spark, sf_dir):
+    """polars ``pct_change`` per trace: x/lag(x) − 1; null at trace
+    starts. One window, tie-safe composite order."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") / F.lag("l_quantity", 1).over(w) - 1, 6).alias("qty_pct"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -441,3 +441,33 @@ def test_upsample_and_directional_fill(spark):
     assert bf[("a", 4.0)] == 60.0 and bf[("b", 3.0)] == 2.0
     lim = {(r.g, r.x): r.v for r in up.fill_forward("v", limit=1).df.collect()}
     assert lim[("a", 2.0)] == 10.0 and lim[("a", 4.0)] is None  # beyond limit stays null
+
+
+def test_ewm_mean_matches_pandas(spark):
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 30 + ["b"] * 20, "x": list(range(30)) + list(range(20)),
+         "v": rng.uniform(-5, 5, 50)}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    for adjust in (True, False):
+        got = (
+            ds.ewm_mean("v", alpha=0.3, adjust=adjust)
+            .df.orderBy("g", "x").toPandas()["v_ewm_mean"].to_numpy()
+        )
+        ref = (
+            pdf.sort_values(["g", "x"])
+            .groupby("g")["v"]
+            .apply(lambda s: s.ewm(alpha=0.3, adjust=adjust).mean())
+            .to_numpy()
+        )
+        assert np.allclose(got, ref, atol=1e-12)
+
+
+def test_pct_change_and_clip(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 4, "x": [1.0, 2.0, 3.0, 4.0], "v": [2.0, 4.0, 2.0, 5.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    pc = {r.x: r.v_pct_change for r in ds.pct_change("v").df.collect()}
+    assert pc[1.0] is None and pc[2.0] == 1.0 and pc[3.0] == -0.5
+    cl = {r.x: r.v for r in ds.clip("v", lower=2.5, upper=4.5).df.collect()}
+    assert cl == {1.0: 2.5, 2.0: 4.0, 3.0: 2.5, 4.0: 4.5}
