@@ -64,9 +64,10 @@ def main() -> None:
         "q63_connected_components",
         "q60_clean_corpus",
         "q64_dedup_components",
-        "q58_ivf_topk",
+        "q41_fourier",
         "q65_salted_join",
         "q37_minhash_pairs",
+        "q40_regrid",
         "q36_neardup_lsh",
     ]
     ordered = [(n, queries[n]) for n in heavy if n in queries]

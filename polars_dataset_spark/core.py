@@ -606,6 +606,48 @@ class Dataset:
             self._df.withColumns({f"{c}_cumsum": F.sum(c).over(w) for c in cols})
         )
 
+    def cum_max(self, *cols) -> "Dataset":
+        w = self._trace_window().rowsBetween(Window.unboundedPreceding, 0)
+        return self._rewrap(
+            self._df.withColumns({f"{c}_cummax": F.max(c).over(w) for c in cols})
+        )
+
+    def cum_min(self, *cols) -> "Dataset":
+        w = self._trace_window().rowsBetween(Window.unboundedPreceding, 0)
+        return self._rewrap(
+            self._df.withColumns({f"{c}_cummin": F.min(c).over(w) for c in cols})
+        )
+
+    def cum_count(self, *cols) -> "Dataset":
+        """Running count of NON-NULL values per trace (polars
+        ``cum_count``)."""
+        cols = cols or self.value_vars
+        w = self._trace_window().rowsBetween(Window.unboundedPreceding, 0)
+        return self._rewrap(
+            self._df.withColumns({f"{c}_cumcount": F.count(c).over(w) for c in cols})
+        )
+
+    def rle_id(self, col: str, out_col: str | None = None) -> "Dataset":
+        """Run-length id per trace (polars ``rle_id``): increments whenever
+        ``col`` changes from the previous row — the lag+cumsum pattern
+        (same shape the sessionize oracle q25 value-checks). Null-safe
+        comparison so null runs get ids too."""
+        w = self._trace_window()
+        # row_number guard: lag()=null is ambiguous between "no previous
+        # row" (not a change — polars ids start at 0) and "previous value
+        # was null" (a change)
+        changed = (F.row_number().over(w) > 1) & ~F.col(col).eqNullSafe(
+            F.lag(col, 1).over(w)
+        )
+        return self._rewrap(
+            self._df.withColumn(
+                out_col or f"{col}_rle_id",
+                F.sum(F.when(changed, 1).otherwise(0)).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+
     def shift(self, n: int = 1, *cols) -> "Dataset":
         cols = cols or self.value_vars
         w = self._trace_window()

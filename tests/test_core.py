@@ -471,3 +471,18 @@ def test_pct_change_and_clip(spark):
     assert pc[1.0] is None and pc[2.0] == 1.0 and pc[3.0] == -0.5
     cl = {r.x: r.v for r in ds.clip("v", lower=2.5, upper=4.5).df.collect()}
     assert cl == {1.0: 2.5, 2.0: 4.0, 3.0: 2.5, 4.0: 4.5}
+
+
+def test_cumulative_family_and_rle(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 6, "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+         "v": [3.0, 1.0, None, 5.0, 5.0, 2.0]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = ds.cum_max("v").cum_min("v").cum_count("v").rle_id("v").df.orderBy("x")
+    rows = out.collect()
+    assert [r.v_cummax for r in rows] == [3.0, 3.0, 3.0, 5.0, 5.0, 5.0]
+    assert [r.v_cummin for r in rows] == [3.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    assert [r.v_cumcount for r in rows] == [1, 2, 2, 3, 4, 5]
+    # runs: 3 | 1 | null | 5 5 | 2  → ids 0,1,2,3,3,4
+    assert [r.v_rle_id for r in rows] == [0, 1, 2, 3, 3, 4]
