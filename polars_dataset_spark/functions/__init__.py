@@ -8,6 +8,8 @@ from polars_dataset_spark.functions.text import (
 )
 from polars_dataset_spark.functions.dedup import (
     exact_dedup,
+    contamination_flags,
+    decontaminate,
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_dedup,
@@ -47,6 +49,8 @@ __all__ = [
     "with_fingerprint",
     "tokenize",
     "exact_dedup",
+    "contamination_flags",
+    "decontaminate",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_dedup",

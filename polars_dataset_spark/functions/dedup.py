@@ -408,6 +408,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "contaminated",
+) -> DataFrame:
+    """Benchmark-decontamination flag (the train/test-leakage guard every
+    pretraining pipeline needs): a document is contaminated when it shares
+    at least one token ``n``-gram with the benchmark set.
+
+    Scale shape: the benchmark's distinct n-gram set BROADCASTS (a
+    benchmark is small by definition); the corpus side is a map-only
+    shingle explode + broadcast hash join + distinct-ids semi-aggregation
+    — no corpus-sized shuffle, no pairwise comparison."""
+    doc_grams = df.select(
+        F.col(id_col), F.explode(token_shingles(F.col(text_col), n)).alias("__g")
+    )
+    bench_grams = benchmark.select(
+        F.explode(token_shingles(F.col(text_col), n)).alias("__g")
+    ).distinct()
+    hit = (
+        doc_grams.join(F.broadcast(bench_grams), on="__g")
+        .select(id_col)
+        .distinct()
+        .withColumn(out_col, F.lit(1))
+    )
+    return df.join(hit, on=id_col, how="left").fillna({out_col: 0})
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document sharing a token n-gram with the benchmark."""
+    flagged = contamination_flags(df, benchmark, n=n, id_col=id_col, text_col=text_col)
+    return flagged.filter(F.col("contaminated") == 0).drop("contaminated")
+
+
 def embedding_neardup(
     df: DataFrame,
     id_col: str = "vec_id",

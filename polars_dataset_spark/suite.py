@@ -2544,6 +2544,45 @@ def q88(spark, sf_dir):
     )
 
 
+@query(
+    "q89_decontamination",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 8
+        THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                                          i -> array_to_string(toks[i:i+7], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM tok),
+    bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 25),
+    dg AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id >= 25),
+    hit AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g))
+    SELECT s.doc_id,
+           CAST(EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = s.doc_id) AS INT)
+             AS contaminated
+    FROM sh s WHERE s.doc_id >= 25
+    """,
+)
+def q89(spark, sf_dir):
+    """Benchmark decontamination (train/test-leakage guard): flag corpus
+    docs sharing any token 8-gram with a benchmark set (here: doc_id <
+    25 stands in for the benchmark). The benchmark's distinct n-grams
+    broadcast; the corpus side is map-only explode + broadcast hash join
+    — no corpus-sized shuffle, no pairwise comparison."""
+    _prep(spark)
+    from polars_dataset_spark.functions import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return contamination_flags(corpus, bench, n=8).select("doc_id", "contaminated")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

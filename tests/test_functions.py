@@ -281,3 +281,24 @@ def test_clean_corpus_transitive_is_subset_of_one_pass(docs):
     # cluster-correct keep-set is contained in the one-pass keep-set
     assert transitive <= one_pass
     assert transitive  # and it's not trivially empty
+
+
+def test_contamination_flags_and_decontaminate(spark):
+    from polars_dataset_spark.functions import contamination_flags, decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark question about spline interpolation methods rocks")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "prefix text the secret benchmark question about spline interpolation methods rocks suffix"),
+            (11, "completely unrelated document talking about cooking pasta tonight with friends"),
+            (12, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r.contaminated for r in contamination_flags(docs, bench).collect()}
+    assert flags == {10: 1, 11: 0, 12: 0}
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench).collect())
+    assert kept == [11, 12]
