@@ -1,5 +1,6 @@
 from polars_dataset_spark.functions.text import (
     with_text_stats,
+    with_repetition_stats,
     with_token_count,
     with_language_id,
     with_quality_score,
@@ -44,6 +45,7 @@ from polars_dataset_spark.functions.multimodal import (
 
 __all__ = [
     "with_text_stats",
+    "with_repetition_stats",
     "with_language_id",
     "with_quality_score",
     "with_fingerprint",

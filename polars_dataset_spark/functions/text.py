@@ -110,6 +110,49 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters):
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| — high values
+      mean the document repeats itself;
+    - ``top_bigram_frac``: occurrences of the single most frequent token
+      bigram / total bigrams — catches boilerplate loops n-gram dedup
+      misses.
+
+    ``dup_token_frac`` is a pure expression (map-only). The bigram mode
+    needs a per-(doc, gram) count: explode + two hash aggregations —
+    shuffle keyed by (doc, gram), partial-aggregated map-side, so the
+    cost is ∝ corpus token count, never pairwise."""
+    tokens = tokenize(F.col(text_col))
+    dup = F.when(
+        F.size(tokens) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens),
+    ).otherwise(F.lit(0.0))
+    base = df.withColumn("dup_token_frac", dup)
+
+    # bigrams from the token ARRAY (order-exact, no window needed): the
+    # 2-ary transform lambda receives (element, index) — deliberate here
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(tokens) >= 2,
+                F.transform(
+                    F.slice(tokens, 1, F.size(tokens) - 1),
+                    lambda t, i: F.concat_ws(" ", t, F.element_at(tokens, i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__g"),
+    )
+    per_gram = bigrams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    top = per_gram.groupBy(id_col).agg(
+        (F.max("__c").cast("double") / F.sum("__c")).alias("top_bigram_frac")
+    )
+    return base.join(top, on=id_col, how="left").fillna({"top_bigram_frac": 0.0})
+
+
 def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Coarse language ID: most stopword hits wins; zero hits → ``und``.
     Ties break in fixed language order (en, de, fr, es) for determinism."""

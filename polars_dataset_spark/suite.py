@@ -2583,6 +2583,51 @@ def q89(spark, sf_dir):
     return contamination_flags(corpus, bench, n=8).select("doc_id", "contaminated")
 
 
+@query(
+    "q90_repetition_stats",
+    r"""
+    WITH d AS (
+      SELECT doc_id, trim(lower(text)) AS t FROM documents),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(t, '\s+') END AS toks
+      FROM d),
+    dupf AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+                  ELSE 0.0 END AS dup_token_frac
+      FROM tok),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                           i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM tok WHERE len(toks) >= 2),
+    pg AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+            FROM pg GROUP BY doc_id)
+    SELECT dupf.doc_id, dupf.dup_token_frac,
+           coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM dupf LEFT JOIN top USING (doc_id)
+    """,
+)
+def q90(spark, sf_dir):
+    """Repetition-based quality filters (Gopher-style): duplicate-token
+    fraction (pure expression) and most-frequent-bigram fraction (explode
+    + two partial-aggregated hash aggs — cost ∝ token count). The classic
+    boilerplate/spam signals a pretraining filter needs beyond n-gram
+    dedup."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -302,3 +302,23 @@ def test_contamination_flags_and_decontaminate(spark):
     assert flags == {10: 1, 11: 0, 12: 0}
     kept = sorted(r.doc_id for r in decontaminate(docs, bench).collect())
     assert kept == [11, 12]
+
+
+def test_repetition_stats(spark):
+    from polars_dataset_spark.functions import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),
+            (1, "all tokens here are unique words"),
+            (2, "one"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_repetition_stats(docs).collect()}
+    assert out[0].dup_token_frac == pytest.approx(0.75)  # 1 distinct of 4
+    assert out[0].top_bigram_frac == pytest.approx(1.0)  # "spam spam" is every bigram
+    assert out[1].dup_token_frac == 0.0
+    assert out[1].top_bigram_frac == pytest.approx(1 / 5)
+    assert out[2].top_bigram_frac == 0.0 and out[3].dup_token_frac == 0.0
