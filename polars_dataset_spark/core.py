@@ -552,11 +552,24 @@ class Dataset:
         cols = {c: F.col(c).cast(t) for c, t in mapping.items()}
         return self._rewrap(self._df.withColumns(cols))
 
-    def explode(self, *cols) -> "Dataset":
+    def explode(self, *cols, outer: bool = False) -> "Dataset":
+        """Explode list columns; ``outer=True`` keeps rows whose array is
+        null/empty as a single null row (polars keeps them too)."""
+        fn = F.explode_outer if outer else F.explode
         df = self._df
         for c in cols:
-            df = df.withColumn(c, F.explode(c))
+            df = df.withColumn(c, fn(c))
         return self._rewrap(df)
+
+    def null_count(self) -> DataFrame:
+        """Single-row frame of per-column null counts (polars
+        ``null_count``). One aggregate job; NaN is NOT null (duality)."""
+        return self._df.agg(
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                for c in self._df.columns
+            ]
+        )
 
     def vstack(self, other) -> "Dataset":
         other_df = other._df if isinstance(other, Dataset) else other

@@ -34,6 +34,8 @@ from polars_dataset_spark.functions.sampling import (
     hash_sample,
     hash_sample_by,
     stratified_sample,
+    temperature_mix,
+    take_until_token_budget,
 )
 from polars_dataset_spark.functions.packing import pack_sequences
 from polars_dataset_spark.functions.pipeline import clean_corpus, corpus_report
@@ -76,5 +78,7 @@ __all__ = [
     "hash_sample",
     "hash_sample_by",
     "stratified_sample",
+    "temperature_mix",
+    "take_until_token_budget",
     "pack_sequences",
 ]

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "hash_sample_by", "stratified_sample"]
+__all__ = [
+    "hash_sample",
+    "hash_sample_by",
+    "stratified_sample",
+    "temperature_mix",
+    "take_until_token_budget",
+]
 
 
 def _hash_key(id_col: str, salt: str) -> "F.Column":
@@ -69,6 +75,72 @@ def hash_sample_by(
             thr
         )
     return df.filter(bucket < thr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    temperature: float = 0.7,
+    target_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted source mixing (the standard pretraining
+    recipe: sample source s proportionally to ``count(s)^T``, T<1
+    up-weighting small sources). Computes per-stratum keep-rates from the
+    observed counts so the OVERALL kept fraction ≈ ``target_fraction``,
+    then applies them with the deterministic per-stratum id-hash filter
+    (:func:`hash_sample_by` — map-only, reproducible, nested).
+
+    One count aggregation (tiny result: one row per stratum collected to
+    the driver) + one map-only filter; no data-sized shuffle."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s")).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df
+    weights = {s: n**temperature for s, n in counts.items()}
+    wsum = sum(weights.values())
+    budget = target_fraction * total
+    # rate_s = budget · w_s / (Σw) / n_s, capped at 1 (a small source may
+    # be fully kept; the shortfall is accepted rather than re-normalized
+    # so rates stay monotone in target_fraction — nested-sample property)
+    fractions = {
+        s: min(1.0, budget * weights[s] / wsum / counts[s]) for s in counts
+    }
+    return hash_sample_by(df, id_col, strata_col, fractions, default=0.0, salt=salt)
+
+
+def take_until_token_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus truncation to a global token budget: documents
+    are taken in id-hash priority order until their cumulative token count
+    would exceed ``budget`` (a doc is kept iff the budget covers every
+    hash-earlier doc plus itself — exact, order-stable, retry-stable).
+
+    One global window over the hash order. The sort is the inherent cost
+    of an exact global cutoff; for approximate cutoffs at extreme scale,
+    :func:`hash_sample` with fraction ≈ budget/total_tokens is the
+    shuffle-free alternative."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = Window.orderBy(_hash_key(id_col, salt), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(tokens_col).cast("long")).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
 
 
 def stratified_sample(

@@ -2628,6 +2628,71 @@ def q90(spark, sf_dir):
     )
 
 
+@query(
+    "q91_temperature_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+    w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.7) AS wt FROM c),
+    ws AS (SELECT sum(wt) AS wsum FROM w),
+    r AS (
+      SELECT w.source,
+             least(1.0, (0.5 * t.total) * w.wt / ws.wsum / w.n) AS rate,
+             printf('%015x',
+               CAST(trunc(least(1.0, (0.5 * t.total) * w.wt / ws.wsum / w.n)
+                          * 1152921504606846976.0) AS BIGINT)) AS thr
+      FROM w, t, ws)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE r.rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) < r.thr
+    """,
+)
+def q91(spark, sf_dir):
+    """Temperature-weighted source mixing (the standard pretraining
+    recipe: keep-rate ∝ count^T / count, T=0.7 up-weighting small
+    sources, scaled so overall keep ≈ 50%). One tiny count aggregation +
+    a map-only deterministic id-hash filter; the oracle recomputes the
+    exact rates and replays the same md5-threshold in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "doc_id", "source", temperature=0.7, target_fraction=0.5)
+    return out.select("doc_id", "source")
+
+
+@query(
+    "q92_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, n_tokens FROM c WHERE cum <= 20000
+    """,
+)
+def q92(spark, sf_dir):
+    """Deterministic global token-budget truncation: docs taken in
+    id-hash priority order until the cumulative BPE-ish token count
+    would pass 20k — exact, order/retry-stable (md5 is engine-portable,
+    so even the selected SET is oracle-checked)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import take_until_token_budget, with_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = with_token_count(docs, mode="bpe")
+    out = take_until_token_budget(counted, 20_000, "n_tokens", "doc_id")
+    return out.select("doc_id", "n_tokens")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -117,3 +117,38 @@ def test_pack_sequences_single_stream_and_validation(spark):
     assert rows == {1: (0, 0), 2: (0, 100), 3: (0, 200)}
     with pytest.raises(ValueError):
         pack_sequences(df, 0, "n_tok", "doc_id")
+
+
+def test_temperature_mix_upweights_small_sources(spark, sf_dir):
+    from polars_dataset_spark.functions import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    mixed = temperature_mix(docs, "doc_id", "source", temperature=0.5, target_fraction=0.5)
+    after = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total_b, total_a = sum(before.values()), sum(after.values())
+    assert 0.3 * total_b < total_a < 0.7 * total_b  # overall ≈ target
+    # keep-RATE must be higher for smaller sources (that's the point of T<1)
+    rates = {s: after.get(s, 0) / before[s] for s in before}
+    smallest = min(before, key=before.get)
+    largest = max(before, key=before.get)
+    assert rates[smallest] >= rates[largest]
+    # determinism
+    again = temperature_mix(docs, "doc_id", "source", temperature=0.5, target_fraction=0.5)
+    assert again.count() == mixed.count()
+
+
+def test_take_until_token_budget_exact(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(20)), "n_tokens": [10] * 20})
+    )
+    from polars_dataset_spark.functions import take_until_token_budget
+
+    out = take_until_token_budget(docs, 55, "n_tokens", "doc_id")
+    assert out.count() == 5  # 5 docs × 10 tokens = 50 ≤ 55 < 60
+    assert take_until_token_budget(docs, 0, "n_tokens", "doc_id").count() == 0
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in take_until_token_budget(docs, 55, "n_tokens", "doc_id").collect())
+    assert a == b  # deterministic set
