@@ -29,14 +29,16 @@ __all__ = ["pack_sequences"]
 
 
 def _global_prefix_sum(
-    df: DataFrame, tokens_col: str, order_col: str, num_parts: int
+    df: DataFrame, tokens_col: str, order_col: str | list[str], num_parts: int
 ) -> DataFrame:
     """Exact global running total of ``tokens_col`` in ``order_col``
-    order, without a single-partition window: range partitions preserve
-    global order between partitions, so each row's global prefix =
-    (sum of all earlier partitions' totals) + (its within-partition
-    prefix). The only driver-side data is one total per partition."""
-    d = df.repartitionByRange(num_parts, F.col(order_col)).withColumn(
+    order (a column name or list of names), without a single-partition
+    window: range partitions preserve global order between partitions,
+    so each row's global prefix = (sum of all earlier partitions'
+    totals) + (its within-partition prefix). The only driver-side data
+    is one total per partition."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    d = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
     d = d.localCheckpoint(eager=False)  # pin partition ids across reuse
@@ -56,7 +58,7 @@ def _global_prefix_sum(
     ) if offsets else F.lit(0)
     w = (
         Window.partitionBy("__pid")
-        .orderBy(F.col(order_col))
+        .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return d.withColumn(

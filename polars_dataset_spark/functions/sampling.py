@@ -127,19 +127,25 @@ def take_until_token_budget(
     would exceed ``budget`` (a doc is kept iff the budget covers every
     hash-earlier doc plus itself — exact, order-stable, retry-stable).
 
-    One global window over the hash order. The sort is the inherent cost
-    of an exact global cutoff; for approximate cutoffs at extreme scale,
+    The exact global cutoff needs a global running total, but NOT a
+    single-partition window: this reuses the two-pass distributed prefix
+    sum from sequence packing (range-partition on the hash order,
+    per-partition totals — one tiny #partitions-row aggregate — then
+    within-partition windows offset by the earlier partitions' totals).
+    No single-reducer stage at any corpus size. For approximate cutoffs,
     :func:`hash_sample` with fraction ≈ budget/total_tokens is the
     shuffle-free alternative."""
+    from polars_dataset_spark.functions.packing import _global_prefix_sum
+
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    w = Window.orderBy(_hash_key(id_col, salt), F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, 0
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = df.withColumn("__key", _hash_key(id_col, salt)).withColumn(
+        "__tok", F.col(tokens_col).cast("long")
     )
+    out = _global_prefix_sum(d, "__tok", ["__key", id_col], max(parts, 1))
     return (
-        df.withColumn("__cum", F.sum(F.col(tokens_col).cast("long")).over(w))
-        .filter(F.col("__cum") <= budget)
-        .drop("__cum")
+        out.filter(F.col("__cum") <= budget).drop("__cum", "__key", "__tok", "__pid")
     )
 
 

@@ -114,10 +114,6 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q53_window_distribution": {"SINGLE_PART"},
         "q55_slice": {"SINGLE_PART"},
         "q81_sample_exact_n": {"SINGLE_PART"},
-        # exact global budget cutoff: the one global window is the
-        # documented inherent cost (hash_sample is the shuffle-free
-        # approximate alternative)
-        "q92_token_budget": {"SINGLE_PART"},
     }
     problems = []
     for name, fn in suite.QUERIES.items():
