@@ -125,23 +125,32 @@ def with_repetition_stats(
     needs a per-(doc, gram) count: explode + two hash aggregations —
     shuffle keyed by (doc, gram), partial-aggregated map-side, so the
     cost is ∝ corpus token count, never pairwise."""
-    tokens = tokenize(F.col(text_col))
-    dup = F.when(
-        F.size(tokens) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens),
-    ).otherwise(F.lit(0.0))
-    base = df.withColumn("dup_token_frac", dup)
+    from polars_dataset_spark.session import ensure_parallelism
 
-    # bigrams from the token ARRAY (order-exact, no window needed): the
-    # 2-ary transform lambda receives (element, index) — deliberate here
+    df = ensure_parallelism(df)  # bigram explode + partial agg are map-heavy
+    # materialize the token array ONCE: interpreted higher-order lambdas
+    # re-evaluate a referenced expression tree per ELEMENT, so pointing
+    # them at the raw `tokenize(text)` expression costs an O(n) regex
+    # split per token — O(n²) per doc (measured 7× on this operator)
+    toks = F.col("__toks")
+    df = df.withColumn("__toks", tokenize(F.col(text_col)))
+    dup = F.when(
+        F.size(toks) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    base = df.withColumn("dup_token_frac", dup).drop("__toks")
+
+    # adjacent bigrams = element-wise zip of the array with itself shifted
+    # by one (two O(n) slices), never a per-element array lookup
     bigrams = df.select(
         F.col(id_col),
         F.explode(
             F.when(
-                F.size(tokens) >= 2,
-                F.transform(
-                    F.slice(tokens, 1, F.size(tokens) - 1),
-                    lambda t, i: F.concat_ws(" ", t, F.element_at(tokens, i + 2)),
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("__g"),

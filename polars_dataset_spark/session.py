@@ -46,6 +46,27 @@ def get_spark(app_name: str = "polars_dataset_spark", shuffle_partitions: int | 
     return spark
 
 
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Round-robin repartition a DataFrame whose plan currently yields
+    fewer partitions than the session's core count — used by operators
+    whose next stage does heavy per-row work OUTSIDE a shuffle (Arrow
+    pandas-UDF batches, big explodes feeding partial aggregation).
+
+    A narrow scan of one small file (or one parquet row group — file
+    splitting cannot cut inside a row group) produces ONE partition, so
+    every map stage built on it runs on one core no matter how many the
+    executor has. On a real cluster with many input files this is a
+    no-op; on skewed/few-file inputs it costs one small shuffle of the
+    raw bytes and buys full map-side parallelism. Cheap-expression
+    pipelines should NOT call this — for them the shuffle outweighs the
+    map work."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine defaults to an externally provided
     session (e.g. the verification driver's). Only touches dynamic confs."""
