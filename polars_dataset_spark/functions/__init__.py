@@ -16,6 +16,7 @@ from polars_dataset_spark.functions.dedup import (
     minhash_dedup,
     simhash,
     simhash_dedup,
+    simhash_dedup_portable,
     ngram_jaccard_pairs,
     embedding_neardup,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "simhash_dedup",
+    "simhash_dedup_portable",
     "ngram_jaccard_pairs",
     "embedding_neardup",
     "cosine_topk",

@@ -56,6 +56,7 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "simhash_dedup",
+    "simhash_dedup_portable",
     "ngram_jaccard_pairs",
     "embedding_neardup",
 ]
@@ -327,6 +328,111 @@ def minhash_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash_dedup_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup removal with an ENGINE-PORTABLE hash: token bits
+    come from the md5 hex digest (every engine agrees on md5), extracted
+    per-nibble with substring + strpos arithmetic — so an external SQL
+    engine can replay the exact same simhashes, pair set, and survivor
+    set, value-for-value.
+
+    Construction (classic Charikar, tf-weighted): explode tokens →
+    per-(doc, token) counts → 64 codegen'd ± vote sums → the 64 sign bits
+    packed into ``max_hamming + 1`` SMALL integer chunks (16-bit here, so
+    no 64-bit overflow anywhere under ANSI mode). Candidates must agree
+    on ≥1 chunk (pigeonhole — recall is EXACTLY 1 for hamming ≤ k, not
+    probabilistic), verified with ``bit_count(xor)`` over the chunks.
+    Same two-shuffle + band-join scale shape as :func:`simhash_dedup`;
+    the fast path hashes Arrow-side instead and stays rows-only."""
+    from polars_dataset_spark.session import ensure_parallelism
+    from polars_dataset_spark.functions.text import tokenize as _tok
+
+    chunks = max_hamming + 1
+    if 64 % chunks:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // chunks
+    if width > 30:
+        raise ValueError("chunk width must fit an int: max_hamming >= 2 required")
+
+    df = ensure_parallelism(df)
+    tf = (
+        df.withColumn("__toks", _tok(F.col(text_col)))
+        .select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__c"))
+        .withColumn("__h", F.md5(F.col("__t")))
+    )
+
+    def bit(j: int):
+        nib = F.expr(f"instr('0123456789abcdef', substring(__h, {j // 4 + 1}, 1)) - 1")
+        return F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+
+    votes = tf.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("__c") * (bit(j) * 2 - F.lit(1))).alias(f"__v{j}")
+            for j in range(64)
+        ]
+    )
+    chunk_cols = [
+        sum(
+            [
+                F.when(F.col(f"__v{k * width + p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+                for p in range(width)
+            ],
+            F.lit(0),
+        ).alias(f"__ch{k}")
+        for k in range(chunks)
+    ]
+    sh = votes.select(F.col(id_col), *chunk_cols).persist()
+
+    banded = sh.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("chunk"), F.col(f"__ch{k}").alias("val"))
+                    for k in range(chunks)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.chunk", "__b.val")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["chunk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"__ch{k}").alias(f"__a{k}") for k in range(chunks)],
+    )
+    shb = sh.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"__ch{k}").alias(f"__b{k}") for k in range(chunks)],
+    )
+    ham = sum(
+        [
+            F.bit_count(F.col(f"__a{k}").bitwiseXOR(F.col(f"__b{k}")))
+            for k in range(chunks)
+        ],
+        F.lit(0),
+    )
+    pairs = (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .filter(ham <= max_hamming)
+        .select("id_b")
+        .distinct()
+    )
+    out = df.join(pairs.withColumnRenamed("id_b", id_col), on=id_col, how="left_anti")
+    return _swap_cache(out, sh)
 
 
 @F.pandas_udf(T.LongType())

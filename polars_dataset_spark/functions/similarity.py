@@ -65,6 +65,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     train_cap: int = 65_536,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the clustered-corpus
     scale path beside :func:`lsh_bucketed_topk`.
@@ -88,10 +89,15 @@ def ivf_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    sample = corpus.select(F.col(vec_col)).limit(train_cap).toPandas()
-    centers = _lloyd_kmeans(
-        np.stack(sample[vec_col].to_numpy()).astype(np.float64), n_cells, seed
-    )
+    if centroids is not None:
+        # explicit coarse quantizer (pre-trained elsewhere, or fixed
+        # vectors for reproducible/oracle-checkable assignment)
+        centers = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample = corpus.select(F.col(vec_col)).limit(train_cap).toPandas()
+        centers = _lloyd_kmeans(
+            np.stack(sample[vec_col].to_numpy()).astype(np.float64), n_cells, seed
+        )
 
     @F.pandas_udf(T.IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:
@@ -110,7 +116,9 @@ def ivf_topk(
     def near_cells(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        # stable: equal distances keep ascending cell order (matches the
+        # ORDER BY distance, cell tie rule an external replication uses)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
     p = probes.select(

@@ -1053,13 +1053,67 @@ def q37(spark, sf_dir):
     return minhash_lsh_candidates(docs, threshold=0.6)
 
 
-@query("q38_simhash_dedup")
+def _simhash_votes_sql() -> str:
+    vote = lambda j: (
+        f"sum(c * (2 * ((strpos('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+        f" >> {3 - j % 4} & 1) - 1)) AS v{j}"
+    )
+    return ",\n             ".join(vote(j) for j in range(64))
+
+
+def _simhash_chunks_sql(chunks: int = 4) -> str:
+    width = 64 // chunks
+    expr = lambda k: (
+        " + ".join(
+            f"(CASE WHEN v{k * width + p} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(width)
+        )
+        + f" AS ch{k}"
+    )
+    return ",\n             ".join(expr(k) for k in range(chunks))
+
+
+@query(
+    "q38_simhash_dedup",
+    rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END) AS t
+      FROM d),
+    tf AS (
+      SELECT doc_id, t, count(*) AS c, md5(t) AS h FROM tok GROUP BY doc_id, t),
+    votes AS (
+      SELECT doc_id,
+             {{VOTES}}
+      FROM tf GROUP BY doc_id),
+    ch AS (
+      SELECT doc_id,
+             {{CHUNKS}}
+      FROM votes),
+    losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM ch a JOIN ch b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ch0, b.ch0)) + bit_count(xor(a.ch1, b.ch1))
+          + bit_count(xor(a.ch2, b.ch2)) + bit_count(xor(a.ch3, b.ch3)) <= 3)
+    SELECT doc_id, source, lang FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """.replace("{VOTES}", _simhash_votes_sql()).replace("{CHUNKS}", _simhash_chunks_sql()),
+)
 def q38(spark, sf_dir):
-    """SimHash hamming-band dedup survivors (blake2b token hashes are not
-    reproducible in DuckDB SQL — rows-only; pytest covers semantics)."""
+    """SimHash hamming-band dedup survivors, FULL value oracle: the
+    engine-portable construction (md5-nibble bits, tf-weighted votes,
+    16-bit chunks) replays exactly in SQL, and the oracle needs no
+    banding at all — pigeonhole blocking has recall exactly 1 for
+    hamming <= k, so the brute-force O(n²) pair set the oracle computes
+    IS the operator's pair set."""
     _prep(spark)
+    from polars_dataset_spark.functions import simhash_dedup_portable
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_dedup(docs, max_hamming=3).select("doc_id", "source", "lang")
+    return simhash_dedup_portable(docs, max_hamming=3).select("doc_id", "source", "lang")
 
 
 @query(
@@ -1613,17 +1667,56 @@ def q57(spark, sf_dir):
     return with_token_count(docs, mode="bpe").select("doc_id", "n_tokens")
 
 
-@query("q58_ivf_topk")
+@query(
+    "q58_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+          FROM embeddings),
+    dist AS (
+      SELECT e.vec_id, cent.cell, list_distance(e.ev, cent.cv) AS d
+      FROM e, cent),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cell FROM dist
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+    pcells AS (
+      SELECT vec_id AS query_id, cell FROM dist WHERE vec_id < 10
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 3),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id
+      FROM pcells p JOIN assign a USING (cell)
+      WHERE a.neighbor_id <> p.query_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.ev, n.ev), 6) AS cosine
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
 def q58(spark, sf_dir):
-    """IVF approximate cosine top-k: KMeans coarse quantizer + probed-cell
-    exact re-rank (the clustered-corpus ANN path; rows-only — the model
-    training is not SQL-expressible)."""
+    """IVF approximate cosine top-k: coarse quantizer + probed-cell exact
+    re-rank (the clustered-corpus ANN path). The quantizer here is FIXED
+    (centroids = the first 8 corpus vectors) so the whole pipeline —
+    nearest-centroid assignment (squared-L2, ties to the lower cell),
+    3-cell probing, in-cell exact cosine rank — replays exactly in SQL;
+    production use omits ``centroids`` and gets the sampled-KMeans
+    quantizer (same plan shape, driver-trained on a bounded sample)."""
     _prep(spark)
     from polars_dataset_spark.functions import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(probes, emb, k=5, n_cells=8, n_probe=3)
+    cents = [r["embedding"] for r in emb.filter(F.col("vec_id") < 8)
+             .orderBy("vec_id").select("embedding").collect()]
+    return ivf_topk(probes, emb, k=5, n_cells=8, n_probe=3, centroids=cents)
 
 
 @query(

@@ -322,3 +322,13 @@ def test_repetition_stats(spark):
     assert out[1].dup_token_frac == 0.0
     assert out[1].top_bigram_frac == pytest.approx(1 / 5)
     assert out[2].top_bigram_frac == 0.0 and out[3].dup_token_frac == 0.0
+
+
+def test_simhash_portable_matches_semantics(docs):
+    from polars_dataset_spark.functions import simhash_dedup_portable
+
+    # exact dups (0/1/5 share text) have hamming 0 -> larger ids dropped;
+    # unrelated docs 3/4 survive
+    kept = sorted(r.doc_id for r in simhash_dedup_portable(docs, max_hamming=3).collect())
+    assert 0 in kept and 1 not in kept and 5 not in kept
+    assert 3 in kept and 4 in kept
