@@ -351,7 +351,6 @@ def simhash_dedup_portable(
     Same two-shuffle + band-join scale shape as :func:`simhash_dedup`;
     the fast path hashes Arrow-side instead and stays rows-only."""
     from polars_dataset_spark.session import ensure_parallelism
-    from polars_dataset_spark.functions.text import tokenize as _tok
 
     chunks = max_hamming + 1
     if 64 % chunks:
@@ -361,35 +360,63 @@ def simhash_dedup_portable(
         raise ValueError("chunk width must fit an int: max_hamming >= 2 required")
 
     df = ensure_parallelism(df)
-    tf = (
-        df.withColumn("__toks", _tok(F.col(text_col)))
-        .select(F.col(id_col), F.explode("__toks").alias("__t"))
-        .groupBy(id_col, "__t")
-        .agg(F.count("*").alias("__c"))
-        .withColumn("__h", F.md5(F.col("__t")))
+
+    # The whole signature — tokenize, md5 per UNIQUE token, 64 tf-weighted
+    # vote sums, sign-bit chunk packing — is ONE map-only Arrow batch
+    # (earlier revisions tried explode + 64 codegen'd sums: correct, but
+    # Catalyst analysis + janino compile of the 64-expression aggregate
+    # cost ~10 s per cold plan, dwarfing the data). Bit semantics are the
+    # oracle's exactly: bytes of the UTF-8 md5 digest, big-endian,
+    # MSB-first (== the per-hex-nibble rule the SQL states); tokens =
+    # ASCII-\s+ split of space-trimmed lower text, with a '' token for
+    # empty docs (DuckDB string_split parity). Python touches each unique
+    # token once per batch; votes are numpy (unpackbits + reduceat).
+    out_type = T.StructType(
+        [T.StructField(f"ch{k}", T.IntegerType()) for k in range(chunks)]
     )
 
-    def bit(j: int):
-        nib = F.expr(f"instr('0123456789abcdef', substring(__h, {j // 4 + 1}, 1)) - 1")
-        return F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+    @F.pandas_udf(out_type)
+    def simhash_chunks(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+        import re
 
-    votes = tf.groupBy(id_col).agg(
-        *[
-            F.sum(F.col("__c") * (bit(j) * 2 - F.lit(1))).alias(f"__v{j}")
-            for j in range(64)
-        ]
+        ws = re.compile(r"\s+", re.ASCII)
+        toks_per_doc = []
+        for s in texts:
+            norm = ws.sub(" ", (s or "").strip(" ").lower())
+            toks_per_doc.append(norm.split(" ") if norm else [""])
+        if not toks_per_doc:
+            return pd.DataFrame(
+                {f"ch{k}": pd.array([], dtype="int32") for k in range(chunks)}
+            )
+        lens = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_per_doc])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        digests = np.empty((len(uniq), 8), dtype=np.uint8)
+        for i, t in enumerate(uniq):
+            digests[i] = np.frombuffer(
+                hashlib.md5(t.encode()).digest()[:8], dtype=np.uint8
+            )
+        signs = np.unpackbits(digests, axis=1).astype(np.int32) * 2 - 1  # (uniq, 64)
+        votes = np.add.reduceat(signs[inv], starts, axis=0)  # (docs, 64)
+        pos = votes > 0
+        out = {}
+        for k in range(chunks):
+            val = np.zeros(len(toks_per_doc), dtype=np.int32)
+            for p in range(width):
+                val |= pos[:, k * width + p].astype(np.int32) << p
+            out[f"ch{k}"] = val
+        return pd.DataFrame(out)
+
+    sh = (
+        df.select(F.col(id_col), simhash_chunks(F.col(text_col)).alias("__s"))
+        .select(
+            F.col(id_col),
+            *[F.col(f"__s.ch{k}").alias(f"__ch{k}") for k in range(chunks)],
+        )
+        .persist()
     )
-    chunk_cols = [
-        sum(
-            [
-                F.when(F.col(f"__v{k * width + p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
-                for p in range(width)
-            ],
-            F.lit(0),
-        ).alias(f"__ch{k}")
-        for k in range(chunks)
-    ]
-    sh = votes.select(F.col(id_col), *chunk_cols).persist()
 
     banded = sh.select(
         id_col,
