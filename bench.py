@@ -64,11 +64,16 @@ def main() -> None:
         "q63_connected_components",
         "q60_clean_corpus",
         "q64_dedup_components",
+        "q58_ivf_topk",
         "q41_fourier",
-        "q65_salted_join",
+        "q38_simhash_dedup",
+        "q76_regrid_uniform",
+        "q77_fourier_spline",
+        "q59_group_by_dynamic",
         "q37_minhash_pairs",
-        "q40_regrid",
         "q36_neardup_lsh",
+        "q65_salted_join",
+        "q40_regrid",
     ]
     ordered = [(n, queries[n]) for n in heavy if n in queries]
     ordered += [it for it in queries.items() if it[0] not in heavy]

@@ -107,7 +107,11 @@ def connected_components(
     join back ``how="left"`` + ``coalesce(component, id)`` if needed.
     """
     # eager=False: the fingerprint action doubles as the checkpoint
-    # materialization — one job per round, not two.
+    # materialization — one job per round, not two. (Pairing two
+    # contractions per checkpoint was tried and is a net LOSS: the
+    # unrolled plan doubles in depth and Catalyst's per-round planning
+    # cost grows superlinearly with plan size, outweighing the saved
+    # fixed overhead.)
     e = _canonicalize(edges, id_a, id_b).localCheckpoint(eager=False)
     prev = _fingerprint(e)
     for _ in range(max_iter):
