@@ -2786,6 +2786,234 @@ def q92(spark, sf_dir):
     return out.select("doc_id", "n_tokens")
 
 
+# Shared DuckDB tokenization CTE fragment (parity with functions.text
+# tokenize(): ASCII-\s+ split of space-trimmed lowered text; empty text →
+# no token rows, matching explode of an empty array).
+_TOK_CTE = r"""
+    d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+      FROM d WHERE norm <> '')
+"""
+
+
+@query(
+    "q93_chunk_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    m AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE (len(toks) - 64 + 47) // 48 + 1 END AS nc
+      FROM t)
+    SELECT doc_id, unnest(range(0, nc)) AS chunk_idx,
+           array_to_string(toks[unnest(range(0, nc))*48+1
+                                : least(unnest(range(0, nc))*48+64, n)], ' ') AS chunk_text,
+           len(toks[unnest(range(0, nc))*48+1
+                    : least(unnest(range(0, nc))*48+64, n)]) AS n_tokens
+    FROM m
+    """,
+)
+def q93(spark, sf_dir):
+    """Context-window chunking: overlapping 64-token windows, stride 48
+    (functions/corpus.py chunk_documents) — the segmentation step of a
+    pretraining pipeline. Map-only explode; the oracle replays the exact
+    window arithmetic over DuckDB list slices."""
+    _prep(spark)
+    from polars_dataset_spark.functions import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64, overlap=16)
+
+
+@query(
+    "q94_vocab_oov",
+    rf"""
+    WITH {_TOK_CTE},
+    v AS (
+      SELECT token FROM tok GROUP BY token
+      ORDER BY count(*) DESC, token LIMIT 20)
+    SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS n_oov,
+           round(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END)::DOUBLE
+                 / count(*), 6) AS oov_frac
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q94(spark, sf_dir):
+    """Vocabulary build (top-20 tokens by corpus frequency, lexicographic
+    ties) + per-document out-of-vocabulary accounting. The vocab is
+    broadcast against the token stream — one aggregation + TakeOrdered
+    for the build, map-side join + per-doc agg for the accounting."""
+    _prep(spark)
+    from polars_dataset_spark.functions import build_vocab, with_oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_v=20)
+    return with_oov_rate(docs, vocab)
+
+
+@query(
+    "q95_surprisal",
+    rf"""
+    WITH {_TOK_CTE},
+    f AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM f),
+    b AS (SELECT token,
+                 CAST(round(log2(total::DOUBLE / cnt), 7) AS DECIMAL(20,7)) AS bits
+          FROM f, tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(bits) AS DOUBLE) / count(*), 4) AS surprisal_bits
+    FROM tok JOIN b USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q95(spark, sf_dir):
+    """Unigram-LM surprisal per document (mean -log2 p(token) under the
+    corpus unigram distribution) — the classic cheap perplexity-style
+    quality signal. Per-token bits rounded to 7 and summed as DECIMAL so
+    the mean is partitioning- and engine-stable."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_surprisal(docs)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "q96_pii_redaction",
+    rf"""
+    WITH s AS (
+      SELECT doc_id,
+             'contact user' || doc_id || '@example.com or 10.0.'
+               || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+               || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ' || text AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones
+    FROM s
+    """,
+)
+def q96(spark, sf_dir):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phone forms →
+    <PHONE>) with per-type match counts. The fixture corpus carries no
+    PII, so both sides deterministically synthesize an email, IP, and
+    phone from doc_id before scrubbing — the oracle checks the full
+    redacted text, not just the counts. RE2-and-Java-compatible
+    patterns; map-only codegen'd regexes."""
+    _prep(spark)
+    from polars_dataset_spark.functions import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return redact_pii(synth).select(
+        "doc_id", "text_redacted", "n_emails", "n_ips", "n_phones"
+    )
+
+
+@query(
+    "q97_tfidf_topk",
+    rf"""
+    WITH {_TOK_CTE},
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+    SELECT doc_id, token, tf, df_t,
+           round(tf * ln(n::DOUBLE / df_t), 6) AS tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tf DESC, df_t, token) AS rank
+    FROM tf JOIN dfreq USING (token), nd
+    QUALIFY rank <= 3
+    """,
+)
+def q97(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf. Rank order is
+    INTEGER-deterministic (tf desc, doc-frequency asc, token asc); the
+    float tf-idf rides along as a value column but never decides order,
+    so the result replays exactly on any engine."""
+    _prep(spark)
+    from polars_dataset_spark.functions import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "q98_chunk_dedup",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    m AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nc
+      FROM t),
+    c AS (
+      SELECT doc_id, unnest(range(0, nc)) AS chunk_idx,
+             array_to_string(toks[unnest(range(0, nc))*24+1
+                                  : least(unnest(range(0, nc))*24+32, n)], ' ') AS chunk_text,
+             len(toks[unnest(range(0, nc))*24+1
+                      : least(unnest(range(0, nc))*24+32, n)]) AS n_tokens
+      FROM m)
+    SELECT doc_id, chunk_idx, n_tokens
+    FROM (SELECT *, row_number() OVER (PARTITION BY chunk_text
+                                       ORDER BY doc_id, chunk_idx) AS rn FROM c)
+    WHERE rn = 1
+    """,
+)
+def q98(spark, sf_dir):
+    """Passage-level exact dedup (C4/RefinedWeb-style): 32-token windows
+    with stride 24, keep the first occurrence of every distinct chunk
+    text — chunking composed with a hash-partitioned keep-first window."""
+    _prep(spark)
+    from polars_dataset_spark.functions import chunk_documents, dedup_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=32, overlap=8)
+    return dedup_chunks(chunks).select("doc_id", "chunk_idx", "n_tokens")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
