@@ -7,10 +7,18 @@ from polars_dataset_spark.streaming.ops import (
     stream_dedup,
     run_stream_to_memory,
 )
+from polars_dataset_spark.streaming.corpus_stream import (
+    clean_stream,
+    read_documents_stream,
+    trending_tokens,
+)
 from polars_dataset_spark.streaming.stateful import running_trace_stats
 from polars_dataset_spark.streaming.regrid_stream import regrid_stream
 
 __all__ = [
+    "clean_stream",
+    "read_documents_stream",
+    "trending_tokens",
     "interval_join",
     "regrid_stream",
     "read_events_stream",

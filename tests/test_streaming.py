@@ -185,3 +185,82 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, events):
     assert got.count() == batch.count()
     assert got.select(key).subtract(batch.select(key)).count() == 0
     assert batch.select(key).subtract(got.select(key)).count() == 0
+
+
+def test_clean_stream_matches_batch(spark, sf_dir):
+    from polars_dataset_spark.streaming import clean_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = clean_stream(docs)
+    batch_rows = batch.collect()
+    # batch twin: survivor SET of texts == exact_dedup's after the gates
+    from polars_dataset_spark.functions import exact_dedup
+    from polars_dataset_spark.functions.text import with_language_id, with_quality_score
+
+    ref = exact_dedup(
+        with_language_id(
+            with_quality_score(docs).filter(F.col("quality") >= 0.5)
+        ),
+        subset="text",
+        id_col="doc_id",
+    )
+    assert len(batch_rows) == ref.count()
+
+    from polars_dataset_spark.streaming import read_documents_stream
+
+    st = read_documents_stream(spark, f"{sf_dir}/documents.parquet").withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    out = clean_stream(st, ts_col="ts")
+    assert out.isStreaming
+    from polars_dataset_spark.streaming import run_stream_to_memory
+
+    run_stream_to_memory(out, "t_clean_stream", output_mode="append")
+    stream_rows = spark.sql("select * from t_clean_stream").collect()
+    # same survivor text set and per-doc token counts, whatever the arrival order
+    b = sorted((r.text, r.n_tokens) for r in batch_rows)
+    s = sorted((r.text, r.n_tokens) for r in stream_rows)
+    assert b == s
+
+
+def test_trending_tokens_stream_matches_batch(spark, sf_dir):
+    from polars_dataset_spark.streaming import run_stream_to_memory, trending_tokens
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=((F.col("doc_id") % 48) * 300).cast("double")),
+    )
+    batch = trending_tokens(docs, "ts", window="1 hour")
+    from polars_dataset_spark.streaming import read_documents_stream
+
+    st = read_documents_stream(spark, f"{sf_dir}/documents.parquet").withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=((F.col("doc_id") % 48) * 300).cast("double")),
+    )
+    sout = trending_tokens(st, "ts", window="1 hour", watermark="0 seconds")
+    run_stream_to_memory(sout, "t_trend", output_mode="append")
+    srows = spark.sql("select * from t_trend").collect()
+    bmap = {(r.window_start, r.token): r.n for r in batch.collect()}
+    # watermark 0: every closed window must agree exactly with batch
+    assert srows
+    for r in srows:
+        assert bmap[(r.window_start, r.token)] == r.n
+    # top-3 per emitted window (ranked downstream of the sink) is consistent
+    import collections
+
+    per_window = collections.defaultdict(list)
+    for r in srows:
+        per_window[r.window_start].append((-r.n, r.token))
+    for w, toks in per_window.items():
+        top = [t for _, t in sorted(toks)[:3]]
+        btop = [
+            t
+            for _, t in sorted(
+                (-n, t) for (ws, t), n in bmap.items() if ws == w
+            )[:3]
+        ]
+        assert top == btop
