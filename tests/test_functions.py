@@ -332,3 +332,63 @@ def test_simhash_portable_matches_semantics(docs):
     kept = sorted(r.doc_id for r in simhash_dedup_portable(docs, max_hamming=3).collect())
     assert 0 in kept and 1 not in kept and 5 not in kept
     assert 3 in kept and 4 in kept
+
+
+def _wav_bytes(rate=8000, freq=440.0, secs=0.25, bits=16, channels=1, amp=0.5):
+    import struct
+
+    import numpy as np
+
+    n = int(rate * secs)
+    t = np.arange(n) / rate
+    sig = amp * np.sin(2 * np.pi * freq * t)
+    frames = np.repeat(sig[:, None], channels, axis=1)
+    if bits == 16:
+        raw = (frames * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+    else:
+        raw = ((frames * 128.0) + 128.0).clip(0, 255).astype("u1").tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    data = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+
+def test_decode_audio_wav_real(spark):
+    from polars_dataset_spark.functions import decode_audio
+
+    rows = [
+        (0, bytearray(_wav_bytes())),                       # 16-bit mono sine
+        (1, bytearray(_wav_bytes(bits=8, channels=2))),     # 8-bit stereo
+        (2, bytearray(b"not audio at all")),                # unparseable
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in decode_audio(df).collect()}
+    assert out[0].sample_rate == 8000 and out[0].n_channels == 1
+    assert out[0].n_frames == 2000 and out[0].duration_s == pytest.approx(0.25)
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert out[0].rms == pytest.approx(0.3536, abs=2e-3)
+    assert out[0].peak == pytest.approx(0.5, abs=2e-3)
+    assert len(out[0].envelope) == 16
+    assert all(abs(b - out[0].rms) < 0.02 for b in out[0].envelope)
+    assert out[1].n_channels == 2 and out[1].sample_rate == 8000
+    assert out[1].rms == pytest.approx(0.3536, abs=6e-3)  # 8-bit quantization
+    assert out[2].sample_rate is None and out[3].sample_rate is None
+
+
+def test_decode_audio_word_alignment(spark):
+    # odd-sized chunk before 'data' exercises the RIFF word-align rule
+    import struct
+
+    from polars_dataset_spark.functions import decode_audio
+
+    wav = _wav_bytes()
+    # splice an odd-length LIST chunk right after the fmt chunk
+    fmt_end = wav.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    df = spark.createDataFrame([(0, bytearray(patched))], "media_id long, content binary")
+    row = decode_audio(df).collect()[0]
+    assert row.sample_rate == 8000 and row.n_frames == 2000
