@@ -886,6 +886,153 @@ class Dataset:
             .select(col)
         )
 
+    def corr(self, col1: str, col2: str) -> float:
+        """Pearson correlation of two columns (polars ``corr`` /
+        ``pl.corr``). One aggregate job — Catalyst's ``corr`` is a
+        single-pass mergeable accumulator (co-moments), so this scales as
+        a plain partial+final aggregation."""
+        return self._df.agg(F.corr(col1, col2).alias("c")).first()["c"]
+
+    def cov(self, col1: str, col2: str, ddof: int = 1) -> float:
+        """Sample (``ddof=1``) or population (``ddof=0``) covariance of
+        two columns (polars ``cov``)."""
+        fn = F.covar_samp if ddof else F.covar_pop
+        return self._df.agg(fn(col1, col2).alias("c")).first()["c"]
+
+    def corr_matrix(self, *cols) -> DataFrame:
+        """Pairwise Pearson correlation matrix over ``cols`` (default:
+        the value columns), tidy long form ``(col_x, col_y, corr)``.
+        All n·(n+1)/2 accumulators run in ONE aggregate pass over the
+        data — no per-pair jobs, no collect of data rows."""
+        cols = list(cols) or self.value_vars
+        aggs = []
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                aggs.append(F.corr(a, b).alias(f"{a}::{b}"))
+        row = self._df.agg(*aggs).first()
+        spark = self._df.sparkSession
+        data = []
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                v = row[f"{a}::{b}"]
+                v = float(v) if v is not None else None
+                data.append((a, b, v))
+                if a != b:
+                    data.append((b, a, v))
+        return spark.createDataFrame(data, "col_x string, col_y string, corr double")
+
+    def to_dummies(self, *cols, separator: str = "_", drop_first: bool = False) -> "Dataset":
+        """One-hot encode categorical columns (polars ``to_dummies``):
+        each distinct value becomes an indicator column
+        ``{col}{separator}{value}`` (sorted by value; nulls get a
+        ``{col}{separator}null`` column, as in polars). The distinct
+        values are collected — bounded by the category cardinality, not
+        the row count — then the encoding itself is a map-only projection
+        that stays in whole-stage codegen."""
+        cols = list(cols) or [
+            f.name
+            for f in self._df.schema.fields
+            if isinstance(f.dataType, T.StringType) and f.name in self.value_vars
+        ]
+        if not cols:
+            raise ValueError("to_dummies: no columns given and no string value columns found")
+        df = self._df
+        out_cols = [c for c in df.columns if c not in cols]
+        new = {}
+        for c in cols:
+            values = [r[0] for r in df.select(c).distinct().collect()]
+            if len(values) > 10_000:
+                raise ValueError(
+                    f"to_dummies: column {c!r} has {len(values)} distinct values; "
+                    "one-hot encoding that wide is almost certainly a mistake"
+                )
+            non_null = sorted(v for v in values if v is not None)
+            if drop_first and non_null:
+                non_null = non_null[1:]
+            for v in non_null:
+                new[f"{c}{separator}{v}"] = (
+                    F.when(F.col(c) == F.lit(v), 1).otherwise(0).cast("tinyint")
+                )
+            if None in values:
+                new[f"{c}{separator}null"] = (
+                    F.when(F.col(c).isNull(), 1).otherwise(0).cast("tinyint")
+                )
+        return self._rewrap(df.select(*out_cols, *[e.alias(n) for n, e in new.items()]))
+
+    def is_duplicated(self, subset=None, out_col: str = "is_duplicated") -> "Dataset":
+        """Boolean flag per row: does any OTHER row share its ``subset``
+        values (polars ``is_duplicated``)? One count window over the
+        subset keys — a single hash shuffle, no self-join."""
+        sub = _as_list(subset) or self._df.columns
+        w = Window.partitionBy(*[F.col(c) for c in sub])
+        return self._rewrap(self._df.withColumn(out_col, F.count("*").over(w) > 1))
+
+    def is_unique(self, subset=None, out_col: str = "is_unique") -> "Dataset":
+        """Negation of :meth:`is_duplicated` (polars ``is_unique``)."""
+        sub = _as_list(subset) or self._df.columns
+        w = Window.partitionBy(*[F.col(c) for c in sub])
+        return self._rewrap(self._df.withColumn(out_col, F.count("*").over(w) == 1))
+
+    def is_first_distinct(self, subset=None, out_col: str = "is_first_distinct") -> "Dataset":
+        """True on the first occurrence of each distinct ``subset`` value
+        in canonical (id_vars, index) order (polars ``is_first_distinct``
+        — polars uses row order; Spark has none, so the canonical order
+        defines "first")."""
+        sub = _as_list(subset) or self._df.columns
+        order = [F.col(c) for c in [*self._id_vars, self._index]]
+        w = Window.partitionBy(*[F.col(c) for c in sub]).orderBy(*order)
+        return self._rewrap(self._df.withColumn(out_col, F.row_number().over(w) == 1))
+
+    def is_last_distinct(self, subset=None, out_col: str = "is_last_distinct") -> "Dataset":
+        """True on the last occurrence of each distinct ``subset`` value
+        in canonical (id_vars, index) order."""
+        sub = _as_list(subset) or self._df.columns
+        order = [F.col(c).desc() for c in [*self._id_vars, self._index]]
+        w = Window.partitionBy(*[F.col(c) for c in sub]).orderBy(*order)
+        return self._rewrap(self._df.withColumn(out_col, F.row_number().over(w) == 1))
+
+    def gather_every(self, n: int, offset: int = 0) -> "Dataset":
+        """Every ``n``-th row in canonical (id_vars, index) order starting
+        at ``offset`` (polars ``gather_every``). Positional semantics need
+        a global row number; to avoid the single-partition global window
+        this rides the same two-pass distributed prefix sum as global
+        sequence packing (range partition → per-partition counts → offset
+        map), so no stage sees more than one partition's rows."""
+        if n < 1:
+            raise ValueError("gather_every: n must be >= 1")
+        from polars_dataset_spark.functions.packing import _global_prefix_sum
+
+        order_cols = [*self._id_vars, self._index]
+        parts = self._df.sparkSession.sparkContext.defaultParallelism
+        d = _global_prefix_sum(
+            self._df.withColumn("__one", F.lit(1)), "__one", order_cols, max(parts, 1)
+        )
+        keep = ((F.col("__cum") - 1 - offset) % n == 0) & (F.col("__cum") - 1 >= offset)
+        return self._rewrap(d.filter(keep).drop("__one", "__cum", "__pid"))
+
+    def peak_max(self, col: str, out_col: str | None = None) -> "Dataset":
+        """Local-maximum flag per trace (polars ``peak_max``): strictly
+        greater than both neighbors; edge rows compare only against their
+        one neighbor. Pure lag/lead window arithmetic — one shuffle on the
+        trace key, stays in codegen."""
+        return self._peak(col, out_col or f"{col}_peak_max", greater=True)
+
+    def peak_min(self, col: str, out_col: str | None = None) -> "Dataset":
+        """Local-minimum flag per trace (polars ``peak_min``)."""
+        return self._peak(col, out_col or f"{col}_peak_min", greater=False)
+
+    def _peak(self, col: str, out_col: str, greater: bool) -> "Dataset":
+        w = self._trace_window()
+        prev, nxt = F.lag(col, 1).over(w), F.lead(col, 1).over(w)
+        c = F.col(col)
+        if greater:
+            ok_prev = prev.isNull() | (c > prev)
+            ok_next = nxt.isNull() | (c > nxt)
+        else:
+            ok_prev = prev.isNull() | (c < prev)
+            ok_next = nxt.isNull() | (c < nxt)
+        return self._rewrap(self._df.withColumn(out_col, ok_prev & ok_next))
+
     def upsample(self, every: float = 1.0) -> "Dataset":
         """Insert missing index rows every ``every`` units per trace
         (polars ``upsample``): per-trace [min, max] grids generated

@@ -50,12 +50,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # `ts div 1000`, not `ts / 1000`: `/` produces a double and
-        # epoch-nano magnitudes (~1.7e18) exceed 2^53, so a non-µs-aligned
-        # nano value would truncate to an off-by-one microsecond
-        df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # Nano-timestamped files surface `ts` as a raw long (via the
+        # nanosAsLong escape hatch); micro/milli files read natively as a
+        # timestamp. Convert only the former. `ts div 1000`, not
+        # `ts / 1000`: `/` produces a double and epoch-nano magnitudes
+        # (~1.7e18) exceed 2^53, so a non-µs-aligned nano value would
+        # truncate to an off-by-one microsecond.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # micro/milli files arrive as TIMESTAMP_NTZ; normalize to
+            # TIMESTAMP (session-tz, UTC here) — watermarks/event-time ops
+            # require it, and it keeps batch and stream schemas identical
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     per_session[key] = df

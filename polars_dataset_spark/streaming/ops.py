@@ -34,8 +34,10 @@ __all__ = [
     "run_stream_to_memory",
 ]
 
-# The fixture's ts column is parquet TIMESTAMP(NANOS) — Spark reads it only
-# as a raw long (see sources/tables.py); the stream reader converts inline.
+# Schema for a NANOS-timestamped events file: Spark surfaces the ts column
+# only as a raw long (see sources/tables.py); the stream reader converts
+# inline. Micro/milli-timestamped files read natively as a timestamp —
+# ``read_events_stream`` probes the footer and picks the right variant.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -70,19 +72,39 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     # file itself, stream its parent with a glob filter instead.
     import os
 
+    # A streaming source needs an explicit schema, but the on-disk ts type
+    # varies (nanos → raw long via nanosAsLong; micros/millis → native
+    # timestamp). Probe the footer with a one-off batch read — metadata
+    # only, no data scan — and pick the matching schema variant. Probe the
+    # given path BEFORE the directory rewrite below: the parent directory
+    # may hold other tables with incompatible schemas.
+    probe = dict(spark.read.parquet(path).dtypes).get("ts")
     glob_filter = None
     if path.endswith(".parquet") and os.path.isfile(path):
         glob_filter = os.path.basename(path)
         path = os.path.dirname(path)
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    schema = EVENTS_SCHEMA
+    if probe != "bigint":
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
     raw = reader.parquet(path)
-    # integer division: `/` would go through double and epoch-nano
-    # magnitudes (~1.7e18) exceed 2^53, truncating off-alignment inputs
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if probe == "bigint":
+        # integer division: `/` would go through double and epoch-nano
+        # magnitudes (~1.7e18) exceed 2^53, truncating off-alignment inputs
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # NTZ → session-tz TIMESTAMP: watermarks reject TIMESTAMP_NTZ
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_agg(

@@ -3014,6 +3014,180 @@ def q98(spark, sf_dir):
     return dedup_chunks(chunks).select("doc_id", "chunk_idx", "n_tokens")
 
 
+@query(
+    "q99_outer_join",
+    """
+    WITH ship AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem GROUP BY 1),
+    ord AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT strftime(coalesce(ship.d, ord.d), '%Y-%m-%d') AS day,
+           coalesce(revenue, 0.0)  AS revenue,
+           coalesce(n_orders, 0)   AS n_orders
+    FROM ship FULL OUTER JOIN ord ON ship.d = ord.d
+    """,
+)
+def q99(spark, sf_dir):
+    """FULL OUTER join of two aggregates with different key coverage
+    (ship-date revenue vs order-date counts): exercises the outer-join
+    delegation (`how="full"` → full_outer) plus null-coalescing of the
+    join key itself. Both sides pre-aggregate before the join, so the
+    shuffled row count is days, not line items."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ship = Dataset(
+        li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+        ),
+        index="d",
+    )
+    ord_ = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_orders")
+    ).withColumnRenamed("d", "d2")
+    joined = ship.join(Dataset(ord_, index="d2"), left_on="d", right_on="d2", how="full")
+    return joined.fetch(
+        F.date_format(F.coalesce("d", "d2"), TS_FMT_SPARK[:10]).alias("day"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "q100_corr_matrix",
+    """
+    WITH pairs AS (
+      SELECT 'l_quantity' AS col_x, 'l_quantity' AS col_y, corr(l_quantity, l_quantity) AS c FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_extendedprice', corr(l_quantity, l_extendedprice) FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', corr(l_extendedprice, l_extendedprice) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_discount', 'l_discount', corr(l_discount, l_discount) FROM lineitem)
+    SELECT col_x, col_y, round(c, 6) AS corr FROM pairs
+    UNION ALL
+    SELECT col_y, col_x, round(c, 6) AS corr FROM pairs WHERE col_x <> col_y
+    """,
+)
+def q100(spark, sf_dir):
+    """Pairwise Pearson correlation matrix in ONE aggregate pass (all
+    co-moment accumulators run together — no per-pair jobs). Tidy long
+    output, mirrored across the diagonal like the SQL oracle."""
+    _prep(spark)
+    ds = Dataset(
+        load_table(spark, sf_dir, "lineitem"),
+        index="l_shipdate",
+        id_vars=["l_returnflag", "l_linestatus"],
+    )
+    out = ds.corr_matrix("l_quantity", "l_extendedprice", "l_discount")
+    return out.select("col_x", "col_y", F.round("corr", 6).alias("corr"))
+
+
+@query(
+    "q101_to_dummies",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS l_returnflag_A,
+           CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS l_returnflag_N,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS l_returnflag_R,
+           CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS l_linestatus_F,
+           CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS l_linestatus_O
+    FROM lineitem
+    """,
+)
+def q101(spark, sf_dir):
+    """One-hot encoding (polars ``to_dummies``): categories collected
+    once (bounded by cardinality), then a map-only indicator projection
+    that stays in whole-stage codegen — no shuffle at all."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    ds = Dataset(li, index="l_linenumber", id_vars=["l_orderkey"])
+    out = ds.to_dummies("l_returnflag", "l_linestatus")
+    return out.df.select(
+        "l_orderkey", "l_linenumber",
+        *[F.col(c).cast("int").alias(c) for c in out.columns if "_" in c and c.startswith("l_")
+          and c not in ("l_orderkey", "l_linenumber")],
+    )
+
+
+@query(
+    "q102_dup_flags",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents)
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY norm) > 1 AS is_duplicated,
+           row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 AS is_first_distinct
+    FROM d
+    """,
+)
+def q102(spark, sf_dir):
+    """Row-level duplicate flags (polars ``is_duplicated`` /
+    ``is_first_distinct``) over normalized document text: one count
+    window + one row_number window on the same partitioning — a single
+    hash shuffle, no self-join."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("norm"),
+    )
+    ds = Dataset(docs, index="doc_id")
+    out = ds.is_duplicated(subset=["norm"]).is_first_distinct(subset=["norm"])
+    return out.df.select("doc_id", "is_duplicated", "is_first_distinct")
+
+
+@query(
+    "q103_gather_every",
+    """
+    SELECT event_id, event_type, value
+    FROM (SELECT event_id, event_type, value,
+                 row_number() OVER (ORDER BY event_id) - 1 AS rn
+          FROM events)
+    WHERE rn >= 7 AND (rn - 7) % 1000 = 0
+    """,
+)
+def q103(spark, sf_dir):
+    """Positional every-n-th-row selection (polars ``gather_every``)
+    without a single-partition global window: two-pass distributed
+    prefix sum (range partition → per-partition counts → offset map),
+    the same machinery as global sequence packing."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ds = Dataset(ev, index="event_id")
+    return ds.gather_every(1000, offset=7).df.select("event_id", "event_type", "value")
+
+
+@query(
+    "q104_peaks",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             value > coalesce(lag(value)  OVER w, '-infinity'::DOUBLE) AND
+             value > coalesce(lead(value) OVER w, '-infinity'::DOUBLE) AS pk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+    SELECT user_id, count(*) FILTER (WHERE pk) AS n_peaks
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q104(spark, sf_dir):
+    """Local-peak detection per user series (polars ``peak_max``) then a
+    per-user peak count: lag/lead window arithmetic in codegen, one
+    shuffle on the trace key shared by the window and the aggregate."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ds = Dataset(ev, index="event_id", id_vars=["user_id"])
+    out = ds.peak_max("value")
+    return (
+        out.df.groupBy("user_id")
+        .agg(F.count(F.when(F.col("value_peak_max"), 1)).alias("n_peaks"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

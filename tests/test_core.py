@@ -486,3 +486,69 @@ def test_cumulative_family_and_rle(spark):
     assert [r.v_cumcount for r in rows] == [1, 2, 2, 3, 4, 5]
     # runs: 3 | 1 | null | 5 5 | 2  → ids 0,1,2,3,3,4
     assert [r.v_rle_id for r in rows] == [0, 1, 2, 3, 3, 4]
+
+
+def test_corr_cov_and_matrix(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 5, "x": [1.0, 2.0, 3.0, 4.0, 5.0],
+         "u": [1.0, 2.0, 3.0, 4.0, 5.0], "v": [2.0, 4.0, 6.0, 8.0, 10.0],
+         "w": [5.0, 3.0, 8.0, 1.0, 9.0]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    assert abs(ds.corr("u", "v") - 1.0) < 1e-12
+    assert abs(ds.cov("u", "v") - pdf["u"].cov(pdf["v"])) < 1e-9
+    assert abs(ds.cov("u", "w", ddof=0) - pdf["u"].cov(pdf["w"]) * 4 / 5) < 1e-9
+    m = {(r.col_x, r.col_y): r.corr for r in ds.corr_matrix("u", "v", "w").collect()}
+    assert len(m) == 9
+    assert abs(m[("u", "u")] - 1.0) < 1e-12
+    assert m[("u", "w")] == m[("w", "u")]
+    assert abs(m[("u", "w")] - pdf["u"].corr(pdf["w"])) < 1e-9
+
+
+def test_to_dummies(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "b", "b"], "x": [1.0, 2.0, 3.0, 4.0],
+         "c": ["red", "blue", None, "red"]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = ds.to_dummies("c").df.orderBy("x").toPandas()
+    assert list(out["c_red"]) == [1, 0, 0, 1]
+    assert list(out["c_blue"]) == [0, 1, 0, 0]
+    assert list(out["c_null"]) == [0, 0, 1, 0]
+    assert "c" not in out.columns
+    dropped = ds.to_dummies("c", drop_first=True).df
+    assert "c_blue" not in dropped.columns and "c_red" in dropped.columns
+
+
+def test_dup_flags_and_gather_every(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 6, "x": [float(i) for i in range(6)],
+         "v": ["p", "q", "p", "r", "q", "p"]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = (
+        ds.is_duplicated(subset=["v"]).is_unique(subset=["v"])
+        .is_first_distinct(subset=["v"]).is_last_distinct(subset=["v"])
+        .df.orderBy("x").collect()
+    )
+    assert [r.is_duplicated for r in out] == [True, True, True, False, True, True]
+    assert [r.is_unique for r in out] == [False, False, False, True, False, False]
+    assert [r.is_first_distinct for r in out] == [True, True, False, True, False, False]
+    assert [r.is_last_distinct for r in out] == [False, False, False, True, True, True]
+    picked = sorted(r.x for r in ds.gather_every(2, offset=1).df.collect())
+    assert picked == [1.0, 3.0, 5.0]
+    with pytest.raises(ValueError):
+        ds.gather_every(0)
+
+
+def test_peak_flags(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 7, "x": [float(i) for i in range(7)],
+         "v": [1.0, 3.0, 2.0, 2.0, 5.0, 0.0, 4.0]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    mx = [r.v_peak_max for r in ds.peak_max("v").df.orderBy("x").collect()]
+    mn = [r.v_peak_min for r in ds.peak_min("v").df.orderBy("x").collect()]
+    # plateaus (2,2) are not strict peaks; edges compare one-sided
+    assert mx == [False, True, False, False, True, False, True]
+    assert mn == [True, False, False, False, False, True, False]
