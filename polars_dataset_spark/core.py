@@ -482,10 +482,23 @@ class Dataset:
 
     def with_row_index(self, name: str = "index", offset: int = 0) -> "Dataset":
         """Contiguous row index in canonical (id_vars, index) order — Spark
-        has no implicit row order, so the order is made explicit here."""
-        w = Window.orderBy(*[F.col(c) for c in [*self._id_vars, self._index]])
+        has no implicit row order, so the order is made explicit here.
+        Positional numbering normally plans a single-partition global
+        window; this instead rides the two-pass distributed prefix sum
+        (range partition → per-partition counts → offset map, same
+        machinery as global sequence packing), so no stage sees more than
+        one partition's rows."""
+        from polars_dataset_spark.functions.packing import _global_prefix_sum
+
+        order_cols = [*self._id_vars, self._index]
+        parts = self._df.sparkSession.sparkContext.defaultParallelism
+        d = _global_prefix_sum(
+            self._df.withColumn("__one", F.lit(1)), "__one", order_cols, max(parts, 1)
+        )
         return self._rewrap(
-            self._df.withColumn(name, (F.row_number().over(w) - 1 + offset).cast("long"))
+            d.withColumn(name, (F.col("__cum") - 1 + offset).cast("long")).drop(
+                "__one", "__cum", "__pid"
+            )
         )
 
     def group_by(self, *keys):
@@ -1033,6 +1046,60 @@ class Dataset:
             ok_next = nxt.isNull() | (c < nxt)
         return self._rewrap(self._df.withColumn(out_col, ok_prev & ok_next))
 
+    def sum_horizontal(self, *cols, out_col: str = "sum_horizontal") -> "Dataset":
+        """Row-wise sum across columns (polars ``sum_horizontal``): nulls
+        count as 0, all-null rows give 0 (polars semantics). Map-only,
+        stays in codegen."""
+        cols = list(cols) or self.value_vars
+        expr = functools.reduce(
+            lambda a, b: a + b, [F.coalesce(F.col(c), F.lit(0)) for c in cols]
+        )
+        return self._rewrap(self._df.withColumn(out_col, expr))
+
+    def mean_horizontal(self, *cols, out_col: str = "mean_horizontal") -> "Dataset":
+        """Row-wise mean across columns, null-aware denominator (polars
+        ``mean_horizontal``: nulls are excluded from both sum and
+        count)."""
+        cols = list(cols) or self.value_vars
+        total = functools.reduce(
+            lambda a, b: a + b, [F.coalesce(F.col(c).cast("double"), F.lit(0.0)) for c in cols]
+        )
+        n = functools.reduce(
+            lambda a, b: a + b,
+            [F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols],
+        )
+        return self._rewrap(
+            self._df.withColumn(out_col, F.when(n > 0, total / n))
+        )
+
+    def min_horizontal(self, *cols, out_col: str = "min_horizontal") -> "Dataset":
+        """Row-wise minimum (polars ``min_horizontal``); ``least`` skips
+        nulls like polars does."""
+        cols = list(cols) or self.value_vars
+        return self._rewrap(self._df.withColumn(out_col, F.least(*[F.col(c) for c in cols])))
+
+    def max_horizontal(self, *cols, out_col: str = "max_horizontal") -> "Dataset":
+        """Row-wise maximum (polars ``max_horizontal``)."""
+        cols = list(cols) or self.value_vars
+        return self._rewrap(self._df.withColumn(out_col, F.greatest(*[F.col(c) for c in cols])))
+
+    def search_sorted(self, col: str, value) -> int:
+        """Insertion index of ``value`` in ``col``'s sorted order (polars
+        ``search_sorted``, side="left"): the number of values strictly
+        below. One counting aggregate — no sort, no collect."""
+        return self._df.agg(
+            F.count(F.when(F.col(col) < F.lit(value), 1)).alias("n")
+        ).first()["n"]
+
+    def hash_rows(self, subset=None, out_col: str = "row_hash", seed: int = 42) -> "Dataset":
+        """Deterministic 64-bit row hash (polars ``hash_rows``) via
+        JVM-side xxhash64 — engine-stable for a fixed Spark major, no
+        Python in the loop."""
+        sub = _as_list(subset) or self._df.columns
+        return self._rewrap(
+            self._df.withColumn(out_col, F.xxhash64(*[F.col(c) for c in sub], F.lit(seed)))
+        )
+
     def upsample(self, every: float = 1.0) -> "Dataset":
         """Insert missing index rows every ``every`` units per trace
         (polars ``upsample``): per-trace [min, max] grids generated
@@ -1140,22 +1207,28 @@ class Dataset:
         return self._rewrap(self._df.select(*out_cols))
 
     def tail(self, n: int = 5) -> "Dataset":
-        """Last n rows in canonical (id_vars, index) order."""
-        w = Window.orderBy(*[F.col(c).desc() for c in [*self._id_vars, self._index]])
-        return self._rewrap(
-            self._df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n)
-            .drop("__rn")
-        )
+        """Last n rows in canonical (id_vars, index) order: one count job
+        plus a positional :meth:`slice` — no single-partition descending
+        window over the whole frame."""
+        total = self._df.count()
+        return self.slice(max(total - n, 0), n)
 
     def slice(self, offset: int, length: int) -> "Dataset":
         """Rows [offset, offset+length) of the canonical order (Spark has
-        no implicit row order — defined over (id_vars, index))."""
-        w = Window.orderBy(*[F.col(c) for c in [*self._id_vars, self._index]])
+        no implicit row order — defined over (id_vars, index)). Uses the
+        two-pass distributed prefix sum instead of a single-partition
+        global window, so positional slicing scales to any row count."""
+        from polars_dataset_spark.functions.packing import _global_prefix_sum
+
+        order_cols = [*self._id_vars, self._index]
+        parts = self._df.sparkSession.sparkContext.defaultParallelism
+        d = _global_prefix_sum(
+            self._df.withColumn("__one", F.lit(1)), "__one", order_cols, max(parts, 1)
+        )
         return self._rewrap(
-            self._df.withColumn("__rn", F.row_number().over(w) - 1)
-            .filter(F.col("__rn").between(offset, offset + length - 1))
-            .drop("__rn")
+            d.filter((F.col("__cum") - 1).between(offset, offset + length - 1)).drop(
+                "__one", "__cum", "__pid"
+            )
         )
 
     def hstack(self, other) -> "Dataset":

@@ -3188,6 +3188,80 @@ def q104(spark, sf_dir):
     )
 
 
+@query(
+    "q105_approx_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q105(spark, sf_dir):
+    """HyperLogLog++ approximate distinct count per group — the 100-TB
+    cardinality path (mergeable sketch, one pass, no distinct shuffle of
+    raw values). Like q78, the oracle checks a GUARANTEE, not the
+    engine-specific estimate: the estimate must land within the
+    configured 5% relative error of the exact count (checked on the
+    Spark side against Spark's own exact count; the oracle recomputes
+    the exact count and asserts the flag)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    est = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@query(
+    "q106_horizontal",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice + l_discount + l_tax, 6)      AS row_sum,
+           round((l_extendedprice + l_discount + l_tax) / 3, 6) AS row_mean,
+           least(l_extendedprice, l_discount, l_tax)            AS row_min,
+           greatest(l_extendedprice, l_discount, l_tax)         AS row_max
+    FROM lineitem
+    """,
+)
+def q106(spark, sf_dir):
+    """Row-wise (horizontal) aggregates — polars ``sum_horizontal`` /
+    ``mean_horizontal`` / ``min_horizontal`` / ``max_horizontal``. Pure
+    map-only projection, no shuffle; the whole query is one codegen'd
+    scan stage."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    ds = Dataset(li, index="l_linenumber", id_vars=["l_orderkey"])
+    cols = ("l_extendedprice", "l_discount", "l_tax")
+    out = (
+        ds.sum_horizontal(*cols, out_col="row_sum")
+        .mean_horizontal(*cols, out_col="row_mean")
+        .min_horizontal(*cols, out_col="row_min")
+        .max_horizontal(*cols, out_col="row_max")
+    )
+    return out.fetch(
+        "l_orderkey", "l_linenumber",
+        F.round("row_sum", 6).alias("row_sum"),
+        F.round("row_mean", 6).alias("row_mean"),
+        F.col("row_min").alias("row_min"),
+        F.col("row_max").alias("row_max"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

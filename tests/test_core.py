@@ -552,3 +552,36 @@ def test_peak_flags(spark):
     # plateaus (2,2) are not strict peaks; edges compare one-sided
     assert mx == [False, True, False, False, True, False, True]
     assert mn == [True, False, False, False, False, True, False]
+
+
+def test_horizontal_ops(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 3, "x": [1.0, 2.0, 3.0],
+         "u": [1.0, None, 4.0], "v": [2.0, 3.0, None], "w": [None, None, None]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = (
+        ds.sum_horizontal("u", "v", "w")
+        .mean_horizontal("u", "v", "w")
+        .min_horizontal("u", "v", "w")
+        .max_horizontal("u", "v", "w")
+        .df.orderBy("x").collect()
+    )
+    assert [r.sum_horizontal for r in out] == [3.0, 3.0, 4.0]
+    assert [r.mean_horizontal for r in out] == [1.5, 3.0, 4.0]
+    assert [r.min_horizontal for r in out] == [1.0, 3.0, 4.0]
+    assert [r.max_horizontal for r in out] == [2.0, 3.0, 4.0]
+
+
+def test_search_sorted_and_hash_rows(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 5, "x": [1.0, 2.0, 3.0, 4.0, 5.0],
+                        "v": [10.0, 20.0, 20.0, 30.0, 40.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    assert ds.search_sorted("v", 20.0) == 1   # strictly-below count (side=left)
+    assert ds.search_sorted("v", 25.0) == 3
+    assert ds.search_sorted("v", 0.0) == 0
+    hashed = ds.hash_rows(subset=["v"]).df
+    vals = {r.v: r.row_hash for r in hashed.collect()}
+    assert vals[20.0] is not None and len(set(vals.values())) == 4  # equal rows hash equal
+    again = {r.v: r.row_hash for r in ds.hash_rows(subset=["v"]).df.collect()}
+    assert vals == again  # deterministic

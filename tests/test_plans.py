@@ -110,9 +110,7 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q62_fill_nan": {"BNL"},  # 1-row × 1-row aggregate crossJoin
         # global-order utility ops, documented as driver-bounded output
         "q13_topk": {"SINGLE_PART"},
-        "q20_row_index": {"SINGLE_PART"},
         "q53_window_distribution": {"SINGLE_PART"},
-        "q55_slice": {"SINGLE_PART"},
         "q81_sample_exact_n": {"SINGLE_PART"},
     }
     problems = []
