@@ -1288,28 +1288,47 @@ class Dataset:
     def var(self) -> DataFrame:
         return self._agg_value_vars(F.variance)
 
-    def group_by_dynamic(self, every, offset: float = 0.0):
+    def group_by_dynamic(self, every, offset: float = 0.0, period=None):
         """Dynamic (windowed) group-by over the index (polars
-        ``group_by_dynamic``): tumbling buckets of width ``every``.
+        ``group_by_dynamic``): buckets of width ``period`` (default
+        ``every`` — tumbling) sliding by ``every``; ``period > every``
+        gives overlapping (sliding) windows, exactly polars' semantics.
 
-        Numeric index: bucket start = ``floor((index - offset)/every)·every
-        + offset``. Timestamp index: pass a Spark interval string (e.g.
-        ``"1 hour"``) — realized as ``F.window`` (same operator the
-        streaming path uses). Returns a GroupedData with the bucket as
+        Numeric index: tumbling bucket start =
+        ``floor((index - offset)/every)·every + offset``; sliding windows
+        enumerate each row's covering window starts with
+        ``sequence``+``explode`` — distributed row-local arithmetic, the
+        fan-out factor is ``period/every``. Timestamp index: pass Spark
+        interval strings (e.g. ``"1 hour"``) — realized as ``F.window``
+        (window=period, slide=every), the same operator the streaming
+        path uses. Returns a GroupedData with the bucket as
         ``index_start`` plus the id_vars; call ``.agg(...)`` on it."""
         dt = self._df.schema[self._index].dataType
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-            win = F.window(self._index, every)
+            win = F.window(self._index, period or every, every)
             keyed = self._df.withColumn("__w", win).withColumn(
                 "index_start", F.col("__w.start")
             ).drop("__w")
-        else:
+        elif period is None or float(period) == float(every):
             every = float(every)
             bucket = (
                 F.floor((F.col(self._index) - F.lit(offset)) / F.lit(every)) * F.lit(every)
                 + F.lit(offset)
             )
             keyed = self._df.withColumn("index_start", bucket)
+        else:
+            every, period = float(every), float(period)
+            if period < every:
+                raise ValueError("group_by_dynamic: period must be >= every")
+            x = F.col(self._index)
+            # covering starts s = offset + k·every with x - period < s <= x
+            k_lo = F.floor((x - F.lit(period) - F.lit(offset)) / F.lit(every)) + 1
+            k_hi = F.floor((x - F.lit(offset)) / F.lit(every))
+            starts = F.transform(
+                F.sequence(k_lo.cast("long"), k_hi.cast("long")),
+                lambda k: k.cast("double") * F.lit(every) + F.lit(offset),
+            )
+            keyed = self._df.withColumn("index_start", F.explode(starts))
         return keyed.groupBy(*self._id_vars, "index_start")
 
     # -- operator methods (reference calls these on the Dataset itself) ------

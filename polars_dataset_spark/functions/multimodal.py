@@ -299,6 +299,118 @@ def decode_audio(
     return df.mapInPandas(decode_batches, schema=out_schema)
 
 
+def _parse_y4m(data: bytes) -> "tuple[int, int, float, list[np.ndarray]] | None":
+    """Pure-numpy YUV4MPEG2 (.y4m) parse: returns ``(width, height, fps,
+    frames)`` with each frame the luma (Y) plane as uint8 (h, w) — or
+    None if unparseable. Y4M is the standard uncompressed video
+    interchange format: a text stream header ``YUV4MPEG2 W.. H.. F..``
+    then per-frame ``FRAME\\n`` markers ahead of raw planar YUV; C420
+    (default) and C444/Cmono subsampling are supported here."""
+    if not data.startswith(b"YUV4MPEG2"):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    width = height = 0
+    num, den = 25, 1
+    colorspace = b"420"
+    for tok in data[9:nl].split():
+        try:
+            if tok[:1] == b"W":
+                width = int(tok[1:])
+            elif tok[:1] == b"H":
+                height = int(tok[1:])
+            elif tok[:1] == b"F":
+                num, den = (int(x) for x in tok[1:].split(b":"))
+            elif tok[:1] == b"C":
+                colorspace = tok[1:]
+        except ValueError:
+            return None
+    if width <= 0 or height <= 0 or den == 0:
+        return None
+    y_size = width * height
+    if colorspace.startswith(b"420"):
+        frame_size = y_size + 2 * ((width // 2) * (height // 2))
+    elif colorspace.startswith(b"444"):
+        frame_size = 3 * y_size
+    elif colorspace.startswith(b"mono"):
+        frame_size = y_size
+    else:
+        return None
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            return None
+        start = fnl + 1
+        if start + frame_size > len(data):
+            return None
+        y = np.frombuffer(data[start : start + y_size], dtype=np.uint8)
+        frames.append(y.reshape(height, width))
+        pos = start + frame_size
+    return width, height, num / den, frames
+
+
+VIDEO_SCHEMA_FIELDS = [
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("n_frames_total", T.IntegerType()),
+    T.StructField("frame_indices", T.ArrayType(T.IntegerType())),
+    T.StructField("frames", T.ArrayType(T.ArrayType(T.FloatType()))),
+]
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    every: int = 2,
+    max_frames: int = 8,
+    target_size: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """REAL video decode + temporal frame sampling, no codec library:
+    pure-numpy YUV4MPEG2 parse (the uncompressed interchange format any
+    ffmpeg pipeline can emit), keep every ``every``-th frame up to
+    ``max_frames``, each sampled frame's luma plane thumbnailed to
+    ``target_size`` (flattened, [0, 1]).
+
+    The Spark shape is the production one for video curation at scale:
+    an Arrow-batched ``mapInPandas`` over an opaque binary column —
+    map-only, no shuffle, partition-parallel. Compressed containers
+    (mp4/webm) need a codec stack on the cluster image; unparseable
+    blobs yield null metadata rather than failing the stage."""
+    if every < 1:
+        raise ValueError("sample_frames: every must be >= 1")
+    out_schema = T.StructType(df.schema.fields + VIDEO_SCHEMA_FIELDS)
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in VIDEO_SCHEMA_FIELDS}
+            for blob in pdf[content_col]:
+                parsed = _parse_y4m(bytes(blob)) if blob is not None else None
+                if parsed is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                w, h, fps, frames = parsed
+                idx = list(range(0, len(frames), every))[:max_frames]
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["fps"].append(fps)
+                cols["n_frames_total"].append(len(frames))
+                cols["frame_indices"].append(idx)
+                cols["frames"].append(
+                    [_thumbnail(frames[i], *target_size) / np.float32(255.0) for i in idx]
+                )
+            out = pdf.copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(sample_batches, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame, decoded_col: str = "decoded", n_features: int = 4
 ) -> DataFrame:

@@ -3262,6 +3262,43 @@ def q106(spark, sf_dir):
     )
 
 
+@query(
+    "q107_sliding_windows",
+    f"""
+    WITH e AS (
+      -- floor, not ::BIGINT (which ROUNDS): events carry fractional seconds
+      SELECT ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    x AS (
+      SELECT sec, value,
+             unnest(range((sec - 1800) // 900 + 1, sec // 900 + 1)) AS k
+      FROM e)
+    SELECT strftime(to_timestamp(k * 900), '{TS_FMT_DUCK}') AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM x GROUP BY k
+    """,
+)
+def q107(spark, sf_dir):
+    """SLIDING event-time windows (polars ``group_by_dynamic`` with
+    ``period > every``): 30-minute windows every 15 minutes, each event
+    counted in the 2 windows covering it. Spark's native ``F.window``
+    (window=period, slide=every) — the same Expand-based operator the
+    streaming path uses, one shuffle on the window key. Decimal
+    summation keeps the money total order-independent (q24 policy)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ds = Dataset(ev.select("ts", "value"), index="ts")
+    out = ds.group_by_dynamic("15 minutes", period="30 minutes").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
+    return out.select(
+        F.date_format("index_start", TS_FMT_SPARK).alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

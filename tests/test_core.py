@@ -585,3 +585,17 @@ def test_search_sorted_and_hash_rows(spark):
     assert vals[20.0] is not None and len(set(vals.values())) == 4  # equal rows hash equal
     again = {r.v: r.row_hash for r in ds.hash_rows(subset=["v"]).df.collect()}
     assert vals == again  # deterministic
+
+
+def test_group_by_dynamic_sliding_numeric(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 5, "x": [0.0, 1.0, 2.0, 3.0, 4.0],
+                        "v": [1.0, 1.0, 1.0, 1.0, 1.0]})
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    # windows of width 2 sliding by 1: x=2 falls in [1,3) and [2,4)
+    out = {
+        r.index_start: r.n
+        for r in ds.group_by_dynamic(1.0, period=2.0).agg(F.count("*").alias("n")).collect()
+    }
+    assert out == {-1.0: 1, 0.0: 2, 1.0: 2, 2.0: 2, 3.0: 2, 4.0: 1}
+    with pytest.raises(ValueError):
+        ds.group_by_dynamic(2.0, period=1.0).agg(F.count("*").alias("n"))

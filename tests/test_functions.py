@@ -392,3 +392,46 @@ def test_decode_audio_word_alignment(spark):
     df = spark.createDataFrame([(0, bytearray(patched))], "media_id long, content binary")
     row = decode_audio(df).collect()[0]
     assert row.sample_rate == 8000 and row.n_frames == 2000
+
+
+def _y4m_bytes(w, h, frames, colorspace="C420"):
+    """Build YUV4MPEG2 bytes; `frames` = list of (h, w) uint8 luma planes."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A0:0 {colorspace}\n".encode()
+    chroma = {"C420": (w // 2) * (h // 2) * 2, "C444": 2 * w * h, "Cmono": 0}[colorspace]
+    out = [head]
+    for y in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(y, dtype=np.uint8).tobytes())
+        out.append(bytes(chroma))  # zeroed chroma planes
+    return b"".join(out)
+
+
+def test_sample_frames_y4m_real(spark):
+    from polars_dataset_spark.functions import sample_frames
+
+    # 5 frames of a 4x2 video, frame i is constant luma 50*i
+    frames = [np.full((2, 4), 50 * i, dtype=np.uint8) for i in range(5)]
+    blob = _y4m_bytes(4, 2, frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not a video"))], "id int, content binary"
+    )
+    got = {r.id: r for r in sample_frames(df, every=2, max_frames=8, target_size=(2, 2)).collect()}
+    assert got[2].width is None and got[2].frames is None  # unparseable → null
+    r = got[1]
+    assert (r.width, r.height, r.n_frames_total) == (4, 2, 5)
+    assert r.fps == pytest.approx(25.0)
+    assert list(r.frame_indices) == [0, 2, 4]  # every 2nd frame
+    means = [float(np.mean(f)) for f in r.frames]
+    assert means == pytest.approx([0.0, 100 / 255, 200 / 255], abs=1e-6)
+
+
+def test_sample_frames_mono_and_cap(spark):
+    from polars_dataset_spark.functions import sample_frames
+
+    frames = [np.full((2, 2), 10 * i, dtype=np.uint8) for i in range(6)]
+    blob = _y4m_bytes(2, 2, frames, colorspace="Cmono")
+    df = spark.createDataFrame([(1, bytearray(blob))], "id int, content binary")
+    r = sample_frames(df, every=1, max_frames=3, target_size=(1, 1)).first()
+    assert r.n_frames_total == 6 and list(r.frame_indices) == [0, 1, 2]  # max_frames cap
+    with pytest.raises(ValueError):
+        sample_frames(df, every=0)
