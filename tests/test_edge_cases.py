@@ -94,3 +94,36 @@ def test_decode_media_empty(spark):
     df = spark.createDataFrame([], "id int, content binary")
     for dec in ("fake", "ppm", "bmp"):
         assert decode_media(df, decoder=dec).count() == 0
+
+
+def test_new_delegated_ops_empty(empty_traces):
+    ds = Dataset(empty_traces, index="x", id_vars=["g"])
+    assert ds.gather_every(3).df.count() == 0
+    assert ds.slice(0, 5).df.count() == 0
+    assert ds.tail(5).df.count() == 0
+    assert ds.with_row_index("rn").df.count() == 0
+    assert ds.is_duplicated(subset=["y"]).df.count() == 0
+    assert ds.peak_max("y").df.count() == 0
+    assert ds.sum_horizontal("y").df.count() == 0
+    assert ds.hash_rows().df.count() == 0
+    assert ds.corr("x", "y") is None  # Spark corr of zero rows is null
+    assert ds.search_sorted("y", 1.0) == 0
+    assert (
+        ds.group_by_dynamic(1.0, period=2.0).agg(__import__("pyspark").sql.functions.count("*").alias("n")).count()
+        == 0
+    )
+
+
+def test_to_dummies_empty_frame(spark):
+    df = spark.createDataFrame([], "g string, x double, c string")
+    ds = Dataset(df, index="x", id_vars=["g"])
+    out = ds.to_dummies("c")
+    # zero rows → zero categories → only the passthrough columns remain
+    assert out.df.count() == 0 and set(out.df.columns) == {"g", "x"}
+
+
+def test_sample_frames_empty(spark):
+    from polars_dataset_spark.functions import sample_frames
+
+    df = spark.createDataFrame([], "id int, content binary")
+    assert sample_frames(df).count() == 0

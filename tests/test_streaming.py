@@ -264,3 +264,23 @@ def test_trending_tokens_stream_matches_batch(spark, sf_dir):
             )[:3]
         ]
         assert top == btop
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir, events):
+    """Sliding windows (window > slide) through the SAME definition on
+    batch and stream: every emitted stream window must agree with the
+    batch plan, proving the overlap fan-out works under incremental
+    execution with watermark-bounded state."""
+    batch = windowed_agg(events, window="2 hours", slide="1 hour")
+    st = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    swa = windowed_agg(st, window="2 hours", slide="1 hour", watermark="0 seconds")
+    run_stream_to_memory(swa, "t_slide", output_mode="append")
+    stream_rows = spark.sql(
+        "select window_start, event_type, n_events, sum_value from t_slide"
+    ).collect()
+    batch_rows = batch.select("window_start", "event_type", "n_events", "sum_value").collect()
+    # each event covers 2 windows; watermark=0 withholds only the tail ones
+    assert len(stream_rows) >= len(batch_rows) - 10
+    bmap = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in batch_rows}
+    for r in stream_rows:
+        assert bmap[(r.window_start, r.event_type)] == (r.n_events, r.sum_value)
