@@ -1288,6 +1288,73 @@ class Dataset:
     def var(self) -> DataFrame:
         return self._agg_value_vars(F.variance)
 
+    def skew(self) -> DataFrame:
+        """Per-column skewness (polars ``skew``) — Catalyst's single-pass
+        mergeable central-moment accumulator."""
+        return self._agg_value_vars(F.skewness)
+
+    def kurtosis(self) -> DataFrame:
+        """Per-column excess kurtosis (polars ``kurtosis``)."""
+        return self._agg_value_vars(F.kurtosis)
+
+    def transpose(self, include_header: bool = True, max_rows: int = 10_000) -> DataFrame:
+        """Transpose (polars ``transpose``): columns become rows. Like
+        polars, this is an inherently materializing reshape — the result
+        width equals the input row count — so it is guarded by
+        ``max_rows`` and meant for small summaries (a ``describe()``
+        output, an aggregate row), never for data tables."""
+        rows = self._df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"transpose: more than {max_rows} rows; transposing a data-"
+                "scale frame is a mistake — aggregate first or raise max_rows"
+            )
+        cols = self._df.columns
+        out_rows = []
+        for c in cols:
+            rec = {"column": c} if include_header else {}
+            for i, r in enumerate(rows):
+                v = r[c]
+                rec[f"column_{i}"] = None if v is None else str(v)
+            out_rows.append(rec)
+        schema = ("column string, " if include_header else "") + ", ".join(
+            f"column_{i} string" for i in range(len(rows))
+        )
+        return self._df.sparkSession.createDataFrame(out_rows, schema)
+
+    def shrink_dtype(self) -> "Dataset":
+        """Downcast integer value columns to the smallest type that holds
+        their observed range (polars ``shrink_dtype``) — a storage/shuffle
+        optimization: ONE aggregate pass collects min/max per column
+        (scalars only), then a map-only cast. Floats and strings are left
+        alone (float shrinking loses precision)."""
+        int_cols = [
+            f.name
+            for f in self._df.schema.fields
+            if f.name in self.value_vars
+            and isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+        ]
+        if not int_cols:
+            return self
+        row = self._df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in int_cols],
+            *[F.max(c).alias(f"mx_{c}") for c in int_cols],
+        ).first()
+        casts = {}
+        for c in int_cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None:  # all-null column: nothing to learn
+                continue
+            for t, lo, hi in (
+                ("tinyint", -128, 127),
+                ("smallint", -32768, 32767),
+                ("int", -2147483648, 2147483647),
+            ):
+                if lo <= mn and mx <= hi:
+                    casts[c] = F.col(c).cast(t)
+                    break
+        return self._rewrap(self._df.withColumns(casts)) if casts else self
+
     def group_by_dynamic(self, every, offset: float = 0.0, period=None):
         """Dynamic (windowed) group-by over the index (polars
         ``group_by_dynamic``): buckets of width ``period`` (default

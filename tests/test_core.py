@@ -599,3 +599,23 @@ def test_group_by_dynamic_sliding_numeric(spark):
     assert out == {-1.0: 1, 0.0: 2, 1.0: 2, 2.0: 2, 3.0: 2, 4.0: 1}
     with pytest.raises(ValueError):
         ds.group_by_dynamic(2.0, period=1.0).agg(F.count("*").alias("n"))
+
+
+def test_skew_kurtosis_transpose_shrink(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 6, "x": [float(i) for i in range(6)],
+         "v": [1.0, 1.0, 1.0, 1.0, 1.0, 10.0], "n": [1, 2, 3, 4, 5, 200]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    sk = ds.skew().first()
+    # right-tailed outlier → strongly positive skew, positive excess kurtosis
+    assert sk["v"] > 1.5
+    assert ds.kurtosis().first()["v"] > 0.5
+    tr = ds.transpose()
+    got = {r.column: r for r in tr.collect()}
+    assert got["v"].column_5 == "10.0" and got["g"].column_0 == "a"
+    with pytest.raises(ValueError):
+        ds.transpose(max_rows=3)
+    shrunk = ds.shrink_dtype()
+    assert dict(shrunk.df.dtypes)["n"] == "smallint"  # 200 > tinyint max
+    assert [r.n for r in shrunk.df.orderBy("x").collect()] == [1, 2, 3, 4, 5, 200]
