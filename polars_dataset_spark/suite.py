@@ -3299,6 +3299,75 @@ def q107(spark, sf_dir):
     )
 
 
+@query(
+    "q108_packing_report",
+    """
+    WITH p AS (
+      SELECT lang, n_chars,
+             (sum(n_chars) OVER w - n_chars) // 4096 AS bin
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    b AS (
+      SELECT lang, bin, sum(n_chars) AS toks, count(*) AS n_docs
+      FROM p GROUP BY lang, bin)
+    SELECT lang, count(*) AS n_bins,
+           sum(n_docs) AS n_docs,
+           round(avg(least(toks, 4096)) / 4096.0, 6) AS mean_fill,
+           sum(CASE WHEN toks >= 4096 THEN 1 ELSE 0 END) AS n_full
+    FROM b GROUP BY lang
+    """,
+)
+def q108(spark, sf_dir):
+    """Packing-efficiency report over the q68 layout: per stream, how
+    many context windows, their mean fill rate and how many are full —
+    the observability query a batch-size/budget decision needs. Composes
+    pack_sequences with two aggregations; a doc straddling a boundary
+    counts toward the window it STARTS in, so per-bin tokens can exceed
+    the budget and fill is capped at 1 (matching the SQL replay)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, budget=4096, tokens_col="n_chars", order_col="doc_id",
+        stream_cols=["lang"],
+    )
+    bins = packed.groupBy("lang", "bin").agg(
+        F.sum("n_chars").alias("toks"), F.count("*").alias("n_docs")
+    )
+    return bins.groupBy("lang").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.avg(F.least(F.col("toks"), F.lit(4096))) / 4096.0, 6).alias("mean_fill"),
+        F.sum(F.when(F.col("toks") >= 4096, 1).otherwise(0)).alias("n_full"),
+    )
+
+
+@query(
+    "q109_dup_cluster_sizes",
+    r"""
+    WITH d AS (
+      SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    c AS (SELECT norm, count(*) AS sz FROM d GROUP BY norm)
+    SELECT sz AS cluster_size, count(*) AS n_clusters
+    FROM c GROUP BY sz
+    """,
+)
+def q109(spark, sf_dir):
+    """Duplicate-cluster size histogram — the dedup observability query
+    (how much of the corpus is exact-duplicated, and in what cluster
+    sizes). Two hash aggregations, the second over at most |distinct
+    texts| rows."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.select(
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("norm")
+    ).groupBy("norm").agg(F.count("*").alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
