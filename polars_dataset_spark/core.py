@@ -1238,17 +1238,30 @@ class Dataset:
         it. The other side orders by ALL of its columns (its first column
         alone could tie, making the pairing nondeterministic) and a length
         mismatch raises like polars instead of silently inner-joining it
-        away. Costly (two global sorts + two counts): prefer a keyed
-        ``join``; the reference's own internal use (select_data) reduces
-        to a plain projection and avoids this path."""
+        away. Positions come from the two-pass distributed prefix sum
+        (no single-partition window); still costly (two range exchanges +
+        two counts + a join): prefer a keyed ``join``; the reference's
+        own internal use (select_data) reduces to a plain projection and
+        avoids this path."""
+        from polars_dataset_spark.functions.packing import _global_prefix_sum
+
         other_df = other._df if isinstance(other, Dataset) else other
         n_self, n_other = self._df.count(), other_df.count()
         if n_self != n_other:
             raise ValueError(f"hstack: row counts differ ({n_self} vs {n_other})")
-        w_self = Window.orderBy(*[F.col(c) for c in [*self._id_vars, self._index]])
-        w_other = Window.orderBy(*[F.col(c) for c in other_df.columns])
-        a = self._df.withColumn("__pos", F.row_number().over(w_self))
-        b = other_df.withColumn("__pos", F.row_number().over(w_other))
+        parts = max(self._df.sparkSession.sparkContext.defaultParallelism, 1)
+        a = _global_prefix_sum(
+            self._df.withColumn("__one", F.lit(1)),
+            "__one",
+            [*self._id_vars, self._index],
+            parts,
+        ).withColumnRenamed("__cum", "__pos").drop("__one", "__pid")
+        b = _global_prefix_sum(
+            other_df.withColumn("__one", F.lit(1)),
+            "__one",
+            list(other_df.columns),
+            parts,
+        ).withColumnRenamed("__cum", "__pos").drop("__one", "__pid")
         return self._rewrap(a.join(b, on="__pos", how="inner").drop("__pos"))
 
     def approx_n_unique(self, *cols) -> DataFrame:

@@ -1620,16 +1620,14 @@ def q54(spark, sf_dir):
 )
 def q55(spark, sf_dir):
     """slice/tail semantics: rows [100, 120) of an explicit order (Spark
-    has no implicit row order — defined via row_number, SURVEY §7
-    hard-parts #2)."""
+    has no implicit row order — canonical (id_vars, index) order, SURVEY
+    §7 hard-parts #2). Routed through Dataset.slice, which rides the
+    two-pass distributed prefix sum — no single-partition window even
+    when the input is large enough to need an exchange."""
     _prep(spark)
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        o.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn").between(101, 120))
-        .drop("rn")
-    )
+    ds = Dataset(o.select("o_orderkey", "o_totalprice"), index="o_orderkey")
+    return ds.slice(100, 20).fetch("o_orderkey", "o_totalprice")
 
 
 @query(
