@@ -108,10 +108,10 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q46_cross_join": {"BNL"},  # deliberate 5×5 cross join
         "q61_join_where": {"BNL"},  # inequality-only theta join (scale path: q70)
         "q62_fill_nan": {"BNL"},  # 1-row × 1-row aggregate crossJoin
-        # global-order utility ops, documented as driver-bounded output
-        "q13_topk": {"SINGLE_PART"},
-        "q53_window_distribution": {"SINGLE_PART"},
-        "q81_sample_exact_n": {"SINGLE_PART"},
+        # NO SINGLE_PART entries: every positional/rank op rides either
+        # TakeOrderedAndProject, a keyed window, or the two-pass
+        # distributed prefix sum — zero single-partition exchanges in
+        # the whole suite, enforced here.
     }
     problems = []
     for name, fn in suite.QUERIES.items():
