@@ -5,10 +5,12 @@ from polars_dataset_spark.operators.autophase import autophase, fit_phase, zero_
 from polars_dataset_spark.operators.asof import join_asof
 from polars_dataset_spark.operators.skew import salted_join
 from polars_dataset_spark.operators.range_join import range_join
+from polars_dataset_spark.operators.bloom import bitset_prefilter_join
 
 __all__ = [
     "salted_join",
     "range_join",
+    "bitset_prefilter_join",
     "unnest_structs",
     "rebuild_structs",
     "regrid",

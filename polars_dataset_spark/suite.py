@@ -3366,6 +3366,40 @@ def q109(spark, sf_dir):
     return clusters.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
 
 
+@query(
+    "q110_bitset_semi_join",
+    """
+    SELECT l.l_orderkey, count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
+    GROUP BY l.l_orderkey
+    """,
+)
+def q110(spark, sf_dir):
+    """Semi-join reduction (operators/bloom.py): the fact side is
+    pre-filtered through a distributed bitset of the build keys BEFORE
+    its join shuffle — built with one aggregation, broadcast as ≤ m/64
+    bitset words, probed map-side. The oracle is the PLAIN semi join:
+    the bitset only prunes, results are identical by construction."""
+    _prep(spark)
+    from polars_dataset_spark.operators import bitset_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000))
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    kept = bitset_prefilter_join(li, urgent, on="l_orderkey", how="left_semi")
+    return kept.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

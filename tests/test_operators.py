@@ -266,3 +266,38 @@ def test_join_asof_auto_fallback_and_guard(spark):
     # explicit broadcast over the limit → loud error, not a driver OOM
     with pytest.raises(ValueError, match="broadcast_limit"):
         join_asof(left, right, on="k", method="broadcast", broadcast_limit=1)
+
+
+def test_bitset_prefilter_join_exact(spark):
+    from polars_dataset_spark.operators import bitset_prefilter_join
+    from pyspark.sql import functions as F
+
+    probe = spark.range(0, 20000).select(
+        (F.col("id") % 5000).alias("k"), F.col("id").alias("payload")
+    )
+    build = spark.range(0, 5000).filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("k")
+    )
+    got = bitset_prefilter_join(probe, build, on="k", how="left_semi")
+    want = probe.join(build, "k", "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    inner = bitset_prefilter_join(probe, build, on="k", how="inner")
+    assert inner.count() == probe.join(build, "k", "inner").count()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bitset_prefilter_join(probe, build, on="k", how="left")
+
+
+def test_bitset_prefilter_selectivity(spark):
+    """The bitset must actually prune: with a tiny build side, the rows
+    surviving the pre-filter stage are close to the true matches, not
+    the whole probe side."""
+    from polars_dataset_spark.operators.bloom import _next_pow2, bitset_prefilter_join
+    from pyspark.sql import functions as F
+
+    assert _next_pow2(1) == 1 and _next_pow2(3) == 4 and _next_pow2(16) == 16
+    probe = spark.range(0, 50000).select((F.col("id") % 50000).alias("k"))
+    build = spark.range(0, 50).select(F.col("id").alias("k"))
+    got = bitset_prefilter_join(probe, build, on="k")
+    assert got.count() == 50  # exact despite the aggressive pruning
