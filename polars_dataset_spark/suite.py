@@ -3400,6 +3400,36 @@ def q110(spark, sf_dir):
     )
 
 
+@query(
+    "q111_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT 'view' AS step, (SELECT count(*) FROM v) AS n_users
+    UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+    UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)
+    """,
+)
+def q111(spark, sf_dir):
+    """Ordered funnel (view → click AFTER view → purchase AFTER click):
+    sequence matching as k filtered min-aggregates + (k−1) user-key
+    joins of per-user scalars — no per-user event sort, no session
+    window; each stage's frame shrinks so AQE promotes the later joins
+    to broadcast."""
+    _prep(spark)
+    from polars_dataset_spark.functions import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -435,3 +435,31 @@ def test_sample_frames_mono_and_cap(spark):
     assert r.n_frames_total == 6 and list(r.frame_indices) == [0, 1, 2]  # max_frames cap
     with pytest.raises(ValueError):
         sample_frames(df, every=0)
+
+
+def test_funnel_ordered_semantics(spark):
+    from polars_dataset_spark.functions import funnel_counts, funnel_stages
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(5)), (1, "purchase", t(9)),
+        # u2: purchase BEFORE view/click — must not count as completed
+        (2, "purchase", t(0)), (2, "view", t(1)), (2, "click", t(2)),
+        # u3: view then click, no purchase
+        (3, "view", t(0)), (3, "click", t(3)),
+        # u4: click only — never enters the funnel
+        (4, "click", t(0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 3, "purchase": 1}
+    st = {r.user_id: r for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert st[1].step_3_ts is not None
+    assert st[2].step_3_ts is None and st[2].step_2_ts is not None
+    assert 4 not in st
+    # within 4 minutes of the FIRST step: u1's click at +5min now misses
+    tight = {r.step: r.n_users
+             for r in funnel_counts(ev, ["view", "click", "purchase"], within_seconds=240).collect()}
+    assert tight == {"view": 3, "click": 2, "purchase": 0}
