@@ -81,3 +81,39 @@ def funnel_counts(
             ", ".join(f"'{s}', __n{i}" for i, s in enumerate(steps, start=1)),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are grouped into cohorts by the
+    period of their FIRST event; each (cohort, periods-since-cohort)
+    cell counts the distinct users active then.
+
+    Two aggregations and one user-key join of per-user scalars (the
+    cohort frame is one row per user): no windows, no per-user sort.
+    Returns ``(cohort, period_offset, n_users)``.
+    """
+    cohorts = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    activity = events.select(
+        F.col(user_col), F.date_trunc(period, F.col(ts_col)).alias("__p")
+    )
+    per_period = 604800.0 if period == "week" else 86400.0 if period == "day" else None
+    if per_period is None:
+        raise ValueError("cohort_retention: period must be 'week' or 'day'")
+    return (
+        activity.join(cohorts, user_col)
+        .withColumn(
+            "period_offset",
+            F.round(
+                (F.col("__p").cast("double") - F.col("cohort").cast("double")) / per_period
+            ).cast("long"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -3430,6 +3430,37 @@ def q111(spark, sf_dir):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+@query(
+    "q112_cohort_retention",
+    f"""
+    WITH c AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    a AS (SELECT user_id, date_trunc('week', ts) AS p FROM events)
+    SELECT strftime(cohort, '{TS_FMT_DUCK}') AS cohort,
+           CAST(round((epoch(p) - epoch(cohort)) / 604800) AS BIGINT) AS period_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY cohort, period_offset
+    """,
+)
+def q112(spark, sf_dir):
+    """Weekly cohort retention: cohort = week of each user's first
+    event; cells count distinct users active N weeks later. Two hash
+    aggregations + one user-key join of per-user scalars — the standard
+    retention matrix without windows or per-user sorts."""
+    _prep(spark)
+    from polars_dataset_spark.functions import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, period="week")
+    return out.select(
+        F.date_format("cohort", TS_FMT_SPARK).alias("cohort"),
+        "period_offset",
+        "n_users",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -463,3 +463,25 @@ def test_funnel_ordered_semantics(spark):
     tight = {r.step: r.n_users
              for r in funnel_counts(ev, ["view", "click", "purchase"], within_seconds=240).collect()}
     assert tight == {"view": 3, "click": 2, "purchase": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    from polars_dataset_spark.functions import cohort_retention
+    import datetime as dt
+
+    # u1 first event Mon Jan 1 week, active again 2 weeks later;
+    # u2 first event the NEXT week, active same week only
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 10)), (1, dt.datetime(2024, 1, 16, 9)),
+        (2, dt.datetime(2024, 1, 9, 8)), (2, dt.datetime(2024, 1, 10, 8)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort), r.period_offset): r.n_users
+           for r in cohort_retention(ev, period="week").collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 1, ("2024-01-01 00:00:00", 2): 1,
+        ("2024-01-08 00:00:00", 0): 1,
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cohort_retention(ev, period="month")
