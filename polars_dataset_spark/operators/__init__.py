@@ -6,11 +6,14 @@ from polars_dataset_spark.operators.asof import join_asof
 from polars_dataset_spark.operators.skew import salted_join
 from polars_dataset_spark.operators.range_join import range_join
 from polars_dataset_spark.operators.bloom import bitset_prefilter_join
+from polars_dataset_spark.operators.merge import merge_upsert, apply_deletes
 
 __all__ = [
     "salted_join",
     "range_join",
     "bitset_prefilter_join",
+    "merge_upsert",
+    "apply_deletes",
     "unnest_structs",
     "rebuild_structs",
     "regrid",

@@ -3461,6 +3461,52 @@ def q112(spark, sf_dir):
     )
 
 
+@query(
+    "q113_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, 'MERGED' AS o_orderpriority, round(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0),
+    inserts AS (
+      SELECT -1 AS o_orderkey, 'NEW' AS o_orderpriority, 0.0 AS o_totalprice),
+    merged AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL SELECT * FROM updates
+      UNION ALL SELECT * FROM inserts)
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def q113(spark, sf_dir):
+    """MERGE INTO semantics on plain DataFrames (operators/merge.py):
+    updates replace colliding keys, inserts append — one key anti-join
+    (broadcast for small update sets) plus a union. The aggregate
+    proves replaced rows are gone and new rows landed."""
+    _prep(spark)
+    from polars_dataset_spark.operators import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("MERGED").alias("o_orderpriority"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+    )
+    inserts = o.sparkSession.createDataFrame(
+        [(-1, "NEW", 0.0)], "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    merged = merge_upsert(o, updates.unionByName(inserts), on="o_orderkey")
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

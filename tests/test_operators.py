@@ -301,3 +301,18 @@ def test_bitset_prefilter_selectivity(spark):
     build = spark.range(0, 50).select(F.col("id").alias("k"))
     got = bitset_prefilter_join(probe, build, on="k")
     assert got.count() == 50  # exact despite the aggressive pruning
+
+
+def test_merge_upsert_and_deletes(spark):
+    from polars_dataset_spark.operators import apply_deletes, merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k long, v string"
+    )
+    got = {r.k: r.v for r in merge_upsert(base, updates, on="k").collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    left = {r.k for r in apply_deletes(base, updates, on="k").collect()}
+    assert left == {1, 3}

@@ -119,3 +119,29 @@ def test_load_table_cache_per_session(spark, sf_dir):
     a = load_table(spark, sf_dir, "lineitem")
     b = load_table(spark, sf_dir, "lineitem")
     assert a is b  # memoized plan reused within a session
+
+
+def test_zorder_write_clusters_both_dims(tmp_path, spark):
+    from polars_dataset_spark.sources.zorder import file_ranges, write_zordered
+    from pyspark.sql import functions as F
+
+    # deterministic 2-D grid: both dims uniform on [0, 1)
+    df = (
+        spark.range(0, 10000)
+        .select(
+            ((F.col("id") * 2654435761) % 10000 / 10000.0).alias("x"),
+            ((F.col("id") * 40503) % 10000 / 10000.0).alias("y"),
+        )
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+    rng = file_ranges(spark, zpath, ["x", "y"]).collect()
+    assert len(rng) == 16
+    mean_span_x = sum(r.x_max - r.x_min for r in rng) / len(rng)
+    mean_span_y = sum(r.y_max - r.y_min for r in rng) / len(rng)
+    # 16 files tiling a 2-D z-curve: each file covers a narrow band of
+    # BOTH dims (ideal 4x4 tiling = 0.25); a 1-D sort would leave the
+    # other dim at ~1.0 span per file
+    assert mean_span_x < 0.5 and mean_span_y < 0.5
+    # round-trip content unchanged
+    assert spark.read.parquet(zpath).count() == 10000
