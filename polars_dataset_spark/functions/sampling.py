@@ -170,3 +170,39 @@ def stratified_sample(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows
+    (Efraimidis–Spirakis A-Res): each row draws a deterministic uniform
+    u from its id hash and gets key ``ln(u)/w``; the k LARGEST keys win,
+    giving inclusion probability proportional to weight. Deterministic
+    and engine-portable (md5-based u, same id → same draw every run on
+    any topology), so even the sampled SET is oracle-checkable.
+
+    Plans as TakeOrderedAndProject: per-partition heaps of k, then one
+    k-merge — no full sort, no shuffle of non-winners. Rows with
+    non-positive or null weight are excluded (polars/NumPy convention
+    for weighted draws)."""
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    u = (
+        F.conv(F.substring(_hash_key(id_col, salt), 1, 15), 16, 10).cast("double")
+        / float(16**15)
+    )
+    # u ∈ (0,1]: shift the zero case away to keep ln defined
+    u = F.greatest(u, F.lit(1e-18))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -6,7 +6,7 @@ from polars_dataset_spark.operators.asof import join_asof
 from polars_dataset_spark.operators.skew import salted_join
 from polars_dataset_spark.operators.range_join import range_join
 from polars_dataset_spark.operators.bloom import bitset_prefilter_join
-from polars_dataset_spark.operators.merge import merge_upsert, apply_deletes
+from polars_dataset_spark.operators.merge import merge_upsert, apply_deletes, snapshot_diff
 
 __all__ = [
     "salted_join",
@@ -14,6 +14,7 @@ __all__ = [
     "bitset_prefilter_join",
     "merge_upsert",
     "apply_deletes",
+    "snapshot_diff",
     "unnest_structs",
     "rebuild_structs",
     "regrid",

@@ -31,3 +31,31 @@ def apply_deletes(base: DataFrame, deletes: DataFrame, on: list[str] | str) -> D
     appears in ``deletes`` (e.g. a GDPR tombstone list)."""
     keys = [on] if isinstance(on, str) else list(on)
     return base.join(deletes.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, on: list[str] | str
+) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed table:
+    returns every differing row tagged ``change_type`` ∈
+    {'insert', 'delete', 'update'}. One full-outer join on the key; the
+    value comparison is a null-safe struct equality, all codegen."""
+    keys = [on] if isinstance(on, str) else list(on)
+    vals = [c for c in new.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshot_diff: schemas differ")
+    o = old.select(*keys, F.struct(*vals).alias("__old"))
+    n = new.select(*keys, F.struct(*vals).alias("__new"))
+    joined = o.join(n, on=keys, how="full_outer")
+    tag = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+    )
+    changed = joined.withColumn("change_type", tag).filter(F.col("change_type").isNotNull())
+    side = F.coalesce(F.col("__new"), F.col("__old"))
+    return changed.select(
+        *keys,
+        *[side.getField(c).alias(c) for c in vals],
+        "change_type",
+    )

@@ -3507,6 +3507,84 @@ def q113(spark, sf_dir):
     )
 
 
+@query(
+    "q114_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+    new AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 50 = 0 THEN round(o_totalprice + 1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL SELECT -5, 'NEWROW', 1.0)
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           coalesce(new.o_orderpriority, old.o_orderpriority) AS o_orderpriority,
+           coalesce(new.o_totalprice, old.o_totalprice) AS o_totalprice,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice <> new.o_totalprice
+       OR old.o_orderpriority <> new.o_orderpriority
+    """,
+)
+def q114(spark, sf_dir):
+    """Change-data-capture between snapshots (operators/merge.py):
+    full-outer key join + null-safe struct comparison tags every row
+    insert/delete/update. The synthetic 'new' snapshot drops keys
+    divisible by 7, bumps prices on keys divisible by 50, and adds one
+    row — the diff must recover exactly those changes."""
+    _prep(spark)
+    from polars_dataset_spark.operators import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 50 == 0, F.round(F.col("o_totalprice") + 1, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.sparkSession.createDataFrame(
+                [(-5, "NEWROW", 1.0)],
+                "o_orderkey long, o_orderpriority string, o_totalprice double",
+            )
+        )
+    )
+    return snapshot_diff(o, new, on="o_orderkey")
+
+
+@query(
+    "q115_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ln(greatest(('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         / 1152921504606846976.0, 1e-18)) / n_chars AS wkey
+      FROM documents WHERE n_chars > 0)
+    ORDER BY wkey DESC, doc_id ASC LIMIT 50
+    """,
+)
+def q115(spark, sf_dir):
+    """Weighted sample without replacement (Efraimidis–Spirakis A-Res,
+    weight = document length): the uniform draw is md5-derived, so the
+    SELECTED SET is deterministic, topology-independent, and replayable
+    by the oracle — both engines pick the same 50 documents. Plans as
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, k=50, weight_col="n_chars", id_col="doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

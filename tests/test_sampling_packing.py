@@ -152,3 +152,38 @@ def test_take_until_token_budget_exact(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in take_until_token_budget(docs, 55, "n_tokens", "doc_id").collect())
     assert a == b  # deterministic set
+
+
+def test_weighted_sample_properties(spark):
+    from polars_dataset_spark.functions import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, 1e9).otherwise(1.0).alias("w"),
+    )
+    got = weighted_sample(df, k=10, weight_col="w", id_col="doc_id")
+    rows = got.collect()
+    assert len(rows) == 10 and len({r.doc_id for r in rows}) == 10
+    # overwhelming weight → certain inclusion
+    assert any(r.doc_id == 7 for r in rows)
+    again = {r.doc_id for r in weighted_sample(df, k=10, weight_col="w", id_col="doc_id").collect()}
+    assert again == {r.doc_id for r in rows}  # deterministic
+    # zero/negative/null weights excluded
+    bad = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "doc_id long, w double")
+    assert [r.doc_id for r in weighted_sample(bad, k=10, weight_col="w", id_col="doc_id").collect()] == [4]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="w", id_col="doc_id")
+
+
+def test_snapshot_diff_tags(spark):
+    from polars_dataset_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    new = spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], "k long, v string")
+    got = {r.k: (r.v, r.change_type) for r in snapshot_diff(old, new, on="k").collect()}
+    assert got == {1: ("a", "delete"), 2: ("B", "update"), 4: ("d", "insert")}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new.withColumnRenamed("v", "w"), on="k")
