@@ -32,6 +32,7 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup",
     "run_stream_to_memory",
+    "stream_merge_upsert",
 ]
 
 # Schema for a NANOS-timestamped events file: Spark surfaces the ts column
@@ -297,3 +298,43 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_merge_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    on: "list[str] | str",
+    checkpoint_path: str | None = None,
+) -> "object":
+    """Streaming CDC apply: every micro-batch is MERGEd into the parquet
+    table at ``target_path`` via ``foreachBatch`` + ``merge_upsert`` —
+    the standard upsert-sink pattern for engines whose native sinks are
+    append-only. Each batch pays one anti-join against the current
+    target (broadcast when the batch is small). Returns the started
+    StreamingQuery; callers own ``processAllAvailable``/``stop``.
+
+    On a lakehouse table (Delta/Iceberg) the same ``foreachBatch`` body
+    becomes ``MERGE INTO`` and gets ACID file replacement; plain parquet
+    rewrite here keeps the demonstration dependency-free."""
+    import os
+
+    from polars_dataset_spark.operators.merge import merge_upsert
+
+    keys = [on] if isinstance(on, str) else list(on)
+    spark = stream_df.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(keys)  # last-write-wins within a batch
+        if os.path.exists(target_path):
+            base = spark.read.parquet(target_path)
+            merged = merge_upsert(base, batch, on=keys)
+        else:
+            merged = batch
+        # materialize BEFORE overwriting the files being read
+        pdf = merged.toPandas()
+        spark.createDataFrame(pdf, merged.schema).write.mode("overwrite").parquet(target_path)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -3585,6 +3585,30 @@ def q115(spark, sf_dir):
     return weighted_sample(docs, k=50, weight_col="n_chars", id_col="doc_id")
 
 
+@query(
+    "q116_group_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q116(spark, sf_dir):
+    """Per-group exact percentile bands (p50/p95/p99 of event value per
+    type) — the SLO/latency-report shape. One hash aggregation; exact
+    interpolated percentiles for oracle parity, with q78's
+    percentile_approx as the documented sketch path at 100 TB."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
