@@ -3609,6 +3609,83 @@ def q116(spark, sf_dir):
     )
 
 
+@query(
+    "q117_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) FILTER (WHERE abs((e.value - s.mu) / s.sigma) > 3) AS n_outliers,
+           count(*) AS n_events
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q117(spark, sf_dir):
+    """Per-group z-score outlier screening: one aggregate for the group
+    moments (tiny — one row per group, broadcast back), one map-side
+    scoring pass, one count aggregate. No window over the raw events;
+    the moments frame is the only shuffled data besides the group
+    keys."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    scored = ev.join(F.broadcast(stats), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.count(
+            F.when(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3, 1)
+        ).alias("n_outliers"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q118_quality_audit",
+    """
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE text IS NULL OR trim(text) = '') AS empty_text,
+           count(*) FILTER (WHERE n_chars IS NULL OR n_chars < 0) AS bad_n_chars,
+           count(*) FILTER (WHERE n_chars IS NOT NULL AND text IS NOT NULL
+                              AND n_chars <> length(text)) AS n_chars_mismatch,
+           count(*) FILTER (WHERE lang NOT IN ('en','de','zh','fr','es')) AS unknown_lang,
+           count(*) - count(DISTINCT doc_id) AS dup_ids
+    FROM documents
+    """,
+)
+def q118(spark, sf_dir):
+    """Data-quality audit in ONE aggregate pass (plus the distinct-id
+    accumulator): null/empty checks, range checks, a cross-column
+    consistency check (stored n_chars vs actual length) and key
+    uniqueness — the great-expectations-style contract a 100 TB ingest
+    runs before anything else, with no second scan per rule."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.when(F.col("text").isNull() | (F.trim("text") == ""), 1)
+        ).alias("empty_text"),
+        F.count(
+            F.when(F.col("n_chars").isNull() | (F.col("n_chars") < 0), 1)
+        ).alias("bad_n_chars"),
+        F.count(
+            F.when(
+                F.col("n_chars").isNotNull()
+                & F.col("text").isNotNull()
+                & (F.col("n_chars") != F.length("text")),
+                1,
+            )
+        ).alias("n_chars_mismatch"),
+        F.count(
+            F.when(~F.col("lang").isin("en", "de", "zh", "fr", "es"), 1)
+        ).alias("unknown_lang"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("dup_ids"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
