@@ -740,6 +740,33 @@ class Dataset:
         grouped = self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1))
         return self._rewrap(grouped.applyInPandas(fn, schema=out_schema))
 
+    def smooth(self, col: str, window: int = 7, polyorder: int = 2) -> "Dataset":
+        """Savitzky–Golay smoothing per trace (the spectroscopy staple
+        alongside regrid/FFT/autophase): degree-``polyorder`` local
+        least-squares over a centered ``window``, edge regions from the
+        terminal-window polynomial (scipy ``mode='interp'``), so any
+        trace that IS a polynomial of that degree passes through
+        unchanged. Same single-shuffle grouped-map profile as regrid —
+        one Arrow batch per trace, numpy inside."""
+        import pandas as pd
+
+        from polars_dataset_spark.kernels import savgol_smooth
+
+        index, ids = self._index, list(self._id_vars)
+        out_name = f"{col}_smooth"
+        fields = list(self._df.schema.fields)
+        out_schema = T.StructType(fields + [T.StructField(out_name, T.DoubleType())])
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(index)
+            pdf[out_name] = savgol_smooth(
+                pdf[col].to_numpy(dtype=float), window, polyorder
+            )
+            return pdf
+
+        grouped = self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1))
+        return self._rewrap(grouped.applyInPandas(fn, schema=out_schema))
+
     def rank(self, col: str, method: str = "min") -> "Dataset":
         fn = {"min": F.rank, "dense": F.dense_rank}.get(method, F.rank)
         w = Window.partitionBy(*self._id_vars).orderBy(col)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["cubic_spline_interp", "pchip_interp", "interp_trace"]
+__all__ = ["cubic_spline_interp", "pchip_interp", "interp_trace", "savgol_coeffs", "savgol_smooth"]
 
 
 def _thomas(sub: np.ndarray, diag: np.ndarray, sup: np.ndarray, rhs: np.ndarray) -> np.ndarray:
@@ -214,3 +214,45 @@ def interp_trace(
     if method == "linear":
         return np.interp(np.asarray(xq, dtype=np.float64), x, y)
     raise ValueError(f"unknown interpolation method {method!r}")
+
+
+def savgol_coeffs(window: int, polyorder: int) -> np.ndarray:
+    """Savitzky–Golay smoothing weights for a centered ``window`` on a
+    UNIFORM grid: the value at the center of a degree-``polyorder``
+    least-squares fit through the window — i.e. row 0 of the pseudo-
+    inverse of the local Vandermonde system. Pure numpy."""
+    if window % 2 != 1 or window < 3:
+        raise ValueError("savgol: window must be odd and >= 3")
+    if polyorder >= window:
+        raise ValueError("savgol: polyorder must be < window")
+    offsets = np.arange(window) - window // 2
+    A = np.vander(offsets.astype(np.float64), polyorder + 1, increasing=True)
+    return np.linalg.pinv(A)[0]
+
+
+def savgol_smooth(y: np.ndarray, window: int, polyorder: int) -> np.ndarray:
+    """Savitzky–Golay smoothing of a uniformly spaced series. Interior
+    points convolve with the center weights; each EDGE region evaluates
+    the polynomial fitted to its terminal window (scipy's
+    ``mode='interp'`` convention), so polynomials of degree ≤
+    ``polyorder`` are reproduced EXACTLY everywhere — the classic SG
+    correctness property the tests pin."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n == 0:
+        return y
+    if n < window:
+        # short trace: one global least-squares polynomial
+        t = np.arange(n, dtype=np.float64)
+        order = min(polyorder, n - 1)
+        A = np.vander(t, order + 1, increasing=True)
+        return A @ np.linalg.pinv(A) @ y
+    half = window // 2
+    c = savgol_coeffs(window, polyorder)
+    mid = np.convolve(y, c[::-1], mode="valid")
+    t = np.arange(window, dtype=np.float64)
+    A = np.vander(t, polyorder + 1, increasing=True)
+    pinvA = np.linalg.pinv(A)
+    head = A[:half] @ (pinvA @ y[:window])
+    tail = A[half + 1 :] @ (pinvA @ y[-window:])
+    return np.concatenate([head, mid, tail])

@@ -3686,6 +3686,57 @@ def q118(spark, sf_dir):
     )
 
 
+@query(
+    "q119_savgol_smooth",
+    f"""
+    WITH
+    t AS (
+      SELECT l_returnflag, l_linestatus,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1, 2, 3),
+    o AS (
+      SELECT l_returnflag, l_linestatus, day, revenue,
+             row_number() OVER w AS pos, count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      FROM t WINDOW w AS (PARTITION BY l_returnflag, l_linestatus ORDER BY day))
+    SELECT l_returnflag, l_linestatus, day,
+           round((-2*lag(revenue, 3) OVER w2 + 3*lag(revenue, 2) OVER w2
+                  + 6*lag(revenue, 1) OVER w2 + 7*revenue
+                  + 6*lead(revenue, 1) OVER w2 + 3*lead(revenue, 2) OVER w2
+                  - 2*lead(revenue, 3) OVER w2) / 21.0, 4) AS smooth_rev
+    FROM o
+    WINDOW w2 AS (PARTITION BY l_returnflag, l_linestatus ORDER BY day)
+    QUALIFY pos > 3 AND pos <= n - 3
+    """,
+)
+def q119(spark, sf_dir):
+    """Savitzky–Golay smoothing (window 7, order 2) of the daily revenue
+    traces — the spectroscopy smoothing staple as a grouped-map numpy
+    kernel, same single-shuffle profile as regrid. The oracle replays
+    the INTERIOR convolution with the exact (-2,3,6,7,6,3,-2)/21
+    weights via lag/lead; edge rows (terminal-window polynomial fits)
+    are filtered on both sides, and pytest pins their semantics."""
+    _prep(spark)
+    traces = _daily_traces(spark, sf_dir)
+    ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
+    sm = ds.smooth("revenue", window=7, polyorder=2).df
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("day")
+    pos = F.row_number().over(w)
+    n = F.count("*").over(Window.partitionBy("l_returnflag", "l_linestatus"))
+    return (
+        sm.withColumn("__pos", pos)
+        .withColumn("__n", n)
+        .filter((F.col("__pos") > 3) & (F.col("__pos") <= F.col("__n") - 3))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "day",
+            F.round("revenue_smooth", 4).alias("smooth_rev"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

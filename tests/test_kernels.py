@@ -53,3 +53,27 @@ def test_extrapolation_is_polynomial():
     y = x**2
     out = cubic_spline_interp(x, y, np.array([-0.5, 5.5]))
     assert out == pytest.approx([0.25, 30.25], abs=1e-6)
+
+
+def test_savgol_polynomial_exact():
+    from polars_dataset_spark.kernels import savgol_coeffs, savgol_smooth
+
+    t = np.linspace(0.0, 5.0, 41)
+    y = 2.0 + 3.0 * t - 0.5 * t**2
+    assert np.allclose(savgol_smooth(y, 7, 2), y, atol=1e-9)  # degree<=order: exact
+    # weights sum to 1 (constant preservation) and are symmetric
+    c = savgol_coeffs(9, 3)
+    assert abs(c.sum() - 1.0) < 1e-12
+    assert np.allclose(c, c[::-1], atol=1e-12)
+    # noise suppression: smoothing shrinks deviation from the true line
+    rng = np.random.RandomState(0)
+    noisy = t + rng.normal(0, 0.5, t.size)
+    sm = savgol_smooth(noisy, 11, 2)
+    assert np.abs(sm - t).mean() < np.abs(noisy - t).mean()
+    # short-trace fallback + validation
+    assert np.allclose(savgol_smooth(np.array([1.0, 2.0, 3.0]), 7, 1), [1, 2, 3], atol=1e-9)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        savgol_coeffs(4, 2)
+    with _pt.raises(ValueError):
+        savgol_coeffs(5, 5)

@@ -316,3 +316,20 @@ def test_merge_upsert_and_deletes(spark):
     assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
     left = {r.k for r in apply_deletes(base, updates, on="k").collect()}
     assert left == {1, 3}
+
+
+def test_dataset_smooth_savgol(spark):
+    import pandas as pd
+    from polars_dataset_spark import Dataset
+
+    t = np.linspace(0.0, 4.0, 21)
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"g": "a", "x": t, "y": 1.0 + 2.0 * t}),        # linear
+            pd.DataFrame({"g": "b", "x": t, "y": t**2 - 3.0 * t + 1.0}),  # quadratic
+        ]
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    out = ds.smooth("y", window=7, polyorder=2).df.orderBy("g", "x").toPandas()
+    # polynomials of degree <= polyorder pass through unchanged, per trace
+    assert np.allclose(out["y_smooth"].to_numpy(), pdf.sort_values(["g", "x"])["y"].to_numpy(), atol=1e-9)
