@@ -767,6 +767,59 @@ class Dataset:
         grouped = self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1))
         return self._rewrap(grouped.applyInPandas(fn, schema=out_schema))
 
+    def detrend(self, col: str, out_col: str | None = None) -> "Dataset":
+        """Remove each trace's least-squares linear trend (the
+        spectroscopy/time-series preprocessing staple): per-trace slope
+        and intercept come from ONE ``regr_slope``/``regr_intercept``
+        aggregation (single-pass co-moment accumulators), broadcast back
+        and subtracted map-side — no window over the raw rows, all
+        codegen."""
+        ids = list(self._id_vars)
+        x = F.col(self._index).cast("double")
+        fit = (self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1).alias("__g"))).agg(
+            F.regr_slope(F.col(col).cast("double"), x).alias("__slope"),
+            F.regr_intercept(F.col(col).cast("double"), x).alias("__icept"),
+        )
+        joined = (
+            self._df.join(F.broadcast(fit), on=ids)
+            if ids
+            else self._df.crossJoin(F.broadcast(fit.drop("__g")))
+        )
+        resid = F.col(col) - (F.col("__slope") * x + F.col("__icept"))
+        return self._rewrap(
+            joined.withColumn(out_col or f"{col}_detrended", resid).drop(
+                "__slope", "__icept"
+            )
+        )
+
+    def normalize(self, col: str, method: str = "zscore", out_col: str | None = None) -> "Dataset":
+        """Per-trace feature scaling: ``zscore`` ((v−μ)/σ) or ``minmax``
+        ((v−min)/(max−min)). One tiny per-trace aggregate broadcast back,
+        then a map-side expression — the grouped scaling a feature
+        pipeline applies before training. Degenerate traces (σ=0 or
+        max=min) scale to null rather than ±inf."""
+        ids = list(self._id_vars)
+        grouped = self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1).alias("__g"))
+        if method == "zscore":
+            stats = grouped.agg(
+                F.avg(col).alias("__a"), F.stddev_samp(col).alias("__b")
+            )
+            expr = (F.col(col) - F.col("__a")) / F.when(F.col("__b") != 0, F.col("__b"))
+        elif method == "minmax":
+            stats = grouped.agg(F.min(col).alias("__a"), F.max(col).alias("__b"))
+            rng = F.col("__b") - F.col("__a")
+            expr = (F.col(col) - F.col("__a")) / F.when(rng != 0, rng)
+        else:
+            raise ValueError(f"normalize: method must be 'zscore' or 'minmax', got {method!r}")
+        joined = (
+            self._df.join(F.broadcast(stats), on=ids)
+            if ids
+            else self._df.crossJoin(F.broadcast(stats.drop("__g")))
+        )
+        return self._rewrap(
+            joined.withColumn(out_col or f"{col}_norm", expr).drop("__a", "__b")
+        )
+
     def rank(self, col: str, method: str = "min") -> "Dataset":
         fn = {"min": F.rank, "dense": F.dense_rank}.get(method, F.rank)
         w = Window.partitionBy(*self._id_vars).orderBy(col)

@@ -3737,6 +3737,67 @@ def q119(spark, sf_dir):
     )
 
 
+@query(
+    "q120_detrend",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1, 2, 3),
+    fit AS (
+      SELECT l_returnflag, l_linestatus,
+             regr_slope(revenue, day)     AS s,
+             regr_intercept(revenue, day) AS b
+      FROM t GROUP BY 1, 2)
+    SELECT t.l_returnflag, t.l_linestatus, t.day,
+           round(t.revenue - (fit.s * t.day + fit.b), 4) AS resid
+    FROM t JOIN fit USING (l_returnflag, l_linestatus)
+    """,
+)
+def q120(spark, sf_dir):
+    """Per-trace linear detrend via single-pass regression aggregates
+    (regr_slope/regr_intercept co-moments), broadcast back and
+    subtracted map-side — no window, no second scan of the raw rows."""
+    _prep(spark)
+    traces = _daily_traces(spark, sf_dir)
+    ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
+    out = ds.detrend("revenue", out_col="resid")
+    return out.fetch(
+        "l_returnflag", "l_linestatus", "day", F.round("resid", 4).alias("resid")
+    )
+
+
+@query(
+    "q121_normalize",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma,
+             min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / nullif(s.sigma, 0), 6) AS z,
+           round((e.value - s.lo) / nullif(s.hi - s.lo, 0), 6) AS mm
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def q121(spark, sf_dir):
+    """Per-group feature scaling (z-score + min-max in one pass each):
+    tiny per-group stats broadcast back, map-side arithmetic — the
+    standard pre-training normalization shape."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ds = Dataset(ev, index="event_id", id_vars=["event_type"])
+    out = ds.normalize("value", method="zscore", out_col="z").normalize(
+        "value", method="minmax", out_col="mm"
+    )
+    return out.fetch(
+        "event_id", "event_type",
+        F.round("z", 6).alias("z"), F.round("mm", 6).alias("mm"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

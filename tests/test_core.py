@@ -619,3 +619,23 @@ def test_skew_kurtosis_transpose_shrink(spark):
     shrunk = ds.shrink_dtype()
     assert dict(shrunk.df.dtypes)["n"] == "smallint"  # 200 > tinyint max
     assert [r.n for r in shrunk.df.orderBy("x").collect()] == [1, 2, 3, 4, 5, 200]
+
+
+def test_detrend_and_normalize(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 5 + ["b"] * 4,
+         "x": [1.0, 2.0, 3.0, 4.0, 5.0, 1.0, 2.0, 3.0, 4.0],
+         # trace a: exactly linear → residuals all 0; trace b: constant
+         "v": [3.0, 5.0, 7.0, 9.0, 11.0, 4.0, 4.0, 4.0, 4.0]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    det = ds.detrend("v").df.orderBy("g", "x").collect()
+    assert all(abs(r.v_detrended) < 1e-9 for r in det)
+    z = ds.normalize("v").df.orderBy("g", "x").collect()
+    za = [r.v_norm for r in z if r.g == "a"]
+    assert abs(sum(za)) < 1e-9 and abs(max(za) - 1.2649110640673518) < 1e-9
+    assert all(r.v_norm is None for r in z if r.g == "b")  # sigma=0 → null
+    mm = ds.normalize("v", method="minmax").df.orderBy("g", "x").collect()
+    assert [r.v_norm for r in mm if r.g == "a"] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    with pytest.raises(ValueError):
+        ds.normalize("v", method="robust")
