@@ -3798,6 +3798,79 @@ def q121(spark, sf_dir):
     )
 
 
+@query(
+    "q122_autocorr",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1, 2, 3),
+    lagged AS (
+      SELECT l_returnflag, l_linestatus, revenue,
+             lag(revenue, 1) OVER w AS r1, lag(revenue, 7) OVER w AS r7
+      FROM t WINDOW w AS (PARTITION BY l_returnflag, l_linestatus ORDER BY day))
+    SELECT l_returnflag, l_linestatus,
+           round(corr(revenue, r1), 6) AS acf_1,
+           round(corr(revenue, r7), 6) AS acf_7
+    FROM lagged GROUP BY 1, 2
+    """,
+)
+def q122(spark, sf_dir):
+    """Per-trace autocorrelation at lags 1 and 7 (weekly seasonality
+    probe): one keyed window for the lags, then corr accumulators — the
+    shuffle is on the trace key only, shared by window and aggregate."""
+    _prep(spark)
+    traces = _daily_traces(spark, sf_dir)
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("day")
+    lagged = traces.select(
+        "l_returnflag", "l_linestatus", "revenue",
+        F.lag("revenue", 1).over(w).alias("r1"),
+        F.lag("revenue", 7).over(w).alias("r7"),
+    )
+    return lagged.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.corr("revenue", "r1"), 6).alias("acf_1"),
+        F.round(F.corr("revenue", "r7"), 6).alias("acf_7"),
+    )
+
+
+@query(
+    "q123_ohlc",
+    f"""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '1 day', ts), '{TS_FMT_DUCK}') AS bar,
+           round(arg_min(value, ts), 6) AS open,
+           round(max(value), 6)         AS high,
+           round(min(value), 6)         AS low,
+           round(arg_max(value, ts), 6) AS close,
+           count(*)                     AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q123(spark, sf_dir):
+    """OHLC bars (open/high/low/close per key per day): min_by/max_by
+    pick the first/last value by timestamp inside one hash aggregation
+    — the financial downsampling staple with no window or sort. (ts is
+    unique per (type, day) in this fixture, so min_by/arg_min ties
+    cannot differ across engines.)"""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), TS_FMT_SPARK).alias("bar"),
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
