@@ -241,3 +241,39 @@ def tfidf_top_terms(
             F.col("rank"),
         )
     )
+
+
+def kl_divergence_by(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-shift diagnostic for data mixing: KL(group ‖ corpus)
+    over the unigram token distribution, per group — how far each
+    source's language drifts from the blended corpus. Tokens absent
+    from a group contribute 0 (the p→0 limit), and every group token
+    exists in the corpus by construction, so the divergence is always
+    finite. Three hash aggregations (corpus counts, group counts, final
+    sum) — the per-token frames are vocabulary-sized, not corpus-sized,
+    after the first aggregation."""
+    toks = df.select(
+        F.col(group_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    corpus = toks.groupBy("token").agg(F.count("*").alias("__c"))
+    tot = corpus.agg(F.sum("__c").alias("__tot"))
+    grp = toks.groupBy(group_col, "token").agg(F.count("*").alias("__s"))
+    gtot = grp.groupBy(group_col).agg(F.sum("__s").alias("__gt"))
+    joined = (
+        grp.join(corpus, "token")
+        .join(F.broadcast(gtot), group_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    p_s = F.col("__s") / F.col("__gt")
+    p_c = F.col("__c") / F.col("__tot")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.sum(p_s * F.log(p_s / p_c)).alias("kl"),
+            F.first("__gt").alias("n_tokens"),
+        )
+    )

@@ -3871,6 +3871,42 @@ def q123(spark, sf_dir):
     )
 
 
+@query(
+    "q124_source_kl",
+    r"""
+    WITH d AS (
+      SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT source, unnest(string_split(norm, ' ')) AS token
+      FROM d WHERE norm <> ''),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    ct AS (SELECT sum(cnt) AS tot FROM c),
+    s AS (SELECT source, token, count(*) AS scnt FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, sum(scnt) AS gt FROM s GROUP BY source)
+    SELECT s.source,
+           round(sum((scnt::DOUBLE / gt) * ln((scnt::DOUBLE / gt) / (cnt::DOUBLE / tot))), 6) AS kl,
+           min(gt) AS n_tokens
+    FROM s JOIN c USING (token) JOIN st USING (source) CROSS JOIN ct
+    GROUP BY s.source
+    """,
+)
+def q124(spark, sf_dir):
+    """Data-mixing drift diagnostic: unigram KL(source ‖ corpus) per
+    source. After the first token aggregation every frame is
+    vocabulary-sized; the group totals and corpus total broadcast. A
+    uniform synthetic corpus gives near-zero divergences — the point is
+    the oracle checks the full computation, not the magnitude."""
+    _prep(spark)
+    from polars_dataset_spark.functions import kl_divergence_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = kl_divergence_by(docs, group_col="source")
+    return out.select(
+        "source", F.round("kl", 6).alias("kl"), F.col("n_tokens")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -111,3 +111,23 @@ def test_tfidf_rank_is_integer_deterministic(spark):
     # every doc got exactly k rows and ranks are 1..k
     for rows in by_doc.values():
         assert sorted(r.rank for r in rows) == [1, 2]
+
+
+def test_kl_divergence_properties(spark):
+    from polars_dataset_spark.functions import kl_divergence_by
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x x y"), (2, "a", "x y y"),   # source a: {x:3, y:3}
+            (3, "b", "x x x"), (4, "b", "x x x"),   # source b: all x
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in kl_divergence_by(docs, group_col="source").collect()}
+    # corpus: x=9, y=3 → p_c = (.75, .25); a=(.5,.5); b=(1,0)
+    import math
+    kl_a = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    kl_b = 1.0 * math.log(1.0 / 0.75)
+    assert abs(got["a"].kl - kl_a) < 1e-12 and got["a"].n_tokens == 6
+    assert abs(got["b"].kl - kl_b) < 1e-12 and got["b"].n_tokens == 6
+    assert got["a"].kl > 0 and got["b"].kl > 0  # Gibbs: KL >= 0

@@ -108,6 +108,7 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q46_cross_join": {"BNL"},  # deliberate 5×5 cross join
         "q61_join_where": {"BNL"},  # inequality-only theta join (scale path: q70)
         "q62_fill_nan": {"BNL"},  # 1-row × 1-row aggregate crossJoin
+        "q124_source_kl": {"BNL"},  # 1-row corpus-total broadcast crossJoin
         # NO SINGLE_PART entries: every positional/rank op rides either
         # TakeOrderedAndProject, a keyed window, or the two-pass
         # distributed prefix sum — zero single-partition exchanges in
