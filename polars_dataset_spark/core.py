@@ -767,6 +767,53 @@ class Dataset:
         grouped = self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1))
         return self._rewrap(grouped.applyInPandas(fn, schema=out_schema))
 
+    def rolling_corr(
+        self, col1: str, col2: str, window_size: int, out_col: str | None = None
+    ) -> "Dataset":
+        """Rolling Pearson correlation of two columns per trace (polars
+        ``rolling_corr``): the co-moment identity
+        (E[xy] − E[x]E[y]) / (σₓ·σᵧ) over windowed averages — five
+        window aggregates on ONE frame spec, a single shuffle, all
+        codegen (Spark has no corr window aggregate; this builds it
+        from the ones it has). Windows with a constant side give null.
+
+        Numerical note: the one-pass identity cancels catastrophically
+        when |E[x]| ≫ σₓ (e.g. raw epoch-microsecond keys, ~1e15) —
+        pre-center such columns (subtract any per-trace constant) before
+        calling; at ordinary magnitudes the error is ≲1e-8 relative,
+        far under the 6-dp comparisons used here."""
+        w = self._trace_window().rowsBetween(-(window_size - 1), 0)
+        x, y = F.col(col1).cast("double"), F.col(col2).cast("double")
+        ex, ey = F.avg(x).over(w), F.avg(y).over(w)
+        exy = F.avg(x * y).over(w)
+        ex2, ey2 = F.avg(x * x).over(w), F.avg(y * y).over(w)
+        cov = exy - ex * ey
+        vx, vy = ex2 - ex * ex, ey2 - ey * ey
+        denom = F.sqrt(vx * vy)
+        return self._rewrap(
+            self._df.withColumn(
+                out_col or f"{col1}_{col2}_rolling_corr",
+                F.when(denom > 0, cov / denom),
+            )
+        )
+
+    def winsorize(self, col: str, p: float = 0.05, out_col: str | None = None) -> "Dataset":
+        """Clip ``col`` at its [p, 1−p] quantiles (winsorization — the
+        robust-statistics tail treatment): one exact-percentile
+        aggregate for the two scalars, then a map-only clip."""
+        if not 0 < p < 0.5:
+            raise ValueError("winsorize: p must be in (0, 0.5)")
+        row = self._df.agg(
+            F.percentile(col, F.lit(p)).alias("lo"),
+            F.percentile(col, F.lit(1 - p)).alias("hi"),
+        ).first()
+        return self.clip(col, lower=row["lo"], upper=row["hi"]) if out_col is None else self._rewrap(
+            self._df.withColumn(
+                out_col,
+                F.least(F.greatest(F.col(col), F.lit(row["lo"])), F.lit(row["hi"])),
+            )
+        )
+
     def detrend(self, col: str, out_col: str | None = None) -> "Dataset":
         """Remove each trace's least-squares linear trend (the
         spectroscopy/time-series preprocessing staple): per-trace slope

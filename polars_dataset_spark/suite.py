@@ -3907,6 +3907,72 @@ def q124(spark, sf_dir):
     )
 
 
+@query(
+    "q125_rolling_corr",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1, 2, 3)
+    SELECT l_returnflag, l_linestatus, day,
+           round(corr(revenue, CAST(day AS DOUBLE))
+                   OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS trend_corr
+    FROM t
+    """,
+)
+def q125(spark, sf_dir):
+    """Rolling correlation (local trend strength: revenue vs day over a
+    14-row window). Spark has no corr window aggregate, so this builds
+    it from five windowed averages on ONE frame spec — same single
+    shuffle, all codegen — while DuckDB's native windowed corr checks
+    the identity."""
+    _prep(spark)
+    traces = _daily_traces(spark, sf_dir).withColumn(
+        "day_d", F.col("day").cast("double")
+    )
+    ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
+    out = ds.rolling_corr("revenue", "day_d", window_size=14, out_col="trend_corr")
+    return out.fetch(
+        "l_returnflag", "l_linestatus", "day",
+        F.round("trend_corr", 6).alias("trend_corr"),
+    )
+
+
+@query(
+    "q126_winsorize",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders)
+    SELECT count(*) AS n,
+           round(sum(least(greatest(o_totalprice, lo), hi)), 2) AS total,
+           round(avg(least(greatest(o_totalprice, lo), hi)), 4) AS mean,
+           round(min(least(greatest(o_totalprice, lo), hi)), 2) AS mn,
+           round(max(least(greatest(o_totalprice, lo), hi)), 2) AS mx
+    FROM orders, b
+    """,
+)
+def q126(spark, sf_dir):
+    """Winsorized summary (5% tails clipped to the exact quantiles):
+    robust-statistics tail treatment as one percentile aggregate (two
+    scalars) + a map-only clip + one summary aggregate."""
+    _prep(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ds = Dataset(o, index="o_orderkey")
+    w = ds.winsorize("o_totalprice", p=0.05, out_col="wz")
+    return w.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("wz"), 2).alias("total"),
+        F.round(F.avg("wz"), 4).alias("mean"),
+        F.round(F.min("wz"), 2).alias("mn"),
+        F.round(F.max("wz"), 2).alias("mx"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

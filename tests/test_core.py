@@ -639,3 +639,25 @@ def test_detrend_and_normalize(spark):
     assert [r.v_norm for r in mm if r.g == "a"] == [0.0, 0.25, 0.5, 0.75, 1.0]
     with pytest.raises(ValueError):
         ds.normalize("v", method="robust")
+
+
+def test_rolling_corr_and_winsorize(spark):
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 40, "x": np.arange(40, dtype=float),
+         "u": rng.normal(0, 1, 40), "v": rng.normal(0, 1, 40)}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    got = (
+        ds.rolling_corr("u", "v", window_size=10, out_col="rc")
+        .df.orderBy("x").toPandas()["rc"].to_numpy()
+    )
+    ref = pdf["u"].rolling(10, min_periods=1).corr(pdf["v"]).to_numpy()
+    mask = ~np.isnan(ref)
+    mask[0] = False  # single-point window: pandas NaN, ours null too
+    assert np.allclose(got[mask].astype(float), ref[mask], atol=1e-9)
+    wz = ds.winsorize("u", p=0.1, out_col="wz").df.orderBy("x").toPandas()
+    lo, hi = np.percentile(pdf["u"], 10), np.percentile(pdf["u"], 90)
+    assert np.allclose(wz["wz"], np.clip(pdf["u"], lo, hi), atol=1e-9)
+    with pytest.raises(ValueError):
+        ds.winsorize("u", p=0.6)
