@@ -324,15 +324,25 @@ def stream_merge_upsert(
     spark = stream_df.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         batch = batch_df.dropDuplicates(keys)  # last-write-wins within a batch
         if os.path.exists(target_path):
             base = spark.read.parquet(target_path)
             merged = merge_upsert(base, batch, on=keys)
         else:
             merged = batch
-        # materialize BEFORE overwriting the files being read
-        pdf = merged.toPandas()
-        spark.createDataFrame(pdf, merged.schema).write.mode("overwrite").parquet(target_path)
+        # write-then-swap: the merged table is written DISTRIBUTED to a
+        # scratch dir (the source files are still live, so no
+        # read-what-you-overwrite hazard), then swapped in driver-side —
+        # two directory renames, no data ever through the driver
+        tmp = f"{target_path}__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{target_path}__old"
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)
     if checkpoint_path:
