@@ -827,8 +827,11 @@ class Dataset:
             F.regr_slope(F.col(col).cast("double"), x).alias("__slope"),
             F.regr_intercept(F.col(col).cast("double"), x).alias("__icept"),
         )
+        # no forced broadcast: the fit frame is one row per TRACE, which
+        # can itself be huge at scale — AQE broadcasts it when small and
+        # shuffle-joins on the trace key otherwise
         joined = (
-            self._df.join(F.broadcast(fit), on=ids)
+            self._df.join(fit, on=ids)
             if ids
             else self._df.crossJoin(F.broadcast(fit.drop("__g")))
         )
@@ -858,8 +861,10 @@ class Dataset:
             expr = (F.col(col) - F.col("__a")) / F.when(rng != 0, rng)
         else:
             raise ValueError(f"normalize: method must be 'zscore' or 'minmax', got {method!r}")
+        # per-trace stats frame: same no-forced-broadcast reasoning as
+        # :meth:`detrend`
         joined = (
-            self._df.join(F.broadcast(stats), on=ids)
+            self._df.join(stats, on=ids)
             if ids
             else self._df.crossJoin(F.broadcast(stats.drop("__g")))
         )
