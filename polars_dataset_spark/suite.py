@@ -3973,6 +3973,129 @@ def q126(spark, sf_dir):
     )
 
 
+@query(
+    "q127_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med.m, median(abs(e.value - med.m)) AS mad
+      FROM events e JOIN med USING (event_type) GROUP BY e.event_type, med.m)
+    SELECT e.event_type,
+           count(*) FILTER (WHERE abs(e.value - mad.m) > 3 * 1.4826 * mad.mad) AS n_outliers,
+           round(mad.m, 6) AS med, round(mad.mad, 6) AS mad
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, mad.m, mad.mad
+    """,
+)
+def q127(spark, sf_dir):
+    """Robust outlier screening via median/MAD (immune to the outliers
+    themselves, unlike q117's moments): two exact-median aggregation
+    passes + a map-side flag. 1.4826·MAD estimates σ under normality —
+    the standard robust z-score."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.median(F.abs(F.col("value") - F.col("m"))).alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "m", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("m")) > 3 * 1.4826 * F.col("mad"), 1
+                )
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type", "n_outliers",
+            F.round("m", 6).alias("med"), F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+@query(
+    "q128_interevent_times",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events)
+    SELECT round(avg(gap), 4)                    AS mean_gap_s,
+           round(median(gap), 4)                 AS median_gap_s,
+           round(quantile_cont(gap, 0.95), 4)    AS p95_gap_s,
+           count(*)                              AS n_gaps
+    FROM d WHERE gap IS NOT NULL
+    """,
+)
+def q128(spark, sf_dir):
+    """Inter-event time distribution (user cadence): one keyed window
+    for the per-user deltas, then a summary aggregate — the
+    arrival-process statistics behind session-gap and rate-limit
+    choices. epoch deltas keep sub-second precision as exact doubles."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    d = ev.select(gap.alias("gap")).filter(F.col("gap").isNotNull())
+    return d.agg(
+        F.round(F.avg("gap"), 4).alias("mean_gap_s"),
+        F.round(F.median("gap"), 4).alias("median_gap_s"),
+        F.round(F.percentile("gap", F.lit(0.95)), 4).alias("p95_gap_s"),
+        F.count("*").alias("n_gaps"),
+    )
+
+
+@query(
+    "q129_audience_overlap",
+    """
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           count(*) AS n_both,
+           round(count(*)::DOUBLE /
+                 ((SELECT count(DISTINCT user_id) FROM events WHERE event_type = x.event_type)
+                  + (SELECT count(DISTINCT user_id) FROM events WHERE event_type = y.event_type)
+                  - count(*)), 6) AS jaccard
+    FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY x.event_type, y.event_type
+    """,
+)
+def q129(spark, sf_dir):
+    """Audience overlap between event types (pairwise user-set Jaccard):
+    dedup to (type, user) pairs first — the self-join is on user_id over
+    the DEDUPED frame, so its size is users·types, not raw events; per-
+    type distinct counts broadcast for the union denominator."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("event_type", "user_id").distinct()
+    sizes = a.groupBy("event_type").agg(F.countDistinct("user_id").alias("sz"))
+    both = (
+        a.alias("x")
+        .join(a.alias("y"), on="user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"), F.col("y.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    out = (
+        both.join(F.broadcast(sizes.withColumnRenamed("event_type", "type_a")
+                              .withColumnRenamed("sz", "sz_a")), "type_a")
+        .join(F.broadcast(sizes.withColumnRenamed("event_type", "type_b")
+                          .withColumnRenamed("sz", "sz_b")), "type_b")
+    )
+    return out.select(
+        "type_a", "type_b", "n_both",
+        F.round(
+            F.col("n_both") / (F.col("sz_a") + F.col("sz_b") - F.col("n_both")), 6
+        ).alias("jaccard"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
