@@ -65,10 +65,14 @@ def main() -> None:
         "q60_clean_corpus",
         "q64_dedup_components",
         "q58_ivf_topk",
+        "q105_approx_distinct",
+        "q100_corr_matrix",
         "q41_fourier",
         "q38_simhash_dedup",
         "q76_regrid_uniform",
         "q77_fourier_spline",
+        "q97_tfidf_topk",
+        "q106_horizontal",
         "q59_group_by_dynamic",
         "q37_minhash_pairs",
         "q36_neardup_lsh",
