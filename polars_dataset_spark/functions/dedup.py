@@ -674,3 +674,86 @@ def embedding_neardup(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str = "text",
+    right_text: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    shingle_kind: str = "token",
+) -> DataFrame:
+    """Record linkage across TWO tables on near-identical text keys:
+    returns ``(left_id, right_id, jaccard)`` for every cross-table pair
+    whose shingle Jaccard ≥ ``threshold``.
+
+    Same banded-LSH shape as :func:`minhash_lsh_candidates`, but the
+    band-bucket join is LEFT×RIGHT instead of a self-join — both sides
+    sign with the SAME seeded hash family, so a left and right record
+    with similar text land in the same band bucket. Shuffle volume is
+    (|L|+|R|)·bands; exact Jaccard verifies candidates only. This is
+    the scale shape for entity resolution / benchmark-contamination
+    lookup between corpora — never the |L|·|R| cross join."""
+    rows = num_hashes // bands
+
+    def prep(df, id_col, text_col, out_id):
+        sigd = minhash_signatures(
+            df.select(F.col(id_col).alias(out_id), F.col(text_col).alias("__t")),
+            "__t",
+            num_hashes=num_hashes,
+            shingle_size=shingle_size,
+            shingle_kind=shingle_kind,
+        ).persist()
+        banded = sigd.select(
+            F.col(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("minhash")[i]
+                                    for i in range(b * rows, (b + 1) * rows)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out_id, "bk.band", "bk.bh")
+        return sigd, banded
+
+    sig_l, band_l = prep(left, left_id, left_text, "__lid")
+    sig_r, band_r = prep(right, right_id, right_text, "__rid")
+    pairs = (
+        band_l.join(band_r, on=["band", "bh"])
+        .select("__lid", "__rid")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    pairs = pairs.join(
+        sig_l.select("__lid", F.col("shingles").alias("sh_a")), on="__lid"
+    ).join(sig_r.select("__rid", F.col("shingles").alias("sh_b")), on="__rid")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            F.col("__lid").alias(left_id + "_l"),
+            F.col("__rid").alias(right_id + "_r"),
+            "jaccard",
+        )
+    )
+    out = out.persist()
+    out.count()  # materialize result, then free the input-sized caches
+    sig_l.unpersist()
+    sig_r.unpersist()
+    return out

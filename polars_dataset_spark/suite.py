@@ -4096,6 +4096,51 @@ def q129(spark, sf_dir):
     )
 
 
+@query(
+    "q130_fuzzy_join",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, source,
+             CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    sh AS (
+      SELECT doc_id, source, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok),
+    l AS (SELECT * FROM sh WHERE source < 'src5'),
+    r AS (SELECT * FROM sh WHERE source >= 'src5')
+    SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+           round(len(list_intersect(l.shingles, r.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(l.shingles, r.shingles))), 6) AS jaccard
+    FROM l JOIN r ON TRUE
+    WHERE round(len(list_intersect(l.shingles, r.shingles))::DOUBLE
+                / len(list_distinct(list_concat(l.shingles, r.shingles))), 6) >= 0.6
+    """,
+)
+def q130(spark, sf_dir):
+    """Cross-corpus record linkage (entity resolution): near-identical
+    documents BETWEEN two disjoint source halves via banded MinHash-LSH
+    across two frames — shuffle ∝ (|L|+|R|)·bands, never |L|·|R|. Exact
+    Jaccard verifies candidates, so output ⊆ exact cross set; the
+    fixture's near-dups sit far above the s-curve, so recall is 1 and
+    the oracle (exact all-pairs cross Jaccard) matches as equality —
+    the q37 argument applied across tables."""
+    _prep(spark)
+    from polars_dataset_spark.functions import fuzzy_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.filter(F.col("source") < "src5")
+    right = docs.filter(F.col("source") >= "src5")
+    return fuzzy_join(
+        left, right, left_id="doc_id", right_id="doc_id", threshold=0.6
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

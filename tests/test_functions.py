@@ -485,3 +485,21 @@ def test_cohort_retention_offsets(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cohort_retention(ev, period="month")
+
+
+def test_fuzzy_join_cross_table(spark):
+    from polars_dataset_spark.functions import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text about spark clusters running jobs")],
+        "id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "another unrelated document concerning database engines")],
+        "rid long, text string",
+    )
+    got = fuzzy_join(left, right, left_id="id", right_id="rid", threshold=0.5).collect()
+    assert [(r.id_l, r.rid_r) for r in got] == [(1, 10)]
+    assert 0.5 <= got[0].jaccard < 1.0
