@@ -132,3 +132,45 @@ def test_interpolate_nulls_matches_numpy_interp(spark):
         interior = (np.arange(n) >= first) & (np.arange(n) <= last)
         assert np.allclose(got[interior], ref[interior], rtol=0, atol=1e-9)
         assert np.all(np.isnan(got[~interior]))  # outside: stays null
+
+
+@given(
+    n=st.integers(min_value=9, max_value=60),
+    coeffs=st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False), min_size=1, max_size=4
+    ),
+    window=st.sampled_from([5, 7, 9]),
+)
+@settings(max_examples=40, deadline=None)
+def test_savgol_reproduces_polynomials(n, coeffs, window):
+    """SG with polyorder=3 must reproduce ANY polynomial of degree <= 3
+    exactly, everywhere (interior convolution AND edge fits)."""
+    from polars_dataset_spark.kernels import savgol_smooth
+
+    t = np.linspace(0.0, 3.0, n)
+    y = sum(c * t**i for i, c in enumerate(coeffs))
+    y = np.asarray(y, dtype=np.float64)
+    out = savgol_smooth(y, window, 3)
+    assert np.allclose(out, y, atol=1e-7 * max(1.0, np.abs(y).max()))
+
+
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    k=st.integers(min_value=1, max_value=7),
+    offset=st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=15, deadline=None)
+def test_gather_every_matches_python_slice(spark, n, k, offset):
+    """gather_every over the canonical order == python's [offset::k]."""
+    from polars_dataset_spark import Dataset
+
+    if n == 0:
+        df = spark.createDataFrame([], "g string, x double")
+    else:
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(n)], "g string, x double"
+        )
+    ds = Dataset(df, index="x", id_vars=["g"])
+    got = sorted(r.x for r in ds.gather_every(k, offset).df.collect())
+    want = [float(i) for i in range(n)][offset::k]
+    assert got == want
