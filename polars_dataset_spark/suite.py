@@ -4141,6 +4141,107 @@ def q130(spark, sf_dir):
     )
 
 
+@query(
+    "q131_cluster_report",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding FROM embeddings),
+    dims AS (
+      SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS i,
+             embedding[unnest(range(1, len(embedding) + 1))]::DOUBLE AS v
+      FROM e),
+    cent AS (
+      SELECT label, i, avg(v) AS c FROM dims GROUP BY label, i),
+    dots AS (
+      SELECT d.vec_id, d.label,
+             sum(d.v * cent.c) AS dot,
+             sqrt(sum(d.v * d.v)) AS nv,
+             sqrt(sum(cent.c * cent.c)) AS nc
+      FROM dims d JOIN cent ON d.label = cent.label AND d.i = cent.i
+      GROUP BY d.vec_id, d.label)
+    SELECT label, count(*) AS n,
+           round(avg(dot / (nv * nc)), 6) AS mean_cos_to_centroid,
+           round(min(dot / (nv * nc)), 6) AS min_cos_to_centroid
+    FROM dots GROUP BY label
+    """,
+)
+def q131(spark, sf_dir):
+    """Clustering-quality report over the embeddings table: per-label
+    centroid (posexplode → per-(label,dim) avg — centroids as ROWS, no
+    driver collect, any dimensionality) then each vector's cosine to
+    its own centroid via a dim-aligned join + per-vector reduce. Two
+    shuffles total, both keyed; entirely built-in expressions, no UDF."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    dots = (
+        dims.join(cent, on=["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+    )
+    cos = F.col("dot") / (F.col("nv") * F.col("nc"))
+    return dots.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(cos), 6).alias("mean_cos_to_centroid"),
+        F.round(F.min(cos), 6).alias("min_cos_to_centroid"),
+    )
+
+
+@query(
+    "q132_centroid_separation",
+    """
+    WITH dims AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+             embedding[unnest(range(1, len(embedding) + 1))]::DOUBLE AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, i, avg(v) AS c FROM dims GROUP BY label, i),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.c * b.c) AS dot,
+             sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b, round(dot / (na * nb), 6) AS cos_sep
+    FROM pairs
+    """,
+)
+def q132(spark, sf_dir):
+    """Inter-centroid separation (pairwise cosine between label
+    centroids — q131's intra-cluster complement, together the
+    silhouette picture): the self-join runs on the CENTROID frame
+    (labels·dims rows), never on the vectors."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    a = cent.select(F.col("label").alias("label_a"), "i", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "i", F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, on="i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a", "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sep"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
