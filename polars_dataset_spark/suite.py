@@ -4242,6 +4242,103 @@ def q132(spark, sf_dir):
     )
 
 
+@query(
+    "q133_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT user_id,
+             CAST(floor(epoch((SELECT max(ts) FROM events)) - epoch(max(ts)))
+                  AS BIGINT)                                    AS recency_s,
+             count(*)                                            AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)   AS monetary
+      FROM events GROUP BY user_id),
+    cuts AS (
+      SELECT quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5)  AS m_med,
+             quantile_cont(recency_s, 0.5) AS r_med
+      FROM rfm)
+    SELECT CASE WHEN recency_s <= r_med THEN 'recent' ELSE 'lapsed' END AS r_seg,
+           CASE WHEN frequency >  f_med THEN 'frequent' ELSE 'occasional' END AS f_seg,
+           CASE WHEN monetary  >  m_med THEN 'high' ELSE 'low' END AS m_seg,
+           count(*) AS n_users,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM rfm, cuts
+    GROUP BY r_seg, f_seg, m_seg
+    """,
+)
+def q133(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary): one per-user
+    aggregate (decimal-stable monetary sums), median thresholds from one
+    3-scalar aggregate, then a map-side CASE bucketing and the segment
+    rollup. The corpus max timestamp is a 1-row scalar subquery on both
+    engines."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    rfm = ev.groupBy("user_id").agg(
+        F.floor(
+            F.lit(max_ts).cast("double") - F.max("ts").cast("double")
+        ).cast("long").alias("recency_s"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("monetary"),
+    )
+    cuts = rfm.agg(
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+        F.percentile("recency_s", F.lit(0.5)).alias("r_med"),
+    ).first()
+    return (
+        rfm.select(
+            F.when(F.col("recency_s") <= cuts["r_med"], "recent").otherwise("lapsed").alias("r_seg"),
+            F.when(F.col("frequency") > cuts["f_med"], "frequent").otherwise("occasional").alias("f_seg"),
+            F.when(F.col("monetary") > cuts["m_med"], "high").otherwise("low").alias("m_seg"),
+            "monetary",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+    )
+
+
+@query(
+    "q134_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    """,
+)
+def q134(spark, sf_dir):
+    """First-order Markov transition matrix between event types (per
+    user sequence): one keyed window for the successor, one count
+    aggregation, row-normalized probabilities via a tiny keyed window
+    over the 5×5 count frame."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return c.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
