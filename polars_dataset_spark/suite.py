@@ -4339,6 +4339,71 @@ def q134(spark, sf_dir):
     )
 
 
+@query(
+    "q135_pareto_abc",
+    """
+    WITH pr AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,6))) AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT sum(revenue) AS t FROM pr),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum
+      FROM pr),
+    -- exact decimal threshold compares (5·cum vs 4·t, 20·cum vs 19·t):
+    -- no float division, so the class boundary cannot drift between
+    -- engines on partial-sum rounding
+    classed AS (
+      SELECT revenue,
+             CASE WHEN 5 * cum <= 4 * t THEN 'A'
+                  WHEN 20 * cum <= 19 * t THEN 'B' ELSE 'C' END AS abc
+      FROM ranked, tot)
+    SELECT abc, count(*) AS n_parts,
+           round(CAST(sum(revenue) AS DOUBLE), 2) AS class_revenue
+    FROM classed GROUP BY abc
+    """,
+)
+def q135(spark, sf_dir):
+    """Pareto/ABC analysis: parts ranked by revenue, classed by
+    cumulative revenue share (A ≤80%, B ≤95%, C rest). The descending
+    value-ordered global cumsum rides the two-pass distributed prefix
+    sum (range partition on the NEGATED revenue — no single-partition
+    window over the part frame); revenue itself is decimal-stable."""
+    _prep(spark)
+    from polars_dataset_spark.functions.packing import _global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+        ).alias("revenue")
+    )
+    total = pr.agg(F.sum("revenue").alias("t")).first()["t"]
+    parts = pr.sparkSession.sparkContext.defaultParallelism
+    d = _global_prefix_sum(
+        pr.withColumn("__negrev", -F.col("revenue")),
+        "revenue",
+        ["__negrev", "l_partkey"],
+        max(parts, 1),
+    )
+    # exact decimal threshold compares — same integer multipliers as the
+    # oracle, so the class boundary is bit-identical across engines
+    cum = F.col("__cum")
+    t = F.lit(total)
+    abc = (
+        F.when(cum * 5 <= t * 4, "A").when(cum * 20 <= t * 19, "B").otherwise("C")
+    )
+    return (
+        d.withColumn("abc", abc)
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
