@@ -4404,6 +4404,76 @@ def q135(spark, sf_dir):
     )
 
 
+@query(
+    "q136_wow_growth",
+    f"""
+    WITH w AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM events GROUP BY wk)
+    SELECT strftime(wk, '{TS_FMT_DUCK}') AS week,
+           round(revenue, 2) AS revenue,
+           round(revenue / lag(revenue)
+                   OVER (PARTITION BY date_part('year', wk) ORDER BY wk) - 1, 6)
+             AS wow_growth
+    FROM w
+    """,
+)
+def q136(spark, sf_dir):
+    """Week-over-week growth: the raw shuffle is one weekly aggregate
+    (decimal-stable); the lag window over the tiny weeks frame is
+    PARTITIONED by year (first week of a year gets null growth — the
+    standard YoY-boundary convention) so even this post-aggregate step
+    keeps the suite's zero-single-partition invariant."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy(F.year("wk")).orderBy("wk")
+    return wk.select(
+        F.date_format("wk", TS_FMT_SPARK).alias("week"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias("wow_growth"),
+    )
+
+
+@query(
+    "q137_new_vs_returning",
+    f"""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS first_wk
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk
+      FROM events e)
+    SELECT strftime(act.wk, '{TS_FMT_DUCK}') AS week,
+           count(*) FILTER (WHERE act.wk = first_seen.first_wk)  AS new_users,
+           count(*) FILTER (WHERE act.wk <> first_seen.first_wk) AS returning_users
+    FROM act JOIN first_seen USING (user_id)
+    GROUP BY act.wk
+    """,
+)
+def q137(spark, sf_dir):
+    """New-vs-returning user split per week: first-seen week per user
+    (one aggregate, a per-user scalar frame) joined to the deduped
+    (user, week) activity — the growth-accounting companion to cohort
+    retention (q112)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("first_wk")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    j = act.join(first_seen, "user_id")
+    return j.groupBy(F.date_format("wk", TS_FMT_SPARK).alias("week")).agg(
+        F.count(F.when(F.col("wk") == F.col("first_wk"), 1)).alias("new_users"),
+        F.count(F.when(F.col("wk") != F.col("first_wk"), 1)).alias("returning_users"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
