@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages", "funnel_counts"]
+__all__ = ["funnel_stages", "funnel_counts", "cohort_retention"]
 
 
 def funnel_stages(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "apply_deletes"]
+__all__ = ["merge_upsert", "apply_deletes", "snapshot_diff"]
 
 
 def merge_upsert(base: DataFrame, updates: DataFrame, on: list[str] | str) -> DataFrame:
