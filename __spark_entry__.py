@@ -40,8 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins for every SQL-expressible query —
-    including the LSH family (seeded hyperplanes inlined as literals),
-    regrid (on-knot identity) and FFT (O(n²) SQL DFT). Intentionally
-    rows-only: q38 (blake2b simhash), q58 (KMeans IVF), q76/q77
-    (off-knot spline interpolation)."""
+    including the LSH family (seeded hyperplanes / seeded minhash lanes
+    replayed as literals), regrid (on-knot identity), FFT (O(n²) SQL
+    DFT), simhash (portable md5-bit variant) and IVF (fixed-centroid
+    variant). Intentionally rows-only — only q76/q77, the off-knot
+    spline interpolation variants, whose numerics are pinned by
+    pytest/hypothesis instead."""
     return dict(suite.ORACLES)
