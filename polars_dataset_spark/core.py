@@ -1462,10 +1462,12 @@ class Dataset:
                 v = r[c]
                 rec[f"column_{i}"] = None if v is None else str(v)
             out_rows.append(rec)
-        schema = ("column string, " if include_header else "") + ", ".join(
+        parts = (["column string"] if include_header else []) + [
             f"column_{i} string" for i in range(len(rows))
-        )
-        return self._df.sparkSession.createDataFrame(out_rows, schema)
+        ]
+        if not parts:  # 0 rows, no header: nothing to carry — empty frame
+            return self._df.sparkSession.createDataFrame([], "column string")
+        return self._df.sparkSession.createDataFrame(out_rows, ", ".join(parts))
 
     def shrink_dtype(self) -> "Dataset":
         """Downcast integer value columns to the smallest type that holds

@@ -752,8 +752,11 @@ def fuzzy_join(
             "jaccard",
         )
     )
-    out = out.persist()
-    out.count()  # materialize result, then free the input-sized caches
+    # materialize the (small) pair result via localCheckpoint — unlike a
+    # bare persist it is ContextCleaner-collected when the caller drops
+    # the frame, so repeated fuzzy_join calls don't accumulate cached
+    # blocks for the session lifetime — then free the input-sized caches
+    out = out.localCheckpoint(eager=True)
     sig_l.unpersist()
     sig_r.unpersist()
     return out

@@ -78,7 +78,12 @@ def funnel_counts(
     ).selectExpr(
         "stack({}, {}) as (step, n_users)".format(
             len(steps),
-            ", ".join(f"'{s}', __n{i}" for i, s in enumerate(steps, start=1)),
+            # step names are DATA (event_type values) — escape quotes so a
+            # name like "o'clock-sale" cannot break the generated SQL
+            ", ".join(
+                "'{}', __n{}".format(s.replace("'", "''"), i)
+                for i, s in enumerate(steps, start=1)
+            ),
         )
     )
 

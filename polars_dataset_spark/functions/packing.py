@@ -36,7 +36,14 @@ def _global_prefix_sum(
     window: range partitions preserve global order between partitions,
     so each row's global prefix = (sum of all earlier partitions'
     totals) + (its within-partition prefix). The only driver-side data
-    is one total per partition."""
+    is one total per partition.
+
+    Callers (with_row_index/slice/tail/gather_every/hstack/packing) are
+    EAGER at call time: the per-partition totals collect runs two small
+    jobs immediately rather than staying a lazy plan. The pinned
+    localCheckpoint copy is GC-driven — ContextCleaner frees it when
+    the returned frame is dropped, so repeated calls don't accumulate
+    storage for the session lifetime."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     d = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()

@@ -326,6 +326,18 @@ def stream_merge_upsert(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
+        tmp = f"{target_path}__staging"
+        old = f"{target_path}__old"
+        # crash recovery BEFORE doing anything: a previous run that died
+        # between its two renames leaves the data in __old with no
+        # target — restore it, or merging would silently restart from
+        # this batch alone. A leftover __old WITH a live target is just
+        # an unfinished cleanup; remove it so the rename below cannot
+        # collide. Stale staging writes are simply overwritten.
+        if os.path.exists(old) and not os.path.exists(target_path):
+            os.rename(old, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
         batch = batch_df.dropDuplicates(keys)  # last-write-wins within a batch
         if os.path.exists(target_path):
             base = spark.read.parquet(target_path)
@@ -335,10 +347,10 @@ def stream_merge_upsert(
         # write-then-swap: the merged table is written DISTRIBUTED to a
         # scratch dir (the source files are still live, so no
         # read-what-you-overwrite hazard), then swapped in driver-side —
-        # two directory renames, no data ever through the driver
-        tmp = f"{target_path}__staging"
+        # two directory renames, no data ever through the driver. The
+        # worst crash window (between the renames) is repaired by the
+        # recovery block above on the checkpointed re-run.
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{target_path}__old"
         if os.path.exists(target_path):
             os.rename(target_path, old)
         os.rename(tmp, target_path)

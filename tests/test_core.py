@@ -661,3 +661,11 @@ def test_rolling_corr_and_winsorize(spark):
     assert np.allclose(wz["wz"], np.clip(pdf["u"], lo, hi), atol=1e-9)
     with pytest.raises(ValueError):
         ds.winsorize("u", p=0.6)
+
+
+def test_transpose_empty_frame(spark):
+    df = spark.createDataFrame([], "g string, x double, v double")
+    ds = Dataset(df, index="x", id_vars=["g"])
+    out = ds.transpose()
+    assert {r.column for r in out.collect()} == {"g", "x", "v"}
+    assert ds.transpose(include_header=False).count() == 0
