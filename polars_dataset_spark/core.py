@@ -778,12 +778,18 @@ class Dataset:
         from the ones it has). Windows with a constant side give null.
 
         Numerical note: the one-pass identity cancels catastrophically
-        when |E[x]| ≫ σₓ (e.g. raw epoch-microsecond keys, ~1e15) —
-        pre-center such columns (subtract any per-trace constant) before
-        calling; at ordinary magnitudes the error is ≲1e-8 relative,
-        far under the 6-dp comparisons used here."""
+        when |E[x]| ≫ σₓ (e.g. raw epoch-microsecond keys, ~1e15), so
+        both columns are first centred by their per-trace mean (one
+        extra partition-frame window on the SAME shuffle — correlation
+        is translation-invariant). Residual error is ~1e-12 relative at
+        ordinary magnitudes, far under the 4-dp comparisons used here."""
         w = self._trace_window().rowsBetween(-(window_size - 1), 0)
-        x, y = F.col(col1).cast("double"), F.col(col2).cast("double")
+        wall = self._trace_window().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        x0, y0 = F.col(col1).cast("double"), F.col(col2).cast("double")
+        x = x0 - F.avg(x0).over(wall)
+        y = y0 - F.avg(y0).over(wall)
         ex, ey = F.avg(x).over(w), F.avg(y).over(w)
         exy = F.avg(x * y).over(w)
         ex2, ey2 = F.avg(x * x).over(w), F.avg(y * y).over(w)
@@ -814,6 +820,25 @@ class Dataset:
             )
         )
 
+    def _join_trace_stats(self, stats, ids: list[str]):
+        """Row-preserving join of a per-trace stats frame back onto the
+        raw rows: ``eqNullSafe`` on every trace key, so rows whose trace
+        key is NULL keep their (null-keyed) group's stats instead of
+        being silently dropped (Spark's ``on=ids`` join treats
+        NULL != NULL; polars keeps null groups)."""
+        import functools
+        import operator
+
+        keyed = stats.select(
+            *[F.col(c).alias(f"__k_{c}") for c in ids],
+            *[c for c in stats.columns if c not in ids],
+        )
+        cond = functools.reduce(
+            operator.and_,
+            [self._df[c].eqNullSafe(keyed[f"__k_{c}"]) for c in ids],
+        )
+        return self._df.join(keyed, cond).drop(*[f"__k_{c}" for c in ids])
+
     def detrend(self, col: str, out_col: str | None = None) -> "Dataset":
         """Remove each trace's least-squares linear trend (the
         spectroscopy/time-series preprocessing staple): per-trace slope
@@ -831,7 +856,7 @@ class Dataset:
         # can itself be huge at scale — AQE broadcasts it when small and
         # shuffle-joins on the trace key otherwise
         joined = (
-            self._df.join(fit, on=ids)
+            self._join_trace_stats(fit, ids)
             if ids
             else self._df.crossJoin(F.broadcast(fit.drop("__g")))
         )
@@ -864,7 +889,7 @@ class Dataset:
         # per-trace stats frame: same no-forced-broadcast reasoning as
         # :meth:`detrend`
         joined = (
-            self._df.join(stats, on=ids)
+            self._join_trace_stats(stats, ids)
             if ids
             else self._df.crossJoin(F.broadcast(stats.drop("__g")))
         )
@@ -1465,8 +1490,8 @@ class Dataset:
         parts = (["column string"] if include_header else []) + [
             f"column_{i} string" for i in range(len(rows))
         ]
-        if not parts:  # 0 rows, no header: nothing to carry — empty frame
-            return self._df.sparkSession.createDataFrame([], "column string")
+        if not parts:  # 0 rows, no header: truly empty — zero columns too
+            return self._df.sparkSession.createDataFrame([], T.StructType([]))
         return self._df.sparkSession.createDataFrame(out_rows, ", ".join(parts))
 
     def shrink_dtype(self) -> "Dataset":

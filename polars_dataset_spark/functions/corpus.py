@@ -57,6 +57,9 @@ def chunk_documents(
     Output: ``(id_col, chunk_idx, chunk_text, n_tokens)``. Map-only
     (tokenize → explode over a per-row ``sequence``); no shuffle, so it
     runs at scan speed at any scale."""
+    # int-coerce before interpolating into the expr below — a non-int
+    # would either TypeError here or be rejected, never reach the SQL text
+    max_tokens, overlap = int(max_tokens), int(overlap)
     if overlap >= max_tokens:
         raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
     stride = max_tokens - overlap

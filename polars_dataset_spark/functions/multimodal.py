@@ -150,18 +150,20 @@ def decode_media(
 
     ``decoder``:
 
-    - ``"ppm"`` / ``"bmp"``: REAL decodes implemented here in pure
-      numpy (binary PGM/PPM headers + samples; uncompressed 24-bpp BMP
-      with row padding and bottom-up order) followed by deterministic
-      nearest-neighbor resampling — no codec library needed. Blobs that
-      fail to parse decode to null.
+    - ``"ppm"`` / ``"bmp"`` / ``"jpeg"``: REAL decodes implemented here
+      in pure numpy (binary PGM/PPM headers + samples; uncompressed
+      24-bpp BMP with row padding and bottom-up order; baseline JFIF
+      JPEG — Huffman entropy decode, dequantise, 8×8 IDCT, restart
+      markers — see :mod:`polars_dataset_spark.functions.jpeg`)
+      followed by deterministic nearest-neighbor resampling — no codec
+      library needed. Blobs that fail to parse decode to null.
     - ``"fake"`` (default): a deterministic stand-in for formats whose
       codecs aren't installed — bytes tile into the target shape so the
       full Spark pipeline (schema, Arrow batches, partition shape) stays
       exercised.
-    - ``"pil"``: the general-codec path; raises ``NotImplementedError``
-      in this container (Pillow absent) — install it on the cluster
-      image for JPEG/PNG/etc.
+    - ``"pil"``: the general-codec path (PNG, progressive JPEG, ...);
+      raises ``NotImplementedError`` in this container (Pillow absent) —
+      install it on the cluster image.
     """
     n_out = int(np.prod(target_size))
     out_schema = T.StructType(
@@ -171,13 +173,17 @@ def decode_media(
     if decoder == "pil" and not _HAVE_PIL:
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
-            "installed in this environment; use decoder='ppm'/'bmp' (built-in "
-            "pure-python decodes), decoder='fake' for plumbing tests, or "
-            "install Pillow on the cluster image."
+            "installed in this environment; use decoder='ppm'/'bmp'/'jpeg' "
+            "(built-in pure-python decodes), decoder='fake' for plumbing "
+            "tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    parse = {"ppm": _decode_ppm, "bmp": _decode_bmp}.get(decoder)
+    from polars_dataset_spark.functions.jpeg import decode_jpeg_gray
+
+    parse = {"ppm": _decode_ppm, "bmp": _decode_bmp, "jpeg": decode_jpeg_gray}.get(
+        decoder
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

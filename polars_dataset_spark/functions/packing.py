@@ -43,7 +43,14 @@ def _global_prefix_sum(
     jobs immediately rather than staying a lazy plan. The pinned
     localCheckpoint copy is GC-driven — ContextCleaner frees it when
     the returned frame is dropped, so repeated calls don't accumulate
-    storage for the session lifetime."""
+    storage for the session lifetime.
+
+    Fault-tolerance tradeoff (applies to every caller): localCheckpoint
+    stores the pinned blocks on executors and TRUNCATES lineage, so
+    losing an executor after the pin makes downstream actions fail
+    rather than recompute (acceptable in local mode and for short-lived
+    results; use ``checkpoint()`` to reliable storage for long-lived
+    results on a real cluster)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     d = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
@@ -56,7 +63,9 @@ def _global_prefix_sum(
     acc = 0
     for row in sorted(totals, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
-        acc += row["__t"]
+        # a partition whose tokens are all NULL aggregates to a NULL
+        # total — contribute 0, matching the window sum's null-skipping
+        acc += row["__t"] or 0
     off = F.element_at(
         F.create_map(
             *[F.lit(x) for pid, base in offsets.items() for x in (pid, base)]
@@ -68,8 +77,11 @@ def _global_prefix_sum(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # coalesce: a window frame whose tokens are all NULL (e.g. a sparse
+    # range partition whose first rows carry null tokens) sums to NULL,
+    # not 0 — null tokens contribute 0 to the running total
     return d.withColumn(
-        "__cum", F.sum(F.col(tokens_col)).over(w) + off
+        "__cum", F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0)) + off
     )
 
 
@@ -87,6 +99,11 @@ def pack_sequences(
 
     A document starting at global token position p (= running total
     before it) lands in window ``p // budget`` at offset ``p % budget``.
+
+    The no-stream-key path materialises partition totals eagerly via a
+    non-reliable localCheckpoint pin: executor loss after the call makes
+    the result unrecoverable instead of recomputable (see
+    ``_global_prefix_sum``).
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
@@ -96,11 +113,15 @@ def pack_sequences(
             .orderBy(F.col(order_col))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        out = df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+        out = df.withColumn(
+            "__cum", F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+        )
     else:
         parts = df.sparkSession.sparkContext.defaultParallelism
         out = _global_prefix_sum(df, tokens_col, order_col, max(parts, 1))
-    before = F.col("__cum") - F.col(tokens_col)
+    # null tokens contribute 0, so a null-token doc still has a
+    # well-defined start position (= the running total itself)
+    before = F.col("__cum") - F.coalesce(F.col(tokens_col), F.lit(0))
     return (
         out.withColumns(
             {

@@ -41,9 +41,31 @@ def snapshot_diff(
     {'insert', 'delete', 'update'}. One full-outer join on the key; the
     value comparison is a null-safe struct equality, all codegen."""
     keys = [on] if isinstance(on, str) else list(on)
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    if old_types != new_types:
+        diff = {
+            c
+            for c in set(old_types) | set(new_types)
+            if old_types.get(c) != new_types.get(c)
+        }
+        raise ValueError(f"snapshot_diff: schemas differ on columns {sorted(diff)}")
     vals = [c for c in new.columns if c not in keys]
-    if set(old.columns) != set(new.columns):
-        raise ValueError("snapshot_diff: schemas differ")
+    if not vals:
+        # key-only table: no value columns to compare, so the diff is
+        # pure membership — insert/delete, never update (F.struct() with
+        # zero fields is an analysis error, hence the explicit path)
+        o = old.select(*keys).withColumn("__old", F.lit(1))
+        n = new.select(*keys).withColumn("__new", F.lit(1))
+        joined = o.join(n, on=keys, how="full_outer")
+        tag = F.when(F.col("__old").isNull(), F.lit("insert")).when(
+            F.col("__new").isNull(), F.lit("delete")
+        )
+        return (
+            joined.withColumn("change_type", tag)
+            .filter(F.col("change_type").isNotNull())
+            .select(*keys, "change_type")
+        )
     o = old.select(*keys, F.struct(*vals).alias("__old"))
     n = new.select(*keys, F.struct(*vals).alias("__new"))
     joined = o.join(n, on=keys, how="full_outer")

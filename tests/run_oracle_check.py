@@ -21,15 +21,33 @@ from polars_dataset_spark.sources.tables import TABLES
 import __spark_entry__ as entrymod
 
 
+def _canon_val(v) -> str:
+    """Driver-faithful stringification: no numeric coercion, no rounding.
+
+    ``1`` (bigint) and ``1.0`` (double) canonicalise DIFFERENTLY on
+    purpose — the driver's value hash stringifies, so a DuckDB HUGEINT
+    materialised as float64 must FAIL here too (the q25 round-1/2 bug
+    class).  Arrays/lists are canonicalised element-wise so numpy's
+    ``[1. 2.]`` and Python's ``[1.0, 2.0]`` agree.
+    """
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NULL" if v != v else str(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ", ".join(_canon_val(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
-        if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
-        try:
-            pdf[c] = pd.to_numeric(pdf[c])
-        except (ValueError, TypeError):
-            pass
+        pdf[c] = pdf[c].map(_canon_val)
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
 
 
@@ -46,13 +64,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
-            sv = pd.to_numeric(sv, errors="coerce").astype(float).round(9)
-            dv = pd.to_numeric(dv, errors="coerce").astype(float).round(9)
-            bad = ~((sv == dv) | (sv.isna() & dv.isna()))
-        else:
-            sv2, dv2 = sv.astype(str), dv.astype(str)
-            bad = sv2 != dv2
+        bad = sv != dv
         if bad.any():
             i = bad.idxmax()
             problems.append(
