@@ -12,6 +12,9 @@ a range join:
 2. one window ``partitionBy(by).orderBy(key, side)`` carries each right
    row's payload to following left rows via ``last(..., ignorenulls=True)``
    (right sorts before left at equal keys, so matches are inclusive);
+   ``nearest`` carries both directions — two in-partition sorts over the
+   SAME single exchange — and picks the closer match per row (ties go
+   backward, same rule as the broadcast path's searchsorted);
 3. filter back to left rows; ``tolerance`` nulls out too-distant matches.
 
 Cost profile: one shuffle of |L|+|R| rows keyed by ``by`` plus a sorted
@@ -99,13 +102,6 @@ def join_asof(
                 f"broadcast_limit={broadcast_limit} rows; use method='sort' "
                 f"(shuffle-based, both sides arbitrarily large) or raise the limit"
             )
-    if strategy == "nearest":
-        # realized in the broadcast path; the union-sort realization would
-        # need a second ordering pass — route large-right nearest there
-        raise NotImplementedError(
-            "strategy='nearest' with a right side above broadcast_limit is not "
-            "supported by the sort method; raise broadcast_limit or pre-aggregate"
-        )
     was_dataset = isinstance(left, Dataset)
     ldf = left.df if isinstance(left, Dataset) else left
     rdf = right.df if isinstance(right, Dataset) else right
@@ -135,33 +131,60 @@ def join_asof(
     )
     unioned = l_sel.unionByName(r_sel)
 
-    if strategy == "backward":
-        order = [F.col("__key").asc(), F.col("__side").asc()]
-    elif strategy == "forward":
-        order = [F.col("__key").desc(), F.col("__side").asc()]
-    else:
-        raise ValueError(f"strategy must be 'backward' or 'forward', got {strategy!r}")
+    # ``nearest`` carries BOTH directions over the SAME partitioning —
+    # one exchange, two in-partition window sorts — then picks per row
+    # whichever match is closer (ties go backward, matching the
+    # broadcast path's searchsorted tie rule).
     base = Window.partitionBy(*by) if by else Window.partitionBy()
-    w = base.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-
-    carried = unioned.select(
-        "__side",
-        "__key",
-        *lcols,
-        F.last("__rkey", ignorenulls=True).over(w).alias("__mkey"),
-        *[
-            F.last(renames[c], ignorenulls=True).over(w).alias(f"__m_{renames[c]}")
-            for c in payload
-        ],
+    wb = base.orderBy(F.col("__key").asc(), F.col("__side").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    wf = base.orderBy(F.col("__key").desc(), F.col("__side").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    def _carry(w, tag):
+        cols = [F.last("__rkey", ignorenulls=True).over(w).alias(f"__{tag}key")]
+        cols += [
+            F.last(renames[c], ignorenulls=True).over(w).alias(f"__{tag}_{renames[c]}")
+            for c in payload
+        ]
+        return cols
+
+    sel = ["__side", "__key", *lcols]
+    if strategy in ("backward", "nearest"):
+        sel += _carry(wb, "b")
+    if strategy in ("forward", "nearest"):
+        sel += _carry(wf, "f")
+    carried = unioned.select(*sel)
     out = carried.filter(F.col("__side") == 1)
 
-    matched = F.col("__mkey").isNotNull()
+    if strategy == "backward":
+        mkey = F.col("__bkey")
+        mpay = {c: F.col(f"__b_{renames[c]}") for c in payload}
+    elif strategy == "forward":
+        mkey = F.col("__fkey")
+        mpay = {c: F.col(f"__f_{renames[c]}") for c in payload}
+    else:
+        bkey, fkey = F.col("__bkey"), F.col("__fkey")
+        use_b = bkey.isNotNull() & (
+            fkey.isNull()
+            | (F.abs(F.col("__key") - bkey) <= F.abs(F.col("__key") - fkey))
+        )
+        mkey = F.when(use_b, bkey).otherwise(fkey)
+        mpay = {
+            c: F.when(use_b, F.col(f"__b_{renames[c]}")).otherwise(
+                F.col(f"__f_{renames[c]}")
+            )
+            for c in payload
+        }
+
+    matched = mkey.isNotNull()
     if tolerance is not None:
-        matched = matched & (F.abs(F.col("__key") - F.col("__mkey")) <= F.lit(float(tolerance)))
+        matched = matched & (F.abs(F.col("__key") - mkey) <= F.lit(float(tolerance)))
     out = out.select(
         *lcols,
-        *[F.when(matched, F.col(f"__m_{renames[c]}")).alias(renames[c]) for c in payload],
+        *[F.when(matched, mpay[c]).alias(renames[c]) for c in payload],
     )
     if was_dataset:
         return left._rewrap(out)

@@ -4607,6 +4607,31 @@ def q137(spark, sf_dir):
     )
 
 
+@query(
+    "q138_cc_small_clusters",
+    """
+    SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id // 4) AS component
+    FROM documents
+    QUALIFY count(*) OVER (PARTITION BY doc_id // 4) > 1
+    """,
+)
+def q138(spark, sf_dir):
+    """Connected components on the REALISTIC near-dup regime: many tiny
+    clusters (consecutive doc_id runs of ≤4, chained) instead of q63's
+    adversarial one-path-per-group worst case. Real dedup graphs look
+    like this — millions of 2-5 node components — and star contraction
+    converges in ~2 rounds here vs O(log diameter) on the path graph;
+    benching both pins the expected AND the worst-case cost
+    (tests/test_graph_convergence.py asserts the round counts)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import chain_edges, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    clustered = docs.withColumn("__cl", F.floor(F.col("doc_id") / 4).cast("long"))
+    edges = chain_edges(clustered, "doc_id", "__cl")
+    return connected_components(edges)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

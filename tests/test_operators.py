@@ -203,7 +203,7 @@ def test_join_asof_broadcast_matches_sort(spark, sf_dir):
         .agg(F.max("o_totalprice").alias("best_price"))
     )
     kw = dict(on="l_shipdate", right_on="o_orderdate")
-    for strategy in ("backward", "forward"):
+    for strategy in ("backward", "forward", "nearest"):
         a = join_asof(li, od, strategy=strategy, method="sort", **kw)
         b = join_asof(li, od, strategy=strategy, method="broadcast", **kw)
         # NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic
@@ -249,6 +249,44 @@ def test_join_asof_nearest(spark):
         for r in join_asof(left, right, on="k", strategy="nearest", tolerance=1.5).collect()
     }
     assert got == {1.0: 10.0, 2.9: 10.0, 3.0: 10.0, 100.0: None}
+
+
+def test_join_asof_nearest_sort_path(spark):
+    # same semantics as the broadcast nearest (ties -> backward), via the
+    # union-sort realization (large-right path, previously unsupported)
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"g": ["x", "x", "x", "y"], "k": [1.0, 2.9, 3.0, 3.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"g": ["x", "x", "y"], "k": [2.0, 4.0, 2.5], "val": [10.0, 20.0, 30.0]})
+    )
+    got = {
+        (r.g, r.k): r.val
+        for r in join_asof(
+            left, right, on="k", by="g", strategy="nearest", method="sort"
+        ).collect()
+    }
+    assert got == {
+        ("x", 1.0): 10.0,   # only forward... nearest overall is 2.0
+        ("x", 2.9): 10.0,   # closer backward
+        ("x", 3.0): 10.0,   # exact tie -> backward
+        ("y", 3.0): 30.0,   # other group
+    }
+    got = {
+        (r.g, r.k): r.val
+        for r in join_asof(
+            left, right, on="k", by="g", strategy="nearest", method="sort",
+            tolerance=0.6,
+        ).collect()
+    }
+    assert got == {
+        ("x", 1.0): None,
+        ("x", 2.9): None,  # nearest candidate 2.0 at distance 0.9 > 0.6
+        ("x", 3.0): None,
+        ("y", 3.0): 30.0,
+    }
 
 
 def test_join_asof_auto_fallback_and_guard(spark):
