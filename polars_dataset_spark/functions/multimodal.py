@@ -150,20 +150,23 @@ def decode_media(
 
     ``decoder``:
 
-    - ``"ppm"`` / ``"bmp"`` / ``"jpeg"``: REAL decodes implemented here
-      in pure numpy (binary PGM/PPM headers + samples; uncompressed
-      24-bpp BMP with row padding and bottom-up order; baseline JFIF
-      JPEG — Huffman entropy decode, dequantise, 8×8 IDCT, restart
-      markers — see :mod:`polars_dataset_spark.functions.jpeg`)
-      followed by deterministic nearest-neighbor resampling — no codec
-      library needed. Blobs that fail to parse decode to null.
+    - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"``: REAL decodes
+      implemented here in pure python/numpy (binary PGM/PPM headers +
+      samples; uncompressed 24-bpp BMP with row padding and bottom-up
+      order; baseline JFIF JPEG — Huffman entropy decode, dequantise,
+      8×8 IDCT, restart markers — see
+      :mod:`polars_dataset_spark.functions.jpeg`; 8-bit PNG — stdlib
+      zlib inflate + all five row filters, gray/RGB/RGBA/palette — see
+      :mod:`polars_dataset_spark.functions.png`) followed by
+      deterministic nearest-neighbor resampling — no codec library
+      needed. Blobs that fail to parse decode to null.
     - ``"fake"`` (default): a deterministic stand-in for formats whose
       codecs aren't installed — bytes tile into the target shape so the
       full Spark pipeline (schema, Arrow batches, partition shape) stays
       exercised.
-    - ``"pil"``: the general-codec path (PNG, progressive JPEG, ...);
-      raises ``NotImplementedError`` in this container (Pillow absent) —
-      install it on the cluster image.
+    - ``"pil"``: the general-codec path (progressive JPEG, 16-bit or
+      interlaced PNG, WebP, ...); raises ``NotImplementedError`` in
+      this container (Pillow absent) — install it on the cluster image.
     """
     n_out = int(np.prod(target_size))
     out_schema = T.StructType(
@@ -173,17 +176,21 @@ def decode_media(
     if decoder == "pil" and not _HAVE_PIL:
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
-            "installed in this environment; use decoder='ppm'/'bmp'/'jpeg' "
-            "(built-in pure-python decodes), decoder='fake' for plumbing "
-            "tests, or install Pillow on the cluster image."
+            "installed in this environment; use decoder='ppm'/'bmp'/'jpeg'/"
+            "'png' (built-in pure-python decodes), decoder='fake' for "
+            "plumbing tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "jpeg", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
     from polars_dataset_spark.functions.jpeg import decode_jpeg_gray
+    from polars_dataset_spark.functions.png import decode_png_gray
 
-    parse = {"ppm": _decode_ppm, "bmp": _decode_bmp, "jpeg": decode_jpeg_gray}.get(
-        decoder
-    )
+    parse = {
+        "ppm": _decode_ppm,
+        "bmp": _decode_bmp,
+        "jpeg": decode_jpeg_gray,
+        "png": decode_png_gray,
+    }.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
