@@ -4675,6 +4675,72 @@ def q139(spark, sf_dir):
     )
 
 
+@query(
+    "q140_ewm_mean",
+    """
+    WITH t AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               strftime(l_shipdate, '%Y-%m-%d') AS day,
+               CAST(sum(l_quantity) AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+        GROUP BY 1, 2, 3
+    ), r AS (
+        SELECT flag, status, day, v,
+               row_number() OVER (PARTITION BY flag, status ORDER BY day)
+                   AS rn
+        FROM t
+    )
+    SELECT flag, status, day,
+           round(
+               sum(v * pow(2.0, rn)) OVER (
+                   PARTITION BY flag, status ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * pow(0.5, rn)
+               / (2.0 * (1.0 - pow(0.5, rn))), 4) AS qty_ewm
+    FROM r
+    """,
+)
+def q140(spark, sf_dir):
+    """Per-trace exponentially weighted mean (``Dataset.ewm_mean``,
+    alpha=0.5, adjust=True) over daily quantity traces — the sequential
+    recursion runs as one ``applyInPandas`` pass per trace (vectorised
+    ``pandas.ewm``), the same single-shuffle grouped-map profile as
+    regrid. Traces are the DAILY aggregate per (returnflag, linestatus),
+    one year: the daily grain guarantees a UNIQUE per-trace index (raw
+    lineitem has no unique order key in this fixture — (orderkey,
+    linenumber) repeats — and EWMA is order-sensitive, so any index tie
+    would make the result engine-dependent).
+
+    The oracle restates adjust=True EWMA in closed form: with per-trace
+    row number ``rn``, y_t = Σ_{s≤t} v_s·(1/2)^(rn_t−rn_s) / Σ_{k<rn_t}
+    (1/2)^k — the numerator as a cumulative ``sum(v·2^rn)`` rescaled by
+    ``0.5^rn`` (terms older than ~53 lags fall below double epsilon,
+    exactly like the recursion), the denominator in closed form
+    ``2(1−0.5^rn)``. One year of daily knots keeps rn ≤ 366 so
+    ``2^rn ≤ 2^367 ≪`` double overflow; both engines agree to ~1e-12,
+    rounded at 4 dp (the averages policy). Upgrades ewm_mean from
+    test-only (tests/test_core.py pandas parity) to value-oracled."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum("l_quantity").cast("double").alias("v"))
+    ds = Dataset(daily, index="day", id_vars=["flag", "status"])
+    return (
+        ds.ewm_mean("v", alpha=0.5, adjust=True)
+        .df.select(
+            "flag", "status", "day", F.round(F.col("v_ewm_mean"), 4).alias("qty_ewm")
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
