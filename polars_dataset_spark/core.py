@@ -644,6 +644,19 @@ class Dataset:
             self._df.withColumns({f"{c}_cummin": F.min(c).over(w) for c in cols})
         )
 
+    def cum_prod(self, *cols) -> "Dataset":
+        """Running product per trace (polars ``cum_prod``):
+        ``F.product`` over the unbounded-preceding trace window — a
+        native JVM aggregate, no log/exp detour (which would lose signs
+        and zeros)."""
+        cols = cols or self.value_vars
+        w = self._trace_window().rowsBetween(Window.unboundedPreceding, 0)
+        return self._rewrap(
+            self._df.withColumns(
+                {f"{c}_cumprod": F.product(c).over(w) for c in cols}
+            )
+        )
+
     def cum_count(self, *cols) -> "Dataset":
         """Running count of NON-NULL values per trace (polars
         ``cum_count``)."""

@@ -479,11 +479,17 @@ def test_cumulative_family_and_rle(spark):
          "v": [3.0, 1.0, None, 5.0, 5.0, 2.0]}
     )
     ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
-    out = ds.cum_max("v").cum_min("v").cum_count("v").rle_id("v").df.orderBy("x")
+    out = (
+        ds.cum_max("v").cum_min("v").cum_count("v").cum_prod("v").rle_id("v")
+        .df.orderBy("x")
+    )
     rows = out.collect()
     assert [r.v_cummax for r in rows] == [3.0, 3.0, 3.0, 5.0, 5.0, 5.0]
     assert [r.v_cummin for r in rows] == [3.0, 1.0, 1.0, 1.0, 1.0, 1.0]
     assert [r.v_cumcount for r in rows] == [1, 2, 2, 3, 4, 5]
+    # null row carries the running product so far (ignore-null window
+    # semantics, same convention as cum_max/cum_count above)
+    assert [r.v_cumprod for r in rows] == [3.0, 3.0, 3.0, 15.0, 75.0, 150.0]
     # runs: 3 | 1 | null | 5 5 | 2  → ids 0,1,2,3,3,4
     assert [r.v_rle_id for r in rows] == [0, 1, 2, 3, 3, 4]
 
