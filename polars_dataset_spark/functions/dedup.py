@@ -59,6 +59,8 @@ __all__ = [
     "simhash_dedup_portable",
     "ngram_jaccard_pairs",
     "embedding_neardup",
+    "build_neardup_index",
+    "neardup_filter_against",
 ]
 
 
@@ -235,6 +237,36 @@ def minhash_signatures(
     ).drop("__sm")
 
 
+def _band_keys(
+    sigd: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature frame into LSH bucket keys ``(id, band, bh)``:
+    each band of ``num_hashes/bands`` signature lanes hashes to one
+    64-bit bucket key. Shared by the self-join (minhash_lsh_candidates),
+    the cross-join (fuzzy_join) and the static-index (neardup) variants
+    so all three land identical texts in identical buckets."""
+    rows = num_hashes // bands
+    return sigd.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("minhash")[i]
+                                for i in range(b * rows, (b + 1) * rows)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -255,7 +287,6 @@ def minhash_lsh_candidates(
     volume is |docs|·bands, never |docs|². Every candidate is then verified
     with the exact Jaccard over the true shingle sets; only pairs ≥
     ``threshold`` survive."""
-    rows = num_hashes // bands
     sigd = minhash_signatures(
         df.select(id_col, text_col),
         text_col,
@@ -268,22 +299,7 @@ def minhash_lsh_candidates(
     # arrays 16× through the self-join would dominate the whole operator —
     # instead the (small) candidate pair set joins back to one copy of the
     # shingle sets for the exact verify.
-    banded = sigd.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("minhash")[i] for i in range(b * rows, (b + 1) * rows)]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bh")
+    banded = _band_keys(sigd, id_col, num_hashes, bands)
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
@@ -700,7 +716,6 @@ def fuzzy_join(
     (|L|+|R|)·bands; exact Jaccard verifies candidates only. This is
     the scale shape for entity resolution / benchmark-contamination
     lookup between corpora — never the |L|·|R| cross join."""
-    rows = num_hashes // bands
 
     def prep(df, id_col, text_col, out_id):
         sigd = minhash_signatures(
@@ -710,25 +725,7 @@ def fuzzy_join(
             shingle_size=shingle_size,
             shingle_kind=shingle_kind,
         ).persist()
-        banded = sigd.select(
-            F.col(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col("minhash")[i]
-                                    for i in range(b * rows, (b + 1) * rows)
-                                ]
-                            ).alias("bh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(out_id, "bk.band", "bk.bh")
+        banded = _band_keys(sigd, out_id, num_hashes, bands)
         return sigd, banded
 
     sig_l, band_l = prep(left, left_id, left_text, "__lid")
@@ -760,3 +757,86 @@ def fuzzy_join(
     sig_l.unpersist()
     sig_r.unpersist()
     return out
+
+
+def build_neardup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    shingle_kind: str = "token",
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the LSH side of a STATIC reference corpus once:
+    returns ``(banded, shingles)`` — the band bucket keys
+    ``(__cid, band, bh)`` and the shingle sets ``(__cid, __csh)`` —
+    signed with the same seeded hash family as every other MinHash op
+    here, so identical texts land in identical buckets.
+
+    This is the piece that makes continuous-ingestion dedup scale: the
+    corpus (the big side) is shingled and signed ONE time, then every
+    arriving batch pays only its own signatures plus a bucket equi-join
+    against this index (see :func:`neardup_filter_against` and
+    ``streaming.stream_neardup_filter``). Both frames are persisted;
+    for an index that outlives a session, write them to parquet and
+    read back. At 100 TB the banded frame is |corpus|·bands rows of
+    three longs — write it bucketed by ``(band, bh)`` and the per-batch
+    probe join is exchange-free on the corpus side."""
+    sigd = minhash_signatures(
+        corpus.select(F.col(id_col).alias("__cid"), F.col(text_col).alias("__t")),
+        "__t",
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        shingle_kind=shingle_kind,
+    ).persist()
+    banded = _band_keys(sigd, "__cid", num_hashes, bands).persist()
+    shingles = sigd.select("__cid", F.col("shingles").alias("__csh"))
+    return banded, shingles
+
+
+def neardup_filter_against(
+    docs: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    shingle_kind: str = "token",
+) -> DataFrame:
+    """Drop every row of ``docs`` whose text is a near-duplicate (exact
+    shingle Jaccard ≥ ``threshold``) of ANY document in the pre-built
+    reference index (:func:`build_neardup_index`) — dedup of new data
+    against an existing corpus, the row-filter complement of
+    :func:`fuzzy_join`'s pair output. All other ``docs`` columns pass
+    through. LSH parameters must match the ones the index was built
+    with (same defaults)."""
+    banded_c, shingles_c = index
+    sig_d = minhash_signatures(
+        docs.select(F.col(id_col).alias("__did"), F.col(text_col).alias("__t")),
+        "__t",
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        shingle_kind=shingle_kind,
+    ).persist()
+    banded_d = _band_keys(sig_d, "__did", num_hashes, bands)
+    cand = (
+        banded_d.join(banded_c, on=["band", "bh"])
+        .select("__did", "__cid")
+        .dropDuplicates(["__did", "__cid"])
+    )
+    ver = cand.join(
+        sig_d.select("__did", F.col("shingles").alias("__dsh")), on="__did"
+    ).join(shingles_c, on="__cid")
+    inter = F.size(F.array_intersect("__dsh", "__csh")).cast("double")
+    union = F.size(F.array_union("__dsh", "__csh")).cast("double")
+    hit = (
+        ver.filter(F.round(inter / union, 6) >= F.lit(threshold))
+        .select(F.col("__did").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)  # output-sized; frees sig_d safely
+    )
+    sig_d.unpersist()
+    return docs.join(hit, on=id_col, how="left_anti")

@@ -6,6 +6,7 @@ from polars_dataset_spark.streaming.ops import (
     sessionize_batch,
     stream_dedup,
     run_stream_to_memory,
+    stream_neardup_filter,
 )
 from polars_dataset_spark.streaming.corpus_stream import (
     clean_stream,
@@ -27,5 +28,6 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup",
     "run_stream_to_memory",
+    "stream_neardup_filter",
     "running_trace_stats",
 ]

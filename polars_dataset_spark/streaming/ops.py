@@ -33,6 +33,7 @@ __all__ = [
     "stream_dedup",
     "run_stream_to_memory",
     "stream_merge_upsert",
+    "stream_neardup_filter",
 ]
 
 # Schema for a NANOS-timestamped events file: Spark surfaces the ts column
@@ -355,6 +356,52 @@ def stream_merge_upsert(
             os.rename(target_path, old)
         os.rename(tmp, target_path)
         shutil.rmtree(old, ignore_errors=True)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
+def stream_neardup_filter(
+    stream_df: DataFrame,
+    index: "tuple[DataFrame, DataFrame]",
+    sink_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    checkpoint_path: str | None = None,
+    **lsh_kwargs,
+) -> "object":
+    """Continuous-ingestion fuzzy dedup: every micro-batch of arriving
+    documents is MinHash-LSH probed against a PRE-BUILT static corpus
+    index (:func:`functions.dedup.build_neardup_index` — the corpus is
+    shingled and signed once, never per batch) and only documents with
+    no near-duplicate (shingle Jaccard ≥ ``threshold``) in the corpus
+    are appended to the parquet sink. Returns the started
+    StreamingQuery; callers own ``processAllAvailable``/``stop``.
+
+    ``foreachBatch`` because the per-document verdict collapses the
+    exploded band candidates back to one row per document — a grouped
+    aggregation over a stream-derived frame that append-mode streaming
+    cannot express — and the batch body is exactly the batch-tested
+    :func:`neardup_filter_against`, so stream ≡ batch by construction.
+    Per-batch cost: signatures for the batch only, one bucket equi-join
+    against the index (broadcast-sized batch side), exact verify on
+    candidates. State lives in the (static) index, not the stream —
+    nothing grows with stream lifetime."""
+    from polars_dataset_spark.functions.dedup import neardup_filter_against
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = neardup_filter_against(
+            batch_df,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            **lsh_kwargs,
+        )
+        out.write.mode("append").parquet(sink_path)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)
     if checkpoint_path:

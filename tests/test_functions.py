@@ -503,3 +503,32 @@ def test_fuzzy_join_cross_table(spark):
     got = fuzzy_join(left, right, left_id="id", right_id="rid", threshold=0.5).collect()
     assert [(r.id_l, r.rid_r) for r in got] == [(1, 10)]
     assert 0.5 <= got[0].jaccard < 1.0
+
+
+def test_neardup_filter_against_index(spark):
+    from polars_dataset_spark.functions import (
+        build_neardup_index,
+        neardup_filter_against,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "large language models train on deduplicated web corpora")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 100
+         (2, "completely unrelated text about spark clusters running jobs"),
+         (3, "large language models train on deduplicated web corpora"),  # exact dup of 101
+         (4, "short"),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    idx = build_neardup_index(corpus)
+    out = neardup_filter_against(docs, idx, threshold=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4, 5]
+    # passthrough keeps all columns and is stable when nothing matches
+    empty_idx = build_neardup_index(corpus.filter("doc_id < 0"))
+    assert neardup_filter_against(docs, empty_idx).count() == 5
+    for banded, _ in (idx, empty_idx):
+        banded.unpersist()

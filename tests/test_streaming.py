@@ -316,3 +316,43 @@ def test_stream_merge_upsert_applies_batches(spark, tmp_path):
     # every non-conflicting value are; k=2 is whichever delta applied last
     assert set(got) == {1, 2, 3}
     assert got[1] == "a" and got[3] == "c" and got[2] in ("b", "B2")
+
+
+def test_stream_neardup_filter_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous-ingestion fuzzy dedup: streaming arriving documents
+    against a static corpus index must keep exactly the documents the
+    batch neardup_filter_against keeps (stream ≡ batch by construction:
+    the per-doc verdict depends only on the doc and the static index,
+    never on batch boundaries)."""
+    from polars_dataset_spark.functions import (
+        build_neardup_index,
+        neardup_filter_against,
+    )
+    from polars_dataset_spark.streaming import read_documents_stream
+    from polars_dataset_spark.streaming.ops import stream_neardup_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)       # "existing" half
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = build_neardup_index(corpus)
+    expect = sorted(
+        r.doc_id
+        for r in neardup_filter_against(arriving, idx, threshold=0.7).collect()
+    )
+    # some arriving docs must actually be dropped, or the test is vacuous
+    assert len(expect) < arriving.count()
+
+    st = read_documents_stream(spark, f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    sink = str(tmp_path / "survivors")
+    q = stream_neardup_filter(
+        st, idx, sink, threshold=0.7, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    assert got == expect
+    idx[0].unpersist()
