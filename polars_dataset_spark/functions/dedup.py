@@ -759,6 +759,23 @@ def fuzzy_join(
     return out
 
 
+class NeardupIndex:
+    """Pre-signed LSH index of a static corpus
+    (:func:`build_neardup_index`): band bucket keys ``banded``
+    ``(__cid, band, bh)`` and shingle sets ``shingles``
+    ``(__cid, __csh)``. ``unpersist()`` releases the backing caches
+    when the index is retired."""
+
+    def __init__(self, banded: DataFrame, shingles: DataFrame, _sig: DataFrame):
+        self.banded = banded
+        self.shingles = shingles
+        self._sig = _sig
+
+    def unpersist(self) -> None:
+        self.banded.unpersist()
+        self._sig.unpersist()
+
+
 def build_neardup_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
@@ -767,7 +784,7 @@ def build_neardup_index(
     bands: int = 16,
     shingle_size: int = 3,
     shingle_kind: str = "token",
-) -> tuple[DataFrame, DataFrame]:
+) -> NeardupIndex:
     """Precompute the LSH side of a STATIC reference corpus once:
     returns ``(banded, shingles)`` — the band bucket keys
     ``(__cid, band, bh)`` and the shingle sets ``(__cid, __csh)`` —
@@ -792,12 +809,12 @@ def build_neardup_index(
     ).persist()
     banded = _band_keys(sigd, "__cid", num_hashes, bands).persist()
     shingles = sigd.select("__cid", F.col("shingles").alias("__csh"))
-    return banded, shingles
+    return NeardupIndex(banded, shingles, sigd)
 
 
 def neardup_filter_against(
     docs: DataFrame,
-    index: tuple[DataFrame, DataFrame],
+    index: NeardupIndex,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
@@ -813,7 +830,7 @@ def neardup_filter_against(
     :func:`fuzzy_join`'s pair output. All other ``docs`` columns pass
     through. LSH parameters must match the ones the index was built
     with (same defaults)."""
-    banded_c, shingles_c = index
+    banded_c, shingles_c = index.banded, index.shingles
     sig_d = minhash_signatures(
         docs.select(F.col(id_col).alias("__did"), F.col(text_col).alias("__t")),
         "__t",

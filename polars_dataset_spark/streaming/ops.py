@@ -365,7 +365,7 @@ def stream_merge_upsert(
 
 def stream_neardup_filter(
     stream_df: DataFrame,
-    index: "tuple[DataFrame, DataFrame]",
+    index: "object",  # functions.dedup.NeardupIndex
     sink_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",

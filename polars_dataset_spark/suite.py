@@ -4741,6 +4741,61 @@ def q140(spark, sf_dir):
     )
 
 
+@query(
+    "q141_neardup_vs_corpus",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok),
+    c AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+    a AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+    hits AS (
+      SELECT DISTINCT a.doc_id
+      FROM a JOIN c
+        ON round(len(list_intersect(a.shingles, c.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, c.shingles))), 6)
+           >= 0.7)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def q141(spark, sf_dir):
+    """Dedup of ARRIVING data against an EXISTING corpus — the batch
+    core of the continuous-ingestion path (``stream_neardup_filter``
+    runs exactly this per micro-batch): build the LSH index of the
+    even-id half once (``build_neardup_index`` — corpus signed ONCE,
+    the piece that makes per-batch probing affordable), then keep only
+    odd-id documents with no near-duplicate (shingle Jaccard ≥ 0.7) in
+    it. Oracle: exact all-pairs cross-Jaccard anti-filter (recall 1 on
+    this fixture — the q37/q130 s-curve argument at 64 hashes / 16
+    bands)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        build_neardup_index,
+        neardup_filter_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_neardup_index(docs.filter(F.col("doc_id") % 2 == 0))
+    out = neardup_filter_against(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.7
+    ).select("doc_id", "lang", "source")
+    # the verify set materialised eagerly inside the call (localCheckpoint),
+    # so the index caches can be released before the caller's action
+    idx.unpersist()
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

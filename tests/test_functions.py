@@ -530,5 +530,5 @@ def test_neardup_filter_against_index(spark):
     # passthrough keeps all columns and is stable when nothing matches
     empty_idx = build_neardup_index(corpus.filter("doc_id < 0"))
     assert neardup_filter_against(docs, empty_idx).count() == 5
-    for banded, _ in (idx, empty_idx):
-        banded.unpersist()
+    idx.unpersist()
+    empty_idx.unpersist()

@@ -355,4 +355,4 @@ def test_stream_neardup_filter_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
     assert got == expect
-    idx[0].unpersist()
+    idx.unpersist()
