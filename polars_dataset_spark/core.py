@@ -1456,6 +1456,11 @@ class Dataset:
     def mean(self) -> DataFrame:
         return self._agg_value_vars(F.avg)
 
+    def product(self) -> DataFrame:
+        """Per-column product (polars ``product``) — native ``F.product``
+        aggregate, partial+final like any Catalyst agg."""
+        return self._agg_value_vars(F.product)
+
     def min(self) -> DataFrame:
         return self._agg_value_vars(F.min)
 

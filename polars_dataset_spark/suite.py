@@ -4796,6 +4796,73 @@ def q141(spark, sf_dir):
     return out
 
 
+@query(
+    "q142_pca_whiten",
+    """
+    WITH u AS (
+        SELECT unnest(embedding) AS v, unnest(range(1, 65)) AS dim
+        FROM embeddings),
+    per AS (SELECT var_pop(v) AS vp FROM u GROUP BY dim)
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n,
+           CAST(64 AS BIGINT) AS d, CAST(16 AS BIGINT) AS k,
+           round(sum(vp), 4) AS trace,
+           true AS explained_ok, true AS decorrelated_ok,
+           true AS descending_ok, true AS whiten_ok
+    FROM per
+    """,
+)
+def q142(spark, sf_dir):
+    """Distributed PCA + whitening over the embedding column
+    (functions/projection.py): one-pass partial-moment fit (per-partition
+    (n, Σx, ΣxxT) → driver d×d eigh — nothing driver-side scales with
+    rows), map-only projection. The ANN pre-step: decorrelated/whitened
+    dimensions balance hyperplane/IVF cells and truncation cuts every
+    downstream distance to k terms.
+
+    CONTRACT oracle (the eigenbasis itself is engine-specific): ``trace``
+    is a genuine cross-engine VALUE check — sum of eigenvalues must equal
+    DuckDB's independently computed Σ_dims var_pop (trace identity); the
+    booleans assert, from a second distributed moment pass over the
+    PROJECTED data, that the projection's covariance is diag(eigvals)
+    (decorrelated, off-diag < 1e-8), eigenvalues are descending, the
+    projected variance equals the top-k eigenvalue sum, and whitened
+    covariance is I (< 1e-5). Numerics additionally pinned against a
+    direct numpy PCA in tests/test_projection.py."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import (
+        embedding_covariance,
+        fit_pca,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", k=16)
+    proj = pca_project(emb, model, "embedding")
+    white = pca_project(emb, model, "embedding", whiten=True)
+    _, cov_p, n_p = embedding_covariance(proj, "proj")
+    _, cov_w, _ = embedding_covariance(white, "proj")
+    diag = np.diag(cov_p)
+    off_p = float(np.abs(cov_p - np.diag(diag)).max())
+    return spark.createDataFrame(
+        [
+            (
+                n_p,
+                int(model.mean.shape[0]),
+                int(model.components.shape[1]),
+                round(float(model.trace), 4),
+                bool(abs(diag.sum() - model.eigvals.sum()) < 1e-6),
+                bool(off_p < 1e-8),
+                bool(np.all(np.diff(model.eigvals) <= 1e-12)),
+                bool(np.abs(cov_w - np.eye(16)).max() < 1e-5),
+            )
+        ],
+        "n long, d long, k long, trace double, explained_ok boolean, "
+        "decorrelated_ok boolean, descending_ok boolean, whiten_ok boolean",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -617,6 +617,8 @@ def test_skew_kurtosis_transpose_shrink(spark):
     # right-tailed outlier → strongly positive skew, positive excess kurtosis
     assert sk["v"] > 1.5
     assert ds.kurtosis().first()["v"] > 0.5
+    pr = ds.product().first()
+    assert pr["v"] == 10.0 and pr["n"] == 1 * 2 * 3 * 4 * 5 * 200
     tr = ds.transpose()
     got = {r.column: r for r in tr.collect()}
     assert got["v"].column_5 == "10.0" and got["g"].column_0 == "a"
