@@ -24,7 +24,9 @@ __all__ = [
     "with_token_count",
     "with_language_id",
     "with_quality_score",
+    "with_model_quality",
     "with_fingerprint",
+    "DEFAULT_QUALITY_WEIGHTS",
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
 ]
@@ -196,6 +198,73 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "qu
         F.round((length_score * 0.4 + token_len_score * 0.3 + noise_score * 0.3), 6),
     ).drop(
         "n_tokens", "n_chars_actual", "mean_token_len", "punct_ratio", "upper_ratio", "digit_ratio"
+    )
+
+
+# Fixed public-heuristic weights for the logistic quality scorer: prose
+# signals (length, stopword coverage, mid-range token length) up, noise
+# signals (punctuation, digits, shouting) down. The point is the OPERATOR
+# SHAPE — swap in learned weights via the ``weights`` argument.
+DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
+    "log_tokens": 0.6,
+    "mean_token_len": 0.15,
+    "stopword_ratio": 2.0,
+    "punct_ratio": -3.0,
+    "digit_ratio": -2.0,
+    "upper_ratio": -1.0,
+}
+
+
+def with_model_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    bias: float = -2.0,
+    lang: str = "en",
+    out_col: str = "model_quality",
+) -> DataFrame:
+    """Model-based quality scoring: ``sigmoid(bias + w·features)`` over
+    prose features — the shape of the linear/fastText-style quality
+    classifiers pretraining pipelines run over every document, with
+    fixed public heuristic weights by default (``DEFAULT_QUALITY_WEIGHTS``;
+    pass learned ``weights`` to override any subset).
+
+    Features: ``log_tokens`` = ln(1+n_tokens), ``mean_token_len``,
+    ``stopword_ratio`` = |distinct tokens ∩ STOPWORDS[lang]| / n_tokens
+    (distinct-intersection semantics — identical in any engine),
+    ``punct_ratio``, ``digit_ratio``, ``upper_ratio``.
+
+    Entirely codegen'd expressions — no UDF, no model runtime: at 100 TB
+    the scorer is map-only and runs at scan speed, and Catalyst fuses it
+    into the same whole-stage pass as the surrounding filters."""
+    w = dict(DEFAULT_QUALITY_WEIGHTS)
+    w.update(weights or {})
+    staged = with_text_stats(df, text_col)
+    tokens = tokenize(F.col(text_col))
+    n_tok = F.size(tokens)
+    sw = F.array([F.lit(s) for s in STOPWORDS[lang]])
+    stop_ratio = F.when(
+        n_tok > 0,
+        F.size(F.array_intersect(tokens, sw)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    z = (
+        F.lit(float(bias))
+        + F.lit(w["log_tokens"]) * F.log1p(F.col("n_tokens").cast("double"))
+        + F.lit(w["mean_token_len"]) * F.col("mean_token_len")
+        + F.lit(w["stopword_ratio"]) * stop_ratio
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["digit_ratio"]) * F.col("digit_ratio")
+        + F.lit(w["upper_ratio"]) * F.col("upper_ratio")
+    )
+    return staged.withColumn(
+        out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    ).drop(
+        "n_tokens",
+        "n_chars_actual",
+        "mean_token_len",
+        "punct_ratio",
+        "upper_ratio",
+        "digit_ratio",
     )
 
 

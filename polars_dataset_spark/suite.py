@@ -4863,6 +4863,56 @@ def q142(spark, sf_dir):
     )
 
 
+@query(
+    "q143_model_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+            AS n_tokens,
+        CASE WHEN trim(text) = '' THEN 0.0
+             ELSE length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+                  / len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+            AS mtl,
+        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+            / length(text) AS pr,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+            / length(text) AS dr,
+        (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+            / length(text) AS ur,
+        CASE WHEN trim(text) = '' THEN 0.0
+             ELSE len(list_intersect(
+                      regexp_split_to_array(trim(lower(text)), '\s+'),
+                      ['the','and','of','to','in','is','that','it','for','with']
+                  ))::DOUBLE
+                  / len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+            AS sr
+      FROM documents)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.6 * ln(1 + n_tokens)
+                                    + 0.15 * mtl + 2.0 * sr
+                                    - 3.0 * pr - 2.0 * dr - 1.0 * ur))), 6)
+               AS model_quality
+    FROM t
+    """,
+)
+def q143(spark, sf_dir):
+    """Model-based quality scoring (``with_model_quality``): a logistic
+    scorer over prose features — the fastText-style quality-classifier
+    SHAPE pretraining pipelines apply to every document — with fixed
+    public heuristic weights, entirely codegen'd (map-only, zero
+    shuffle, fuses into the surrounding scan at 100 TB). The oracle
+    restates the full feature pipeline and sigmoid in SQL; the only
+    cross-engine slack is libm ``exp`` (≤1 ulp), far under the 6-dp
+    boundary."""
+    _prep(spark)
+    from polars_dataset_spark.functions.text import with_model_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_model_quality(docs).select("doc_id", "model_quality")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

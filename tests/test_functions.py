@@ -505,6 +505,34 @@ def test_fuzzy_join_cross_table(spark):
     assert 0.5 <= got[0].jaccard < 1.0
 
 
+def test_with_model_quality(spark):
+    import math
+
+    from polars_dataset_spark.functions.text import (
+        DEFAULT_QUALITY_WEIGHTS,
+        with_model_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is for with that in to of"),
+         (2, "x9$! 77## @@@ 123 999 $$$"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.model_quality for r in with_model_quality(df).collect()}
+    assert got[1] > got[2]                      # prose beats noise
+    assert got[3] == round(1 / (1 + math.exp(2.0)), 6)  # all features 0 -> sigmoid(bias)
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    # weight override changes the score; intermediate stat columns dropped
+    alt = with_model_quality(df, weights={"log_tokens": 5.0})
+    assert {r.doc_id: r.model_quality for r in alt.collect()}[1] > got[1]
+    assert set(alt.columns) == {"doc_id", "text", "model_quality"}
+    assert set(DEFAULT_QUALITY_WEIGHTS) == {
+        "log_tokens", "mean_token_len", "stopword_ratio",
+        "punct_ratio", "digit_ratio", "upper_ratio",
+    }
+
+
 def test_neardup_filter_against_index(spark):
     from polars_dataset_spark.functions import (
         build_neardup_index,
