@@ -4913,6 +4913,42 @@ def q143(spark, sf_dir):
     return with_model_quality(docs).select("doc_id", "model_quality")
 
 
+@query(
+    "q144_heavy_hitters",
+    r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS item
+        FROM documents WHERE trim(text) <> ''),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok, tot
+    GROUP BY item, n
+    HAVING count(*) > 0.005 * n
+    """,
+)
+def q144(spark, sf_dir):
+    """Heavy hitters over the corpus token stream
+    (``functions/frequency.heavy_hitters``, phi = 0.5 %): Misra–Gries
+    per-partition prefilter (map-only, ≤199 counters) → exact count of
+    the candidate set only (broadcast semi-join BEFORE the counting
+    shuffle) → exact threshold filter. The third sketch beside
+    percentile_approx (q78) and HLL (q105): at 100 TB this bounds the
+    shuffle by the candidate set, not the distinct-token cardinality,
+    and the MG superset guarantee (Agarwal et al. mergeable summaries)
+    makes the final output EXACT — so the oracle is the plain exact
+    token-frequency SQL, a full value match, not a contract."""
+    _prep(spark)
+    from polars_dataset_spark.functions import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    from polars_dataset_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("item")
+    )
+    return heavy_hitters(toks, "item", phi=0.005)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

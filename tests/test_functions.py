@@ -505,6 +505,42 @@ def test_fuzzy_join_cross_table(spark):
     assert 0.5 <= got[0].jaccard < 1.0
 
 
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    import numpy as np
+
+    from polars_dataset_spark.functions import heavy_hitters, mg_candidates
+
+    rng = np.random.default_rng(17)
+    # zipf-ish stream: few heavy items, long light tail
+    items = [f"h{i}" for i in range(5) for _ in range(400)] + [
+        f"t{rng.integers(0, 3000)}" for _ in range(4000)
+    ]
+    rng.shuffle(items)
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(13)
+    phi = 0.02
+    got = {r.item: r.cnt for r in heavy_hitters(df, "item", phi=phi).collect()}
+    # brute-force truth
+    from collections import Counter
+
+    true = Counter(items)
+    n = len(items)
+    expect = {i: c for i, c in true.items() if c > phi * n}
+    assert got == expect                       # exact output, not approximate
+    # MG candidate SUPERSET guarantee under adversarial partitioning
+    import math
+
+    k = math.ceil(1 / phi) - 1
+    cand = {r.item for r in mg_candidates(df, "item", k).select("item").distinct().collect()}
+    assert set(expect) <= cand
+    # candidate volume bounded by k per partition
+    assert len(cand) <= k * 13
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="phi"):
+        heavy_hitters(df, "item", phi=0.0)
+
+
 def test_with_model_quality(spark):
     import math
 
