@@ -4949,6 +4949,75 @@ def q144(spark, sf_dir):
     return heavy_hitters(toks, "item", phi=0.005)
 
 
+@query(
+    "q145_changepoint_score",
+    """
+    WITH t AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               strftime(l_shipdate, '%Y-%m-%d') AS day,
+               CAST(sum(l_quantity) AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+        GROUP BY 1, 2, 3
+    )
+    SELECT flag, status, day,
+           round(abs(
+               avg(v) OVER (PARTITION BY flag, status ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING AND 14 FOLLOWING)
+             - avg(v) OVER (PARTITION BY flag, status ORDER BY day
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+           ), 4) AS cp_score,
+           (abs(
+               avg(v) OVER (PARTITION BY flag, status ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING AND 14 FOLLOWING)
+             - avg(v) OVER (PARTITION BY flag, status ORDER BY day
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+           ) > 0.5 * stddev_samp(v) OVER (PARTITION BY flag, status))
+               AS cp_flag
+    FROM t
+    QUALIFY count(*) OVER (PARTITION BY flag, status ORDER BY day
+                           ROWS BETWEEN 13 PRECEDING AND 14 FOLLOWING) = 28
+    """,
+)
+def q145(spark, sf_dir):
+    """Changepoint / level-shift scoring per daily trace: the classic
+    moving-average drift score — |mean of the next 14 days − mean of the
+    trailing 14 days| — flagged against the trace's own dispersion
+    (0.5·σ). Pure window expressions (two ROWS frames + one whole-trace
+    stddev), identical in both engines; rows without a complete 28-day
+    context are excluded (the QUALIFY twin of the count guard). At
+    scale: one hash shuffle on the trace key, all frames computed in a
+    single WindowExec pass per ordering."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum("l_quantity").cast("double").alias("v"))
+    w = Window.partitionBy("flag", "status").orderBy("day")
+    pre = F.avg("v").over(w.rowsBetween(-13, 0))
+    post = F.avg("v").over(w.rowsBetween(1, 14))
+    sigma = F.stddev_samp("v").over(Window.partitionBy("flag", "status"))
+    ctx = F.count(F.lit(1)).over(w.rowsBetween(-13, 14))
+    return (
+        daily.select(
+            "flag",
+            "status",
+            "day",
+            F.round(F.abs(post - pre), 4).alias("cp_score"),
+            (F.abs(post - pre) > 0.5 * sigma).alias("cp_flag"),
+            ctx.alias("__ctx"),
+        )
+        .filter(F.col("__ctx") == 28)
+        .drop("__ctx")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
