@@ -65,6 +65,9 @@ def main() -> None:
     # stream of sub-second queries, instead of piling up together at the
     # tail where they contend only with each other — classic makespan
     # scheduling, and it also cuts run-to-run wall variance.
+    # SELF-TUNING: order by the previous run's per-query times
+    # (BENCH_DETAIL.json) so the list never goes stale as the suite
+    # grows; the static list is the cold-start fallback.
     heavy = [
         "q63_connected_components",
         "q60_clean_corpus",
@@ -84,8 +87,23 @@ def main() -> None:
         "q65_salted_join",
         "q40_regrid",
     ]
-    ordered = [(n, queries[n]) for n in heavy if n in queries]
-    ordered += [it for it in queries.items() if it[0] not in heavy]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prev: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    rank = {n: i for i, n in enumerate(heavy)}
+    ordered = sorted(
+        queries.items(),
+        key=lambda it: (
+            -prev.get(it[0], 0.0),              # measured time, descending
+            rank.get(it[0], len(rank)),          # cold-start fallback
+        ),
+    )
 
     t_start = time.perf_counter()
     if workers <= 1:
