@@ -109,6 +109,7 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q61_join_where": {"BNL"},  # inequality-only theta join (scale path: q70)
         "q62_fill_nan": {"BNL"},  # 1-row × 1-row aggregate crossJoin
         "q124_source_kl": {"BNL"},  # 1-row corpus-total broadcast crossJoin
+        "q144_heavy_hitters": {"BNL"},  # 1-row total-count broadcast crossJoin
         # NO SINGLE_PART entries: every positional/rank op rides either
         # TakeOrderedAndProject, a keyed window, or the two-pass
         # distributed prefix sum — zero single-partition exchanges in
@@ -133,3 +134,26 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
 def test_plan_report_shape(spark, sf_dir):
     rep = plan_report(suite.QUERIES["q06_star_join"](spark, sf_dir))
     assert set(rep) == {"pushed_filters", "read_schemas", "joins", "shuffle_exchanges", "take_ordered"}
+
+
+def test_heavy_hitters_candidate_prune_is_broadcast(spark, sf_dir):
+    """The exact-verify count must prune the stream with a BROADCAST
+    semi-join BEFORE the counting shuffle — if the candidate set ever
+    planned as a shuffled join, the sketch would pay the full
+    distinct-key shuffle it exists to avoid."""
+    df = suite.QUERIES["q144_heavy_hitters"](spark, sf_dir)
+    text = explain_str(df)
+    assert "BroadcastHashJoin" in text and "LeftSemi" in text
+    assert "Exchange SinglePartition" not in text
+
+
+def test_pca_projection_is_map_only(spark, sf_dir):
+    """pca_project adds zero exchanges over the scan: the component
+    matrix travels as a closure broadcast, the projection is one
+    Arrow-batched map stage."""
+    from polars_dataset_spark.functions import fit_pca, pca_project
+    from polars_dataset_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", k=4)
+    assert count_exchanges(pca_project(emb, model, "embedding")) == 0
