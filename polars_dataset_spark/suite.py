@@ -5018,6 +5018,56 @@ def q145(spark, sf_dir):
     )
 
 
+@query(
+    "q146_ivf_recall",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 50) AS BIGINT)
+               AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           true AS recall_gt_060,
+           true AS beats_scan_fraction,
+           true AS full_result_sets
+    """,
+)
+def q146(spark, sf_dir):
+    """Recall audit of the SAMPLED-KMeans IVF path — the one ANN variant
+    whose output is approximation-dependent (q58 oracles the
+    fixed-centroid variant exactly; here the coarse quantizer is trained
+    on the corpus sample, the production shape). CONTRACT oracle: at
+    n_probe=8 of 16 cells, recall@10 against the exact cosine_topk
+    baseline must (a) exceed 0.60 on average (measured ~0.79 — wide
+    margin over sample nondeterminism), (b) beat the 0.5 scan fraction —
+    i.e. the clustering actually concentrates neighbors, the property
+    IVF exists for — and (c) every query must return its full k results.
+    Computing recall requires the exact baseline, so this query is the
+    audit harness itself; at 100 TB you run it on a sampled slice."""
+    _prep(spark)
+    from polars_dataset_spark.functions import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(probes, emb, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(probes, emb, k=10, n_cells=16, n_probe=8)
+    hits = (
+        exact.join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall"))
+    )
+    sizes = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_res"))
+    # left from sizes: a hypothetical zero-hit probe must count as
+    # recall 0, not silently drop from the average and the query count
+    per_query = sizes.join(hits, "query_id", "left").withColumn(
+        "recall", F.coalesce(F.col("recall"), F.lit(0.0))
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(10).cast("long").alias("k"),
+        (F.avg("recall") > 0.60).alias("recall_gt_060"),
+        (F.avg("recall") > 8.0 / 16.0).alias("beats_scan_fraction"),
+        (F.min("n_res") == 10).alias("full_result_sets"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
