@@ -1485,6 +1485,55 @@ class Dataset:
         """Per-column excess kurtosis (polars ``kurtosis``)."""
         return self._agg_value_vars(F.kurtosis)
 
+    def hist(
+        self,
+        col: str,
+        bins: int = 10,
+        lower: float | None = None,
+        upper: float | None = None,
+    ) -> DataFrame:
+        """Equal-width histogram of one column (polars ``hist`` shape):
+        ``(bin, lo, hi, count)`` for every bin including empty ones.
+        Bounds default to the column's min/max (one 2-scalar aggregate);
+        values exactly at ``upper`` land in the last bin (clamp), values
+        outside explicit bounds are dropped. One partial+final count
+        aggregate over the bin id — no sort, no window; the bin-id
+        expression is pure arithmetic, so the same floats bin identically
+        in any engine."""
+        if bins < 1:
+            raise ValueError(f"bins must be >= 1, got {bins}")
+        if lower is None or upper is None:
+            row = self._df.agg(
+                F.min(F.col(col).cast("double")).alias("lo"),
+                F.max(F.col(col).cast("double")).alias("hi"),
+            ).first()
+            lower = float(row["lo"]) if lower is None else lower
+            upper = float(row["hi"]) if upper is None else upper
+        if not upper > lower:
+            raise ValueError(f"upper ({upper}) must exceed lower ({lower})")
+        width = (upper - lower) / bins
+        x = F.col(col).cast("double")
+        bin_id = F.least(
+            F.floor((x - F.lit(lower)) / F.lit(width)).cast("long"),
+            F.lit(bins - 1),
+        )
+        counts = (
+            self._df.filter(x.isNotNull() & (x >= lower) & (x <= upper))
+            .groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        spark = self._df.sparkSession
+        grid = spark.range(bins).select(F.col("id").alias("bin"))
+        return (
+            grid.join(counts, "bin", "left")
+            .select(
+                "bin",
+                (F.lit(lower) + F.col("bin") * F.lit(width)).alias("lo"),
+                (F.lit(lower) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+                F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+            )
+        )
+
     def transpose(self, include_header: bool = True, max_rows: int = 10_000) -> DataFrame:
         """Transpose (polars ``transpose``): columns become rows. Like
         polars, this is an inherently materializing reshape — the result

@@ -5068,6 +5068,48 @@ def q146(spark, sf_dir):
     )
 
 
+@query(
+    "q147_histogram",
+    """
+    WITH b AS (
+        SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+               max(CAST(l_extendedprice AS DOUBLE)) AS hi
+        FROM lineitem),
+    w AS (SELECT lo, hi, (hi - lo) / 20 AS width FROM b),
+    cnt AS (
+        SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo) / width)
+                          AS BIGINT), 19) AS bin,
+               CAST(count(*) AS BIGINT) AS count
+        FROM lineitem, w
+        GROUP BY 1),
+    grid AS (SELECT unnest(range(20)) AS bin)
+    SELECT grid.bin,
+           round(lo + grid.bin * width, 6) AS lo,
+           round(lo + (grid.bin + 1) * width, 6) AS hi,
+           COALESCE(cnt.count, 0) AS count
+    FROM grid CROSS JOIN w LEFT JOIN cnt ON grid.bin = cnt.bin
+    """,
+)
+def q147(spark, sf_dir):
+    """Equal-width histogram (``Dataset.hist``, polars ``hist`` shape):
+    data-driven min/max bounds (one 2-scalar aggregate), pure-arithmetic
+    bin ids (identical floats bin identically in any engine — the same
+    subtraction/division/floor on both sides), empty bins zero-filled
+    from a range frame, top value clamped into the last bin. One
+    partial+final count aggregate — no sort, no window."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ds = Dataset(
+        li.select("l_shipdate", "l_returnflag", "l_extendedprice"),
+        index="l_shipdate",
+        id_vars=["l_returnflag"],
+    )
+    h = ds.hist("l_extendedprice", bins=20)
+    return h.select(
+        "bin", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "count"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -607,6 +607,26 @@ def test_group_by_dynamic_sliding_numeric(spark):
         ds.group_by_dynamic(2.0, period=1.0).agg(F.count("*").alias("n"))
 
 
+def test_hist_bins_clamp_and_zero_fill(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 6, "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+         "v": [0.0, 1.0, 2.5, 10.0, 10.0, None]}
+    )
+    ds = Dataset(spark.createDataFrame(pdf), index="x", id_vars=["g"])
+    rows = {r.bin: r for r in ds.hist("v", bins=4, lower=0.0, upper=10.0).collect()}
+    assert len(rows) == 4
+    # 0.0, 1.0, 2.5 -> bin 0/0/1; both 10.0 clamp into the last bin; null dropped
+    assert [rows[b]["count"] for b in range(4)] == [2, 1, 0, 2]
+    assert rows[0].lo == 0.0 and rows[3].hi == 10.0
+    # out-of-bounds values are dropped under explicit bounds
+    narrow = ds.hist("v", bins=2, lower=0.5, upper=3.0)
+    assert sum(r["count"] for r in narrow.collect()) == 2
+    with pytest.raises(ValueError, match="bins"):
+        ds.hist("v", bins=0)
+    with pytest.raises(ValueError, match="upper"):
+        ds.hist("v", bins=2, lower=5.0, upper=5.0)
+
+
 def test_skew_kurtosis_transpose_shrink(spark):
     pdf = pd.DataFrame(
         {"g": ["a"] * 6, "x": [float(i) for i in range(6)],
