@@ -23,7 +23,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["cubic_spline_interp", "pchip_interp", "interp_trace", "savgol_coeffs", "savgol_smooth"]
+__all__ = [
+    "cubic_spline_interp",
+    "pchip_interp",
+    "interp_trace",
+    "savgol_coeffs",
+    "savgol_smooth",
+    "lomb_scargle_power",
+]
 
 
 def _thomas(sub: np.ndarray, diag: np.ndarray, sup: np.ndarray, rhs: np.ndarray) -> np.ndarray:
@@ -256,3 +263,47 @@ def savgol_smooth(y: np.ndarray, window: int, polyorder: int) -> np.ndarray:
     head = A[:half] @ (pinvA @ y[:window])
     tail = A[half + 1 :] @ (pinvA @ y[-window:])
     return np.concatenate([head, mid, tail])
+
+
+def lomb_scargle_power(
+    t: np.ndarray, y: np.ndarray, freqs: np.ndarray
+) -> np.ndarray:
+    """Classic normalized Lomb-Scargle periodogram (Lomb 1976; Scargle
+    1982 eq. 10 — public formulas): the spectral-power estimator for
+    UNEVENLY sampled traces, where an FFT (which requires a uniform
+    grid, operators/fourier.py) does not apply without regridding.
+
+    P(w) = 1/(2 s^2) * [ (sum yc*cos w(t-tau))^2 / sum cos^2 w(t-tau)
+                       + (sum yc*sin w(t-tau))^2 / sum sin^2 w(t-tau) ]
+    with tan(2 w tau) = sum sin(2wt) / sum cos(2wt), yc the mean-centered
+    values and s^2 their population variance. The tau rotation makes the
+    estimate invariant to time translation; centering makes it invariant
+    to level shifts — both pinned by hypothesis tests.
+
+    ``freqs`` are ordinary frequencies (cycles per index unit), all > 0.
+    Vectorized over (freqs x samples): O(n*m) trig, no Python loop.
+    A constant trace (zero variance) returns all-zero power.
+    """
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    freqs = np.asarray(freqs, dtype=np.float64)
+    if np.any(freqs <= 0):
+        raise ValueError("lomb_scargle_power: all freqs must be > 0")
+    yc = y - y.mean()
+    var = float((yc * yc).mean())
+    if var == 0.0 or t.size < 2:
+        return np.zeros(freqs.size)
+    # expression shapes mirror the SQL oracle twin exactly:
+    # ((2*pi)*f), ((2*omega)*t), omega*(t-tau)
+    omega = 2.0 * np.pi * freqs
+    wt2 = (2.0 * omega)[:, None] * t[None, :]
+    tau = np.arctan2(np.sin(wt2).sum(axis=1), np.cos(wt2).sum(axis=1)) / (
+        2.0 * omega
+    )
+    arg = omega[:, None] * (t[None, :] - tau[:, None])
+    ca, sa = np.cos(arg), np.sin(arg)
+    c = (yc[None, :] * ca).sum(axis=1)
+    s = (yc[None, :] * sa).sum(axis=1)
+    cc = (ca * ca).sum(axis=1)
+    ss = (sa * sa).sum(axis=1)
+    return (c * c / cc + s * s / ss) / (2.0 * var)

@@ -1,6 +1,6 @@
 from polars_dataset_spark.operators.structs import unnest_structs, rebuild_structs
 from polars_dataset_spark.operators.regrid import regrid, interpolate_frame
-from polars_dataset_spark.operators.fourier import fourier_transform
+from polars_dataset_spark.operators.fourier import fourier_transform, lomb_scargle
 from polars_dataset_spark.operators.autophase import autophase, fit_phase, zero_quadrature
 from polars_dataset_spark.operators.asof import join_asof
 from polars_dataset_spark.operators.skew import salted_join
@@ -20,6 +20,7 @@ __all__ = [
     "regrid",
     "interpolate_frame",
     "fourier_transform",
+    "lomb_scargle",
     "autophase",
     "fit_phase",
     "zero_quadrature",

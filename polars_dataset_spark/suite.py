@@ -5110,6 +5110,90 @@ def q147(spark, sf_dir):
     )
 
 
+@query(
+    "q148_lomb_scargle",
+    """
+    WITH t AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS DOUBLE)
+                   AS tnum,
+               CAST(sum(l_quantity) AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+        GROUP BY 1, 2, 3
+    ), c AS (
+        SELECT flag, status, tnum,
+               v - avg(v) OVER (PARTITION BY flag, status) AS yc,
+               var_pop(v) OVER (PARTITION BY flag, status) AS s2
+        FROM t
+    ), f AS (SELECT unnest(range(1, 25)) AS fi),
+    x AS (
+        SELECT flag, status, fi, tnum, yc, s2,
+               2 * pi() * (fi / 365.0) AS omega
+        FROM c CROSS JOIN f
+    ), p1 AS (
+        SELECT flag, status, fi,
+               sum(sin((2 * omega) * tnum)) AS s2w,
+               sum(cos((2 * omega) * tnum)) AS c2w,
+               any_value(omega) AS omega
+        FROM x GROUP BY 1, 2, 3
+    ), tau AS (
+        SELECT flag, status, fi, atan2(s2w, c2w) / (2 * omega) AS tau FROM p1
+    ), p2 AS (
+        SELECT x.flag, x.status, x.fi,
+               sum(yc * cos(omega * (tnum - tau))) AS cterm,
+               sum(yc * sin(omega * (tnum - tau))) AS sterm,
+               sum(cos(omega * (tnum - tau)) * cos(omega * (tnum - tau))) AS cc,
+               sum(sin(omega * (tnum - tau)) * sin(omega * (tnum - tau))) AS ss,
+               any_value(s2) AS s2
+        FROM x JOIN tau USING (flag, status, fi)
+        GROUP BY 1, 2, 3
+    )
+    SELECT flag, status, CAST(fi AS BIGINT) AS fi,
+           round((cterm * cterm / cc + sterm * sterm / ss) / (2 * s2), 4)
+               AS power
+    FROM p2
+    """,
+)
+def q148(spark, sf_dir):
+    """Per-trace Lomb–Scargle normalized periodogram
+    (``operators.lomb_scargle`` + ``kernels.lomb_scargle_power``) at 1–24
+    cycles/year over the 1995 daily quantity traces — spectral analysis
+    that works DIRECTLY on uneven sampling (real ship-date grids have
+    gaps), where the FFT (q41) needs a regrid first. Same single-shuffle
+    grouped-map profile as regrid/FFT.
+
+    FULL value oracle: the classic Lomb formula — tau rotation from
+    atan2 of the double-angle sums, centered values, population-variance
+    normalization — restated term-for-term in SQL with the SAME
+    expression association as the numpy kernel, so both engines evaluate
+    identical IEEE expressions; only summation order differs (~1e-13
+    relative), far under the 4-dp boundary."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.operators import lomb_scargle
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.datediff("l_shipdate", F.lit("1995-01-01")).cast("double").alias("tnum"),
+    ).agg(F.sum("l_quantity").cast("double").alias("v"))
+    ds = Dataset(daily, index="tnum", id_vars=["flag", "status"])
+    out = lomb_scargle(ds, np.arange(1, 25) / 365.0)
+    return out.df.select(
+        "flag",
+        "status",
+        F.round(F.col("frequency") * 365).cast("long").alias("fi"),
+        F.round("v_power", 4).alias("power"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -77,3 +77,57 @@ def test_savgol_polynomial_exact():
         savgol_coeffs(4, 2)
     with _pt.raises(ValueError):
         savgol_coeffs(5, 5)
+
+
+def test_lomb_scargle_finds_uneven_sinusoid_peak():
+    """A sinusoid sampled on an IRREGULAR grid (the case FFT can't touch
+    without regridding) must put its dominant power at the true
+    frequency, with near-noiseless normalized power ~ n/2 / var ratio."""
+    import numpy as np
+
+    from polars_dataset_spark.kernels import lomb_scargle_power
+
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.uniform(0, 80.0, size=300))      # uneven sampling
+    f_true = 0.25
+    y = 3.0 + 2.0 * np.sin(2 * np.pi * f_true * t + 0.7)
+    freqs = np.linspace(0.02, 0.5, 97)
+    p = lomb_scargle_power(t, y, freqs)
+    assert freqs[int(np.argmax(p))] == pytest.approx(f_true, abs=0.01)
+    # noiseless sinusoid: peak normalized power ≈ n/2
+    assert p.max() == pytest.approx(150.0, rel=0.05)
+    # constant trace -> all-zero power, no nan
+    flat = lomb_scargle_power(t, np.full_like(t, 5.0), freqs)
+    assert np.all(flat == 0.0)
+    with pytest.raises(ValueError, match="freqs"):
+        lomb_scargle_power(t, y, np.array([0.0, 0.1]))
+
+
+def test_lomb_scargle_operator_spark(spark):
+    """Operator end-to-end: grouped-map over two traces, one of which is
+    pure noise — the sinusoid trace peaks at its frequency, power column
+    per value var, frequency as index."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_dataset_spark import Dataset
+    from polars_dataset_spark.operators import lomb_scargle
+
+    rng = np.random.default_rng(4)
+    t = np.sort(rng.uniform(0, 60.0, size=200))
+    rows = []
+    for g, y in (
+        ("sig", np.sin(2 * np.pi * 0.2 * t)),
+        ("noise", rng.normal(size=t.size)),
+    ):
+        rows += [(g, float(ti), float(yi)) for ti, yi in zip(t, y)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x", "v"]))
+    ds = Dataset(df, index="x", id_vars=["g"])
+    freqs = np.linspace(0.05, 0.45, 41)
+    out = lomb_scargle(ds, freqs).df.toPandas()
+    assert set(out.columns) == {"g", "frequency", "v_power"}
+    sig = out[out.g == "sig"].set_index("frequency")["v_power"]
+    assert abs(sig.idxmax() - 0.2) < 0.011
+    # the noise trace has no comparable peak
+    noise = out[out.g == "noise"]["v_power"]
+    assert sig.max() > 5 * noise.max()

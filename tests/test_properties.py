@@ -264,3 +264,31 @@ def test_pca_moment_identities(n, d, k, seed):
     assert np.abs(cov - ref).max() < 1e-8 * max(1.0, np.abs(ref).max())
     evals = np.linalg.eigvalsh((cov + cov.T) / 2)
     assert abs(evals.sum() - np.trace(cov)) < 1e-8 * max(1.0, abs(np.trace(cov)))
+
+
+@given(
+    n=st.integers(min_value=8, max_value=120),
+    shift=st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+    level=st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_lomb_scargle_invariances(n, shift, level, seed):
+    """The Lomb–Scargle estimator's two defining invariances (the reason
+    for the tau rotation and the centering): translating the time axis
+    or shifting the level must not change the periodogram."""
+    import pytest
+
+    from polars_dataset_spark.kernels import lomb_scargle_power
+
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 40.0, size=n))
+    y = rng.normal(size=n)
+    freqs = np.array([0.07, 0.19, 0.31])
+    base = lomb_scargle_power(t, y, freqs)
+    assert lomb_scargle_power(t + shift, y, freqs) == pytest.approx(
+        base, rel=1e-6, abs=1e-8
+    )
+    assert lomb_scargle_power(t, y + level, freqs) == pytest.approx(
+        base, rel=1e-6, abs=1e-8
+    )
