@@ -961,6 +961,37 @@ class Dataset:
             )
         )
 
+    def update(self, other, on: "list[str] | str | None" = None) -> "Dataset":
+        """Update values from ``other`` (polars ``DataFrame.update`` with
+        join semantics): left-join on ``on`` (default: this Dataset's
+        index + id_vars) and COALESCE — where ``other`` has a non-null
+        value for a shared column, it wins; everywhere else this frame's
+        value is kept. Row set and schema of ``self`` are preserved; one
+        broadcast-or-shuffle hash join, no window. ``other`` must be
+        unique on the join key (enforced upstream by the caller — a
+        duplicate key would duplicate rows, exactly as in a SQL left
+        join)."""
+        other_df = other._df if isinstance(other, Dataset) else other
+        if on is None:
+            keys = [self._index, *self._id_vars]
+        else:
+            keys = [on] if isinstance(on, str) else list(on)
+        shared = [
+            c for c in other_df.columns if c in self._df.columns and c not in keys
+        ]
+        missing = [c for c in keys if c not in other_df.columns]
+        if missing:
+            raise ValueError(f"update: join keys absent from other: {missing}")
+        renamed = other_df.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"__upd_{c}") for c in shared],
+        )
+        joined = self._df.join(renamed, on=keys, how="left")
+        out = joined.withColumns(
+            {c: F.coalesce(F.col(f"__upd_{c}"), F.col(c)) for c in shared}
+        ).drop(*[f"__upd_{c}" for c in shared])
+        return self._rewrap(out.select(self._df.columns))
+
     def merge_sorted(self, other, key: str | None = None) -> "Dataset":
         """Union with ``other`` ordered by ``key`` (polars
         ``merge_sorted``). Spark has no order-preserving k-way merge at

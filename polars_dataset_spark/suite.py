@@ -5194,6 +5194,49 @@ def q148(spark, sf_dir):
     )
 
 
+@query(
+    "q149_update",
+    """
+    WITH u AS (
+        SELECT o_custkey AS c_custkey,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+                   AS new_bal
+        FROM orders GROUP BY 1)
+    SELECT c.c_custkey,
+           round(COALESCE(u.new_bal, CAST(c.c_acctbal AS DOUBLE)), 2) AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c LEFT JOIN u USING (c_custkey)
+    """,
+)
+def q149(spark, sf_dir):
+    """``Dataset.update`` (polars ``DataFrame.update``, join semantics):
+    left-join on the key and COALESCE — non-null values from the update
+    frame win, everything else (rows, schema, untouched columns) is
+    preserved. Here: customer balances overridden by each customer's
+    summed order value (decimal-stable sum), customers with no orders
+    keep their original balance. One hash join, no window."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    upd = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("c_acctbal")
+    )
+    ds = Dataset(
+        cust.select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+        ),
+        index="c_custkey",
+        id_vars=[],
+    )
+    return ds.update(upd, on="c_custkey").df.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -607,6 +607,29 @@ def test_group_by_dynamic_sliding_numeric(spark):
         ds.group_by_dynamic(2.0, period=1.0).agg(F.count("*").alias("n"))
 
 
+def test_update_coalesce_semantics(spark):
+    base = pd.DataFrame(
+        {"g": ["a", "a", "b"], "x": [1.0, 2.0, 1.0],
+         "v": [10.0, 20.0, 30.0], "w": ["p", "q", "r"]}
+    )
+    upd = pd.DataFrame(
+        {"g": ["a", "b", "c"], "x": [2.0, 1.0, 9.0],
+         "v": [200.0, None, 999.0]}
+    )
+    ds = Dataset(spark.createDataFrame(base), index="x", id_vars=["g"])
+    out = (
+        ds.update(spark.createDataFrame(upd))
+        .df.orderBy("g", "x").collect()
+    )
+    # matched non-null wins; matched null keeps original; unmatched rows
+    # of other are ignored; row set, schema, untouched columns preserved
+    assert [r.v for r in out] == [10.0, 200.0, 30.0]
+    assert [r.w for r in out] == ["p", "q", "r"]
+    assert len(out) == 3
+    with pytest.raises(ValueError, match="join keys absent"):
+        ds.update(spark.createDataFrame(upd).drop("x"))
+
+
 def test_hist_bins_clamp_and_zero_fill(spark):
     pdf = pd.DataFrame(
         {"g": ["a"] * 6, "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
