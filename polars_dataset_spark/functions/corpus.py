@@ -33,6 +33,7 @@ __all__ = [
     "build_vocab",
     "with_oov_rate",
     "with_surprisal",
+    "with_bigram_surprisal",
     "redact_pii",
     "tfidf_top_terms",
     "EMAIL_RE",
@@ -174,6 +175,53 @@ def with_surprisal(
         F.round(
             (F.sum("__bits").cast("double") / F.count("*")), 4
         ).alias("surprisal_bits"),
+    )
+
+
+def with_bigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Bigram-LM surprisal per document — one order up from
+    :func:`with_surprisal`'s unigram signal, catching locally-fluent
+    word SEQUENCES (the unigram model scores shuffled text identically;
+    this one doesn't): mean over bigram instances of
+    ``-log2 p(w2|w1)`` with add-k smoothing,
+    ``p(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V)``, V the corpus vocabulary
+    size.
+
+    Shape: token positions via ``posexplode`` + one per-doc lag window
+    (doc-sized partitions), two keyed aggregations (bigram and unigram
+    counts), joins back to instances, one per-doc aggregation. V is a
+    single bounded scalar action. Per-bigram bits round to 7 and sum as
+    DECIMAL, so the mean is partitioning- and engine-independent.
+    Returns ``(id_col, n_bigrams, bigram_surprisal_bits)``; docs with
+    fewer than two tokens are absent."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = tok.withColumn("prev", F.lag("token").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    uni = tok.groupBy("token").agg(F.count("*").alias("c1"))
+    vocab_size = uni.count()  # scalar: |vocabulary|
+    bi = big.groupBy("prev", "token").agg(F.count("*").alias("cb"))
+    bits = F.round(
+        F.log2(
+            (F.col("c1") + F.lit(k) * F.lit(vocab_size)) / (F.col("cb") + F.lit(k))
+        ),
+        7,
+    ).cast("decimal(20,7)")
+    scored = (
+        big.join(bi, on=["prev", "token"])
+        .join(uni.withColumnRenamed("token", "prev"), on="prev")
+        .withColumn("__bits", bits)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round((F.sum("__bits").cast("double") / F.count("*")), 4).alias(
+            "bigram_surprisal_bits"
+        ),
     )
 
 

@@ -5237,6 +5237,56 @@ def q149(spark, sf_dir):
     )
 
 
+@query(
+    "q150_bigram_surprisal",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+                   AS toks
+        FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM d),
+    big AS (
+        SELECT doc_id,
+               lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+               token
+        FROM tok QUALIFY prev IS NOT NULL),
+    uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY 1),
+    v AS (SELECT count(*) AS vsz FROM uni),
+    bi AS (SELECT prev, token, count(*) AS cb FROM big GROUP BY 1, 2),
+    sc AS (
+        SELECT big.doc_id,
+               CAST(round(log2((c1 + 0.5 * vsz) / (cb + 0.5)), 7)
+                    AS DECIMAL(20,7)) AS bits
+        FROM big
+        JOIN bi USING (prev, token)
+        JOIN uni ON big.prev = uni.token
+        CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(bits) AS DOUBLE) / count(*), 4)
+               AS bigram_surprisal_bits
+    FROM sc GROUP BY 1
+    """,
+)
+def q150(spark, sf_dir):
+    """Bigram-LM surprisal (``with_bigram_surprisal``, add-½ smoothing)
+    — one order above q95's unigram signal: scores word SEQUENCES, so
+    shuffled-token text (which the unigram model can't tell apart) reads
+    as high-surprisal. Per-bigram bits round to 7 and sum as DECIMAL —
+    partitioning- and engine-independent, same policy as q95. The
+    oracle replays the whole pipeline: tokenize, per-doc lag, bigram +
+    unigram counts, vocabulary scalar, smoothed log2, decimal mean."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_bigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_bigram_surprisal(docs)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -80,6 +80,27 @@ def test_surprisal_uniform_vs_rare(spark):
     assert out[1] == pytest.approx(2.3219, abs=1e-4)
 
 
+def test_bigram_surprisal_detects_shuffled_text(spark):
+    """The property the bigram model adds over unigram: a document built
+    from the SAME tokens in an unfamiliar order must score higher than
+    the repeated familiar sequence, while unigram surprisal ties them."""
+    from polars_dataset_spark.functions import with_bigram_surprisal
+
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"
+    # the corpus LM is trained on ALL docs: fluent word order dominates,
+    # the shuffled one-off's bigrams are corpus-rare
+    rows = [(i, fluent) for i in range(10)]
+    rows += [(10, shuffled), (11, "solo"), (12, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r.doc_id: r.surprisal_bits for r in with_surprisal(df).collect()}
+    assert uni[0] == pytest.approx(uni[10], abs=1e-4)  # unigram can't tell
+    out = {r.doc_id: r for r in with_bigram_surprisal(df).collect()}
+    assert out[10].bigram_surprisal_bits > out[0].bigram_surprisal_bits
+    assert out[0].n_bigrams == out[10].n_bigrams == 5
+    assert 11 not in out and 12 not in out  # <2 tokens -> absent
+
+
 def test_redact_pii_all_types(spark):
     df = spark.createDataFrame(
         [(0, "mail bob.smith+x@corp.example.org node 192.168.0.1 call 555-1234 done"),
