@@ -596,3 +596,34 @@ def test_neardup_filter_against_index(spark):
     assert neardup_filter_against(docs, empty_idx).count() == 5
     idx.unpersist()
     empty_idx.unpersist()
+
+
+def test_audio_spectrogram_tone_peaks(spark):
+    """STFT spectrogram: a pure tone's magnitude must peak at its
+    frequency bin (bin = f/rate * frame_size), both per-frame and in the
+    pooled mean spectrum; short/garbage blobs yield nulls."""
+    import numpy as np
+
+    from polars_dataset_spark.functions import audio_spectrogram
+
+    rows = [
+        (1, bytearray(_wav_bytes(rate=8000, freq=440.0, secs=0.5))),
+        (2, bytearray(_wav_bytes(rate=8000, freq=2000.0, secs=0.5))),
+        (3, bytearray(b"not audio")),
+        (4, bytearray(_wav_bytes(rate=8000, freq=440.0, secs=0.01))),  # < 1 frame
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary")
+    out = {r.id: r for r in audio_spectrogram(df, frame_size=256, hop=128).collect()}
+    assert out[3].spectrogram is None and out[4].mean_spectrum is None
+    for rid, freq in ((1, 440.0), (2, 2000.0)):
+        r = out[rid]
+        assert r.sample_rate == 8000
+        expect_bin = round(freq / 8000 * 256)
+        mean_spec = np.asarray(r.mean_spectrum)
+        assert mean_spec.size == 129
+        assert abs(int(mean_spec.argmax()) - expect_bin) <= 1
+        first = np.asarray(r.spectrogram[0])
+        assert abs(int(first.argmax()) - expect_bin) <= 1
+    # frame accounting: n = 4000 samples -> 1 + (4000-256)//128 = 30 frames
+    assert out[1].n_spec_frames == 30
+    assert len(out[1].spectrogram) == 30  # under max_frames, all kept
