@@ -150,14 +150,16 @@ def decode_media(
 
     ``decoder``:
 
-    - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"``: REAL decodes
-      implemented here in pure python/numpy (binary PGM/PPM headers +
-      samples; uncompressed 24-bpp BMP with row padding and bottom-up
-      order; baseline JFIF JPEG — Huffman entropy decode, dequantise,
-      8×8 IDCT, restart markers — see
+    - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"`` / ``"gif"``: REAL
+      decodes implemented here in pure python/numpy (binary PGM/PPM
+      headers + samples; uncompressed 24-bpp BMP with row padding and
+      bottom-up order; baseline JFIF JPEG — Huffman entropy decode,
+      dequantise, 8×8 IDCT, restart markers — see
       :mod:`polars_dataset_spark.functions.jpeg`; 8-bit PNG — stdlib
       zlib inflate + all five row filters, gray/RGB/RGBA/palette — see
-      :mod:`polars_dataset_spark.functions.png`) followed by
+      :mod:`polars_dataset_spark.functions.png`; GIF87a/89a — variable-
+      width LZW, global/local palettes, interlace — see
+      :mod:`polars_dataset_spark.functions.gif`) followed by
       deterministic nearest-neighbor resampling — no codec library
       needed. Blobs that fail to parse decode to null.
     - ``"fake"`` (default): a deterministic stand-in for formats whose
@@ -180,8 +182,9 @@ def decode_media(
             "'png' (built-in pure-python decodes), decoder='fake' for "
             "plumbing tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    from polars_dataset_spark.functions.gif import decode_gif_gray
     from polars_dataset_spark.functions.jpeg import decode_jpeg_gray
     from polars_dataset_spark.functions.png import decode_png_gray
 
@@ -190,6 +193,7 @@ def decode_media(
         "bmp": _decode_bmp,
         "jpeg": decode_jpeg_gray,
         "png": decode_png_gray,
+        "gif": decode_gif_gray,
     }.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
