@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["heavy_hitters", "mg_candidates"]
+__all__ = ["heavy_hitters", "mg_candidates", "merge_mg_summaries"]
 
 
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -68,6 +68,28 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
 
     return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         gen, schema=schema
+    )
+
+
+def merge_mg_summaries(
+    summaries: DataFrame, k: int, item_col: str = "item", est_col: str = "est"
+) -> DataFrame:
+    """Combine any number of Misra–Gries summaries into one k-counter
+    summary (Agarwal et al. merge rule): sum counters itemwise, then
+    subtract the (k+1)-th largest combined counter and drop the
+    non-positive. The error bound telescopes — the merged summary's
+    counters underestimate true counts by at most n_total/(k+1).
+
+    The itemwise sum is one aggregation over ≤ k·n_summaries rows; the
+    (k+1)-th largest is a bounded ``limit(k+1)`` collect (k+1 rows to
+    the driver, never data-scale). Result ≤ k rows."""
+    combined = summaries.groupBy(item_col).agg(F.sum(est_col).alias(est_col))
+    top = combined.orderBy(F.col(est_col).desc()).limit(k + 1).collect()
+    if len(top) <= k:
+        return combined
+    sub = int(top[k][est_col])
+    return combined.filter(F.col(est_col) > sub).withColumn(
+        est_col, F.col(est_col) - sub
     )
 
 

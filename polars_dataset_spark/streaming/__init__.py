@@ -7,6 +7,7 @@ from polars_dataset_spark.streaming.ops import (
     stream_dedup,
     run_stream_to_memory,
     stream_neardup_filter,
+    stream_heavy_hitters,
 )
 from polars_dataset_spark.streaming.corpus_stream import (
     clean_stream,
@@ -29,5 +30,6 @@ __all__ = [
     "stream_dedup",
     "run_stream_to_memory",
     "stream_neardup_filter",
+    "stream_heavy_hitters",
     "running_trace_stats",
 ]

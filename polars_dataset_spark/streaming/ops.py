@@ -34,6 +34,7 @@ __all__ = [
     "run_stream_to_memory",
     "stream_merge_upsert",
     "stream_neardup_filter",
+    "stream_heavy_hitters",
 ]
 
 # Schema for a NANOS-timestamped events file: Spark surfaces the ts column
@@ -402,6 +403,64 @@ def stream_neardup_filter(
             **lsh_kwargs,
         )
         out.write.mode("append").parquet(sink_path)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    state_path: str,
+    phi: float = 0.01,
+    checkpoint_path: str | None = None,
+) -> "object":
+    """Continuous heavy-hitter tracking over an unbounded stream: each
+    micro-batch's per-partition Misra–Gries summaries are merged into a
+    persistent ≤⌈1/phi⌉−1-counter state table (parquet, crash-safe
+    write-then-swap like :func:`stream_merge_upsert`) with the
+    mergeable-summaries rule (``functions.frequency.merge_mg_summaries``)
+    — so state stays O(1/phi) rows FOREVER, whatever the stream's
+    distinct-key cardinality, and at any point the state's item set is a
+    superset of every item with frequency > phi·n over the WHOLE history
+    (counters underestimate by ≤ phi·n). Read the state and exact-verify
+    candidates against stored data for exact answers (the batch
+    :func:`functions.frequency.heavy_hitters` shape). Returns the
+    started StreamingQuery."""
+    import math
+    import os
+    import shutil
+
+    from polars_dataset_spark.functions.frequency import (
+        merge_mg_summaries,
+        mg_candidates,
+    )
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = math.ceil(1.0 / phi) - 1
+    spark = stream_df.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tmp, old = f"{state_path}__staging", f"{state_path}__old"
+        if os.path.exists(old) and not os.path.exists(state_path):
+            os.rename(old, state_path)  # repair a crash between renames
+        shutil.rmtree(old, ignore_errors=True)
+        vals = batch_df.select(F.col(col).cast("string").alias("item")).filter(
+            F.col("item").isNotNull()
+        )
+        batch_summary = mg_candidates(vals, "item", k)
+        if os.path.exists(state_path):
+            state = spark.read.parquet(state_path).select("item", "est")
+            batch_summary = batch_summary.unionByName(state)
+        merged = merge_mg_summaries(batch_summary, k)
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)
     if checkpoint_path:

@@ -318,6 +318,53 @@ def test_stream_merge_upsert_applies_batches(spark, tmp_path):
     assert got[1] == "a" and got[3] == "c" and got[2] in ("b", "B2")
 
 
+def test_stream_heavy_hitters_state_guarantees(spark, tmp_path):
+    """Sketch-state streaming: after any prefix of micro-batches the
+    MG state must (a) stay <= k rows, (b) contain every item whose
+    frequency over the WHOLE consumed stream exceeds phi*n, (c) have
+    counters that never overestimate and underestimate by <= phi*n."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from polars_dataset_spark.streaming.ops import stream_heavy_hitters
+
+    rng = __import__("numpy").random.default_rng(23)
+    all_items = []
+    src = tmp_path / "stream"
+    src.mkdir()
+    for b in range(3):
+        items = [f"hh{i}" for i in range(3) for _ in range(120)]
+        items += [f"tail{rng.integers(0, 400)}" for _ in range(900)]
+        rng.shuffle(items)
+        all_items += items
+        pd.DataFrame({"item": items}).to_parquet(src / f"b{b}.parquet")
+    st = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "mg_state")
+    phi = 0.05
+    q = stream_heavy_hitters(
+        st, "item", state, phi=phi, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.item: r.est for r in spark.read.parquet(state).collect()}
+    true = Counter(all_items)
+    n = len(all_items)
+    k = 19  # ceil(1/0.05) - 1
+    assert len(got) <= k
+    heavy = {i for i, c in true.items() if c > phi * n}
+    assert heavy <= set(got)
+    for item, est in got.items():
+        assert est <= true[item]
+        assert est >= true[item] - phi * n
+
+
 def test_stream_neardup_filter_matches_batch(spark, sf_dir, tmp_path):
     """Continuous-ingestion fuzzy dedup: streaming arriving documents
     against a static corpus index must keep exactly the documents the
