@@ -4642,13 +4642,14 @@ def q138(spark, sf_dir):
     )
     SELECT t.l_returnflag AS flag,
            round(avg(pow(l_extendedprice - mu_p, 3))
-                 / pow(avg(pow(l_extendedprice - mu_p, 2)), 1.5), 4)
+                 / pow(avg(pow(l_extendedprice - mu_p, 2)), 1.5), 4) + 0.0
                AS skew_price,
            round(avg(pow(l_extendedprice - mu_p, 4))
-                 / pow(avg(pow(l_extendedprice - mu_p, 2)), 2) - 3, 4)
+                 / pow(avg(pow(l_extendedprice - mu_p, 2)), 2) - 3, 4) + 0.0
                AS kurt_price,
            round(avg(pow(l_quantity - mu_q, 3))
-                 / pow(avg(pow(l_quantity - mu_q, 2)), 1.5), 4) AS skew_qty
+                 / pow(avg(pow(l_quantity - mu_q, 2)), 1.5), 4) + 0.0
+               AS skew_qty
     FROM lineitem t JOIN mu ON t.l_returnflag = mu.flag
     GROUP BY 1
     """,
@@ -4668,10 +4669,13 @@ def q139(spark, sf_dir):
     test-only to value-oracled (VERDICT r02 "What's missing" #4)."""
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    # + 0.0 collapses IEEE -0.0 to +0.0 on both sides (the q41/q125
+    # lesson): a skew of -1e-17 rounds to -0.0 in one engine, 0.0 in the
+    # other, and the driver hash stringifies them differently
     return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
-        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
-        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        (F.round(F.skewness("l_extendedprice"), 4) + F.lit(0.0)).alias("skew_price"),
+        (F.round(F.kurtosis("l_extendedprice"), 4) + F.lit(0.0)).alias("kurt_price"),
+        (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew_qty"),
     )
 
 
