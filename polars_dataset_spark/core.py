@@ -1690,6 +1690,16 @@ class Dataset:
 
         return _ft(self, value_vars=value_vars, freq_name=freq_name)
 
+    def lomb_scargle(
+        self, freqs, value_vars=None, freq_name: str = "frequency"
+    ) -> "Dataset":
+        """Per-trace Lomb–Scargle periodogram at ``freqs`` (cycles per
+        index unit) — spectral analysis directly on uneven index grids,
+        where :meth:`fourier_transform` needs a :meth:`regrid` first."""
+        from polars_dataset_spark.operators import lomb_scargle as _ls
+
+        return _ls(self, freqs, value_vars=value_vars, freq_name=freq_name)
+
     def autophase(self, x_col: str, y_col: str, phi: float | None = None) -> "Dataset":
         """Closed-form lock-in autophase (reference H2)."""
         from polars_dataset_spark.operators import autophase as _ap
