@@ -5291,6 +5291,43 @@ def q150(spark, sf_dir):
     return with_bigram_surprisal(docs)
 
 
+@query(
+    "q151_interp_frame",
+    f"""
+    WITH {_TRACES_SQL})
+    SELECT t.l_returnflag, t.l_linestatus, CAST(t.day AS DOUBLE) AS day,
+           round(t.revenue, 6) AS revenue
+    FROM t JOIN cd USING (day)
+    """,
+)
+def q151(spark, sf_dir):
+    """Historical op H4, ``interpolate_frame`` (monotone PCHIP), upgraded
+    from test-only to value-oracled by the q40 argument: an interpolant
+    reproduces its KNOT values exactly (PCHIP is interpolating, identity
+    error ~1e-12 ≪ the 6-dp rounding), so regridding each daily-revenue
+    trace onto the days every trace observed drives the full grouped-map
+    PCHIP machinery — group shuffle, slope computation, grid contract —
+    against the raw daily aggregation in SQL. Off-knot monotonicity and
+    no-overshoot are pinned by hypothesis
+    (tests/test_properties.py::test_pchip_monotone_and_bounded)."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.operators import interpolate_frame
+
+    traces = _daily_traces(spark, sf_dir)
+    days = _common_days(traces)
+    ds = Dataset(
+        traces.withColumn("day", F.col("day").cast("double")),
+        index="day",
+        id_vars=["l_returnflag", "l_linestatus"],
+    )
+    out = interpolate_frame(ds, np.asarray(days, dtype=np.float64)).df
+    return out.select(
+        "l_returnflag", "l_linestatus", "day", F.round("revenue", 6).alias("revenue")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
