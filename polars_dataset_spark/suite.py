@@ -5328,6 +5328,55 @@ def q151(spark, sf_dir):
     )
 
 
+@query(
+    "q152_metadata_chain",
+    """
+    SELECT l_returnflag AS flag, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+           round(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)), 4)
+               AS net_price
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def q152(spark, sf_dir):
+    """The metadata-machinery ops (E4 select_data, E8 rename, E9 pipe,
+    E15 drop, E19 sort_columns) chained into one driver-gated query —
+    each was test-only because alone it produces no interesting values,
+    but the CHAIN's output is plain data an oracle can state: rename
+    remaps index/id_vars through the mapping, pipe re-wraps a raw
+    DataFrame result with canonical column order, select_data keeps
+    id_vars+index while appending computed value columns, drop refuses
+    the index but prunes the rest, sort_columns canonicalizes. Any
+    metadata-propagation regression in the chain breaks the output
+    columns and fails the hash."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    ds = Dataset(
+        li.select(
+            "l_shipdate", "l_returnflag", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ),
+        index="l_shipdate",
+        id_vars=["l_returnflag"],
+    )
+    chained = (
+        ds.rename({"l_shipdate": "ship_day", "l_returnflag": "flag"})
+        .pipe(lambda d: d.df.filter(F.col("l_quantity") >= 45))  # raw DF → re-wrapped
+        .select_data(
+            F.round(
+                F.col("l_extendedprice").cast("double")
+                * (1 - F.col("l_discount").cast("double")),
+                4,
+            ).alias("net_price"),
+            F.col("l_quantity"),
+        )
+        .drop("l_quantity")
+        .sort_columns()
+    )
+    return chained.df.select(
+        "flag", F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"), "net_price"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
