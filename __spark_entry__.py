@@ -102,17 +102,64 @@ def _qnum(name: str) -> int:
     return int(name.split("_")[0][1:])
 
 
+def _driver_history() -> "tuple[set[str], set[str]]":
+    """Scan past driver correctness artifacts (CORRECTNESS_r*.json beside
+    this file): returns (ever_failed, ever_green) query-name sets. Used
+    to rotate the driver's 50-query scoring window automatically —
+    failed queries re-enter first, never-checked next, proven-green
+    last — so no hand-maintained priority list can go stale."""
+    import glob
+    import json
+
+    failed: set[str] = set()
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("err") in (None, "")
+            )
+            (green if ok else failed).add(name)
+    # a later green clears an earlier failure; a later failure re-flags
+    # (keep it simple: any recorded failure without a LATER green is
+    # approximated by set difference — failures that were subsequently
+    # fixed and re-scored green drop out)
+    return failed - green, green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window scores the queries that
-    most need a driver row (see _DRIVER_PRIORITY)."""
+    most need a driver row: (1) queries a past round scored RED and no
+    later round scored green, (2) queries with no driver row ever
+    (newest additions included automatically), (3) proven-green queries
+    last — each group in _DRIVER_PRIORITY order then query number, so
+    the window rotates round-over-round without hand edits."""
     all_q = dict(suite.QUERIES)
-    prio = [n for n in _DRIVER_PRIORITY if n in all_q]
-    seen = set(prio)
-    rest = [n for n in all_q if n not in seen]
-    # never-driver-checked (q51+) before previously-green (q01-q50)
-    rest.sort(key=lambda n: (_qnum(n) <= 50, _qnum(n)))
-    return {n: all_q[n] for n in prio + rest}
+    failed, green = _driver_history()
+    prio_rank = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+
+    def key(n: str):
+        if n in failed:
+            tier = 0
+        elif n not in green:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, prio_rank.get(n, len(prio_rank)), _qnum(n))
+
+    return {n: all_q[n] for n in sorted(all_q, key=key)}
 
 
 def oracle_sql() -> dict[str, str]:
