@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from polars_dataset_spark.functions.png import _MAX_PIXELS
+
 __all__ = ["decode_gif_gray", "encode_gif_gray"]
 
 
@@ -120,6 +122,12 @@ def decode_gif_gray(data: bytes) -> "np.ndarray | None":
                     ).reshape(n, 3)
                     pos += 3 * n
                 if table is None or w <= 0 or h <= 0:
+                    return None
+                # Untrusted-blob guard: a malformed header declaring e.g.
+                # 65535x65535 would make the interpreted-Python LZW loop
+                # attempt ~4.3G indices and stall the executor task. Reject
+                # past the shared pixel cap BEFORE decoding (never raise).
+                if w * h > _MAX_PIXELS:
                     return None
                 min_code = data[pos]
                 pos += 1

@@ -37,6 +37,10 @@ __all__ = ["decode_png_gray", "encode_png_gray", "encode_png_rgb"]
 _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (at depth 8: also bytes per pixel)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Sanity cap on w*h for untrusted corpus blobs (64 Mpx ≈ a 8192x8192 frame);
+# shared with the GIF decoder's guard. Declared dimensions above this are
+# treated as malformed (return None) before any allocation/decode work.
+_MAX_PIXELS = 64 * 1024 * 1024
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -136,8 +140,19 @@ def decode_png_gray(data: bytes) -> "np.ndarray | None":
             or h <= 0
         ):
             return None
-        raw = zlib.decompress(b"".join(idat))
-        if len(raw) < h * (w * ch + 1):
+        # Decompression-bomb guard: w/h are already parsed, so the exact
+        # expected inflated size is known — cap the inflater at it instead of
+        # letting a tiny crafted IDAT expand ~1000x into executor memory.
+        if w * h > _MAX_PIXELS:
+            return None
+        expected = h * (w * ch + 1)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        if len(raw) < expected:
+            return None
+        # A valid stream may pause exactly at the cap with input left over;
+        # only reject if the leftover genuinely inflates to MORE pixels.
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
             return None
         px = _unfilter(raw, h, w, ch)
         if px is None:

@@ -80,36 +80,43 @@ def _stop_hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add token/char statistics: ``n_tokens``, ``n_chars_actual``,
-    ``mean_token_len``, ``punct_ratio``, ``upper_ratio``, ``digit_ratio``."""
+def _text_stat_exprs(text_col: str) -> "dict[str, Column]":
+    """The token/char statistic expressions shared by ``with_text_stats``
+    and the quality scorers. Returned as plain Columns so callers that only
+    need them as INPUTS (the scorers) can inline them without ever
+    materializing — and thus without clobbering — caller-owned columns of
+    the same names."""
     text = F.col(text_col)
     tokens = tokenize(text)
     n_chars = F.length(text)
     nz = F.when(n_chars > 0, n_chars.cast("double"))  # null-divide guard
-    return df.withColumns(
-        {
-            "n_tokens": F.size(tokens),
-            "n_chars_actual": n_chars,
-            "mean_token_len": F.when(
-                F.size(tokens) > 0,
-                (F.length(F.regexp_replace(F.trim(text), r"\s+", ""))).cast("double")
-                / F.size(tokens),
-            ).otherwise(F.lit(0.0)),
-            "punct_ratio": F.coalesce(
-                (n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))).cast("double") / nz,
-                F.lit(0.0),
-            ),
-            "upper_ratio": F.coalesce(
-                (n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))).cast("double") / nz,
-                F.lit(0.0),
-            ),
-            "digit_ratio": F.coalesce(
-                (n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double") / nz,
-                F.lit(0.0),
-            ),
-        }
-    )
+    return {
+        "n_tokens": F.size(tokens),
+        "n_chars_actual": n_chars,
+        "mean_token_len": F.when(
+            F.size(tokens) > 0,
+            (F.length(F.regexp_replace(F.trim(text), r"\s+", ""))).cast("double")
+            / F.size(tokens),
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.coalesce(
+            (n_chars - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))).cast("double") / nz,
+            F.lit(0.0),
+        ),
+        "upper_ratio": F.coalesce(
+            (n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))).cast("double") / nz,
+            F.lit(0.0),
+        ),
+        "digit_ratio": F.coalesce(
+            (n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double") / nz,
+            F.lit(0.0),
+        ),
+    }
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token/char statistics: ``n_tokens``, ``n_chars_actual``,
+    ``mean_token_len``, ``punct_ratio``, ``upper_ratio``, ``digit_ratio``."""
+    return df.withColumns(_text_stat_exprs(text_col))
 
 
 def with_repetition_stats(
@@ -181,23 +188,24 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "qu
     """Heuristic quality in [0, 1]: rewards mid-length documents and prose-
     like token lengths, penalizes punctuation/digit noise. Deterministic,
     fully codegen'd; thresholds follow common pretraining-filter heuristics
-    (Gopher-style length/punct rules)."""
-    with_stats = with_text_stats(df, text_col)
-    n_tok = F.col("n_tokens")
+    (Gopher-style length/punct rules).
+
+    Features are inlined expressions — caller columns that happen to be
+    named ``n_tokens``/``punct_ratio``/… are left untouched."""
+    st = _text_stat_exprs(text_col)
+    n_tok = st["n_tokens"]
     length_score = F.when(n_tok <= 0, 0.0).otherwise(
         F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
     )
     token_len_score = F.when(
-        (F.col("mean_token_len") >= 3.0) & (F.col("mean_token_len") <= 10.0), 1.0
+        (st["mean_token_len"] >= 3.0) & (st["mean_token_len"] <= 10.0), 1.0
     ).otherwise(0.5)
     noise_score = F.lit(1.0) - F.least(
-        F.lit(1.0), F.col("punct_ratio") * 2.0 + F.col("digit_ratio")
+        F.lit(1.0), st["punct_ratio"] * 2.0 + st["digit_ratio"]
     )
-    return with_stats.withColumn(
+    return df.withColumn(
         out_col,
         F.round((length_score * 0.4 + token_len_score * 0.3 + noise_score * 0.3), 6),
-    ).drop(
-        "n_tokens", "n_chars_actual", "mean_token_len", "punct_ratio", "upper_ratio", "digit_ratio"
     )
 
 
@@ -236,10 +244,18 @@ def with_model_quality(
 
     Entirely codegen'd expressions — no UDF, no model runtime: at 100 TB
     the scorer is map-only and runs at scan speed, and Catalyst fuses it
-    into the same whole-stage pass as the surrounding filters."""
+    into the same whole-stage pass as the surrounding filters.
+
+    Features are inlined expressions — caller columns that happen to be
+    named ``n_tokens``/``punct_ratio``/… are left untouched. ``lang`` must
+    be one of the supported stopword languages (``ValueError`` otherwise)."""
+    if lang not in STOPWORDS:
+        raise ValueError(
+            f"unsupported lang {lang!r}; supported: {sorted(STOPWORDS)}"
+        )
     w = dict(DEFAULT_QUALITY_WEIGHTS)
     w.update(weights or {})
-    staged = with_text_stats(df, text_col)
+    st = _text_stat_exprs(text_col)
     tokens = tokenize(F.col(text_col))
     n_tok = F.size(tokens)
     sw = F.array([F.lit(s) for s in STOPWORDS[lang]])
@@ -249,22 +265,15 @@ def with_model_quality(
     ).otherwise(F.lit(0.0))
     z = (
         F.lit(float(bias))
-        + F.lit(w["log_tokens"]) * F.log1p(F.col("n_tokens").cast("double"))
-        + F.lit(w["mean_token_len"]) * F.col("mean_token_len")
+        + F.lit(w["log_tokens"]) * F.log1p(st["n_tokens"].cast("double"))
+        + F.lit(w["mean_token_len"]) * st["mean_token_len"]
         + F.lit(w["stopword_ratio"]) * stop_ratio
-        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
-        + F.lit(w["digit_ratio"]) * F.col("digit_ratio")
-        + F.lit(w["upper_ratio"]) * F.col("upper_ratio")
+        + F.lit(w["punct_ratio"]) * st["punct_ratio"]
+        + F.lit(w["digit_ratio"]) * st["digit_ratio"]
+        + F.lit(w["upper_ratio"]) * st["upper_ratio"]
     )
-    return staged.withColumn(
+    return df.withColumn(
         out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    ).drop(
-        "n_tokens",
-        "n_chars_actual",
-        "mean_token_len",
-        "punct_ratio",
-        "upper_ratio",
-        "digit_ratio",
     )
 
 

@@ -568,6 +568,24 @@ def test_with_model_quality(spark):
         "punct_ratio", "digit_ratio", "upper_ratio",
     }
 
+    # ADVICE r3: caller-owned columns named like the internal features must
+    # survive untouched (features are inlined, never materialized)...
+    owned = spark.createDataFrame(
+        [(1, "the cat sat on the mat", 999, 0.5)],
+        "doc_id long, text string, n_tokens long, punct_ratio double",
+    )
+    row = with_model_quality(owned).collect()[0]
+    assert row.n_tokens == 999 and row.punct_ratio == 0.5
+    assert 0.0 <= row.model_quality <= 1.0
+    from polars_dataset_spark.functions.text import with_quality_score
+
+    row2 = with_quality_score(owned).collect()[0]
+    assert row2.n_tokens == 999 and row2.punct_ratio == 0.5
+
+    # ...and an unsupported lang raises a ValueError naming the options
+    with pytest.raises(ValueError, match="supported"):
+        with_model_quality(df, lang="xx")
+
 
 def test_neardup_filter_against_index(spark):
     from polars_dataset_spark.functions import (

