@@ -33,14 +33,86 @@ from polars_dataset_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 
+class _StderrCounter:
+    """Tee fd 2 through a pipe so Python-worker crash tracebacks (which the
+    in-process JVM writes to stderr) are COUNTED, not silently absorbed by
+    Spark's task retry. Relays every byte to the real stderr unchanged."""
+
+    _MARKERS = (b"BrokenPipeError", b"Worker crashed", b"java.lang.OutOfMemoryError")
+
+    def __init__(self) -> None:
+        import threading
+
+        self.counts = {m.decode(): 0 for m in self._MARKERS}
+        self._real = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+
+        def pump() -> None:
+            buf = b""
+            while True:
+                chunk = os.read(r, 65536)
+                if not chunk:
+                    break
+                os.write(self._real, chunk)
+                buf = (buf + chunk)[-8192:]  # markers never span 8 KiB
+                for m in self._MARKERS:
+                    n = buf.count(m)
+                    if n:
+                        self.counts[m.decode()] += n
+                        buf = buf.replace(m, b"")
+            os.close(r)
+
+        self._thread = threading.Thread(target=pump, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> dict[str, int]:
+        os.dup2(self._real, 2)  # restore; pipe write-end closes -> pump exits
+        self._thread.join(timeout=5)
+        os.close(self._real)
+        return {k: v for k, v in self.counts.items() if v}
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Throwaway actions covering every cold-start cost the first timed
+    queries would otherwise absorb (the r3 driver artifact billed JVM +
+    Arrow-worker spin-up to q60/q40/q77): parquet IO, a shuffle through
+    whole-stage codegen, and an applyInPandas stage that forks the Python
+    worker daemon and pools enough workers for the first wave."""
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    warm = spark.range(0, 1 << 15, 1, 32).withColumn("g", F.col("id") % 32)
+    warm.groupBy("g").agg(F.sum("id")).write.format("noop").mode("overwrite").save()
+    warm.groupBy("g").applyInPandas(lambda p: p, "id long, g long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def _order_key(name: str, prev: dict[str, float], rank: dict[str, int]):
+    """Longest-job-first submission key. Unmeasured queries (absent from
+    BENCH_DETAIL.json — new this round) must not default behind every
+    measured one: an unknown query may be heavy, and one listed in the
+    static heavy fallback certainly is. So: unmeasured first (static rank
+    order), then measured by previous time descending — the rank key only
+    ever orders the unmeasured group."""
+    measured = name in prev
+    return (
+        measured,
+        rank.get(name, len(rank)) if not measured else 0,
+        -prev.get(name, 0.0),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "4"))
+    err_counter = _StderrCounter()
     spark = get_spark("bench")
     queries = entrymod.queries()
-    # one warm-up action so JVM/codegen startup isn't billed to the first query
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    _warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
 
@@ -98,11 +170,7 @@ def main() -> None:
         pass
     rank = {n: i for i, n in enumerate(heavy)}
     ordered = sorted(
-        queries.items(),
-        key=lambda it: (
-            -prev.get(it[0], 0.0),              # measured time, descending
-            rank.get(it[0], len(rank)),          # cold-start fallback
-        ),
+        queries.items(), key=lambda it: _order_key(it[0], prev, rank)
     )
 
     t_start = time.perf_counter()
@@ -127,6 +195,12 @@ def main() -> None:
         "workers": workers,
         "sf": sf,
     }
+    spark.stop()
+    worker_errors = err_counter.stop()
+    # non-empty only when a Python worker actually died mid-run (r3 saw a
+    # BrokenPipeError absorbed by a task retry) — surfaced so a retry can
+    # never silently hide a real memory/stability problem again
+    summary["worker_errors"] = worker_errors
     detail = dict(summary)
     detail["queries"] = dict(sorted(timings.items()))
     with open(
@@ -135,7 +209,6 @@ def main() -> None:
     ) as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(summary))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -36,6 +36,14 @@ def get_spark(app_name: str = "polars_dataset_spark", shuffle_partitions: int | 
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # Python-worker stability (r3 bench showed a worker BrokenPipeError
+        # absorbed by a task retry): pin the daemon/worker knobs explicitly
+        # instead of inheriting defaults, and turn on the worker
+        # faulthandler so a crashing worker logs WHY (segfault/OOM) rather
+        # than dying silently into a retry.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.memory", os.environ.get("SPARK_GRAFT_PY_WORKER_MEM", "1g"))
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     alloc = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                          "conf", "fairscheduler.xml")

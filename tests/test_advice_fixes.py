@@ -81,3 +81,22 @@ def test_transpose_empty_no_header_has_no_columns(spark):
     out = ds.transpose(include_header=False)
     assert out.columns == []
     assert out.count() == 0
+
+
+def test_bench_order_unmeasured_not_tailed():
+    """ADVICE r3: a new heavy query absent from BENCH_DETAIL.json must not
+    sort behind every measured query — unmeasured run first, static heavy
+    order among them; measured follow by time descending."""
+    import bench
+
+    prev = {"q_light": 0.3, "q_heavy": 30.0}
+    rank = {"q_new_heavy": 0, "q_heavy": 1}
+    names = ["q_light", "q_heavy", "q_new_heavy", "q_new_unknown"]
+    got = sorted(names, key=lambda n: bench._order_key(n, prev, rank))
+    assert got == ["q_new_heavy", "q_new_unknown", "q_heavy", "q_light"]
+    # a measured-but-light query in the static list must NOT jump measured
+    # heavies (rank applies to the unmeasured group only)
+    prev2 = {"q_heavy": 30.0, "q65": 2.0}
+    rank2 = {"q65": 0}
+    got2 = sorted(["q_heavy", "q65"], key=lambda n: bench._order_key(n, prev2, rank2))
+    assert got2 == ["q_heavy", "q65"]
