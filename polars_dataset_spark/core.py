@@ -1002,17 +1002,33 @@ class Dataset:
         key = key or self._index
         return self._rewrap(self._df.unionByName(other_df).orderBy(key))
 
-    def partition_by(self, *by, include_key: bool = True) -> "dict[tuple, Dataset]":
+    def partition_by(
+        self, *by, include_key: bool = True, max_groups: int = 10_000
+    ) -> "dict[tuple, Dataset]":
         """Split into one lazy Dataset per distinct key (polars
         ``partition_by``). Only the DISTINCT KEYS are collected (bounded
         by group count, not rows); each returned Dataset is a filtered
         view — nothing materializes until the caller acts on it. Meant
         for low-cardinality keys (polars' own use); at high cardinality
-        use ``groupBy``/``applyInPandas`` instead of per-group frames."""
+        use ``groupBy``/``applyInPandas`` instead of per-group frames.
+
+        A driver-flood guard caps the key collect at ``max_groups``
+        (mirrors ``transpose``'s ``max_rows`` guard): a high-cardinality
+        key raises instead of collecting millions of tuples."""
         by = list(by) or list(self._id_vars)
         if not by:
             raise ValueError("partition_by: no keys (no id_vars and none given)")
-        keys = [tuple(r) for r in self._df.select(*by).distinct().collect()]
+        keys = [
+            tuple(r)
+            for r in self._df.select(*by).distinct().limit(max_groups + 1).collect()
+        ]
+        if len(keys) > max_groups:
+            raise ValueError(
+                f"partition_by: more than {max_groups} distinct groups for "
+                f"keys {by}; a dict of per-group frames at this cardinality "
+                "would flood the driver — use groupBy/applyInPandas, or "
+                "raise max_groups explicitly"
+            )
         out = {}
         for kt in sorted(keys, key=lambda t: tuple(str(v) for v in t)):
             pred = functools.reduce(

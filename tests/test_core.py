@@ -356,6 +356,16 @@ def test_partition_by_lazy_views(lineitem_ds):
     assert "l_returnflag" not in next(iter(no_key.values())).columns
 
 
+def test_partition_by_high_cardinality_guard(lineitem_ds):
+    """VERDICT r3: a high-cardinality key must raise instead of collecting
+    every distinct tuple to the driver (mirrors transpose's max_rows)."""
+    with pytest.raises(ValueError, match="distinct groups"):
+        lineitem_ds.partition_by("l_orderkey", max_groups=100)
+    # explicit opt-in still works
+    parts = lineitem_ds.partition_by("l_returnflag", max_groups=3)
+    assert len(parts) == 3
+
+
 def test_sample_exact_n_deterministic(lineitem_ds):
     ds = Dataset(lineitem_ds.df.select("l_orderkey", "l_shipdate", "l_quantity"), index="l_orderkey")
     a = ds.sample(n=37, seed=3).df.collect()
