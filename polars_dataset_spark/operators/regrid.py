@@ -74,6 +74,11 @@ def regrid(
     (or ``x.name`` for a Series) selects the coordinate: the current index
     by default; naming an id_var swaps that id_var with the index first
     (reference role-swap, ``/root/reference/polars_dataset.py:219-223``).
+
+    One hash shuffle on ``id_vars``, then an Arrow batch per trace;
+    parallelism = trace cardinality (see ``Dataset._trace_window`` for
+    the per-trace parallelism contract and the ``partition_hint()``
+    recipe for chains of per-trace ops).
     """
     grid, grid_name = _grid_array(x)
     name = name or grid_name or ds.index
