@@ -150,7 +150,8 @@ def decode_media(
 
     ``decoder``:
 
-    - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"`` / ``"gif"``: REAL
+    - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"`` / ``"gif"`` /
+      ``"webp"``: REAL
       decodes implemented here in pure python/numpy (binary PGM/PPM
       headers + samples; uncompressed 24-bpp BMP with row padding and
       bottom-up order; baseline JFIF JPEG — Huffman entropy decode,
@@ -159,7 +160,10 @@ def decode_media(
       zlib inflate + all five row filters, gray/RGB/RGBA/palette — see
       :mod:`polars_dataset_spark.functions.png`; GIF87a/89a — variable-
       width LZW, global/local palettes, interlace — see
-      :mod:`polars_dataset_spark.functions.gif`) followed by
+      :mod:`polars_dataset_spark.functions.gif`; lossless WebP — the
+      full VP8L bitstream: canonical prefix codes, meta groups, color
+      cache, LZ77 with the 2-D distance map, and all four transforms —
+      see :mod:`polars_dataset_spark.functions.webp`) followed by
       deterministic nearest-neighbor resampling — no codec library
       needed. Blobs that fail to parse decode to null.
     - ``"fake"`` (default): a deterministic stand-in for formats whose
@@ -167,8 +171,9 @@ def decode_media(
       full Spark pipeline (schema, Arrow batches, partition shape) stays
       exercised.
     - ``"pil"``: the general-codec path (progressive JPEG, 16-bit or
-      interlaced PNG, WebP, ...); raises ``NotImplementedError`` in
-      this container (Pillow absent) — install it on the cluster image.
+      interlaced PNG, lossy WebP, ...); raises ``NotImplementedError``
+      in this container (Pillow absent) — install it on the cluster
+      image.
     """
     n_out = int(np.prod(target_size))
     out_schema = T.StructType(
@@ -179,12 +184,13 @@ def decode_media(
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
             "installed in this environment; use decoder='ppm'/'bmp'/'jpeg'/"
-            "'png' (built-in pure-python decodes), decoder='fake' for "
+            "'png'/'gif'/'webp' (built-in pure-python decodes), decoder='fake' for "
             "plumbing tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
     from polars_dataset_spark.functions.gif import decode_gif_gray
+    from polars_dataset_spark.functions.webp import decode_webp_gray
     from polars_dataset_spark.functions.jpeg import decode_jpeg_gray
     from polars_dataset_spark.functions.png import decode_png_gray
 
@@ -194,6 +200,7 @@ def decode_media(
         "jpeg": decode_jpeg_gray,
         "png": decode_png_gray,
         "gif": decode_gif_gray,
+        "webp": decode_webp_gray,
     }.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -5540,6 +5540,51 @@ def q155(spark, sf_dir):
     return spark.createDataFrame(rows, "item string, cnt long")
 
 
+@query(
+    "q156_webp_decode",
+    """
+    SELECT CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+           CAST((t1.y * 11 + t2.x * 5) % 256 AS BIGINT) AS px
+    FROM range(16) t1(y) CROSS JOIN range(16) t2(x)
+    """,
+)
+def q156(spark, sf_dir):
+    """Driver gate for the pure-python WebP-lossless decoder (VERDICT r3
+    #7): a 16×16 fixture whose gray value follows the closed form
+    ``(y·11 + x·5) mod 256`` (r = g = b) is VP8L-encoded with
+    subtract-green, per-block predictor modes AND a color cache all
+    enabled — so the gated path runs the canonical prefix-code reader,
+    two inverse transforms and the cache — then pushed through
+    ``decode_media(decoder='webp')`` on the executor and re-emitted
+    per-pixel; the oracle restates the closed form in SQL, a full value
+    match. VP8L is lossless, so float32 v/255·255 rounds back to v
+    exactly (same argument as q153)."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_media
+    from polars_dataset_spark.functions.webp import encode_webp_lossless
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    gray = ((yy * 11 + xx * 5) % 256).astype(np.uint8)
+    img = np.stack([gray, gray, gray], axis=2)
+    blob = encode_webp_lossless(
+        img,
+        subtract_green=True,
+        predictor=(np.arange(16).reshape(4, 4) % 14),
+        predictor_bits=2,
+        cache_bits=5,
+    )
+    df = spark.createDataFrame([(0, bytearray(blob))], "media_id long, content binary")
+    dec = decode_media(df, decoder="webp", target_size=(16, 16))
+    px = dec.select(F.posexplode("decoded").alias("pos", "val"))
+    return px.select(
+        F.floor(F.col("pos") / 16).cast("long").alias("y"),
+        (F.col("pos") % 16).cast("long").alias("x"),
+        F.round(F.col("val") * 255).cast("long").alias("px"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

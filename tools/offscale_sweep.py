@@ -1,0 +1,99 @@
+"""Upward off-scale sweep: run the heaviest suite queries serially at two
+scale factors and report the per-query scale ratio.
+
+A plan that is linear in the data should show time(sf1)/time(sf0.1) near
+the data ratio (10x) or below (fixed overheads amortize); a superlinear
+blowup (quadratic candidate sets, per-round growth in iterative CC,
+driver-side materialization) shows up as a ratio far above it. Results
+go to BENCH_OFFSCALE.json and a markdown table on stdout.
+
+Usage: python tools/offscale_sweep.py [--base /root/testdata/sf0.1]
+       [--big /tmp/sf1] [--ratio 10] [--top 20] [--queries q60,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from polars_dataset_spark.session import get_spark
+import __spark_entry__ as entrymod
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="/tmp/sf1")
+    ap.add_argument("--ratio", type=float, default=10.0)
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+
+    queries = entrymod.queries()
+    if args.queries:
+        names = [n for n in args.queries.split(",") if n]
+    else:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_DETAIL.json",
+        )
+        with open(detail_path) as fh:
+            prev = json.load(fh)["queries"]
+        names = [
+            n
+            for n, _ in sorted(prev.items(), key=lambda kv: -kv[1])
+            if n in queries
+        ][: args.top]
+    spark = get_spark("offscale_sweep")
+    # warmup: parquet IO + shuffle + Arrow worker pool
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{args.base}/lineitem.parquet").count()
+    w = spark.range(0, 1 << 14, 1, 32).withColumn("g", F.col("id") % 32)
+    w.groupBy("g").applyInPandas(lambda p: p, "id long, g long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {}
+    for name in names:
+        fn = queries[name]
+        row: dict[str, float] = {}
+        for key, sf_dir in (("base", args.base), ("big", args.big)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            row[key] = round(time.perf_counter() - t0, 2)
+        row["ratio"] = round(row["big"] / max(row["base"], 1e-9), 1)
+        results[name] = row
+        flag = "  <-- SUPERLINEAR?" if row["ratio"] > 2.5 * args.ratio else ""
+        print(
+            f"{name:32s} {row['base']:8.2f}s -> {row['big']:8.2f}s"
+            f"  x{row['ratio']:.1f}{flag}",
+            flush=True,
+        )
+    spark.stop()
+
+    out = {
+        "data_ratio": args.ratio,
+        "base": args.base,
+        "big": args.big,
+        "queries": results,
+        "max_ratio": max((r["ratio"] for r in results.values()), default=0.0),
+    }
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_OFFSCALE.json",
+        ),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()
