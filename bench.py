@@ -44,6 +44,8 @@ class _StderrCounter:
         import threading
 
         self.counts = {m.decode(): 0 for m in self._MARKERS}
+        self.in_flight: set[str] = set()  # updated by the bench loop
+        self.contexts: list[list[str]] = []  # in-flight snapshot per hit
         self._real = os.dup(2)
         r, w = os.pipe()
         os.dup2(w, 2)
@@ -61,6 +63,8 @@ class _StderrCounter:
                     n = buf.count(m)
                     if n:
                         self.counts[m.decode()] += n
+                        # attribute the crash: snapshot what was running
+                        self.contexts.append(sorted(self.in_flight))
                         buf = buf.replace(m, b"")
             os.close(r)
 
@@ -129,7 +133,11 @@ def main() -> None:
             "spark.scheduler.pool", f"pool{sum(name.encode()) % 8}"
         )
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        err_counter.in_flight.add(name)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        finally:
+            err_counter.in_flight.discard(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # Longest-job-first submission: the handful of heavy queries
@@ -201,6 +209,9 @@ def main() -> None:
     # BrokenPipeError absorbed by a task retry) — surfaced so a retry can
     # never silently hide a real memory/stability problem again
     summary["worker_errors"] = worker_errors
+    if err_counter.contexts:
+        # which queries were in flight at each crash (serial run => exactly one)
+        summary["worker_error_queries"] = err_counter.contexts
     detail = dict(summary)
     detail["queries"] = dict(sorted(timings.items()))
     with open(

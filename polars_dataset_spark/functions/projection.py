@@ -56,9 +56,14 @@ class PCAModel:
         self.trace = trace
 
 
-def _partial_moments(df: DataFrame, col: str, d: int) -> list:
+def _partial_moments(df: DataFrame, col: str) -> list:
     """Per-partition ``(n, Σx, ΣxxT)`` — the only data-dependent driver
-    traffic in the fit, bounded by partitions × d²."""
+    traffic in the fit, bounded by partitions × d². The embedding width
+    ``d`` is inferred inside the pass (first non-empty Arrow batch), NOT
+    probed with a separate ``first()`` job: a raw-scan CollectLimit job
+    cancels its surplus tasks the moment one row lands, and that
+    cancellation races the Python-worker daemon's fork handshake —
+    the source of the bench's spurious BrokenPipeError tracebacks."""
     schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -69,12 +74,14 @@ def _partial_moments(df: DataFrame, col: str, d: int) -> list:
 
     def gen(batches):
         n = 0
-        s = np.zeros(d)
-        o = np.zeros((d, d))
+        s = o = None
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.asarray(np.stack(pdf[col].to_numpy()), dtype=np.float64)
+            if s is None:
+                d = X.shape[1]
+                s, o = np.zeros(d), np.zeros((d, d))
             n += X.shape[0]
             s += X.sum(axis=0)
             o += X.T @ X
@@ -91,12 +98,12 @@ def embedding_covariance(
     distributed pass — the array-column sibling of ``Dataset.corr_matrix``
     (which covers scalar columns). Returns ``(mean (d,), cov (d,d), n)``;
     null rows ignored."""
-    first = df.select(emb_col).dropna().first()
-    if first is None:
+    rows = _partial_moments(df, emb_col)
+    if not rows:
         raise ValueError(f"embedding_covariance: no non-null rows in {emb_col!r}")
-    d = len(first[0])
+    d = len(rows[0]["s"])
     n_total, S, O = 0, np.zeros(d), np.zeros((d, d))
-    for row in _partial_moments(df, emb_col, d):
+    for row in rows:
         n_total += row["n"]
         S += np.asarray(row["s"])
         O += np.asarray(row["o"]).reshape(d, d)

@@ -294,12 +294,18 @@ def run_stream_to_memory(
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
+        .trigger(availableNow=True)
         .start()
     )
     try:
+        # availableNow => the query drains everything and terminates on
+        # its OWN — no stop()-driven job-group cancellation, which under
+        # concurrent suites races the Python-worker daemon's fork
+        # handshake and produces spurious BrokenPipeError tracebacks.
         q.processAllAvailable()
+        q.awaitTermination(120)
     finally:
-        q.stop()
+        q.stop()  # no-op on the (normal) already-terminated path
 
 
 def stream_merge_upsert(
@@ -358,7 +364,12 @@ def stream_merge_upsert(
         os.rename(tmp, target_path)
         shutil.rmtree(old, ignore_errors=True)
 
-    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    # availableNow: drain-everything-then-terminate. All callers feed a
+    # fully-materialized file listing and drain once; self-termination
+    # makes the caller's defensive stop() a no-op instead of a job-group
+    # cancellation (which races the Python-worker fork handshake under
+    # concurrent load — the bench's BrokenPipeError source).
+    writer = stream_df.writeStream.trigger(availableNow=True).foreachBatch(apply_batch)
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
@@ -404,7 +415,12 @@ def stream_neardup_filter(
         )
         out.write.mode("append").parquet(sink_path)
 
-    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    # availableNow: drain-everything-then-terminate. All callers feed a
+    # fully-materialized file listing and drain once; self-termination
+    # makes the caller's defensive stop() a no-op instead of a job-group
+    # cancellation (which races the Python-worker fork handshake under
+    # concurrent load — the bench's BrokenPipeError source).
+    writer = stream_df.writeStream.trigger(availableNow=True).foreachBatch(apply_batch)
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
@@ -462,7 +478,12 @@ def stream_heavy_hitters(
         os.rename(tmp, state_path)
         shutil.rmtree(old, ignore_errors=True)
 
-    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    # availableNow: drain-everything-then-terminate. All callers feed a
+    # fully-materialized file listing and drain once; self-termination
+    # makes the caller's defensive stop() a no-op instead of a job-group
+    # cancellation (which races the Python-worker fork handshake under
+    # concurrent load — the bench's BrokenPipeError source).
+    writer = stream_df.writeStream.trigger(availableNow=True).foreachBatch(apply_batch)
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()

@@ -5524,6 +5524,7 @@ def q155(spark, sf_dir):
             stream, "item", state_path=state, phi=0.005, checkpoint_path=ckpt
         )
         sq.processAllAvailable()
+        sq.awaitTermination(120)  # availableNow: self-terminates, no cancel race
         sq.stop()
         cand = spark.read.parquet(state).select("item").distinct()
         vals = docs.select(F.explode(tokenize(F.col("text"))).alias("item"))
