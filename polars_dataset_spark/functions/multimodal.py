@@ -156,8 +156,10 @@ def decode_media(
       headers + samples; uncompressed 24-bpp BMP with row padding and
       bottom-up order; baseline JFIF JPEG — Huffman entropy decode,
       dequantise, 8×8 IDCT, restart markers — see
-      :mod:`polars_dataset_spark.functions.jpeg`; 8-bit PNG — stdlib
-      zlib inflate + all five row filters, gray/RGB/RGBA/palette — see
+      :mod:`polars_dataset_spark.functions.jpeg`; PNG at every legal
+      IHDR combination — stdlib zlib inflate, all five row filters,
+      gray/RGB/RGBA/palette, packed 1/2/4-bit, 16-bit, Adam7
+      interlace — see
       :mod:`polars_dataset_spark.functions.png`; GIF87a/89a — variable-
       width LZW, global/local palettes, interlace — see
       :mod:`polars_dataset_spark.functions.gif`; lossless WebP — the
@@ -170,8 +172,8 @@ def decode_media(
       codecs aren't installed — bytes tile into the target shape so the
       full Spark pipeline (schema, Arrow batches, partition shape) stays
       exercised.
-    - ``"pil"``: the general-codec path (progressive JPEG, 16-bit or
-      interlaced PNG, lossy WebP, ...); raises ``NotImplementedError``
+    - ``"pil"``: the general-codec path (progressive JPEG, lossy WebP,
+      TIFF, ...); raises ``NotImplementedError``
       in this container (Pillow absent) — install it on the cluster
       image.
     """

@@ -8,18 +8,19 @@ PNG specification (RFC 2083 / W3C PNG): signature + chunk walk
 (IHDR/PLTE/tRNS ignored/IDAT/IEND), concatenated-IDAT inflate, and the
 five per-row filters (None/Sub/Up/Average/Paeth) reconstructed exactly.
 
-Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced. The decoder returns float32
+Supported — the FULL set of legal IHDR combinations: bit depths 1/2/4
+(gray, palette), 8 and 16 (gray, RGB, palette≤8, gray+alpha, RGBA),
+both non-interlaced and Adam7-interlaced. The decoder returns float32
 (H, W) grayscale in [0, 1] — the channel mean, alpha ignored — which is
 what the thumbnail pipeline in
 :mod:`polars_dataset_spark.functions.multimodal` consumes.
-Unsupported (return ``None``, never raise): 16-bit depth, 1/2/4-bit
-packed depths, Adam7 interlace, truncated or non-PNG blobs.
+Truncated, malformed or non-PNG blobs return ``None``, never raise.
 
-A minimal grayscale ENCODER (8-bit, one IDAT, selectable per-row filter
-so every unfilter path is exercised by round-trips) plus an RGB variant
-produce real fixtures in-container; encoder and decoder share no
-filter/unfilter code, so round-trips genuinely test both directions.
+Minimal ENCODERS (8-bit gray with selectable per-row filter so every
+unfilter path is exercised by round-trips, RGB, 16-bit gray, packed
+1/2/4-bit gray, and an Adam7-interlaced gray variant) produce real
+fixtures in-container; encoders and decoder share no filter/unfilter
+code, so round-trips genuinely test both directions.
 
 Reference parity: the reference delegates image decode to Pillow
 (polars_dataset.py has no media path at all — this module belongs to the
@@ -32,7 +33,14 @@ import zlib
 
 import numpy as np
 
-__all__ = ["decode_png_gray", "encode_png_gray", "encode_png_rgb"]
+__all__ = [
+    "decode_png_gray",
+    "encode_png_gray",
+    "encode_png_rgb",
+    "encode_png_gray16",
+    "encode_png_gray_packed",
+    "encode_png_gray_interlaced",
+]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (at depth 8: also bytes per pixel)
@@ -51,12 +59,53 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> "np.ndarray | None":
-    """Reconstruct filtered scanlines -> uint8 array (h, w*bpp)."""
-    stride = w * bpp
-    rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
-        h, stride + 1
-    )
+# Adam7 pass geometry: (row start, col start, row step, col step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+)
+
+
+def _stride_bytes(w: int, ch: int, depth: int) -> int:
+    """Bytes per scanline (packed depths round up to whole bytes)."""
+    return (w * ch * depth + 7) // 8
+
+
+def _filter_bpp(ch: int, depth: int) -> int:
+    """The byte distance the PNG filters look back by: whole-byte pixels
+    use their byte size; sub-byte packed pixels use 1 (per spec)."""
+    return max(1, (ch * depth) // 8)
+
+
+def _unpack_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """uint8 scanline bytes (h, stride) -> integer samples (h, w, ch)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch).astype(np.uint16)
+    if depth == 16:
+        hi = rows[:, 0 : 2 * w * ch : 2].astype(np.uint16)
+        lo = rows[:, 1 : 2 * w * ch : 2].astype(np.uint16)
+        return ((hi << 8) | lo).reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)[:, : w * ch * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = bits.reshape(h, w * ch, depth).astype(np.uint16) @ weights
+    return vals.reshape(h, w, ch)
+
+
+def _unfilter(
+    raw: bytes, h: int, stride: int, bpp: int, offset: int = 0
+) -> "np.ndarray | None":
+    """Reconstruct filtered scanlines -> uint8 array (h, stride),
+    reading ``h * (stride + 1)`` bytes starting at ``offset``."""
+    w = stride // bpp  # filter groups per row; stride % bpp == 0 always
+    rows = np.frombuffer(
+        raw, np.uint8, count=h * (stride + 1), offset=offset
+    ).reshape(h, stride + 1)
     filters = rows[:, 0]
     if filters.max(initial=0) > 4:
         return None
@@ -130,22 +179,36 @@ def decode_png_gray(data: bytes) -> "np.ndarray | None":
         h = int.from_bytes(ihdr[4:8], "big")
         depth, ctype, comp, filt, interlace = ihdr[8:13]
         ch = _CHANNELS.get(ctype)
+        legal_depths = {
+            0: (1, 2, 4, 8, 16),
+            2: (8, 16),
+            3: (1, 2, 4, 8),
+            4: (8, 16),
+            6: (8, 16),
+        }
         if (
-            depth != 8
+            ch is None
             or comp != 0
             or filt != 0
-            or interlace != 0
-            or ch is None
+            or interlace not in (0, 1)
             or w <= 0
             or h <= 0
+            or depth not in legal_depths[ctype]
         ):
             return None
+        if w * h > _MAX_PIXELS:
+            return None
+        passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+        geo = []  # (ys, xs, dy, dx, pw, ph, stride) for non-empty passes
+        for ys, xs, dy, dx in passes:
+            pw = (w - xs + dx - 1) // dx
+            ph = (h - ys + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                geo.append((ys, xs, dy, dx, pw, ph, _stride_bytes(pw, ch, depth)))
         # Decompression-bomb guard: w/h are already parsed, so the exact
         # expected inflated size is known — cap the inflater at it instead of
         # letting a tiny crafted IDAT expand ~1000x into executor memory.
-        if w * h > _MAX_PIXELS:
-            return None
-        expected = h * (w * ch + 1)
+        expected = sum(ph * (st + 1) for _, _, _, _, _, ph, st in geo)
         dec = zlib.decompressobj()
         raw = dec.decompress(b"".join(idat), expected)
         if len(raw) < expected:
@@ -154,21 +217,27 @@ def decode_png_gray(data: bytes) -> "np.ndarray | None":
         # only reject if the leftover genuinely inflates to MORE pixels.
         if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
             return None
-        px = _unfilter(raw, h, w, ch)
-        if px is None:
-            return None
-        px = px.reshape(h, w, ch)
+        bpp = _filter_bpp(ch, depth)
+        samples = np.zeros((h, w, ch), dtype=np.uint16)
+        off = 0
+        for ys, xs, dy, dx, pw, ph, st in geo:
+            rows = _unfilter(raw, ph, st, bpp, off)
+            if rows is None:
+                return None
+            off += ph * (st + 1)
+            samples[ys::dy, xs::dx] = _unpack_samples(rows, pw, ch, depth)
         if ctype == 3:
             if plte is None or len(plte) < 3:
                 return None
             pal = np.frombuffer(plte, np.uint8)
             pal = pal[: (pal.size // 3) * 3].reshape(-1, 3).astype(np.float32)
-            idx = px[:, :, 0].astype(np.int64)
+            idx = samples[:, :, 0].astype(np.int64)
             if int(idx.max(initial=0)) >= pal.shape[0]:
                 return None
             return pal[idx].mean(axis=2) / 255.0
-        color = px[:, :, :3] if ctype in (2, 6) else px[:, :, :1]
-        return color.astype(np.float32).mean(axis=2) / 255.0
+        color = samples[:, :, :3] if ctype in (2, 6) else samples[:, :, :1]
+        maxv = float((1 << depth) - 1)
+        return color.astype(np.float32).mean(axis=2) / maxv
     except Exception:  # noqa: BLE001 — corpus blobs may be arbitrary bytes
         return None
 
@@ -259,5 +328,73 @@ def encode_png_rgb(img: np.ndarray, filter_type: int = 0) -> bytes:
         _SIG
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray16(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode float [0,1] (H, W) as a 16-bit grayscale PNG (big-endian
+    sample bytes; the filters operate bytewise with bpp=2 per spec)."""
+    arr = np.clip(np.asarray(img, dtype=np.float64), 0.0, 1.0)
+    u16 = np.round(arr * 65535.0).astype(np.uint16)
+    h, w = u16.shape
+    be = np.zeros((h, w * 2), dtype=np.uint8)
+    be[:, 0::2] = (u16 >> 8).astype(np.uint8)
+    be[:, 1::2] = (u16 & 0xFF).astype(np.uint8)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    raw = _filter_rows(be, 2, filter_type)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray_packed(img: np.ndarray, depth: int, filter_type: int = 0) -> bytes:
+    """Encode float [0,1] (H, W) as a packed 1/2/4-bit grayscale PNG —
+    samples quantized to 2^depth levels, MSB-first within each byte,
+    rows padded to whole bytes (spec 7.2)."""
+    if depth not in (1, 2, 4):
+        raise ValueError("packed depth must be 1, 2 or 4")
+    arr = np.clip(np.asarray(img, dtype=np.float64), 0.0, 1.0)
+    maxv = (1 << depth) - 1
+    q = np.round(arr * maxv).astype(np.uint8)
+    h, w = q.shape
+    # expand each sample to its bits, MSB first, pad the row to bytes
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((q[:, :, None] >> weights) & 1).reshape(h, w * depth).astype(np.uint8)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    packed = np.packbits(bits, axis=1)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([depth, 0, 0, 0, 0])
+    raw = _filter_rows(packed, 1, filter_type)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray_interlaced(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode float [0,1] (H, W) as an 8-bit grayscale Adam7-interlaced
+    PNG: each of the seven passes is extracted by the spec's grid,
+    filtered independently (reduced images are filtered as if standalone),
+    and the filtered passes are concatenated into one zlib stream."""
+    arr = np.clip(np.asarray(img, dtype=np.float64), 0.0, 1.0)
+    u8 = np.round(arr * 255.0).astype(np.uint8)
+    h, w = u8.shape
+    raw = bytearray()
+    for ys, xs, dy, dx in _ADAM7:
+        sub = u8[ys::dy, xs::dx]
+        if sub.size:
+            raw += _filter_rows(sub, 1, filter_type)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 9))
         + _chunk(b"IEND", b"")
     )

@@ -13,8 +13,44 @@ from polars_dataset_spark.functions.multimodal import decode_media
 from polars_dataset_spark.functions.png import (
     decode_png_gray,
     encode_png_gray,
+    encode_png_gray16,
+    encode_png_gray_interlaced,
+    encode_png_gray_packed,
     encode_png_rgb,
 )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_gray16_roundtrip_every_filter(filter_type):
+    rng = np.random.default_rng(40 + filter_type)
+    img = rng.random((13, 17)).astype(np.float32)
+    dec = decode_png_gray(encode_png_gray16(img, filter_type=filter_type))
+    assert dec is not None and dec.shape == (13, 17)
+    # 16-bit quantisation: error bounded by half a 1/65535 step
+    assert np.abs(dec - img).max() <= 0.5 / 65535 + 1e-7
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 4])
+def test_packed_depth_roundtrip(depth, filter_type):
+    rng = np.random.default_rng(depth * 10 + filter_type)
+    # width chosen so rows need bit padding for every depth
+    img = rng.random((7, 13)).astype(np.float32)
+    dec = decode_png_gray(encode_png_gray_packed(img, depth, filter_type=filter_type))
+    assert dec is not None and dec.shape == (7, 13)
+    maxv = (1 << depth) - 1
+    assert np.abs(dec - img).max() <= 0.5 / maxv + 1e-7
+
+
+@pytest.mark.parametrize("shape", [(13, 11), (3, 5), (8, 8), (1, 9), (16, 1), (9, 23)])
+def test_adam7_interlaced_roundtrip(shape):
+    """Adam7: odd dimensions exercise empty and partial passes; the
+    de-interlaced result must equal the plain encode of the same image."""
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    img = rng.random(shape).astype(np.float32)
+    dec = decode_png_gray(encode_png_gray_interlaced(img, filter_type=3))
+    assert dec is not None and dec.shape == shape
+    assert np.abs(dec - img).max() <= 0.5 / 255 + 1e-7
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
@@ -91,15 +127,18 @@ def test_malformed_blobs_decode_to_none():
     assert decode_png_gray(b"not a png") is None
     good = encode_png_gray(np.zeros((8, 8), dtype=np.float32))
     assert decode_png_gray(good[: len(good) // 2]) is None  # truncated
-    # 16-bit depth and Adam7 interlace are declared unsupported
+    # 16-bit depth and Adam7 are SUPPORTED since round 4 — these two
+    # hand-built zero blobs must now decode (4x4 of black), not None
     ihdr16 = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
     blob16 = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr16)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 36))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 36))  # 4 rows x (1 + 8)
         + _chunk(b"IEND", b"")
     )
-    assert decode_png_gray(blob16) is None
+    dec16 = decode_png_gray(blob16)
+    assert dec16 is not None and dec16.shape == (4, 4) and dec16.max() == 0.0
+    # 4x4 Adam7 needs 23 filtered bytes; 20 is a truncated stream -> None
     ihdr_i = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
     blob_i = (
         b"\x89PNG\r\n\x1a\n"
@@ -108,6 +147,21 @@ def test_malformed_blobs_decode_to_none():
         + _chunk(b"IEND", b"")
     )
     assert decode_png_gray(blob_i) is None
+    # genuinely illegal IHDR combos stay None: interlace=2, depth 3,
+    # 16-bit palette (spec forbids), depth 2 RGB
+    for ihdr_bad in [
+        bytes([8, 0, 0, 0, 2]),
+        bytes([3, 0, 0, 0, 0]),
+        bytes([16, 3, 0, 0, 0]),
+        bytes([2, 2, 0, 0, 0]),
+    ]:
+        blob_bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", (4).to_bytes(4, "big") * 2 + ihdr_bad)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _chunk(b"IEND", b"")
+        )
+        assert decode_png_gray(blob_bad) is None
     # corrupt DEFLATE stream -> None (zlib error swallowed)
     broken = bytearray(good)
     broken[41] ^= 0xFF
