@@ -154,7 +154,9 @@ def decode_media(
       ``"webp"``: REAL
       decodes implemented here in pure python/numpy (binary PGM/PPM
       headers + samples; uncompressed 24-bpp BMP with row padding and
-      bottom-up order; baseline JFIF JPEG — Huffman entropy decode,
+      bottom-up order; baseline AND progressive JFIF JPEG — Huffman
+      entropy decode (incl. spectral selection + successive
+      approximation),
       dequantise, 8×8 IDCT, restart markers — see
       :mod:`polars_dataset_spark.functions.jpeg`; PNG at every legal
       IHDR combination — stdlib zlib inflate, all five row filters,
@@ -172,8 +174,8 @@ def decode_media(
       codecs aren't installed — bytes tile into the target shape so the
       full Spark pipeline (schema, Arrow batches, partition shape) stays
       exercised.
-    - ``"pil"``: the general-codec path (progressive JPEG, lossy WebP,
-      TIFF, ...); raises ``NotImplementedError``
+    - ``"pil"``: the general-codec path (lossy WebP, TIFF, arithmetic/
+      12-bit JPEG, ...); raises ``NotImplementedError``
       in this container (Pillow absent) — install it on the cluster
       image.
     """
