@@ -125,6 +125,36 @@ def _warmup(spark, sf_dir: str) -> None:
     arr = warm.withColumn("v", F.array(*[F.rand(7) for _ in range(8)]))
     arr.select(_dot("v")).write.format("noop").mode("overwrite").save()
     warm.orderBy("g", "id").write.format("noop").mode("overwrite").save()
+    # Structured-Streaming cold start (~5 s measured): the first streaming
+    # query in a session pays micro-batch engine + state/checkpoint + the
+    # foreachBatch Py4J callback server spin-up, and a mapInPandas stage
+    # INSIDE a micro-batch forks its own worker wave. Whichever streaming
+    # query the longest-first order submits first (q155 in r4) absorbs all
+    # of it otherwise. One tiny availableNow stream with a mapInPandas +
+    # parquet write in the batch function covers the whole path.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    wdir = _tempfile.mkdtemp(prefix="bench_warm_stream_")
+    spark.range(0, 256, 1, 1).write.parquet(f"{wdir}/src")
+
+    def _warm_batch(bdf, _bid):
+        bdf.mapInPandas(lambda it: it, "id long").write.mode("overwrite").parquet(
+            f"{wdir}/out"
+        )
+
+    sq = (
+        spark.readStream.schema("id long")
+        .parquet(f"{wdir}/src")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{wdir}/ckpt")
+        .foreachBatch(_warm_batch)
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.awaitTermination(60)
+    sq.stop()
+    _shutil.rmtree(wdir, ignore_errors=True)
 
 
 def _order_key(name: str, prev: dict[str, float], rank: dict[str, int]):
