@@ -203,7 +203,11 @@ def with_bigram_surprisal(
     big = tok.withColumn("prev", F.lag("token").over(w)).filter(
         F.col("prev").isNotNull()
     )
-    uni = tok.groupBy("token").agg(F.count("*").alias("c1"))
+    # localCheckpoint: the V scalar AND the instance join both consume the
+    # unigram table; without it the token-keyed aggregation (a full shuffle
+    # of every token instance) executes twice. Checkpointed size is the
+    # vocabulary — Heaps'-law sublinear in the corpus, never instance-scale.
+    uni = tok.groupBy("token").agg(F.count("*").alias("c1")).localCheckpoint(eager=True)
     vocab_size = uni.count()  # scalar: |vocabulary|
     bi = big.groupBy("prev", "token").agg(F.count("*").alias("cb"))
     bits = F.round(
