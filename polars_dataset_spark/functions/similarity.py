@@ -35,7 +35,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_bucketed_topk", "cosine_pairs_block", "ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "cosine_pairs_block",
+    "ivf_topk",
+    "semantic_dedup",
+]
 
 
 def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
@@ -345,4 +351,92 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_cap: int = 65_536,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public arXiv paper): cluster the
+    corpus with a coarse quantizer, compare vectors PAIRWISE ONLY WITHIN
+    their cluster, and drop every vector that has an earlier-id
+    cluster-mate at cosine ≥ ``threshold``.
+
+    The keep rule is the deterministic parallel one: a vector survives
+    iff NO lower-id member of its cell is ≥ threshold-similar. Unlike the
+    greedy sequential sweep this needs no iteration and restates as a
+    single SQL EXISTS, so it is driver-oracle-checkable end to end; for
+    the transitive keep-one-per-component policy compose the pair output
+    with :func:`polars_dataset_spark.functions.graph.dedup_by_components`
+    (the q64 path) instead.
+
+    Scale shape (the paper's own design): the assignment is a map-only
+    Arrow-batched argmin against ≤ ``n_cells`` broadcast centroids; the
+    pairwise stage is ONE equi-join on cell id, cost Σ|cell|²·dim. Pick
+    ``n_cells`` ∝ corpus size (SemDeDup uses k in the tens of thousands
+    at web scale) so the per-cell quadratic term stays bounded — exactly
+    the knob the paper tunes. Returns every input row as
+    ``(id_col, cell, kept)``.
+
+    Like :func:`ivf_topk`, pass explicit ``centroids`` for a reproducible
+    quantizer (fixture/oracle use); omit it for the sampled-KMeans
+    quantizer trained on a bounded ``limit`` sample.
+    """
+    from pyspark.sql import types as T
+
+    if centroids is not None:
+        centers = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample = df.select(F.col(vec_col)).limit(train_cap).toPandas()
+        centers = _lloyd_kmeans(
+            np.stack(sample[vec_col].to_numpy()).astype(np.float64), n_cells, seed
+        )
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _norm(vec_col).alias("__n"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cell",
+    )
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            F.round(_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, on=id_col, how="left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
     )

@@ -5602,6 +5602,51 @@ def q156(spark, sf_dir):
     )
 
 
+@query(
+    "q157_semantic_dedup",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+          FROM embeddings),
+    dist AS (
+      SELECT e.vec_id, cent.cell, list_distance(e.ev, cent.cv) AS d
+      FROM e, cent),
+    assign AS (
+      SELECT vec_id, cell FROM dist
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b USING (cell)
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(ea.ev, eb.ev), 6) >= 0.35)
+    SELECT ass.vec_id, CAST(ass.cell AS INT) AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM assign ass LEFT JOIN dropped d ON d.vec_id = ass.vec_id
+    """,
+)
+def q157(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023) over the embeddings
+    table: coarse-quantizer cells, within-cell pairwise cosine, drop any
+    vector with an earlier-id cell-mate at cosine ≥ 0.35. The quantizer
+    is FIXED (centroids = the first 8 corpus vectors, the q58 pattern)
+    so the ENTIRE algorithm — assignment ties, pair generation, the
+    parallel earlier-id keep rule — replays exactly in SQL; production
+    use omits ``centroids`` and gets the sampled-KMeans quantizer.
+    Scale: map-only assignment + one cell equi-join (the paper's own
+    Σ|cell|² design, bounded by choosing n_cells ∝ corpus size)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [r["embedding"] for r in emb.filter(F.col("vec_id") < 8)
+             .orderBy("vec_id").select("embedding").collect()]
+    return semantic_dedup(emb, threshold=0.35, centroids=cents)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -645,3 +645,59 @@ def test_audio_spectrogram_tone_peaks(spark):
     # frame accounting: n = 4000 samples -> 1 + (4000-256)//128 = 30 frames
     assert out[1].n_spec_frames == 30
     assert len(out[1].spectrogram) == 30  # under max_frames, all kept
+
+
+def test_semantic_dedup_drops_planted_dups(vecs):
+    from polars_dataset_spark.functions import semantic_dedup
+
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(vecs, threshold=0.95, n_cells=2).collect()
+    }
+    assert len(out) == 8  # every input row present, kept or not
+    # planted: 100 near-dups 0, 101 exact-dups 1 — earlier id survives
+    assert out[0].kept and not out[100].kept
+    assert out[1].kept and not out[101].kept
+    # dup pairs land in the same cell (they're ~identical vectors)
+    assert out[0].cell == out[100].cell
+    assert out[1].cell == out[101].cell
+
+
+def test_semantic_dedup_cell_isolation(spark):
+    from polars_dataset_spark.functions import semantic_dedup
+
+    # two exact-dup pairs pushed into DIFFERENT cells by explicit
+    # centroids: cross-cell similarity must never drop anything
+    a = [1.0] + [0.0] * 7
+    b = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, b)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, threshold=0.99, centroids=[a, b]
+        ).collect()
+    }
+    assert out[0].kept and out[2].kept  # one survivor per cell
+    assert not out[1].kept and not out[3].kept
+    assert out[0].cell != out[2].cell
+
+
+def test_semantic_dedup_threshold_monotone(vecs):
+    from polars_dataset_spark.functions import semantic_dedup
+
+    kept_strict = {
+        r.vec_id
+        for r in semantic_dedup(vecs, threshold=0.999999, n_cells=1).collect()
+        if r.kept
+    }
+    kept_loose = {
+        r.vec_id
+        for r in semantic_dedup(vecs, threshold=0.5, n_cells=1).collect()
+        if r.kept
+    }
+    # lowering the threshold can only drop MORE
+    assert kept_loose <= kept_strict
+    # exact dup is gone even at the strictest threshold
+    assert 101 not in kept_strict
