@@ -5607,7 +5607,9 @@ def q156(spark, sf_dir):
     """
     WITH cent AS (
       SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
-      FROM embeddings WHERE vec_id < 8),
+      FROM embeddings
+      WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT))
+                      FROM embeddings)),
     e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
           FROM embeddings),
     dist AS (
@@ -5632,17 +5634,23 @@ def q157(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023) over the embeddings
     table: coarse-quantizer cells, within-cell pairwise cosine, drop any
     vector with an earlier-id cell-mate at cosine ≥ 0.35. The quantizer
-    is FIXED (centroids = the first 8 corpus vectors, the q58 pattern)
-    so the ENTIRE algorithm — assignment ties, pair generation, the
-    parallel earlier-id keep rule — replays exactly in SQL; production
-    use omits ``centroids`` and gets the sampled-KMeans quantizer.
-    Scale: map-only assignment + one cell equi-join (the paper's own
-    Σ|cell|² design, bounded by choosing n_cells ∝ corpus size)."""
+    is FIXED (centroids = the first max(8, ⌈n/250⌉) corpus vectors, the
+    q58 pattern with the cell count SCALING with the corpus — ~250
+    vectors per cell whatever the sf, so the within-cell pairwise stage
+    stays linear; the upward off-scale sweep measured ×13.9 at 10× data
+    with a constant cell count before this) so the ENTIRE algorithm —
+    assignment ties, pair generation, the parallel earlier-id keep rule
+    — replays exactly in SQL, the cell-count rule included via a scalar
+    subquery; production use omits ``centroids`` and gets the
+    sampled-KMeans quantizer."""
     _prep(spark)
+    import math
+
     from polars_dataset_spark.functions import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = [r["embedding"] for r in emb.filter(F.col("vec_id") < 8)
+    n_cells = max(8, math.ceil(emb.count() / 250.0))
+    cents = [r["embedding"] for r in emb.filter(F.col("vec_id") < n_cells)
              .orderBy("vec_id").select("embedding").collect()]
     return semantic_dedup(emb, threshold=0.35, centroids=cents)
 
