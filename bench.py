@@ -175,7 +175,10 @@ def _order_key(name: str, prev: dict[str, float], rank: dict[str, int]):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "4"))
+    # 6-way measured fastest on local[32] (wall 44-45 s vs 51 s at 4-way,
+    # 53 s at 8-way where scheduler contention doubles the serial sum);
+    # zero worker errors at any tested level since the fork-race fix
+    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "6"))
     err_counter = _StderrCounter()
     spark = get_spark("bench")
     queries = entrymod.queries()

@@ -406,6 +406,12 @@ def semantic_dedup(
         if n_cells is None:
             n_cells = max(16, math.ceil(df.count() / target_cell_size))
         sample = df.select(F.col(vec_col)).limit(train_cap).toPandas()
+        if sample.empty:  # nothing to train on — and nothing to dedup
+            return df.select(
+                F.col(id_col),
+                F.lit(0).cast("int").alias("cell"),
+                F.lit(True).alias("kept"),
+            )
         centers = _lloyd_kmeans(
             np.stack(sample[vec_col].to_numpy()).astype(np.float64), n_cells, seed
         )

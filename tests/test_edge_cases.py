@@ -127,3 +127,12 @@ def test_sample_frames_empty(spark):
 
     df = spark.createDataFrame([], "id int, content binary")
     assert sample_frames(df).count() == 0
+
+
+def test_semantic_dedup_empty_input(spark):
+    from polars_dataset_spark.functions import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(df)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cell", "kept"}
