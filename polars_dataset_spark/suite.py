@@ -5655,6 +5655,114 @@ def q157(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.35, centroids=cents)
 
 
+@query(
+    "q158_ridge_fit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(64 AS BIGINT) AS d,
+           round((count(*) * sum(CAST(label AS DOUBLE) * CAST(label AS DOUBLE))
+                  - sum(CAST(label AS DOUBLE)) * sum(CAST(label AS DOUBLE)))
+                 / (count(*) * count(*)), 6) AS baseline_mse,
+           true AS grad_ok, true AS beats_baseline_ok, true AS mse_consistent_ok
+    FROM embeddings
+    """,
+)
+def q158(spark, sf_dir):
+    """Distributed closed-form ridge regression (functions/ml.py): ONE
+    mapInPandas pass reduces every partition to its Gram moments
+    ``(n, AᵀA, Aᵀy, yᵀy)``; the driver solves the (d+1)² normal
+    equations — the exact optimum, no iterative solver, nothing
+    driver-side scaling with rows (the q142 partial-moment shape). The
+    trainable half of the model-quality story: q143 scores with fixed
+    weights, this FITS weights on labels.
+
+    CONTRACT oracle (the coefficient vector is solver-specific):
+    ``baseline_mse`` is a genuine cross-engine VALUE check — the
+    intercept-only MSE (population variance of y) falls out of the same
+    distributed moments as integer-exact arithmetic ``(n·Σy² − (Σy)²)/n²``
+    that DuckDB restates verbatim, anchoring the moment pass itself.
+    The booleans certify (a) the normal-equation residual
+    ``Aᵀ(y−ŷ) − λ[w;0]`` is ≈0 (the solve hit the ridge optimum),
+    (b) training MSE beats the intercept-only baseline, and (c) the
+    moment-derived MSE equals an INDEPENDENT second distributed pass —
+    map-only ``linear_score`` + avg((y−ŷ)²) — to 1e-9, cross-verifying
+    ``AᵀA``/``Aᵀy`` against the scorer. Coefficient numerics are pinned
+    against a direct numpy lstsq in tests/test_ml.py."""
+    _prep(spark)
+    from polars_dataset_spark.functions import linear_score, ridge_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = ridge_fit(emb, "embedding", "label", lam=1.0)
+    scored = linear_score(
+        emb.withColumn("y", F.col("label").cast("double")), model, "embedding"
+    )
+    mse2 = scored.agg(
+        F.avg((F.col("y") - F.col("score")) ** 2).alias("m")
+    ).first()["m"]
+    totals = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("long")).alias("sy"),
+        F.sum((F.col("label") * F.col("label")).cast("long")).alias("syy"),
+    ).first()
+    n, sy, syy = totals["n"], totals["sy"], totals["syy"]
+    baseline = (n * syy - sy * sy) / (n * n)  # exact below 2^53
+    return spark.createDataFrame(
+        [
+            (
+                model.n,
+                int(model.weights.shape[0]),
+                round(baseline, 6),
+                bool(model.grad_inf < 1e-8),
+                bool(model.mse <= baseline + 1e-12),
+                bool(abs(model.mse - mse2) < 1e-9),
+            )
+        ],
+        "n long, d long, baseline_mse double, grad_ok boolean, "
+        "beats_baseline_ok boolean, mse_consistent_ok boolean",
+    )
+
+
+@query(
+    "q159_binary_auc",
+    """
+    WITH s AS (
+      SELECT CAST(floor(embedding[1] * 8) AS BIGINT) AS score,
+             CAST(label % 2 AS BIGINT) AS y
+      FROM embeddings),
+    p AS (SELECT score FROM s WHERE y = 1),
+    neg AS (SELECT score FROM s WHERE y = 0)
+    SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pos,
+           CAST((SELECT count(*) FROM neg) AS BIGINT) AS n_neg,
+           round(sum(CASE WHEN p.score > neg.score THEN 2
+                          WHEN p.score = neg.score THEN 1
+                          ELSE 0 END)::DOUBLE
+                 / (2.0 * (SELECT count(*) FROM p)
+                        * (SELECT count(*) FROM neg)), 6) AS auc
+    FROM p CROSS JOIN neg
+    """,
+)
+def q159(spark, sf_dir):
+    """Exact distributed ROC-AUC (``binary_auc``) — the evaluation half
+    of the model-quality story. Spark runs the SCALE path: group by
+    score, cumulative negatives via the two-pass distributed prefix sum
+    (no single-partition window), one aggregate with an all-integer
+    rank-sum numerator. The oracle computes the same AUC by the
+    brute-force pair definition (every pos×neg pair, ½ credit for
+    ties) — a genuinely independent formulation, feasible at oracle
+    scale. The score ``floor(embedding[0]·8)`` is integer-exact in both
+    engines (float32→double exact, ×8 a power of two, floor) and lands
+    ~17 distinct values over the corpus, so average-rank tie handling
+    carries real weight in the value."""
+    _prep(spark)
+    from polars_dataset_spark.functions import binary_auc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.floor(F.col("embedding")[0].cast("double") * 8).cast("long").alias("score"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    return binary_auc(s, "score", "y")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

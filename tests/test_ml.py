@@ -1,0 +1,169 @@
+"""functions/ml.py: closed-form ridge fit, map-only scoring, exact AUC.
+
+Numerics are pinned against direct numpy references (lstsq / brute-force
+pair counting) computed on the SAME data the distributed paths see, so a
+partial-moment or prefix-sum bug cannot hide behind the contract oracle.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.functions import binary_auc, linear_score, ridge_fit
+
+
+def _make_df(spark, X, y, n_parts=7):
+    rows = [(i, [float(v) for v in X[i]], float(y[i])) for i in range(len(y))]
+    return spark.createDataFrame(
+        rows, "id long, embedding array<double>, label double"
+    ).repartition(n_parts)
+
+
+def _ridge_ref(X, y, lam):
+    A = np.hstack([X, np.ones((X.shape[0], 1))])
+    reg = np.eye(A.shape[1]) * lam
+    reg[-1, -1] = 0.0
+    return np.linalg.solve(A.T @ A + reg, A.T @ y)
+
+
+def _auc_ref(scores, ys):
+    pos = np.asarray(scores)[np.asarray(ys) == 1]
+    neg = np.asarray(scores)[np.asarray(ys) == 0]
+    if len(pos) == 0 or len(neg) == 0:
+        return None
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    return (gt + 0.5 * eq) / (len(pos) * len(neg))
+
+
+class TestRidgeFit:
+    def test_matches_direct_solve(self, spark):
+        rng = np.random.RandomState(3)
+        X = rng.randn(200, 6)
+        w_true = np.array([1.5, -2.0, 0.0, 3.0, 0.5, -1.0])
+        y = X @ w_true + 2.0 + 0.01 * rng.randn(200)
+        df = _make_df(spark, X, y)
+        for lam in (0.0, 1.0, 25.0):
+            model = ridge_fit(df, "embedding", "label", lam=lam)
+            ref = _ridge_ref(X, y, lam)
+            np.testing.assert_allclose(model.weights, ref[:-1], rtol=1e-9)
+            assert abs(model.intercept - ref[-1]) < 1e-9
+            assert model.grad_inf < 1e-10
+            assert model.n == 200
+
+    def test_partitioning_invariant(self, spark):
+        rng = np.random.RandomState(7)
+        X, y = rng.randn(150, 4), rng.randn(150)
+        m1 = ridge_fit(_make_df(spark, X, y, 1), "embedding", "label", lam=2.0)
+        m2 = ridge_fit(_make_df(spark, X, y, 13), "embedding", "label", lam=2.0)
+        np.testing.assert_allclose(m1.weights, m2.weights, rtol=1e-12)
+        assert abs(m1.intercept - m2.intercept) < 1e-12
+
+    def test_mse_and_baseline(self, spark):
+        rng = np.random.RandomState(11)
+        X = rng.randn(300, 5)
+        y = X[:, 0] * 4.0 + 1.0 + 0.1 * rng.randn(300)
+        model = ridge_fit(_make_df(spark, X, y), "embedding", "label", lam=0.5)
+        assert model.mse <= model.baseline_mse  # (0, mean) is feasible
+        assert abs(model.baseline_mse - np.var(y)) < 1e-9
+        scored = linear_score(_make_df(spark, X, y), model, "embedding")
+        mse2 = scored.agg(
+            F.avg((F.col("label") - F.col("score")) ** 2)
+        ).first()[0]
+        assert abs(model.mse - mse2) < 1e-9
+
+    def test_nulls_ignored_and_empty_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], 1.0), (2, None, 5.0), (3, [0.0, 1.0], None)],
+            "id long, embedding array<double>, label double",
+        )
+        model = ridge_fit(df, "embedding", "label", lam=1.0)
+        assert model.n == 1
+        with pytest.raises(ValueError, match="no non-null rows"):
+            ridge_fit(df.filter("id = 2"), "embedding", "label")
+        with pytest.raises(ValueError, match="lam"):
+            ridge_fit(df, "embedding", "label", lam=-1.0)
+
+
+class TestLinearScore:
+    def test_score_and_sigmoid(self, spark):
+        rng = np.random.RandomState(5)
+        X, y = rng.randn(50, 3), rng.randn(50)
+        df = _make_df(spark, X, y)
+        model = ridge_fit(df, "embedding", "label", lam=1.0)
+        out = linear_score(df, model, "embedding").orderBy("id").collect()
+        exp = X @ model.weights + model.intercept
+        np.testing.assert_allclose([r["score"] for r in out], exp, rtol=1e-12)
+        sig = linear_score(df, model, "embedding", sigmoid=True).orderBy("id")
+        np.testing.assert_allclose(
+            [r["score"] for r in sig.collect()], 1 / (1 + np.exp(-exp)), rtol=1e-12
+        )
+
+    def test_null_embedding_scores_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], 1.0), (2, None, 2.0)],
+            "id long, embedding array<double>, label double",
+        )
+        model = ridge_fit(df, "embedding", "label", lam=1.0)
+        rows = {r["id"]: r["score"] for r in linear_score(df, model).collect()}
+        assert rows[1] is not None and rows[2] is None
+
+
+class TestBinaryAuc:
+    def test_perfect_and_inverted(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), 1 if i >= 5 else 0) for i in range(10)], "score double, y int"
+        )
+        assert binary_auc(df).first()["auc"] == 1.0
+        inv = df.select((-F.col("score")).alias("score"), "y")
+        assert binary_auc(inv).first()["auc"] == 0.0
+
+    def test_ties_average_rank(self, spark):
+        # all scores equal -> AUC exactly 0.5 through the tie credit
+        df = spark.createDataFrame(
+            [(1.0, i % 2) for i in range(20)], "score double, y int"
+        )
+        assert binary_auc(df).first()["auc"] == 0.5
+
+    def test_single_class_null(self, spark):
+        df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y int")
+        row = binary_auc(df).first()
+        assert row["auc"] is None and row["n_pos"] == 2 and row["n_neg"] == 0
+
+    def test_matches_bruteforce_reference(self, spark):
+        rng = np.random.RandomState(13)
+        scores = rng.randint(0, 15, size=400).astype(float)  # heavy ties
+        ys = rng.randint(0, 2, size=400)
+        df = spark.createDataFrame(
+            [(float(s), int(t)) for s, t in zip(scores, ys)], "score double, y int"
+        ).repartition(9)
+        got = binary_auc(df).first()
+        ref = _auc_ref(scores, ys)
+        assert abs(got["auc"] - round(ref, 6)) <= 1e-6
+        assert got["n_pos"] == int(ys.sum())
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(-5, 5), st.integers(0, 1)),
+            min_size=2,
+            max_size=60,
+        )
+    )
+    def test_property_vs_reference(self, pairs):
+        # session fixture is function-scoped per hypothesis example via
+        # get_spark's getOrCreate (cheap); arbitrary tie patterns
+        from polars_dataset_spark.session import get_spark
+
+        spark = get_spark("pytest")
+        df = spark.createDataFrame(
+            [(float(s), int(t)) for s, t in pairs], "score double, y int"
+        ).repartition(4)
+        got = binary_auc(df).first()["auc"]
+        ref = _auc_ref([p[0] for p in pairs], [p[1] for p in pairs])
+        if ref is None:
+            assert got is None
+        else:
+            assert abs(got - round(ref, 6)) <= 1e-6
