@@ -204,9 +204,12 @@ def binary_auc(
     )
     parts = df.sparkSession.sparkContext.defaultParallelism
     c = _global_prefix_sum(g, "__neg", "__score", max(parts, 1))
-    contrib2 = F.col("__pos") * (
+    # DECIMAL(38,0) keeps the pair numerator exact where BIGINT would
+    # overflow: pos_g·(2·neg_below+neg_g) approaches 2·P·N ≈ 2e24 at
+    # ~1e12 rows per class — far past 2^63 but well inside 38 digits
+    contrib2 = F.col("__pos").cast("decimal(19,0)") * (
         2 * (F.col("__cum") - F.col("__neg")) + F.col("__neg")
-    )
+    ).cast("decimal(19,0)")
     agg = c.agg(
         F.sum("__pos").alias("n_pos"),
         F.sum("__neg").alias("n_neg"),
