@@ -5763,6 +5763,74 @@ def q159(spark, sf_dir):
     return binary_auc(s, "score", "y")
 
 
+@query(
+    "q160_compression_quality",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+           true AS all_in_range, true AS prose_band,
+           true AS rep_tiny, true AS noise_high, true AS rep_lt_noise
+    FROM documents
+    """,
+)
+def q160(spark, sf_dir):
+    """Compressibility quality signal (``with_compression_ratio``):
+    per-doc deflate ratio — the classic cheap corpus filter
+    (boilerplate/repeated text compresses ≪ prose; random noise ≈ 1).
+    Map-only Arrow-batched UDF; zlib releases the GIL.
+
+    CONTRACT oracle (compressed size is not a cross-library constant):
+    ``n_docs``/``n_scored`` are exact SQL values (scored = non-null
+    non-empty, matching the UDF's null rule); the booleans certify the
+    corpus ratios land in (0, 1.2] with a prose-band mean (0.2, 0.9),
+    and — on two deterministic in-query fixtures — that a repeated
+    two-word page compresses under 0.05 while an md5-hex chain (half-
+    entropy symbols) stays above 0.4 and above the repeated page.
+    Monotonicity (more repetition → lower ratio) tested in
+    tests/test_functions.py."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_compression_ratio(docs, "text")
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("compression_ratio").alias("n_scored"),
+        F.min("compression_ratio").alias("lo"),
+        F.max("compression_ratio").alias("hi"),
+        F.avg("compression_ratio").alias("mean"),
+    ).first()
+    import hashlib
+
+    rep = "lorem ipsum " * 400
+    chain, h = [], b"seed"
+    for _ in range(300):
+        h = hashlib.md5(h).digest()
+        chain.append(h.hex())
+    noise = "".join(chain)
+    fix = with_compression_ratio(
+        spark.createDataFrame([("rep", rep), ("noise", noise)], "k string, text string"),
+        "text",
+    )
+    fr = {r["k"]: r["compression_ratio"] for r in fix.collect()}
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_docs"],
+                stats["n_scored"],
+                bool(stats["lo"] > 0.0 and stats["hi"] <= 1.2),
+                bool(0.2 < stats["mean"] < 0.9),
+                bool(fr["rep"] < 0.05),
+                bool(fr["noise"] > 0.4),
+                bool(fr["rep"] < fr["noise"]),
+            )
+        ],
+        "n_docs long, n_scored long, all_in_range boolean, prose_band boolean, "
+        "rep_tiny boolean, noise_high boolean, rep_lt_noise boolean",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -701,3 +701,34 @@ def test_semantic_dedup_threshold_monotone(vecs):
     assert kept_loose <= kept_strict
     # exact dup is gone even at the strictest threshold
     assert 101 not in kept_strict
+
+
+def test_compression_ratio_signal(spark):
+    """Monotone in repetition, null on empty/null, bounded, level-validated."""
+    import pytest as _pytest
+
+    from polars_dataset_spark.functions import with_compression_ratio
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "wandering musicians argued about harmony, rhythm, counterpoint "
+        "and the unreasonable price of violin strings in late autumn. "
+    )
+    rows = [
+        (1, "word " * 600),            # heavy repetition
+        (2, prose * 8),                # natural prose
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["compression_ratio"]
+           for r in with_compression_ratio(df, "text").collect()}
+    assert out[3] is None and out[4] is None
+    assert 0.0 < out[1] < out[2] <= 1.2   # repetition compresses further
+    assert out[1] < 0.05                  # pure repetition is near-zero
+    # higher level never compresses worse on the same input
+    hi = {r["id"]: r["compression_ratio"]
+          for r in with_compression_ratio(df, "text", level=9).collect()}
+    assert hi[1] <= out[1] + 1e-12 and hi[2] <= out[2] + 1e-12
+    with _pytest.raises(ValueError, match="level"):
+        with_compression_ratio(df, "text", level=0)
