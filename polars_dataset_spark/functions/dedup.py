@@ -61,6 +61,7 @@ __all__ = [
     "embedding_neardup",
     "build_neardup_index",
     "neardup_filter_against",
+    "remove_repeated_substrings",
 ]
 
 
@@ -857,3 +858,113 @@ def neardup_filter_against(
     )
     sig_d.unpersist()
     return docs.join(hit, on=id_col, how="left_anti")
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Exact repeated-substring EXCISION — the span-level complement of
+    document-level dedup (the "exact substring deduplication" of Lee et
+    al. 2022, arXiv:2107.06499, at token granularity): any k-token
+    window whose exact content occurs ``min_count``+ times in the whole
+    corpus (across documents OR repeated within one) is cut out of
+    every document, and the surviving tokens are rejoined. Catches the
+    boilerplate headers/footers/license blocks that document-level
+    MinHash cannot (the documents differ; the spans don't).
+
+    Adds ``n_tokens``, ``n_removed`` and ``out_col`` (tokens surviving,
+    space-joined; "" when everything was cut or the text was empty).
+    Tokenization is :func:`text.tokenize` (lowercased whitespace split),
+    so removal is on normalized tokens.
+
+    Scale shape (two data shuffles + one gram shuffle, nothing
+    quadratic):
+
+    - gram stage is map-only from the token array; grams shuffle by
+      their **md5 key** (32 bytes, engine-portable), never the k-token
+      text, for the global count;
+    - duplicated-key set semi-joins back to the gram positions;
+    - coverage is a per-document running-max window — token position p
+      is covered iff some duplicated gram STARTS in [p-k+1, p] — and
+      the rebuild's groupBy reuses the window's doc-key partitioning
+      (no extra exchange).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    from pyspark.sql import Window
+
+    from polars_dataset_spark.functions.text import tokenize
+
+    t = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    grams = t.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(1, size(__toks) - {k - 1}), "
+                f"i -> md5(array_join(slice(__toks, i, {k}), chr(31)))) "
+                f"ELSE array() END"
+            )
+        ).alias("__gpos", "__gkey"),
+    )
+    dup = (
+        grams.groupBy("__gkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__gkey")
+    )
+    hits = (
+        grams.join(dup, "__gkey", "left_semi")
+        .select(F.col(id_col), F.col("__gpos").alias("__pos"), F.lit(1).alias("__hit"))
+    )
+    tok = t.select(
+        F.col(id_col), F.posexplode(F.col("__toks")).alias("__pos", "__tok")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = tok.join(hits, [id_col, "__pos"], "left").withColumn(
+        "__runmax",
+        F.max(F.when(F.col("__hit") == 1, F.col("__pos"))).over(w),
+    )
+    cov = F.col("__runmax").isNotNull() & (
+        F.col("__runmax") >= F.col("__pos") - (k - 1)
+    )
+    agg = (
+        j.withColumn("__cov", cov)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__cov").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("__cov"), F.struct("__pos", "__tok"))
+                        )
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias(out_col),
+        )
+    )
+    return (
+        df.join(agg, id_col, "left")
+        .withColumns(
+            {
+                "n_tokens": F.coalesce(F.col("n_tokens"), F.lit(0)),
+                "n_removed": F.coalesce(F.col("n_removed"), F.lit(0)),
+                out_col: F.coalesce(F.col(out_col), F.lit("")),
+            }
+        )
+    )

@@ -5831,6 +5831,70 @@ def q160(spark, sf_dir):
     )
 
 
+@query(
+    "q161_repeated_substrings",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+                   AS toks
+        FROM documents),
+    g0 AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CASE WHEN len(toks) >= 8
+                                    THEN len(toks) - 7 ELSE 0 END)) AS gpos
+        FROM d),
+    g AS (
+        SELECT doc_id, gpos,
+               md5(array_to_string(toks[gpos + 1 : gpos + 8], chr(31))) AS gkey
+        FROM g0),
+    dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+    h AS (SELECT doc_id, gpos FROM g JOIN dup USING (gkey)),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(0, len(toks))) AS pos
+        FROM d),
+    c AS (
+        SELECT t.doc_id, t.pos, t.tok,
+               max(CASE WHEN h.gpos IS NOT NULL THEN t.pos END)
+                   OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS runmax
+        FROM tok t LEFT JOIN h ON h.doc_id = t.doc_id AND h.gpos = t.pos),
+    m AS (
+        SELECT doc_id, pos, tok,
+               (runmax IS NOT NULL AND runmax >= pos - 7) AS cov
+        FROM c),
+    a AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT cov THEN tok END,
+                                   ' ' ORDER BY pos), '') AS cleaned_text
+        FROM m GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(a.cleaned_text, '') AS cleaned_text
+    FROM d LEFT JOIN a USING (doc_id)
+    """,
+)
+def q161(spark, sf_dir):
+    """Exact repeated-substring excision (``remove_repeated_substrings``,
+    Lee et al. 2022 at token granularity): every 8-token window whose
+    exact content occurs twice+ anywhere in the corpus is cut, surviving
+    tokens rejoined — the span-level dedup that catches shared
+    boilerplate document-level MinHash cannot. FULL value oracle: gram
+    keys are md5 (engine-portable), coverage is the running-max window
+    identity, and the rebuilt text is compared string-exact per doc —
+    the near-dup documents in the fixture share long real spans, so
+    removal carries weight, while unique docs prove no false positives."""
+    _prep(spark)
+    from polars_dataset_spark.functions import remove_repeated_substrings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_substrings(docs, "doc_id", "text", k=8).select(
+        "doc_id", "n_tokens", "n_removed", "cleaned_text"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -732,3 +732,59 @@ def test_compression_ratio_signal(spark):
     assert hi[1] <= out[1] + 1e-12 and hi[2] <= out[2] + 1e-12
     with _pytest.raises(ValueError, match="level"):
         with_compression_ratio(df, "text", level=0)
+
+
+def test_remove_repeated_substrings(spark):
+    """Span excision vs a brute-force python reference + edge cases."""
+    import pytest as _pytest
+
+    from polars_dataset_spark.functions import remove_repeated_substrings
+
+    boiler = "all rights reserved contact the site administrator for details"
+    rows = [
+        (1, f"unique opening words here {boiler} and a unique ending one"),
+        (2, f"totally different prose {boiler} then more original content"),
+        (3, "short doc"),                          # < k tokens: untouched
+        (4, "echo alpha " * 6),                    # intra-doc repetition
+        (5, ""),                                   # empty
+        (6, "entirely original sentence with no duplicated span at all ok"),
+    ]
+    k = 4
+
+    def ref(texts):
+        toks = {i: t.lower().split() for i, t in texts}
+        from collections import Counter
+
+        cnt = Counter(
+            tuple(ts[p : p + k])
+            for ts in toks.values()
+            for p in range(len(ts) - k + 1)
+        )
+        out = {}
+        for i, ts in toks.items():
+            starts = [
+                p for p in range(len(ts) - k + 1)
+                if cnt[tuple(ts[p : p + k])] >= 2
+            ]
+            cov = set()
+            for p in starts:
+                cov.update(range(p, p + k))
+            kept = [t for p, t in enumerate(ts) if p not in cov]
+            out[i] = (len(ts), len(cov), " ".join(kept))
+        return out
+
+    expected = ref(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_repeated_substrings(df, k=k).collect()
+    }
+    assert got == expected
+    assert got[3] == (2, 0, "short doc")          # untouched short doc
+    assert got[4][1] > 0                          # intra-doc repeats cut
+    assert got[5] == (0, 0, "")                   # empty stays empty
+    assert got[6][1] == 0                         # no false positives
+    with _pytest.raises(ValueError, match="k"):
+        remove_repeated_substrings(df, k=1)
+    with _pytest.raises(ValueError, match="min_count"):
+        remove_repeated_substrings(df, min_count=1)
