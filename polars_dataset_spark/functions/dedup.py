@@ -890,9 +890,13 @@ def remove_repeated_substrings(
       text, for the global count;
     - duplicated-key set semi-joins back to the gram positions;
     - coverage is a per-document running-max window — token position p
-      is covered iff some duplicated gram STARTS in [p-k+1, p] — and
-      the rebuild's groupBy reuses the window's doc-key partitioning
-      (no extra exchange).
+      is covered iff some duplicated gram STARTS in [p-k+1, p]. Hit
+      rows are UNIONED into the token stream (tagged, ordered before
+      the token at the same position) rather than joined on
+      ``(doc, pos)``: a join would partition by the pair key, which
+      cannot satisfy the window's doc-only partitioning, costing the
+      token stream a second full shuffle. The union sorts once per doc
+      and the rebuild's groupBy reuses that same doc-key exchange.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -922,19 +926,27 @@ def remove_repeated_substrings(
     )
     hits = (
         grams.join(dup, "__gkey", "left_semi")
-        .select(F.col(id_col), F.col("__gpos").alias("__pos"), F.lit(1).alias("__hit"))
+        .select(
+            F.col(id_col),
+            F.col("__gpos").alias("__pos"),
+            F.lit(None).cast("string").alias("__tok"),
+            F.col("__gpos").alias("__hit"),
+        )
     )
     tok = t.select(
         F.col(id_col), F.posexplode(F.col("__toks")).alias("__pos", "__tok")
-    )
+    ).withColumn("__hit", F.lit(None).cast("long"))
+    u = tok.unionByName(hits)
+    # hit rows order BEFORE the token at the same position (False < True)
+    # so a gram starting AT p is inside p's running-max frame
     w = (
         Window.partitionBy(id_col)
-        .orderBy("__pos")
+        .orderBy(F.col("__pos"), F.col("__tok").isNotNull())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    j = tok.join(hits, [id_col, "__pos"], "left").withColumn(
-        "__runmax",
-        F.max(F.when(F.col("__hit") == 1, F.col("__pos"))).over(w),
+    j = (
+        u.withColumn("__runmax", F.max(F.col("__hit")).over(w))
+        .filter(F.col("__tok").isNotNull())
     )
     cov = F.col("__runmax").isNotNull() & (
         F.col("__runmax") >= F.col("__pos") - (k - 1)
