@@ -137,18 +137,42 @@ def dedup_by_components(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Transitive fuzzy dedup: keep one representative (the minimum id)
-    per connected component of the near-duplicate pair graph.
+    """Transitive fuzzy dedup: keep one representative per connected
+    component of the near-duplicate pair graph — the minimum id by
+    default, or (``quality_col=``) the HIGHEST-quality member (ties to
+    the lower id), the rule production pipelines actually want: of a
+    boilerplate-mangled copy and a clean original, keep the clean one,
+    whatever its id.
 
     This is the cluster-correct upgrade of ``minhash_dedup``'s one-pass
     rule: with pairs {(1,2),(2,3)}, one-pass drops {2,3} and keeps 1;
     so does this — but with pairs {(2,3)} plus (1 isolated), one-pass
     and CC agree, while with a chain 1-2, 2-3, 3-4 arriving as
-    unordered pairs the CC answer is stable under pair ordering."""
+    unordered pairs the CC answer is stable under pair ordering.
+
+    Quality selection costs one extra broadcast-sized join and a
+    per-component argmax (window over the component key — parallelism =
+    component count, each component tiny by near-dup construction);
+    null quality sorts last."""
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if quality_col is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, on=id_col, how="left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q")),
+        on="id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc_nulls_last(), F.col("id")
+    )
+    losers = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, on=id_col, how="left_anti")
 

@@ -5895,6 +5895,66 @@ def q161(spark, sf_dir):
     )
 
 
+@query(
+    "q162_quality_keep_dedup",
+    r"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+    e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+    q AS (
+      SELECT comp.id, comp.root, doc.n_chars
+      FROM comp JOIN documents doc ON doc.doc_id = comp.id),
+    keep AS (
+      SELECT id FROM q
+      QUALIFY row_number() OVER (PARTITION BY root
+                                 ORDER BY n_chars DESC, id) = 1)
+    SELECT doc.doc_id, doc.lang, CAST(doc.n_chars AS BIGINT) AS n_chars
+    FROM documents doc JOIN keep ON doc.doc_id = keep.id
+    """,
+)
+def q162(spark, sf_dir):
+    """Quality-aware transitive dedup (``dedup_by_components(quality_col=
+    ...)``): LSH near-dup pairs → connected components → keep the
+    HIGHEST-``n_chars`` member per cluster (ties to the lower id) — the
+    representative rule production pipelines want (keep the clean/longer
+    original, not whichever copy got the smaller id). Same end-to-end
+    value oracle as q64 (exact-Jaccard pair graph closed with a
+    recursive CTE), with the per-component argmax keep rule replayed in
+    SQL — so q64 and q162 together pin BOTH keep policies."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        dedup_by_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, threshold=0.7)
+    return dedup_by_components(docs, pairs, quality_col="n_chars").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

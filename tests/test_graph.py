@@ -124,3 +124,28 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert out == {(1, "A"), (2, "B"), (99, None)}
     with pytest.raises(ValueError):
         salted_join(left, right, on="k", how="full")
+
+
+def test_dedup_by_components_quality_keep(spark):
+    """quality_col keeps the best member per cluster, not the min id;
+    null quality sorts last; isolated docs always survive."""
+    from polars_dataset_spark.functions import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10.0), (2, 30.0), (3, 20.0),   # cluster {1,2,3}: keep 2
+            (4, None), (5, 1.0),               # cluster {4,5}: keep 5 (null last)
+            (6, 7.0), (7, 7.0),                # cluster {6,7}: tie -> lower id 6
+            (8, 0.0),                          # isolated: kept
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = {r["doc_id"] for r in
+            dedup_by_components(docs, pairs, quality_col="q").collect()}
+    assert kept == {2, 5, 6, 8}
+    # default rule unchanged: min id per cluster
+    kept_min = {r["doc_id"] for r in dedup_by_components(docs, pairs).collect()}
+    assert kept_min == {1, 4, 6, 8}
