@@ -292,3 +292,46 @@ def test_lomb_scargle_invariances(n, shift, level, seed):
     assert lomb_scargle_power(t, y + level, freqs) == pytest.approx(
         base, rel=1e-6, abs=1e-8
     )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+def test_repeated_substring_excision_matches_bruteforce(docs, k):
+    """Arbitrary tiny-alphabet corpora (heavy gram collisions, overlap
+    chains, intra-doc repeats) excise identically to the brute-force
+    definition: cut every token covered by a k-window whose content
+    occurs >= 2 times corpus-wide."""
+    from collections import Counter
+
+    from polars_dataset_spark.functions import remove_repeated_substrings
+    from polars_dataset_spark.session import get_spark
+
+    spark = get_spark("pytest")
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    cnt = Counter(
+        tuple(ts[p : p + k]) for ts in docs for p in range(len(ts) - k + 1)
+    )
+    expected = {}
+    for i, ts in enumerate(docs):
+        cov = set()
+        for p in range(len(ts) - k + 1):
+            if cnt[tuple(ts[p : p + k])] >= 2:
+                cov.update(range(p, p + k))
+        expected[i] = (
+            len(ts),
+            len(cov),
+            " ".join(t for p, t in enumerate(ts) if p not in cov),
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_repeated_substrings(df, k=k).collect()
+    }
+    assert got == expected
