@@ -77,12 +77,31 @@ def main() -> None:
         )
     spark.stop()
 
+    # MERGE into the existing table (a --queries run must not discard the
+    # committed full-suite rows): same-name rows are replaced, the rest
+    # kept, max_ratio recomputed over the union
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_OFFSCALE.json",
+    )
+    merged: dict[str, dict[str, float]] = {}
+    try:
+        with open(path) as fh:
+            prev_out = json.load(fh)
+        if prev_out.get("base") == args.base and prev_out.get("big") == args.big:
+            merged = dict(prev_out.get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    merged.update(results)
     out = {
         "data_ratio": args.ratio,
         "base": args.base,
         "big": args.big,
-        "queries": results,
-        "max_ratio": max((r["ratio"] for r in results.values()), default=0.0),
+        "queries": merged,
+        "max_ratio": max(
+            (r["ratio"] for r in merged.values() if isinstance(r, dict)),
+            default=0.0,
+        ),
     }
     with open(
         os.path.join(
