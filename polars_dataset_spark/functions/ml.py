@@ -211,8 +211,8 @@ def binary_auc(
         2 * (F.col("__cum") - F.col("__neg")) + F.col("__neg")
     ).cast("decimal(19,0)")
     agg = c.agg(
-        F.sum("__pos").alias("n_pos"),
-        F.sum("__neg").alias("n_neg"),
+        F.coalesce(F.sum("__pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("__neg"), F.lit(0)).alias("n_neg"),
         F.sum(contrib2).alias("__num2"),
     )
     return agg.select(

@@ -167,3 +167,9 @@ class TestBinaryAuc:
             assert got is None
         else:
             assert abs(got - round(ref, 6)) <= 1e-6
+
+
+def test_binary_auc_empty_input(spark):
+    df = spark.createDataFrame([], "score double, y int")
+    row = binary_auc(df).first()
+    assert (row["n_pos"], row["n_neg"], row["auc"]) == (0, 0, None)
