@@ -44,20 +44,300 @@ __all__ = [
 ]
 
 
+# Dense-subtract argmin is only used when the centroid set is tiny; above
+# this, the matmul identity + tiling path takes over. The split keeps the
+# small-k computation bitwise identical to what a SQL oracle restates
+# (sum over (x_i - c_i)^2 terms) while bounding memory for large k.
+_DENSE_K_MAX = 64
+_ROW_CHUNK = 2048
+_CENT_CHUNK = 4096
+# Above this cell count a flat driver-trained quantizer stops making sense
+# (train sample can't cover k, and the centroid matrix is better handled
+# hierarchically) — switch to the two-level coarse->sub quantizer.
+_FLAT_CELLS_MAX = 4096
+
+
+def _argmin_cells(mat: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """argmin_j ||x_i - c_j||^2, ties to the LOWEST cell id.
+
+    k <= _DENSE_K_MAX: exact dense subtract form (bitwise-faithful to the
+    per-term SQL restatement oracle fixtures replay). Larger k: the matmul
+    identity ||x||^2 - 2 x.C^T + ||c||^2 evaluated in row x centroid TILES,
+    so peak memory is O(_ROW_CHUNK * _CENT_CHUNK) floats regardless of k —
+    never the batch x k x d dense cube."""
+    if len(centers) <= _DENSE_K_MAX:
+        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1).astype(np.int32)
+    cn = (centers**2).sum(axis=1)
+    n = len(mat)
+    out = np.empty(n, dtype=np.int32)
+    for r0 in range(0, n, _ROW_CHUNK):
+        rows = mat[r0 : r0 + _ROW_CHUNK]
+        best_d = np.full(len(rows), np.inf)
+        best_i = np.zeros(len(rows), dtype=np.int32)
+        for c0 in range(0, len(centers), _CENT_CHUNK):
+            cs = centers[c0 : c0 + _CENT_CHUNK]
+            # ||x||^2 is constant per row — omit it; argmin is unchanged
+            d = cn[c0 : c0 + _CENT_CHUNK][None, :] - 2.0 * (rows @ cs.T)
+            i = d.argmin(axis=1)
+            dv = d[np.arange(len(rows)), i]
+            upd = dv < best_d  # strict: ties keep the earlier (lower) chunk
+            best_d[upd] = dv[upd]
+            best_i[upd] = (i + c0)[upd].astype(np.int32)
+        out[r0 : r0 + _ROW_CHUNK] = best_i
+    return out
+
+
+def _top_cells(mat: np.ndarray, centers: np.ndarray, n: int) -> np.ndarray:
+    """Per row: the n nearest centroid ids, ascending distance, ties to the
+    lower cell id (stable). Tiled like :func:`_argmin_cells` — running
+    top-n merge per centroid chunk keeps memory off the full batch x k."""
+    n = min(n, len(centers))
+    if len(centers) <= _DENSE_K_MAX:
+        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+    cn = (centers**2).sum(axis=1)
+    outs = []
+    for r0 in range(0, len(mat), _ROW_CHUNK):
+        rows = mat[r0 : r0 + _ROW_CHUNK]
+        best_d = np.full((len(rows), 0), np.inf)
+        best_i = np.zeros((len(rows), 0), dtype=np.int32)
+        for c0 in range(0, len(centers), _CENT_CHUNK):
+            cs = centers[c0 : c0 + _CENT_CHUNK]
+            d = cn[c0 : c0 + _CENT_CHUNK][None, :] - 2.0 * (rows @ cs.T)
+            ids = np.arange(c0, c0 + len(cs), dtype=np.int32)
+            cat_d = np.concatenate([best_d, d], axis=1)
+            cat_i = np.concatenate(
+                [best_i, np.broadcast_to(ids, (len(rows), len(cs)))], axis=1
+            )
+            # lexsort (id, distance): ascending distance, ties -> lower id.
+            # Sorting the merged set keeps ids ordered across chunks too.
+            order = np.lexsort((cat_i, cat_d), axis=-1)[:, :n]
+            r = np.arange(len(rows))[:, None]
+            best_d, best_i = cat_d[r, order], cat_i[r, order]
+        outs.append(best_i)
+    return np.concatenate(outs, axis=0)
+
+
 def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, iters: int = 12) -> np.ndarray:
     """Plain numpy Lloyd's iterations (k-means++-lite init: distinct random
-    picks) — all a COARSE quantizer needs. Deterministic given the seed."""
+    picks) — all a COARSE quantizer needs. Deterministic given the seed.
+    The assignment step is the tiled matmul argmin, so memory is bounded
+    by the tile size, never sample x k x d."""
     rng = np.random.RandomState(seed)
     k = min(k, len(x))
+    x = np.ascontiguousarray(x, dtype=np.float64)
     centers = x[rng.choice(len(x), size=k, replace=False)].astype(np.float64)
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(k):
-            pts = x[assign == j]
-            if len(pts):
-                centers[j] = pts.mean(axis=0)
+        assign = _argmin_cells(x, centers)
+        # vectorized per-cluster means (no python loop over k)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centers
+
+
+class _Quantizer:
+    """Coarse quantizer shipped to executors via ``sparkContext.broadcast``
+    (never closure capture — one torrent copy per executor, not one pickle
+    per task).
+
+    Flat (``subs is None``): cell = argmin over ``coarse`` (k1 = n_cells).
+    Two-level: cell = coarse_idx * k2 + sub_idx — nearest coarse centroid
+    first, then nearest of that cell's k2 sub-centroids. Per-row assignment
+    cost is O((k1 + k2) * d) instead of O(n_cells * d), and per-batch
+    memory stays tile-bounded at any cell count."""
+
+    __slots__ = ("coarse", "subs", "k2")
+
+    def __init__(self, coarse: np.ndarray, subs: np.ndarray | None = None):
+        self.coarse = np.ascontiguousarray(coarse, dtype=np.float64)
+        self.subs = None if subs is None else np.ascontiguousarray(subs, dtype=np.float64)
+        self.k2 = 1 if subs is None else self.subs.shape[1]
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.coarse) * self.k2
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        mat = np.ascontiguousarray(mat, dtype=np.float64)
+        c1 = _argmin_cells(mat, self.coarse)
+        if self.subs is None:
+            return c1
+        out = np.empty(len(mat), dtype=np.int32)
+        for c in np.unique(c1):
+            rows = np.nonzero(c1 == c)[0]
+            sub = _argmin_cells(mat[rows], self.subs[c])
+            out[rows] = c * self.k2 + sub
+        return out
+
+    def top_cells(self, mat: np.ndarray, n: int) -> np.ndarray:
+        """n nearest cells per row (multi-probe). Two-level: the row's OWN
+        hierarchical cell always probes first (so a probe co-located with a
+        corpus vector is guaranteed to scan that vector's cell), then the
+        best remaining sub-centroids of the ceil(n / k2) + 1 nearest coarse
+        cells by true distance."""
+        mat = np.ascontiguousarray(mat, dtype=np.float64)
+        if self.subs is None:
+            return _top_cells(mat, self.coarse, n)
+        n = min(n, self.n_cells)
+        own = self.assign(mat)
+        a = min(len(self.coarse), -(-n // self.k2) + 1)
+        c1 = _top_cells(mat, self.coarse, a)  # batch x a
+        out = np.empty((len(mat), n), dtype=np.int32)
+        for i in range(len(mat)):
+            cand = np.concatenate(
+                [c * self.k2 + np.arange(self.k2, dtype=np.int32) for c in c1[i]]
+            )
+            cents = np.concatenate([self.subs[c] for c in c1[i]], axis=0)
+            d = ((cents - mat[i][None, :]) ** 2).sum(axis=1)
+            order = np.lexsort((cand, d))
+            ranked = cand[order]
+            out[i, 0] = own[i]
+            out[i, 1:] = ranked[ranked != own[i]][: n - 1]
+        return out
+
+
+def _train_quantizer(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    train_cap: int,
+) -> "_Quantizer":
+    """Train the coarse quantizer with bounded DRIVER cost at any n_cells.
+
+    n_cells <= _FLAT_CELLS_MAX: flat — Lloyd's on a sample of
+    max(train_cap, 16 * n_cells) vectors (the sample SCALES with k; with
+    the 4096-cell flat ceiling it never silently caps k below the ask).
+
+    Larger n_cells: TWO-LEVEL — k1 = ceil(sqrt(n_cells)) coarse cells
+    trained on the driver sample, then each coarse cell's k2 sub-centroids
+    trained DISTRIBUTED via ``applyInPandas`` over a deterministic hash
+    sample of that cell's actual members (so the train data volume per
+    task is bounded and the heavy lifting never lands on the driver).
+    Driver/broadcast footprint is the centroid table itself,
+    n_cells x dim x 8 bytes — e.g. 51 MB at n_cells=1e5, d=64; raise
+    ``target_cell_size`` past ~1e6 cells."""
+    from pyspark.sql import types as T
+
+    if n_cells <= _FLAT_CELLS_MAX:
+        cap = max(train_cap, 16 * n_cells)
+        sample = df.select(F.col(vec_col)).limit(cap).toPandas()
+        if sample.empty:
+            return None
+        x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+        return _Quantizer(_lloyd_kmeans(x, n_cells, seed))
+
+    k1 = int(np.ceil(np.sqrt(n_cells)))
+    k2 = -(-n_cells // k1)
+    cap = max(train_cap, 16 * k1)
+    sample = df.select(F.col(vec_col)).limit(cap).toPandas()
+    if sample.empty:
+        return None
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    coarse = _lloyd_kmeans(x, k1, seed)
+    k1 = len(coarse)  # corpus smaller than k1: degrade gracefully
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(coarse)
+
+    # deterministic hash sample: ~64 training vectors per FINAL cell in
+    # expectation, bounded per coarse cell at train time
+    n = df.count()
+    want = min(n, n_cells * 64)
+    denom = 1_000_000
+    thresh = min(denom, int(denom * want / max(n, 1)))
+    sampled = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).filter(
+        F.pmod(F.xxhash64(F.col("__id"), F.lit(seed)), F.lit(denom)) < F.lit(thresh)
+    )
+
+    dim = coarse.shape[1]
+    per_cell_cap = k2 * 256
+
+    def assign_coarse(batches):
+        for pdf in batches:
+            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"__c1": _argmin_cells(m, bc.value).astype(np.int32), "__v": pdf["__v"]}
+            )
+
+    assigned = sampled.mapInPandas(
+        assign_coarse,
+        schema=T.StructType(
+            [
+                T.StructField("__c1", T.IntegerType()),
+                T.StructField("__v", df.schema[vec_col].dataType),
+            ]
+        ),
+    )
+
+    def train_cell(key, pdf):
+        m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)[:per_cell_cap]
+        cents = _lloyd_kmeans(m, k2, seed + 1 + int(key[0]))
+        if len(cents) < k2:
+            # tiny cell: pad with FAR sentinels, never duplicates — duplicate
+            # centroids create exact-tie argmins whose winner flips with
+            # BLAS batch-shape rounding, so identical vectors in different
+            # Arrow batches could land in different (equivalent) cells
+            pad = np.full((k2 - len(cents), cents.shape[1]), 1e30)
+            cents = np.concatenate([cents, pad], axis=0)
+        return pd.DataFrame(
+            {
+                "__c1": np.full(k2, key[0], dtype=np.int32),
+                "__sub": np.arange(k2, dtype=np.int32),
+                "__cent": list(cents),
+            }
+        )
+
+    sub_rows = (
+        assigned.groupBy("__c1")
+        .applyInPandas(
+            train_cell,
+            schema=T.StructType(
+                [
+                    T.StructField("__c1", T.IntegerType()),
+                    T.StructField("__sub", T.IntegerType()),
+                    T.StructField("__cent", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+        .collect()  # bounded: exactly k1*k2 = n_cells centroid rows
+    )
+    # empty coarse cells: slot 0 degrades to the coarse centroid itself,
+    # the rest are non-winning sentinels (see train_cell's tie note)
+    subs = np.full((k1, k2, dim), 1e30)
+    subs[:, 0, :] = coarse
+    for r in sub_rows:
+        subs[r["__c1"], r["__sub"]] = np.asarray(r["__cent"], dtype=np.float64)[:dim]
+    return _Quantizer(coarse, subs)
+
+
+def _cell_udfs(spark, quant: "_Quantizer"):
+    """(cell_of, near_cells_factory) pandas UDFs over a BROADCAST quantizer.
+    The closure holds only the broadcast handle; executors fetch one
+    torrent copy of the centroid table, and each Arrow batch is assigned
+    with the tiled argmin — memory stays bounded per batch at any k."""
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(quant)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(bc.value.assign(mat))
+
+    def near_cells_udf(n_probe: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def near_cells(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            return pd.Series(list(bc.value.top_cells(mat, n_probe)))
+
+        return near_cells
+
+    return cell_of, near_cells_udf
 
 
 def ivf_topk(
@@ -90,26 +370,34 @@ def ivf_topk(
     Scan fraction ≈ n_probe/n_cells (on clustered data the true neighbors
     concentrate in the probed cells; on uniform data recall ≈ the scan
     fraction — same caveat as hyperplane LSH). The cell assignment join is
-    an equi-join on cell id: shuffle ∝ |C| + |P|·n_probe.
+    an equi-join on cell id: shuffle ∝ |C| + |P|·n_probe. The quantizer is
+    shipped via ``sparkContext.broadcast`` and assignment is tile-bounded
+    (see :class:`_Quantizer`), so per-batch memory stays flat at any
+    ``n_cells``; past ``_FLAT_CELLS_MAX`` the quantizer goes two-level with
+    distributed sub-training.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
     if centroids is not None:
         # explicit coarse quantizer (pre-trained elsewhere, or fixed
         # vectors for reproducible/oracle-checkable assignment)
-        centers = np.asarray(centroids, dtype=np.float64)
+        quant = _Quantizer(np.asarray(centroids, dtype=np.float64))
     else:
-        sample = corpus.select(F.col(vec_col)).limit(train_cap).toPandas()
-        centers = _lloyd_kmeans(
-            np.stack(sample[vec_col].to_numpy()).astype(np.float64), n_cells, seed
-        )
+        quant = _train_quantizer(corpus, corpus_id, vec_col, n_cells, seed, train_cap)
+        if quant is None:  # empty corpus — no neighbors for anyone
+            from pyspark.sql import types as T
 
-    @F.pandas_udf(T.IntegerType())
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+            return corpus.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("query_id", probes.schema[probe_id].dataType),
+                        T.StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+                        T.StructField("cosine", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
+    cell_of, near_cells_udf = _cell_udfs(corpus.sparkSession, quant)
+    near_cells = near_cells_udf(n_probe)
 
     c_assigned = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -117,16 +405,6 @@ def ivf_topk(
         _norm(vec_col).alias("__cn"),
         cell_of(F.col(vec_col)).alias("cell"),
     )
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def near_cells(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        # stable: equal distances keep ascending cell order (matches the
-        # ORDER BY distance, cell tie rule an external replication uses)
-        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
-
     p = probes.select(
         F.col(probe_id).alias("query_id"),
         F.col(vec_col).alias("__pv"),
@@ -394,33 +672,28 @@ def semantic_dedup(
 
     Like :func:`ivf_topk`, pass explicit ``centroids`` for a reproducible
     quantizer (fixture/oracle use); omit it for the sampled-KMeans
-    quantizer trained on a bounded ``limit`` sample.
+    quantizer. Past ``_FLAT_CELLS_MAX`` cells the quantizer is two-level
+    (driver-trained coarse, DISTRIBUTED per-cell sub-training) and every
+    assignment runs tile-bounded against a ``sparkContext.broadcast``
+    centroid table — no driver dense sample×k×d pass, no closure-captured
+    centroid matrix, no silent k cap (the train sample scales with k and
+    the sub-quantizers train on actual cell members).
     """
-    from pyspark.sql import types as T
-
     import math
 
     if centroids is not None:
-        centers = np.asarray(centroids, dtype=np.float64)
+        quant = _Quantizer(np.asarray(centroids, dtype=np.float64))
     else:
         if n_cells is None:
             n_cells = max(16, math.ceil(df.count() / target_cell_size))
-        sample = df.select(F.col(vec_col)).limit(train_cap).toPandas()
-        if sample.empty:  # nothing to train on — and nothing to dedup
+        quant = _train_quantizer(df, id_col, vec_col, n_cells, seed, train_cap)
+        if quant is None:  # empty corpus — nothing to train on, nothing to dedup
             return df.select(
                 F.col(id_col),
                 F.lit(0).cast("int").alias("cell"),
                 F.lit(True).alias("kept"),
             )
-        centers = _lloyd_kmeans(
-            np.stack(sample[vec_col].to_numpy()).astype(np.float64), n_cells, seed
-        )
-
-    @F.pandas_udf(T.IntegerType())
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+    cell_of, _ = _cell_udfs(df.sparkSession, quant)
 
     assigned = df.select(
         F.col(id_col),
