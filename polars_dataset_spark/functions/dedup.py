@@ -907,13 +907,21 @@ def remove_repeated_substrings(
     from polars_dataset_spark.functions.text import tokenize
 
     t = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
-    grams = t.select(
+    # gram key = md5 over the CONCATENATION OF PER-TOKEN md5 DIGESTS:
+    # fixed-length hex segments make the key injective in the token
+    # sequence — a separator-joined form would collide when a token itself
+    # contains the separator byte (tokenize only splits on whitespace, so
+    # control bytes survive into tokens). Token digests are computed ONCE
+    # per token (hoisted column), not per gram.
+    grams = t.withColumn(
+        "__thash", F.expr("transform(__toks, t -> md5(t))")
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.expr(
                 f"CASE WHEN size(__toks) >= {k} THEN "
                 f"transform(sequence(1, size(__toks) - {k - 1}), "
-                f"i -> md5(array_join(slice(__toks, i, {k}), chr(31)))) "
+                f"i -> md5(array_join(slice(__thash, i, {k}), ''))) "
                 f"ELSE array() END"
             )
         ).alias("__gpos", "__gkey"),
@@ -970,8 +978,12 @@ def remove_repeated_substrings(
             ).alias(out_col),
         )
     )
+    # output columns OVERWRITE any same-named input columns (e.g. an
+    # n_tokens from with_token_count) — dropping first keeps the join
+    # unambiguous instead of raising on a duplicate reference
     return (
-        df.join(agg, id_col, "left")
+        df.drop("n_tokens", "n_removed", out_col)
+        .join(agg, id_col, "left")
         .withColumns(
             {
                 "n_tokens": F.coalesce(F.col("n_tokens"), F.lit(0)),

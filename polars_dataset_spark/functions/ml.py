@@ -206,10 +206,14 @@ def binary_auc(
     c = _global_prefix_sum(g, "__neg", "__score", max(parts, 1))
     # DECIMAL(38,0) keeps the pair numerator exact where BIGINT would
     # overflow: pos_g·(2·neg_below+neg_g) approaches 2·P·N ≈ 2e24 at
-    # ~1e12 rows per class — far past 2^63 but well inside 38 digits
-    contrib2 = F.col("__pos").cast("decimal(19,0)") * (
+    # ~1e12 rows per class — far past 2^63 but well inside 38 digits.
+    # Factors cast to decimal(38,0) DIRECTLY (not 19) so no single
+    # score-group count can overflow the factor cast before the product;
+    # the 2·cum arithmetic stays bigint-exact to ~4.6e18 negatives per
+    # score prefix, then the wide cast takes over for the multiply.
+    contrib2 = F.col("__pos").cast("decimal(38,0)") * (
         2 * (F.col("__cum") - F.col("__neg")) + F.col("__neg")
-    ).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
     agg = c.agg(
         F.coalesce(F.sum("__pos"), F.lit(0)).alias("n_pos"),
         F.coalesce(F.sum("__neg"), F.lit(0)).alias("n_neg"),

@@ -5847,7 +5847,9 @@ def q160(spark, sf_dir):
         FROM d),
     g AS (
         SELECT doc_id, gpos,
-               md5(array_to_string(toks[gpos + 1 : gpos + 8], chr(31))) AS gkey
+               md5(array_to_string(
+                   list_transform(toks[gpos + 1 : gpos + 8], t -> md5(t)),
+                   '')) AS gkey
         FROM g0),
     dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
     h AS (SELECT doc_id, gpos FROM g JOIN dup USING (gkey)),

@@ -788,3 +788,30 @@ def test_remove_repeated_substrings(spark):
         remove_repeated_substrings(df, k=1)
     with _pytest.raises(ValueError, match="min_count"):
         remove_repeated_substrings(df, min_count=1)
+
+
+def test_remove_repeated_substrings_separator_injection(spark):
+    # tokens CONTAINING the old chr(31) join byte must not collide:
+    # "a\x1fb c" vs "a b\x1fc" are DIFFERENT 2-grams — a separator-joined
+    # key would hash them identically and spuriously excise both docs
+    from polars_dataset_spark.functions import remove_repeated_substrings
+
+    df = spark.createDataFrame(
+        [(0, "a\x1fb c"), (1, "a b\x1fc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_repeated_substrings(df, k=2).collect()}
+    assert out[0].n_removed == 0 and out[1].n_removed == 0
+
+
+def test_remove_repeated_substrings_overwrites_stat_columns(spark):
+    # an input that already carries n_tokens (e.g. from with_token_count)
+    # must not raise an ambiguous-reference error — output overwrites
+    from polars_dataset_spark.functions import remove_repeated_substrings
+
+    df = spark.createDataFrame(
+        [(0, "x y z", 99), (1, "x y z", 99)],
+        "doc_id long, text string, n_tokens long",
+    )
+    out = {r.doc_id: r for r in remove_repeated_substrings(df, k=2).collect()}
+    assert out[0].n_tokens == 3  # recomputed, not the stale 99
+    assert out[0].n_removed == 3  # whole doc is a corpus-repeated span

@@ -88,7 +88,14 @@ def main() -> None:
     try:
         with open(path) as fh:
             prev_out = json.load(fh)
-        if prev_out.get("base") == args.base and prev_out.get("big") == args.big:
+        if (
+            prev_out.get("base") == args.base
+            and prev_out.get("big") == args.big
+            and prev_out.get("data_ratio") == args.ratio
+        ):
+            # only reuse rows measured at the SAME data ratio — merging a
+            # --queries rerun at a different --ratio would report old rows
+            # under the new ratio
             merged = dict(prev_out.get("queries", {}))
     except (OSError, ValueError):
         pass
