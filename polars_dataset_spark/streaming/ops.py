@@ -323,31 +323,25 @@ def stream_merge_upsert(
 
     On a lakehouse table (Delta/Iceberg) the same ``foreachBatch`` body
     becomes ``MERGE INTO`` and gets ACID file replacement; plain parquet
-    rewrite here keeps the demonstration dependency-free."""
-    import os
-
+    rewrite here keeps the demonstration dependency-free. All state-dir
+    exists/rename/delete run through the Hadoop FileSystem API
+    (:mod:`polars_dataset_spark.streaming.state_fs`), so ``target_path``
+    may live on any Hadoop-compatible filesystem (``file:``, ``hdfs:``,
+    ``s3a:`` — see that module's atomicity contract), not just POSIX."""
     from polars_dataset_spark.operators.merge import merge_upsert
+    from polars_dataset_spark.streaming.state_fs import (
+        hfs_exists,
+        repair_state,
+        swap_state,
+    )
 
     keys = [on] if isinstance(on, str) else list(on)
     spark = stream_df.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
-        tmp = f"{target_path}__staging"
-        old = f"{target_path}__old"
-        # crash recovery BEFORE doing anything: a previous run that died
-        # between its two renames leaves the data in __old with no
-        # target — restore it, or merging would silently restart from
-        # this batch alone. A leftover __old WITH a live target is just
-        # an unfinished cleanup; remove it so the rename below cannot
-        # collide. Stale staging writes are simply overwritten.
-        if os.path.exists(old) and not os.path.exists(target_path):
-            os.rename(old, target_path)
-        shutil.rmtree(old, ignore_errors=True)
-
+        repair_state(spark, target_path)
         batch = batch_df.dropDuplicates(keys)  # last-write-wins within a batch
-        if os.path.exists(target_path):
+        if hfs_exists(spark, target_path):
             base = spark.read.parquet(target_path)
             merged = merge_upsert(base, batch, on=keys)
         else:
@@ -356,13 +350,10 @@ def stream_merge_upsert(
         # scratch dir (the source files are still live, so no
         # read-what-you-overwrite hazard), then swapped in driver-side —
         # two directory renames, no data ever through the driver. The
-        # worst crash window (between the renames) is repaired by the
-        # recovery block above on the checkpointed re-run.
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_path):
-            os.rename(target_path, old)
-        os.rename(tmp, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+        # worst crash window (between the renames) is repaired by
+        # repair_state on the checkpointed re-run.
+        merged.write.mode("overwrite").parquet(f"{target_path}__staging")
+        swap_state(spark, target_path)
 
     # availableNow: drain-everything-then-terminate. All callers feed a
     # fully-materialized file listing and drain once; self-termination
@@ -444,14 +435,20 @@ def stream_heavy_hitters(
     (counters underestimate by ≤ phi·n). Read the state and exact-verify
     candidates against stored data for exact answers (the batch
     :func:`functions.frequency.heavy_hitters` shape). Returns the
-    started StreamingQuery."""
+    started StreamingQuery. State-dir swaps run through the Hadoop
+    FileSystem API (:mod:`polars_dataset_spark.streaming.state_fs`) —
+    ``state_path`` may live on any Hadoop-compatible filesystem, not
+    just POSIX."""
     import math
-    import os
-    import shutil
 
     from polars_dataset_spark.functions.frequency import (
         merge_mg_summaries,
         mg_candidates,
+    )
+    from polars_dataset_spark.streaming.state_fs import (
+        hfs_exists,
+        repair_state,
+        swap_state,
     )
 
     if not 0.0 < phi < 1.0:
@@ -460,23 +457,17 @@ def stream_heavy_hitters(
     spark = stream_df.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tmp, old = f"{state_path}__staging", f"{state_path}__old"
-        if os.path.exists(old) and not os.path.exists(state_path):
-            os.rename(old, state_path)  # repair a crash between renames
-        shutil.rmtree(old, ignore_errors=True)
+        repair_state(spark, state_path)
         vals = batch_df.select(F.col(col).cast("string").alias("item")).filter(
             F.col("item").isNotNull()
         )
         batch_summary = mg_candidates(vals, "item", k)
-        if os.path.exists(state_path):
+        if hfs_exists(spark, state_path):
             state = spark.read.parquet(state_path).select("item", "est")
             batch_summary = batch_summary.unionByName(state)
         merged = merge_mg_summaries(batch_summary, k)
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(f"{state_path}__staging")
+        swap_state(spark, state_path)
 
     # availableNow: drain-everything-then-terminate. All callers feed a
     # fully-materialized file listing and drain once; self-termination

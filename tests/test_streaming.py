@@ -403,3 +403,71 @@ def test_stream_neardup_filter_matches_batch(spark, sf_dir, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
     assert got == expect
     idx.unpersist()
+
+
+def test_stream_merge_upsert_file_scheme_path(spark, tmp_path):
+    """The state swap must run through the Hadoop FileSystem API, not
+    os.path: an EXPLICIT file:-scheme target (os.path.exists() is False
+    for 'file:/...' strings) proves no POSIX path call survives in the
+    protocol, so the same code path serves hdfs:/s3a: URIs."""
+    import os
+
+    import pandas as pd
+
+    from polars_dataset_spark.streaming.ops import stream_merge_upsert
+
+    src = tmp_path / "deltas"
+    src.mkdir()
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(src / "f1.parquet")
+    pd.DataFrame({"k": [2, 3], "v": ["B2", "c"]}).to_parquet(src / "f2.parquet")
+    st = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    target = f"file:{tmp_path}/target"
+    assert not os.path.exists(target)  # the scheme-prefixed string is opaque to os.path
+    q = stream_merge_upsert(st, target, on="k", checkpoint_path=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == "a" and got[3] == "c" and got[2] in ("b", "B2")
+    # swap hygiene: no staging/old remnants after a clean run
+    assert not os.path.exists(f"{tmp_path}/target__staging")
+    assert not os.path.exists(f"{tmp_path}/target__old")
+
+
+def test_state_fs_repair_restores_crashed_swap(spark, tmp_path):
+    """Crash between the two renames leaves data in __old with no target;
+    repair_state must restore it — through the Hadoop FS API on a
+    file:-scheme path."""
+    import os
+
+    import pandas as pd
+
+    from polars_dataset_spark.streaming.state_fs import (
+        hfs_exists,
+        repair_state,
+        swap_state,
+    )
+
+    target_posix = f"{tmp_path}/state"
+    target = f"file:{target_posix}"
+    os.makedirs(f"{target_posix}__old")
+    pd.DataFrame({"x": [1]}).to_parquet(f"{target_posix}__old/part.parquet")
+    assert not hfs_exists(spark, target)
+    repair_state(spark, target)
+    assert hfs_exists(spark, target)
+    assert spark.read.parquet(target).count() == 1
+    assert not os.path.exists(f"{target_posix}__old")
+
+    # normal swap: staging replaces target, old cleaned up
+    os.makedirs(f"{target_posix}__staging")
+    pd.DataFrame({"x": [2, 3]}).to_parquet(f"{target_posix}__staging/part.parquet")
+    swap_state(spark, target)
+    assert spark.read.parquet(target).count() == 2
+    assert not os.path.exists(f"{target_posix}__staging")
+    assert not os.path.exists(f"{target_posix}__old")
