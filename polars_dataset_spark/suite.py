@@ -5957,6 +5957,163 @@ def q162(spark, sf_dir):
     )
 
 
+@query(
+    "q163_datafile_csv",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def q163(spark, sf_dir):
+    """Driver gate for the ``Datafile`` CSV scan/sink (reference
+    ``polars_dataset.py:309-338``): the nation table round-trips through
+    ``Datafile.write`` (header CSV, single-file) and ``Datafile.load``
+    (header + schema inference, index binding -> Dataset), and the loaded
+    values must match the source table EXACTLY — a full value oracle over
+    the whole write->parse->infer->load path. The reference's no-throw
+    missing-file contract (load -> None) is asserted in the same gate."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from polars_dataset_spark.sources.datafile import Datafile
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    work = tempfile.mkdtemp(prefix="q163_datafile_")
+    try:
+        df_file = Datafile(f"{work}/nation.csv", index="n_nationkey")
+        df_file.write(nation)
+        missing = Datafile(f"{work}/nope.csv").load(spark)
+        if missing is not None:  # reference contract: log + None, no raise
+            raise AssertionError("Datafile.load on a missing path must return None")
+        loaded = df_file.load(spark)
+        rows = (
+            loaded.df.select(
+                F.col("n_nationkey").cast("long"),
+                "n_name",
+                F.col("n_regionkey").cast("long"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_nationkey long, n_name string, n_regionkey long"
+    )
+
+
+@query(
+    "q164_create_dataset_manifest",
+    """
+    SELECT CAST(10 * j AS BIGINT) AS temperature, CAST(i AS BIGINT) AS x,
+           CAST((i * 3 + j * 7) % 11 AS BIGINT) AS y
+    FROM range(3) t(j) CROSS JOIN range(10) s(i)
+    """,
+)
+def q164(spark, sf_dir):
+    """Driver gate for ``create_dataset`` multi-file TSV ingestion
+    (reference ``build/lib/polars_dataset.py:385-454``): three headerless
+    tab-separated trace files (each led by a ``#`` comment line that the
+    scan must skip) whose values follow the closed form
+    ``y = (3i + 7j) mod 11`` are ingested in ONE distributed scan, id
+    values attached by joining the path manifest on input_file_name().
+    The oracle restates the closed form, so every cell — including the
+    per-file literal id column — is a full value match."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from polars_dataset_spark.sources.datafile import create_dataset
+
+    work = tempfile.mkdtemp(prefix="q164_manifest_")
+    try:
+        manifest = []
+        for j in range(3):
+            path = f"{work}/trace_{j}.tsv"
+            with open(path, "w") as fh:
+                fh.write("# comment line the scan must skip\n")
+                for i in range(10):
+                    fh.write(f"{i}\t{(i * 3 + j * 7) % 11}\n")
+            manifest.append({"path": path, "temperature": 10 * j})
+        ds = create_dataset(spark, manifest, index="x", column_names=["x", "y"])
+        rows = (
+            ds.df.select(
+                F.col("temperature").cast("long"),
+                F.col("x").cast("long"),
+                F.col("y").cast("long"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "temperature long, x long, y long")
+
+
+@query(
+    "q165_zorder_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS rows_preserved,
+           true AS multi_file, true AS user_clustered, true AS value_clustered
+    FROM events
+    """,
+)
+def q165(spark, sf_dir):
+    """Driver gate for Z-order clustered writes (q76/q142-style contract
+    oracle): events written via ``write_zordered(cols=[user_id, value])``
+    into 16 z-range files, then audited with ``file_ranges`` — the
+    per-file min/max statistics a skipping reader uses. Contract: row
+    count preserved exactly (value-matched against the oracle's count),
+    output is genuinely multi-file, and the MEAN per-file span of BOTH
+    dimensions is under 60% of the global span (a single-column sort or
+    an unclustered write fails one or both dimensions; true z-order at 16
+    files lands near 25% each). Exact per-file boundaries are
+    quantile-dependent, hence a contract — the layout plan itself is
+    asserted Exchange-by-Exchange in tests/test_plans.py."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from polars_dataset_spark.sources.zorder import file_ranges, write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_in = ev.count()
+    work = tempfile.mkdtemp(prefix="q165_zorder_")
+    try:
+        path = f"{work}/events_z"
+        write_zordered(ev, path, ["user_id", "value"], num_files=16)
+        n_out = spark.read.parquet(path).count()
+        ranges = file_ranges(spark, path, ["user_id", "value"]).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    n_files = len(ranges)
+
+    def mean_span_frac(lo_col, hi_col):
+        lo = min(r[lo_col] for r in ranges)
+        hi = max(r[hi_col] for r in ranges)
+        if hi == lo:
+            return 0.0
+        return sum(float(r[hi_col]) - float(r[lo_col]) for r in ranges) / (
+            n_files * (float(hi) - float(lo))
+        )
+
+    return spark.createDataFrame(
+        [
+            (
+                n_out,
+                n_out == n_in,
+                n_files >= 2,
+                mean_span_frac("user_id_min", "user_id_max") < 0.6,
+                mean_span_frac("value_min", "value_max") < 0.6,
+            )
+        ],
+        "n_rows long, rows_preserved boolean, multi_file boolean, "
+        "user_clustered boolean, value_clustered boolean",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
