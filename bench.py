@@ -172,6 +172,11 @@ def _order_key(name: str, prev: dict[str, float], rank: dict[str, int]):
     )
 
 
+# single-core reference speed: the r3-era builder box ran the calibration
+# loop in ~90 ms; normalized numbers are "seconds on that box"
+_CALIB_REF_MS = 90.0
+
+
 def _timed_loop() -> float:
     """ms for a 10^6-iteration integer loop — the single-core speed probe."""
     t0 = time.perf_counter()
@@ -283,6 +288,11 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(run_one, ordered))
     wall = round(time.perf_counter() - t_start, 3)
+    # re-probe single-core speed AFTER the run: the host phase can shift
+    # mid-run (r4: 47-390 ms within one afternoon); min(start, end) is the
+    # best-case speed seen around this run and the least-noisy divisor
+    calib_end_ms = min(_timed_loop() for _ in range(5))
+    calib_ratio = min(calib_ms, calib_end_ms) / _CALIB_REF_MS
     summary = {
         "metric": "suite_total_wall_sec",
         "value": wall,
@@ -300,6 +310,11 @@ def main() -> None:
         # python loop) — divide wall numbers by (calib/90) to compare
         # against runs from the r3-era fast boxes
         "calib_py_loop_ms": round(calib_ms, 1),
+        "calib_py_loop_ms_end": round(calib_end_ms, 1),
+        # wall scaled to the 90 ms reference box: the round-over-round
+        # comparable number when the host speed differs between rounds
+        "normalized_wall_sec": round(wall / calib_ratio, 3),
+        "calib_ratio": round(calib_ratio, 3),
     }
     spark.stop()
     worker_errors = err_counter.stop()
@@ -312,6 +327,12 @@ def main() -> None:
         summary["worker_error_queries"] = err_counter.contexts
     detail = dict(summary)
     detail["queries"] = dict(sorted(timings.items()))
+    # per-query times scaled by the calibration ratio: round-over-round
+    # per-query diffs should use THIS map, not raw queries, so host-speed
+    # oscillation between rounds doesn't masquerade as regressions
+    detail["normalized_sec"] = {
+        n: round(t / calib_ratio, 3) for n, t in sorted(timings.items())
+    }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
