@@ -40,7 +40,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["RidgeModel", "ridge_fit", "linear_score", "binary_auc"]
+__all__ = [
+    "RidgeModel",
+    "ridge_fit",
+    "linear_score",
+    "binary_auc",
+    "KMeansModel",
+    "kmeans_fit",
+]
 
 
 class RidgeModel:
@@ -229,3 +236,111 @@ def binary_auc(
             ),
         ).alias("auc"),
     )
+
+
+class KMeansModel:
+    """Distributed Lloyd's fit artifacts: ``centroids`` (k×d),
+    per-cell ``sizes`` (k,), ``inertia`` (Σ‖x − c_assigned‖² measured
+    against the centroids each iteration STARTED from), and
+    ``iters_run`` (< requested when the ``tol`` early-stop fired)."""
+
+    def __init__(self, centroids, sizes, inertia, iters_run):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        self.inertia = float(inertia)
+        self.iters_run = int(iters_run)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 10,
+    seed: int = 42,
+    init_centroids=None,
+    tol: float | None = 1e-6,
+    train_cap: int = 65_536,
+) -> KMeansModel:
+    """Distributed Lloyd's k-means over an embedding column — the public
+    face of the scalable quantizer training behind ``ivf_topk`` /
+    ``semantic_dedup`` (clustering is itself a first-class pipeline op:
+    corpus diversity audits, SemDeDup cell design, stratified curation).
+
+    Scale shape, per iteration: assignment is a map-only Arrow-batched
+    argmin against ``sparkContext.broadcast`` centroids (tile-bounded —
+    :func:`similarity._argmin_cells` — so per-batch memory never sees
+    batch×k×d), then ONE ``groupBy(cell)`` whose map-side combine reduces
+    each partition to ≤ k moment rows; the driver sees exactly k rows of
+    (count, Σx, Σ‖x−c‖²) per iteration — (d+2)·k doubles, NOTHING scaling
+    with the row count. This is the mini-batch-free exact Lloyd's: at
+    100 TB you pay ``iters`` scans, each embarrassingly parallel.
+
+    ``init_centroids`` pins the start (reproducible/oracle runs); the
+    default samples ``k`` distinct rows from a bounded ``limit`` sample.
+    Rows with null vectors are ignored. Empty cells keep their previous
+    centroid. Returns :class:`KMeansModel`.
+    """
+    from polars_dataset_spark.functions.similarity import _argmin_cells
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    slim = df.select(F.col(vec_col).alias("__v")).filter(F.col("__v").isNotNull())
+    if init_centroids is not None:
+        centers = np.asarray(init_centroids, dtype=np.float64)
+        k = len(centers)
+    else:
+        sample = slim.limit(train_cap).toPandas()
+        if sample.empty:
+            raise ValueError("kmeans_fit: no non-null vectors to fit on")
+        x = np.stack(sample["__v"].to_numpy()).astype(np.float64)
+        rng = np.random.RandomState(seed)
+        k = min(k, len(x))
+        centers = x[rng.choice(len(x), size=k, replace=False)].copy()
+    d = centers.shape[1]
+
+    out_t = T.StructType(
+        [T.StructField("cell", T.IntegerType()), T.StructField("d2", T.DoubleType())]
+    )
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia = 0.0
+    iters_run = 0
+    for _ in range(max(1, iters)):
+        bc = spark.sparkContext.broadcast(centers)
+
+        @F.pandas_udf(out_t)
+        def cell_d2(vecs: pd.Series) -> pd.DataFrame:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            c = bc.value
+            a = _argmin_cells(mat, c)
+            return pd.DataFrame(
+                {"cell": a, "d2": ((mat - c[a]) ** 2).sum(axis=1)}
+            )
+
+        moments = (
+            slim.withColumn("__a", cell_d2(F.col("__v")))
+            .groupBy(F.col("__a.cell").alias("cell"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__a.d2").alias("ssd"),
+                *[
+                    F.sum(F.col("__v")[i].cast("double")).alias(f"s{i}")
+                    for i in range(d)
+                ],
+            )
+            .collect()  # bounded: ≤ k rows of (d+2) doubles
+        )
+        new = centers.copy()
+        sizes[:] = 0
+        inertia = 0.0
+        for r in moments:
+            c = r["cell"]
+            sizes[c] = r["n"]
+            inertia += r["ssd"]
+            new[c] = np.array([r[f"s{i}"] for i in range(d)]) / r["n"]
+        shift = float(np.abs(new - centers).max()) if len(moments) else 0.0
+        centers = new
+        iters_run += 1
+        if tol is not None and shift < tol:
+            break
+    return KMeansModel(centers, sizes, inertia, iters_run)

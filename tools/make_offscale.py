@@ -61,20 +61,31 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
     for c in OFFSET_COLS[table][0]:
         df = df.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
     if table == "documents" and i > 0:
-        # suffix every whitespace-delimited word with one replica-specific
-        # letter: all k-shingles differ from every other replica's, so
-        # near-dup candidates stay intra-replica (constant dup RATE)
-        suf = chr(ord("a") + (i - 1) % 26)
+        # suffix every whitespace-delimited word with a replica-specific
+        # TWO-letter tag (unique up to 676 replicas — one letter repeated
+        # past 26 and reintroduced cross-replica exact twins): all
+        # k-shingles differ from every other replica's, so near-dup
+        # candidates stay intra-replica (constant dup RATE)
+        suf = chr(ord("a") + (i - 1) % 26) + chr(ord("a") + ((i - 1) // 26) % 26)
         df = df.withColumn(
             "text", F.regexp_replace("text", r"(\S+)", r"$1" + suf)
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings" and i > 0:
+        # rotate by i mod dim; past one full cycle of rotations, NEGATE the
+        # vector as well (negation preserves intra-replica cosine structure
+        # exactly, and cos(v, -v) = -1 keeps replica i vs i-dim pairs out of
+        # any positive-threshold near-dup set) — unique up to 2*dim replicas
         n = F.size("embedding")
+        rot = (i - 1) % 63 + 1  # 1..63, never a full-cycle no-op
+        sign = F.lit(-1.0 if ((i - 1) // 63) % 2 else 1.0)
         df = df.withColumn(
             "embedding",
-            F.concat(
-                F.slice("embedding", F.lit(i + 1), n - F.lit(i)),
-                F.slice("embedding", 1, i),
+            F.transform(
+                F.concat(
+                    F.slice("embedding", F.lit(rot + 1), n - F.lit(rot)),
+                    F.slice("embedding", 1, rot),
+                ),
+                lambda x: x * sign,
             ),
         )
     return df
@@ -85,8 +96,18 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sf1")
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma list: generate only these scaling tables (fixed dims "
+        "always copied) — e.g. documents,embeddings for a targeted deep "
+        "sweep without paying for a 100x lineitem",
+    )
     args = ap.parse_args()
     assert not args.dst.startswith("/root/testdata"), "testdata is read-only"
+    only = {t for t in args.tables.split(",") if t}
+    unknown = only - set(OFFSET_COLS)
+    assert not unknown, f"unknown tables: {sorted(unknown)}"
 
     spark = get_spark("make_offscale")
     os.makedirs(args.dst, exist_ok=True)
@@ -95,6 +116,8 @@ def main() -> None:
         src.coalesce(1).write.mode("overwrite").parquet(f"{args.dst}/{table}.parquet")
         print(f"{table}: copied fixed dim")
     for table, (_, nfiles) in OFFSET_COLS.items():
+        if only and table not in only:
+            continue
         src = spark.read.parquet(f"{args.src}/{table}.parquet")
         out = None
         for i in range(args.replicas):

@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--ratio", type=float, default=10.0)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--queries", default="")
+    ap.add_argument(
+        "--out",
+        default="BENCH_OFFSCALE.json",
+        help="output file name (repo-root-relative) — use a different name "
+        "for sweeps at a non-default ratio so the committed 10x table "
+        "is never replaced by a partial run",
+    )
     args = ap.parse_args()
 
     queries = entrymod.queries()
@@ -82,7 +89,7 @@ def main() -> None:
     # kept, max_ratio recomputed over the union
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_OFFSCALE.json",
+        args.out,
     )
     merged: dict[str, dict[str, float]] = {}
     try:
@@ -110,13 +117,7 @@ def main() -> None:
             default=0.0,
         ),
     }
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_OFFSCALE.json",
-        ),
-        "w",
-    ) as fh:
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
 
