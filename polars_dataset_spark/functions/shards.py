@@ -77,8 +77,12 @@ def write_training_shards(
     whatever the input partitioning."""
     assigned = assign_training_shards(df, id_col, n_shards, salt)
     (
+        # sort key leads with `shard`: the hive writer requires each task's
+        # rows ordered by the partition columns and inserts its own
+        # (UNSTABLE, shard-only) sort when they aren't — which would
+        # scramble the shard_pos order the whole op exists to provide
         assigned.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard_pos")
+        .sortWithinPartitions("shard", "shard_pos")
         .drop("shard_pos")
         .write.mode("overwrite")
         .format(fmt)

@@ -6114,6 +6114,118 @@ def q165(spark, sf_dir):
     )
 
 
+@query(
+    "q166_kmeans_step",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+          FROM embeddings),
+    dist AS (
+      SELECT e.vec_id, cent.cell, list_distance(e.ev, cent.cv) AS dd
+      FROM e CROSS JOIN cent),
+    assign AS (
+      SELECT vec_id, cell, dd FROM dist
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) = 1),
+    inert AS (SELECT round(sum(dd * dd), 6) AS inertia FROM assign),
+    dims AS (
+      SELECT a.cell, generate_subscripts(e.ev, 1) AS dim, unnest(e.ev) AS val
+      FROM assign a JOIN e USING (vec_id)),
+    newc AS (
+      SELECT cell, list(round(m, 6) ORDER BY dim) AS centroid
+      FROM (SELECT cell, dim, avg(val) AS m FROM dims GROUP BY cell, dim)
+      GROUP BY cell),
+    sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY cell)
+    SELECT CAST(s.cell AS INT) AS cell, s.n, newc.centroid, inert.inertia
+    FROM sizes s JOIN newc USING (cell) CROSS JOIN inert
+    """,
+)
+def q166(spark, sf_dir):
+    """Distributed Lloyd's k-means (``ml.kmeans_fit``) — one exact
+    refinement step from a FIXED init (the first 8 corpus vectors, the
+    q58/q157 pattern), so assignment (argmin, ties to the lower cell),
+    the per-cell moment reduction, the centroid update AND the inertia
+    all replay in SQL — a full value oracle over the whole distributed
+    iteration: per-batch broadcast argmin, one groupBy(cell) with
+    map-side combine, driver sees exactly k moment rows. Multi-iteration
+    convergence vs a numpy reference is pinned in tests/test_ml.py."""
+    _prep(spark)
+    from polars_dataset_spark.functions import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    model = kmeans_fit(emb, k=8, iters=1, init_centroids=cents, tol=None)
+    rows = [
+        (int(c), int(model.sizes[c]), [float(v) for v in model.centroids[c]],
+         float(model.inertia))
+        for c in range(len(model.centroids))
+    ]
+    raw = spark.createDataFrame(
+        rows, "cell int, n long, centroid array<double>, inertia double"
+    )
+    return raw.select(
+        "cell",
+        "n",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        F.round("inertia", 6).alias("inertia"),
+    )
+
+
+@query(
+    "q167_training_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('s5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS hv
+      FROM documents),
+    s AS (
+      SELECT doc_id, hv, CAST(hv % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS rn
+      FROM h)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           min_by(doc_id, hv) AS first_doc, max_by(doc_id, hv) AS last_doc,
+           CAST(sum(rn * doc_id) AS BIGINT) AS order_check
+    FROM s GROUP BY shard
+    """,
+)
+def q167(spark, sf_dir):
+    """Deterministic training shards (``functions.shards``): the global
+    pseudo-random shuffle a trainer consumes — md5-uniform shard
+    assignment (balanced, reproducible across engines/runs/cluster
+    sizes) and a deterministic within-shard order. The oracle replays
+    the hash arithmetic (the q66/q67 md5 pattern) and pins the ORDER
+    itself via a position-weighted checksum ``Σ rank·doc_id`` plus the
+    first/last doc per shard — any reordering or reassignment breaks a
+    value. The physical writer (one hash shuffle, per-task sorted
+    hive-partitioned output) is exercised in tests/test_functions.py."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from polars_dataset_spark.functions import assign_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = assign_training_shards(docs, "doc_id", n_shards=8, salt="s5")
+    w = Window.partitionBy("shard").orderBy("shard_pos", "doc_id")
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min_by("doc_id", "shard_pos").alias("first_doc"),
+            F.max_by("doc_id", "shard_pos").alias("last_doc"),
+            F.sum(F.col("rn") * F.col("doc_id")).alias("order_check"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -815,3 +815,59 @@ def test_remove_repeated_substrings_overwrites_stat_columns(spark):
     out = {r.doc_id: r for r in remove_repeated_substrings(df, k=2).collect()}
     assert out[0].n_tokens == 3  # recomputed, not the stale 99
     assert out[0].n_removed == 3  # whole doc is a corpus-repeated span
+
+
+def test_assign_training_shards_deterministic_and_balanced(spark):
+    from polars_dataset_spark.functions import assign_training_shards
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.shard, r.shard_pos)
+         for r in assign_training_shards(df, "doc_id", n_shards=8).collect()}
+    b = {r.doc_id: (r.shard, r.shard_pos)
+         for r in assign_training_shards(
+             df.repartition(13), "doc_id", n_shards=8).collect()}
+    assert a == b  # partitioning-independent, rerun-stable
+    sizes = {}
+    for s, _ in a.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert len(sizes) == 8
+    # md5-uniform: every shard within 25% of the fair share
+    assert max(sizes.values()) < 500 * 1.25 and min(sizes.values()) > 500 * 0.75
+    # different salt -> a genuinely different split
+    c = {r.doc_id: r.shard
+         for r in assign_training_shards(df, "doc_id", n_shards=8, salt="x").collect()}
+    assert any(c[i] != a[i][0] for i in range(4000))
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    import os
+    import re
+
+    from polars_dataset_spark.functions import assign_training_shards, write_training_shards
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").repartition(9)
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", n_shards=4)
+    # hive layout: one directory per shard, ONE data file each (the
+    # repartition-by-shard guarantees task==shard)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    for d in dirs:
+        files = [f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1
+    # stored row order within a shard == ascending order hash
+    expect = assign_training_shards(df, "doc_id", n_shards=4)
+    for shard in range(4):
+        want = [
+            r.doc_id
+            for r in expect.filter(F.col("shard") == shard)
+            .orderBy("shard_pos", "doc_id")
+            .collect()
+        ]
+        got = [
+            r.doc_id
+            for r in spark.read.parquet(f"{out}/shard={shard}").collect()
+        ]
+        assert got == want
+    with __import__("pytest").raises(ValueError, match="n_shards"):
+        write_training_shards(df, out, n_shards=0)

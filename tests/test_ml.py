@@ -173,3 +173,83 @@ def test_binary_auc_empty_input(spark):
     df = spark.createDataFrame([], "score double, y int")
     row = binary_auc(df).first()
     assert (row["n_pos"], row["n_neg"], row["auc"]) == (0, 0, None)
+
+
+def _kmeans_ref(x, centers, iters):
+    """Plain numpy Lloyd's with argmin-lowest-id ties — the contract
+    kmeans_fit must reproduce bit-for-bit at small k (dense branch)."""
+    import numpy as np
+
+    centers = np.asarray(centers, dtype=np.float64).copy()
+    sizes = None
+    inertia = 0.0
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        inertia = float(d[np.arange(len(x)), a].sum())
+        sizes = np.bincount(a, minlength=len(centers))
+        for j in range(len(centers)):
+            if sizes[j]:
+                centers[j] = x[a == j].mean(axis=0)
+    return centers, sizes, inertia
+
+
+def test_kmeans_fit_matches_numpy_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from polars_dataset_spark.functions import kmeans_fit
+
+    rng = np.random.RandomState(3)
+    x = rng.normal(size=(400, 6))
+    init = x[:5].copy()
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": [v.tolist() for v in x]})
+    ).repartition(7)
+    m = kmeans_fit(df, k=5, iters=4, init_centroids=init, tol=None)
+    ref_c, ref_s, ref_i = _kmeans_ref(x, init, 4)
+    assert m.iters_run == 4
+    assert np.array_equal(m.sizes, ref_s)
+    # per-cell means: Spark partial-agg sum order differs from numpy's —
+    # equal to float tolerance, not bitwise
+    assert np.allclose(m.centroids, ref_c, rtol=0, atol=1e-9)
+    assert abs(m.inertia - ref_i) <= 1e-6 * max(ref_i, 1.0)
+
+
+def test_kmeans_fit_tol_early_stop_and_convergence(spark):
+    import numpy as np
+    import pandas as pd
+
+    from polars_dataset_spark.functions import kmeans_fit
+
+    # two tight, far-apart blobs: Lloyd's converges after 1-2 updates,
+    # so a generous iters budget must early-stop and the centroids must
+    # hit the exact blob means
+    rng = np.random.RandomState(4)
+    a = rng.normal(scale=0.01, size=(50, 4)) + 10.0
+    b = rng.normal(scale=0.01, size=(50, 4)) - 10.0
+    x = np.concatenate([a, b])
+    df = spark.createDataFrame(pd.DataFrame({"embedding": [v.tolist() for v in x]}))
+    m = kmeans_fit(df, k=2, iters=20, init_centroids=[x[0], x[50]], tol=1e-9)
+    assert m.iters_run < 20
+    assert sorted(m.sizes.tolist()) == [50, 50]
+    got = m.centroids[np.argsort(m.centroids[:, 0])]
+    want = np.stack([b.mean(axis=0), a.mean(axis=0)])
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_kmeans_fit_validates_and_ignores_nulls(spark):
+    import pytest as _pytest
+
+    from polars_dataset_spark.functions import kmeans_fit
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0],), (None,), ([4.0, 4.0],)], "embedding array<double>"
+    )
+    m = kmeans_fit(df, k=2, iters=2, init_centroids=[[0.0, 0.0], [4.0, 4.0]])
+    assert m.sizes.tolist() == [1, 1]  # the null row never reached a cell
+    with _pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(df, k=0)
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(ValueError, match="no non-null"):
+        kmeans_fit(empty, k=2)
