@@ -29,6 +29,7 @@ __all__ = [
     "stratified_sample",
     "temperature_mix",
     "take_until_token_budget",
+    "cap_per_group",
 ]
 
 
@@ -205,4 +206,36 @@ def weighted_sample(
         .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("__wkey")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n_max: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group quota: keep at most ``n_max`` rows per ``group_col``
+    value, selected DETERMINISTICALLY by the portable md5 order — the
+    per-domain cap every web-scale corpus applies (a handful of giant
+    domains otherwise dominate the token budget), reproducible across
+    engines/runs/cluster sizes because the "random" choice is a pure
+    function of (salt, id).
+
+    One shuffle (the per-group window); groups under the cap pass
+    through untouched. For SKEWED group cardinalities note the window
+    partitions by group — a single monster group serializes into one
+    task, which is exactly bounded by that group's size and still only
+    materializes ``n_max`` survivors."""
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(_hash_key(id_col, salt), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_max)
+        .drop("__rn")
     )

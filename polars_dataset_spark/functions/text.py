@@ -27,6 +27,7 @@ __all__ = [
     "with_model_quality",
     "with_fingerprint",
     "with_compression_ratio",
+    "with_gopher_rules",
     "DEFAULT_QUALITY_WEIGHTS",
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
@@ -386,3 +387,81 @@ def with_compression_ratio(
         return pd.Series(out)
 
     return df.withColumn(out_col, comp_ratio(F.col(text_col)))
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_ratio: float = 0.3,
+    max_bullet_line_ratio: float = 0.9,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality RULES (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", public arXiv — the rule set most
+    production corpus filters start from), as per-rule boolean columns
+    plus the conjunction ``gopher_keep``. Unlike ``with_quality_score``
+    (a soft score to threshold), these are the hard structural filters:
+
+    - ``rule_word_count``: word count in [min_words, max_words]
+    - ``rule_mean_word_len``: mean word length in [min, max]
+    - ``rule_symbol_ratio``: (# of '#' chars + '...' runs) / words ≤ max
+    - ``rule_ellipsis_lines``: fraction of lines ending in '...' ≤ max
+    - ``rule_bullet_lines``: fraction of lines starting with a bullet
+      ('-', '*', '•') ≤ max
+    - ``rule_alpha_words``: fraction of words containing ≥1 letter ≥ min
+    - ``rule_stopwords``: ≥ min_distinct_stopwords DISTINCT English
+      stopwords present (the Gopher "stop word" filter)
+
+    Everything is a codegen'd expression (map-only, no UDF) and restates
+    in ANSI SQL, so the whole rule set is driver-oracle-checkable. Empty
+    documents fail ``rule_word_count`` and keep=false; line rules treat
+    a no-newline document as one line."""
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_words = F.size(toks)
+    wordsf = F.when(n_words > 0, n_words.cast("double"))  # null-divide guard
+    mean_len = (
+        F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("double") / wordsf
+    )
+    n_symbols = (
+        F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    ) + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    distinct_stops = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    )
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": F.coalesce(
+            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+            F.lit(False),
+        ),
+        "rule_symbol_ratio": F.coalesce(
+            n_symbols.cast("double") / wordsf <= max_symbol_word_ratio, F.lit(False)
+        ),
+        "rule_ellipsis_lines": ellipsis_lines.cast("double")
+        / n_lines.cast("double")
+        <= max_ellipsis_line_ratio,
+        "rule_bullet_lines": bullet_lines.cast("double") / n_lines.cast("double")
+        <= max_bullet_line_ratio,
+        "rule_alpha_words": F.coalesce(
+            alpha_words.cast("double") / wordsf >= min_alpha_word_ratio, F.lit(False)
+        ),
+        "rule_stopwords": distinct_stops >= min_distinct_stopwords,
+    }
+    out = df.withColumns(rules)
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)

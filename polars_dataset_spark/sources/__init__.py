@@ -1,7 +1,8 @@
-from polars_dataset_spark.sources.datafile import Datafile, create_dataset
-from polars_dataset_spark.sources.tables import TABLES, load_table, register_views
 from polars_dataset_spark.sources.bucketed import read_bucketed, write_bucketed
+from polars_dataset_spark.sources.compact import CompactionStats, compact_files
+from polars_dataset_spark.sources.datafile import Datafile, create_dataset
 from polars_dataset_spark.sources.partitioned import read_partitioned, write_partitioned
+from polars_dataset_spark.sources.tables import TABLES, load_table, register_views
 
 __all__ = [
     "Datafile",
@@ -13,4 +14,6 @@ __all__ = [
     "write_bucketed",
     "read_partitioned",
     "write_partitioned",
+    "compact_files",
+    "CompactionStats",
 ]

@@ -6226,6 +6226,171 @@ def q167(spark, sf_dir):
     )
 
 
+@query(
+    "q168_gopher_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+             length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS nc
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             nc::DOUBLE / nullif(len(toks), 0) AS mean_len,
+             (length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+                 / nullif(len(toks), 0) AS sym_ratio,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(trim(l), '\.\.\.$')))::DOUBLE
+                 / len(string_split(text, chr(10))) AS ell_ratio,
+             len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+                 / len(string_split(text, chr(10))) AS bul_ratio,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                 / nullif(len(toks), 0) AS alpha_ratio,
+             len(list_distinct(list_intersect(toks,
+                 ['the','and','of','to','in','is','that','it','for','with'])))
+                 AS n_stops
+      FROM t),
+    r AS (
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             (n_words >= 25 AND n_words <= 100000) AS rule_word_count,
+             coalesce(mean_len >= 3.0 AND mean_len <= 4.5, false)
+                 AS rule_mean_word_len,
+             coalesce(sym_ratio <= 0.1, false) AS rule_symbol_ratio,
+             (ell_ratio <= 0.3) AS rule_ellipsis_lines,
+             (bul_ratio <= 0.9) AS rule_bullet_lines,
+             coalesce(alpha_ratio >= 0.8, false) AS rule_alpha_words,
+             (n_stops >= 1) AS rule_stopwords
+      FROM m)
+    SELECT *,
+           (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+            AND rule_ellipsis_lines AND rule_bullet_lines AND rule_alpha_words
+            AND rule_stopwords) AS gopher_keep
+    FROM r
+    """,
+)
+def q168(spark, sf_dir):
+    """Gopher-style hard quality rules (Rae et al. 2021) as per-rule
+    boolean columns + the conjunction — the structural document filter
+    production corpora apply before any soft scoring. Full value oracle:
+    every rule's arithmetic (word counts, exact integer-ratio divisions,
+    line/ellipsis/bullet scans, distinct-stopword counts) restates in
+    SQL, and the thresholds are tuned so each data-dependent rule splits
+    the fixture corpus both ways (word-count, mean-word-length and
+    stopword rules all carry discriminating weight; the boolean
+    comparisons are engine-exact because both engines divide the same
+    integers). Map-only codegen'd expressions, no UDF."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_gopher_rules(
+        docs,
+        min_words=25,
+        min_mean_word_len=3.0,
+        max_mean_word_len=4.5,
+        min_distinct_stopwords=1,
+    )
+    toks_n = F.size(
+        F.when(
+            F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    return out.select(
+        "doc_id",
+        toks_n.cast("long").alias("n_words"),
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_ellipsis_lines",
+        "rule_bullet_lines",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "gopher_keep",
+    )
+
+
+@query(
+    "q169_cap_per_source",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('s5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS hv
+      FROM documents)
+    SELECT doc_id, source FROM h
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 17
+    """,
+)
+def q169(spark, sf_dir):
+    """Per-domain quota (``sampling.cap_per_group``): at most 17 docs per
+    source, chosen by the deterministic md5 order — the cap web-scale
+    corpora apply so a few giant domains can't dominate the token budget,
+    reproducible because the 'random' choice is a pure function of
+    (salt, id). Full value oracle: the exact kept SET replays via the
+    q66/q67 portable-hash arithmetic; every source holds 25 docs at
+    sf0.01 so the 17-cap bites everywhere (kept set = 20x17 = 340)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", n_max=17, id_col="doc_id", salt="s5").select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "q170_compact_files",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(64 AS BIGINT) AS files_before,
+           CAST(ceil(count(*) / 1750.0) AS BIGINT) AS files_after,
+           true AS listing_matches, true AS rows_preserved
+    FROM events
+    """,
+)
+def q170(spark, sf_dir):
+    """Small-file compaction (``sources.compact_files``) — the
+    OPTIMIZE-style table maintenance a long-lived parquet dataset needs:
+    events deliberately shattered into 64 tiny files, compacted to
+    ceil(rows/1750) evenly-sized files with one round-robin repartition
+    and the crash-safe Hadoop-FS staging swap. The oracle pins the exact
+    row count, the before/after file counts, that the POST-swap physical
+    listing equals the plan, and row preservation through the rewrite."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from polars_dataset_spark.sources.compact import _data_files, compact_files
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q170_compact_")
+    try:
+        path = f"{work}/events_small"
+        ev.repartition(64).write.parquet(path)
+        stats = compact_files(spark, path, target_rows=1750)
+        listed = len(_data_files(spark, path))
+        n_after = spark.read.parquet(path).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats.n_rows,
+                stats.files_before,
+                stats.files_after,
+                listed == stats.files_after,
+                n_after == stats.n_rows,
+            )
+        ],
+        "n_rows long, files_before long, files_after long, "
+        "listing_matches boolean, rows_preserved boolean",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

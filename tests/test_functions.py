@@ -871,3 +871,78 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert got == want
     with __import__("pytest").raises(ValueError, match="n_shards"):
         write_training_shards(df, out, n_shards=0)
+
+
+def test_gopher_rules_fire_individually(spark):
+    from polars_dataset_spark.functions import with_gopher_rules
+
+    good = "the quick brown foxes jumped over the lazy dogs with it " * 8  # 88 words
+    rows = [
+        (0, good),
+        (1, "short doc only"),                                   # word count
+        (2, ("a " * 100).strip()),                               # mean len < 3
+        (3, ("###### " * 60).strip() + " " + good),              # symbols + alpha
+        (4, "\n".join(["- bullet line"] * 10 + ["the end and of it"] * 0)),  # bullets
+        (5, "\n".join([("the cat and dog sat..." )] * 10)),      # ellipsis lines
+        (6, ("zzz " * 80).strip()),                              # no stopwords
+        (7, ""),
+    ]
+    out = {
+        r.doc_id: r
+        for r in with_gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string"), min_words=20
+        ).collect()
+    }
+    assert out[0].gopher_keep
+    assert not out[1].rule_word_count
+    assert not out[2].rule_mean_word_len
+    assert not out[3].rule_symbol_ratio and not out[3].rule_alpha_words
+    assert not out[4].rule_bullet_lines
+    assert not out[5].rule_ellipsis_lines
+    assert not out[6].rule_stopwords
+    assert not out[7].gopher_keep and not out[7].rule_word_count
+    # one failed rule suffices to drop
+    assert all(not out[i].gopher_keep for i in range(1, 8))
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from polars_dataset_spark.functions import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    kept = cap_per_group(df, "source", n_max=10, id_col="doc_id").collect()
+    sizes = {}
+    for r in kept:
+        sizes[r.source] = sizes.get(r.source, 0) + 1
+    assert sizes == {"g0": 10, "g1": 10, "g2": 10}
+    # deterministic: same inputs -> same kept SET, partitioning-independent
+    again = cap_per_group(df.repartition(7), "source", n_max=10, id_col="doc_id")
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again.collect())
+    # groups under the cap pass through whole
+    few = cap_per_group(df, "source", n_max=1000, id_col="doc_id")
+    assert few.count() == 100
+    with pytest.raises(ValueError, match="n_max"):
+        cap_per_group(df, "source", n_max=0)
+
+
+def test_compact_files_rows_and_counts(spark, tmp_path):
+    from polars_dataset_spark.sources.compact import _data_files, compact_files
+
+    path = str(tmp_path / "tiny")
+    spark.range(0, 5000).repartition(40).write.parquet(path)
+    assert len(_data_files(spark, path)) == 40
+    stats = compact_files(spark, path, target_rows=1200)
+    assert (stats.n_rows, stats.files_before, stats.files_after) == (5000, 40, 5)
+    assert len(_data_files(spark, path)) == 5
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert back.agg(F.sum("id")).first()[0] == 5000 * 4999 // 2  # content intact
+    # target_bytes path: compacting 5 files to ~one file's worth of bytes
+    total = sum(sz for _, sz in _data_files(spark, path))
+    stats2 = compact_files(spark, path, target_bytes=total)
+    assert stats2.files_after == 1 and len(_data_files(spark, path)) == 1
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_files(spark, path)
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_files(spark, path, target_rows=1, target_bytes=1)
