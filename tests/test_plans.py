@@ -158,3 +158,38 @@ def test_pca_projection_is_map_only(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     model = fit_pca(emb, "embedding", k=4)
     assert count_exchanges(pca_project(emb, model, "embedding")) == 0
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """The rule set is pure codegen'd expressions: zero exchanges, no
+    UDF stage, over the scan."""
+    from polars_dataset_spark.functions import with_gopher_rules
+    from polars_dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = with_gopher_rules(docs)
+    assert count_exchanges(df) == 0
+    assert "pythonUDF" not in explain_str(df).lower()
+
+
+def test_cap_per_group_single_window_shuffle(spark, sf_dir):
+    """The per-domain cap is exactly one hash exchange (the group
+    window) — no global sort, no single partition."""
+    from polars_dataset_spark.functions import cap_per_group
+    from polars_dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = cap_per_group(docs, "source", n_max=10)
+    text = explain_str(df)
+    assert count_exchanges(df) == 1
+    assert "Exchange SinglePartition" not in text
+
+
+def test_assign_training_shards_map_only(spark, sf_dir):
+    """Shard/order assignment adds zero exchanges over the scan — the
+    shuffle happens once, at write time, by shard."""
+    from polars_dataset_spark.functions import assign_training_shards
+    from polars_dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert count_exchanges(assign_training_shards(docs)) == 0
