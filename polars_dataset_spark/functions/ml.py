@@ -330,6 +330,9 @@ def kmeans_fit(
             )
             .collect()  # bounded: ≤ k rows of (d+2) doubles
         )
+        # the collect above finished the iteration's only job: release the
+        # centroid broadcast now, or executors hold iters × k×d tables
+        bc.unpersist(blocking=False)
         new = centers.copy()
         sizes[:] = 0
         inertia = 0.0

@@ -37,6 +37,16 @@ def _hash_key(id_col: str, salt: str) -> "F.Column":
     return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
 
 
+def portable_hash_long(id_col: str, salt: str = "") -> "F.Column":
+    """The 60-bit engine-portable hash every deterministic-choice op in
+    this package shares: first 15 hex digits of ``md5(salt || id)`` as a
+    non-negative long. DuckDB restates it as
+    ``('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 15))::BIGINT``
+    — keep the two forms in lockstep; the cross-engine oracles
+    (q66/q67/q167/q169) depend on bit-identical values."""
+    return F.conv(F.substring(_hash_key(id_col, salt), 1, 15), 16, 10).cast("long")
+
+
 def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:
@@ -232,7 +242,7 @@ def cap_per_group(
         raise ValueError(f"n_max must be >= 1, got {n_max}")
     from pyspark.sql import Window
 
-    h = F.conv(F.substring(_hash_key(id_col, salt), 1, 15), 16, 10).cast("long")
+    h = portable_hash_long(id_col, salt)
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

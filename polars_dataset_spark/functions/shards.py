@@ -32,14 +32,12 @@ __all__ = ["assign_training_shards", "write_training_shards"]
 
 
 def _order_hash(id_col: str, salt: str) -> F.Column:
-    # first 15 hex digits of md5 -> 60-bit int: engine-portable (DuckDB:
-    # conv-equivalent arithmetic on the same substring), collision-free
-    # enough for ordering, and never negative
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    # the package-wide 60-bit portable hash (collision-free enough for
+    # ordering, never negative) — ONE definition so shard and sample
+    # reproducibility can't silently diverge
+    from polars_dataset_spark.functions.sampling import portable_hash_long
+
+    return portable_hash_long(id_col, salt)
 
 
 def assign_training_shards(

@@ -178,7 +178,9 @@ class _Quantizer:
         hierarchical cell always probes first (so a probe co-located with a
         corpus vector is guaranteed to scan that vector's cell), then the
         best remaining sub-centroids of the ceil(n / k2) + 1 nearest coarse
-        cells by true distance."""
+        cells by true distance. Fully vectorized per row-block (batched
+        gather + one broadcast distance + one batched lexsort) with the
+        block size tiled so the (rows, a·k2, d) cube stays bounded."""
         mat = np.ascontiguousarray(mat, dtype=np.float64)
         if self.subs is None:
             return _top_cells(mat, self.coarse, n)
@@ -186,17 +188,25 @@ class _Quantizer:
         own = self.assign(mat)
         a = min(len(self.coarse), -(-n // self.k2) + 1)
         c1 = _top_cells(mat, self.coarse, a)  # batch x a
+        d = self.subs.shape[2]
+        rows_per_block = max(1, (4 << 20) // max(a * self.k2 * d, 1))
         out = np.empty((len(mat), n), dtype=np.int32)
-        for i in range(len(mat)):
-            cand = np.concatenate(
-                [c * self.k2 + np.arange(self.k2, dtype=np.int32) for c in c1[i]]
-            )
-            cents = np.concatenate([self.subs[c] for c in c1[i]], axis=0)
-            d = ((cents - mat[i][None, :]) ** 2).sum(axis=1)
-            order = np.lexsort((cand, d))
-            ranked = cand[order]
-            out[i, 0] = own[i]
-            out[i, 1:] = ranked[ranked != own[i]][: n - 1]
+        for r0 in range(0, len(mat), rows_per_block):
+            r1 = min(r0 + rows_per_block, len(mat))
+            blk = c1[r0:r1]  # rows x a
+            cand = (
+                blk[:, :, None] * self.k2 + np.arange(self.k2, dtype=np.int32)
+            ).reshape(r1 - r0, a * self.k2)
+            cents = self.subs[blk].reshape(r1 - r0, a * self.k2, d)
+            dist = ((cents - mat[r0:r1, None, :]) ** 2).sum(axis=2)
+            order = np.lexsort((cand, dist), axis=-1)
+            ranked = np.take_along_axis(cand, order, axis=-1)
+            o = own[r0:r1]
+            out[r0:r1, 0] = o
+            # drop the own cell from the ranked list, keep the next n-1
+            keep = ranked != o[:, None]
+            for j in range(r1 - r0):  # ragged compaction only; O(rows) cheap
+                out[r0 + j, 1:] = ranked[j][keep[j]][: n - 1]
         return out
 
 
@@ -207,6 +217,7 @@ def _train_quantizer(
     n_cells: int,
     seed: int,
     train_cap: int,
+    n_rows: int | None = None,
 ) -> "_Quantizer":
     """Train the coarse quantizer with bounded DRIVER cost at any n_cells.
 
@@ -221,9 +232,14 @@ def _train_quantizer(
     task is bounded and the heavy lifting never lands on the driver).
     Driver/broadcast footprint is the centroid table itself,
     n_cells x dim x 8 bytes — e.g. 51 MB at n_cells=1e5, d=64; raise
-    ``target_cell_size`` past ~1e6 cells."""
+    ``target_cell_size`` past ~1e6 cells.
+
+    Null vectors are ignored for training (callers decide their output
+    semantics); pass ``n_rows`` (non-null count) when the caller already
+    counted, to avoid a second full scan on the two-level path."""
     from pyspark.sql import types as T
 
+    df = df.filter(F.col(vec_col).isNotNull())
     if n_cells <= _FLAT_CELLS_MAX:
         cap = max(train_cap, 16 * n_cells)
         sample = df.select(F.col(vec_col)).limit(cap).toPandas()
@@ -246,7 +262,7 @@ def _train_quantizer(
 
     # deterministic hash sample: ~64 training vectors per FINAL cell in
     # expectation, bounded per coarse cell at train time
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     want = min(n, n_cells * 64)
     denom = 1_000_000
     thresh = min(denom, int(denom * want / max(n, 1)))
@@ -376,6 +392,10 @@ def ivf_topk(
     ``n_cells``; past ``_FLAT_CELLS_MAX`` the quantizer goes two-level with
     distributed sub-training.
     """
+    # null vectors can neither probe nor be found — drop them up front so
+    # no Arrow batch ever hands np.stack a None
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    probes = probes.filter(F.col(vec_col).isNotNull())
     if centroids is not None:
         # explicit coarse quantizer (pre-trained elsewhere, or fixed
         # vectors for reproducible/oracle-checkable assignment)
@@ -681,18 +701,27 @@ def semantic_dedup(
     """
     import math
 
+    # null vectors cannot be near-duplicates of anything: route them
+    # around the quantizer (np.stack would raise) and emit them
+    # (cell=null, kept=true) at the end
+    nulls = df.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(True).alias("kept"),
+    )
+    df = df.filter(F.col(vec_col).isNotNull())
+    n_nonnull: int | None = None
     if centroids is not None:
         quant = _Quantizer(np.asarray(centroids, dtype=np.float64))
     else:
         if n_cells is None:
-            n_cells = max(16, math.ceil(df.count() / target_cell_size))
-        quant = _train_quantizer(df, id_col, vec_col, n_cells, seed, train_cap)
+            n_nonnull = df.count()
+            n_cells = max(16, math.ceil(n_nonnull / target_cell_size))
+        quant = _train_quantizer(
+            df, id_col, vec_col, n_cells, seed, train_cap, n_rows=n_nonnull
+        )
         if quant is None:  # empty corpus — nothing to train on, nothing to dedup
-            return df.select(
-                F.col(id_col),
-                F.lit(0).cast("int").alias("cell"),
-                F.lit(True).alias("kept"),
-            )
+            return nulls
     cell_of, _ = _cell_udfs(df.sparkSession, quant)
 
     assigned = df.select(
@@ -727,4 +756,5 @@ def semantic_dedup(
             "cell",
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
+        .unionByName(nulls)
     )

@@ -41,10 +41,12 @@ class CompactionStats:
 
 
 def _data_files(spark: SparkSession, path: str) -> list:
-    """Data files under ``path`` via the Hadoop FS API (scheme-agnostic)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    """Data files under ``path`` via the Hadoop FS API (scheme-agnostic).
+    Non-recursive: compaction targets a flat file directory (compact a
+    hive-partitioned table per partition directory)."""
+    from polars_dataset_spark.streaming.state_fs import _fs_path
+
+    fs, jpath, _ = _fs_path(spark, path)
     out = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
@@ -78,12 +80,16 @@ def compact_files(
     if target_rows is not None:
         if target_rows < 1:
             raise ValueError(f"target_rows must be >= 1, got {target_rows}")
-        files_after = max(1, math.ceil(n_rows / target_rows))
+        files_after = math.ceil(n_rows / target_rows)
     else:
         if target_bytes < 1:
             raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
         total = sum(sz for _, sz in files)
-        files_after = max(1, math.ceil(total / target_bytes))
+        files_after = math.ceil(total / target_bytes)
+    # never plan more files than rows (the writer skips empty partitions,
+    # so the plan would overstate the physical listing — possible on the
+    # bytes path when per-file metadata dwarfs the data)
+    files_after = max(1, min(files_after, max(n_rows, 1)))
     (
         df.repartition(files_after)
         .write.mode("overwrite")

@@ -176,3 +176,41 @@ def test_train_quantizer_empty_and_tiny(spark):
     )
     q = S._train_quantizer(tiny, "vec_id", "embedding", 16, 1, 64)
     assert q.subs is None and 1 <= q.n_cells <= 2  # degrades to corpus size
+
+
+def test_semantic_dedup_null_vectors_pass_through(spark):
+    # a null embedding can't be a near-dup of anything: it must survive
+    # with cell=null and never crash the quantizer/assignment paths
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in S.semantic_dedup(df, threshold=0.99).collect()}
+    assert len(out) == 4
+    assert out[1].kept and out[1].cell is None
+    assert out[3].kept and out[3].cell is None
+    assert out[0].kept and not out[2].kept  # real dedup still ran
+
+
+def test_ivf_topk_null_vectors_ignored(spark):
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [0.99, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.ivf_topk(df, df, k=1, n_cells=2, n_probe=2, train_cap=8).collect()
+    ids = {r.query_id for r in out}
+    assert 1 not in ids  # null probe produces no result rows
+    by_q = {r.query_id: r.neighbor_id for r in out}
+    assert by_q[0] == 2 and by_q[2] == 0  # null corpus row never a neighbor
+
+
+def test_two_level_top_cells_block_boundaries(monkeypatch):
+    # tiny tile knobs force many row blocks through the vectorized
+    # gather path; results must match the flat brute-force ranking
+    coarse = _rand(6, 4, 20)
+    subs = _rand(6 * 3, 4, 21).reshape(6, 3, 4)
+    q = S._Quantizer(coarse, subs)
+    mat = _rand(23, 4, 22)
+    got = q.top_cells(mat, 4)
+    assert got.shape == (23, 4)
+    assert np.array_equal(got[:, 0], q.assign(mat))
+    # remaining probes are distinct, valid cells
+    for row in got:
+        assert len(set(row.tolist())) == 4
+        assert all(0 <= c < q.n_cells for c in row)

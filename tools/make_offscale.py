@@ -57,7 +57,7 @@ OFFSET_COLS = {
 FIXED = ["nation", "region"]
 
 
-def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
+def _replica(df: DataFrame, table: str, i: int, emb_dim: int = 64) -> DataFrame:
     for c in OFFSET_COLS[table][0]:
         df = df.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
     if table == "documents" and i > 0:
@@ -71,13 +71,15 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
             "text", F.regexp_replace("text", r"(\S+)", r"$1" + suf)
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings" and i > 0:
-        # rotate by i mod dim; past one full cycle of rotations, NEGATE the
-        # vector as well (negation preserves intra-replica cosine structure
-        # exactly, and cos(v, -v) = -1 keeps replica i vs i-dim pairs out of
-        # any positive-threshold near-dup set) — unique up to 2*dim replicas
+        # rotate by the ACTUAL dimension's cycle; past one full cycle of
+        # rotations, NEGATE the vector as well (negation preserves
+        # intra-replica cosine structure exactly, and cos(v, -v) = -1 keeps
+        # replica i vs i-(dim-1) pairs out of any positive-threshold
+        # near-dup set) — unique up to 2*(dim-1) replicas, asserted in main
         n = F.size("embedding")
-        rot = (i - 1) % 63 + 1  # 1..63, never a full-cycle no-op
-        sign = F.lit(-1.0 if ((i - 1) // 63) % 2 else 1.0)
+        cyc = emb_dim - 1
+        rot = (i - 1) % cyc + 1  # 1..dim-1, never a full-cycle no-op
+        sign = F.lit(-1.0 if ((i - 1) // cyc) % 2 else 1.0)
         df = df.withColumn(
             "embedding",
             F.transform(
@@ -115,13 +117,22 @@ def main() -> None:
         src = spark.read.parquet(f"{args.src}/{table}.parquet")
         src.coalesce(1).write.mode("overwrite").parquet(f"{args.dst}/{table}.parquet")
         print(f"{table}: copied fixed dim")
+    emb_dim = int(
+        spark.read.parquet(f"{args.src}/embeddings.parquet")
+        .selectExpr("size(embedding) AS d")
+        .first()["d"]
+    )
+    assert args.replicas <= 2 * (emb_dim - 1), (
+        f"embedding derivations repeat past 2*(dim-1)={2 * (emb_dim - 1)} "
+        "replicas — cross-replica exact twins would poison the sweep"
+    )
     for table, (_, nfiles) in OFFSET_COLS.items():
         if only and table not in only:
             continue
         src = spark.read.parquet(f"{args.src}/{table}.parquet")
         out = None
         for i in range(args.replicas):
-            rep = _replica(src, table, i)
+            rep = _replica(src, table, i, emb_dim)
             out = rep if out is None else out.unionByName(rep)
         out.repartition(nfiles).write.mode("overwrite").parquet(
             f"{args.dst}/{table}.parquet"
