@@ -9,8 +9,8 @@ file-level min-max statistics can skip most files for predicates on
 either column. This is the same layout trick Delta/Iceberg expose as
 ``OPTIMIZE ... ZORDER BY``; here it is built from public primitives:
 
-1. ``approxQuantile`` per column → bucket edges (driver scalars, one
-   pass, bounded by the bucket count — never data rows).
+1. ``approxQuantile`` over ALL columns in one scan → bucket edges
+   (driver scalars, bounded by the bucket count — never data rows).
 2. Bucket id per column via a codegen'd CASE chain; bit-interleave into
    the Morton key with shift/or expressions — all map-only.
 3. ``repartitionByRange`` on the z-key (one range shuffle) +
@@ -43,10 +43,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = _BITS) -> F.Column:
     (not equi-width) buckets keep the key balanced under skew."""
     n_buckets = (1 << bits) - 1
     probs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
+    # ONE quantile scan for every column (the list form) — per-column
+    # calls would re-scan the input len(cols) times
+    all_edges = df.approxQuantile(cols, probs, 0.01)
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        edges = df.approxQuantile(c, probs, 0.01)
-        b = _bucket_expr(c, edges)
+        b = _bucket_expr(c, all_edges[ci])
         for bit in range(bits):
             # bit `bit` of this column lands at interleaved position
             # bit*len(cols) + ci
