@@ -335,3 +335,95 @@ def test_repeated_substring_excision_matches_bruteforce(docs, k):
         for r in remove_repeated_substrings(df, k=k).collect()
     }
     assert got == expected
+
+
+# ---- quantizer kernels (similarity._argmin_cells / _top_cells) ----------
+
+@given(
+    n=st.integers(1, 60),
+    k=st.integers(1, 300),
+    d=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    row_chunk=st.integers(1, 17),
+    cent_chunk=st.integers(1, 23),
+)
+@settings(max_examples=150, deadline=None)
+def test_argmin_cells_matches_dense_any_tiling(n, k, d, seed, row_chunk, cent_chunk):
+    """The tiled matmul argmin must return a VALID argmin for every
+    shape and tiling — including k straddling the dense/matmul switch
+    and chunk sizes that don't divide anything. Near-ties may pick any
+    minimizing index (FP noise), so validity is distance-optimality,
+    not index equality."""
+    from polars_dataset_spark.functions import similarity as S
+
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(n, d))
+    centers = rng.normal(size=(k, d))
+    old_r, old_c = S._ROW_CHUNK, S._CENT_CHUNK
+    S._ROW_CHUNK, S._CENT_CHUNK = row_chunk, cent_chunk
+    try:
+        got = S._argmin_cells(mat, centers)
+    finally:
+        S._ROW_CHUNK, S._CENT_CHUNK = old_r, old_c
+    d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    best = d2.min(axis=1)
+    chosen = d2[np.arange(n), got]
+    assert np.all(chosen <= best * (1 + 1e-9) + 1e-9)
+
+
+@given(
+    n=st.integers(1, 40),
+    k=st.integers(2, 200),
+    top=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_top_cells_sorted_distinct_and_near_optimal(n, k, top, seed):
+    from polars_dataset_spark.functions import similarity as S
+
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(n, 6))
+    centers = rng.normal(size=(k, 6))
+    got = S._top_cells(mat, centers, top)
+    t = min(top, k)
+    assert got.shape == (n, t)
+    d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    for i in range(n):
+        row = got[i]
+        assert len(set(row.tolist())) == t  # distinct cells
+        dists = d2[i, row]
+        assert np.all(np.diff(dists) >= -1e-9)  # ascending
+        # the selected set's worst is no worse than the true t-th best
+        true_t = np.sort(d2[i])[t - 1]
+        assert dists[-1] <= true_t * (1 + 1e-9) + 1e-9
+
+
+@given(
+    n=st.integers(4, 80),
+    k=st.integers(1, 10),
+    d=st.integers(1, 8),
+    iters=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=75, deadline=None)
+def test_lloyd_kmeans_inertia_never_increases(n, k, d, iters, seed):
+    """Lloyd's invariant: assignment-then-update inertia is monotone
+    non-increasing — any regression in the tiled argmin or the bincount
+    mean update shows up as an inertia bump."""
+    from polars_dataset_spark.functions.similarity import _argmin_cells
+
+    rng = np.random.RandomState(seed)
+    x = rng.normal(size=(n, d))
+    k = min(k, n)
+    centers = x[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    prev = np.inf
+    for _ in range(iters):
+        a = _argmin_cells(x, centers)
+        inertia = float(((x - centers[a]) ** 2).sum())
+        assert inertia <= prev * (1 + 1e-9) + 1e-9
+        prev = inertia
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, a, x)
+        nz = counts > 0
+        centers[nz] = sums[nz] / counts[nz, None]
