@@ -28,6 +28,7 @@ __all__ = [
     "with_fingerprint",
     "with_compression_ratio",
     "with_gopher_rules",
+    "strip_markup",
     "DEFAULT_QUALITY_WEIGHTS",
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
@@ -465,3 +466,38 @@ def with_gopher_rules(
     for name in rules:
         keep = keep & F.col(name)
     return out.withColumn("gopher_keep", keep)
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """HTML/markup → plain text, the first step of every web-corpus
+    pipeline: drop ``<script>``/``<style>`` blocks wholesale (their
+    contents are code, not prose), drop comments and all remaining tags,
+    THEN decode the common entities (strip-then-decode, so a literal
+    ``&lt;tag&gt;`` in the text survives as visible ``<tag>`` instead of
+    being re-parsed as markup), and collapse whitespace.
+
+    Pure codegen'd ``regexp_replace``/``replace`` chain — map-only, no
+    UDF, and every pattern behaves identically under Java regex and RE2
+    (inline ``(?is)`` flags, non-greedy spans), so the whole
+    transformation restates in ANSI SQL for the oracle."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

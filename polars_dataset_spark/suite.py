@@ -6391,6 +6391,46 @@ def q170(spark, sf_dir):
     )
 
 
+@query(
+    "q171_strip_markup",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               concat(coalesce(text, ''), ' A & B <tag> "q" ''s'' end'),
+               '\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def q171(spark, sf_dir):
+    """HTML/markup stripping (``text.strip_markup``) — the first step of
+    every web-corpus pipeline: each document is wrapped in a
+    deterministic page (style + script blocks, a comment, tags, and
+    every supported entity), stripped, and the oracle states the exact
+    recovered text — the original document (markup-free by fixture
+    construction) plus the decoded literal suffix, whitespace-collapsed.
+    Script/style contents, the comment and all tags must vanish;
+    ``&lt;tag&gt;`` must survive as VISIBLE ``<tag>`` (strip-then-decode
+    order); every byte of the output is value-checked per doc."""
+    _prep(spark)
+    from polars_dataset_spark.functions import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><style>p{color:red}</style>'
+            '<script type="t">var x = "</p>"; if (x<1) {}</script></head>'
+            '<body><!-- generated\n wrapper --><p class="d">'
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(
+            "</p>\n<div>A &amp; B &lt;tag&gt; &quot;q&quot; "
+            "&#39;s&#39;&nbsp;end</div></body></html>"
+        ),
+    )
+    wrapped = docs.select("doc_id", page.alias("text"))
+    return strip_markup(wrapped).select("doc_id", "clean_text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -946,3 +946,34 @@ def test_compact_files_rows_and_counts(spark, tmp_path):
         compact_files(spark, path)
     with pytest.raises(ValueError, match="exactly one"):
         compact_files(spark, path, target_rows=1, target_bytes=1)
+
+
+def test_strip_markup_semantics(spark):
+    from polars_dataset_spark.functions import strip_markup
+
+    rows = [
+        (0, '<p>hello <b>world</b></p>'),
+        (1, '<script>var a = "<p>not text</p>";</script>real'),
+        (2, '<style>p { color: red }</style>styled'),
+        (3, 'a <!-- multi\nline comment --> b'),
+        (4, 'x &amp;lt; y'),        # decode once: &amp;lt; -> &lt;  (literal)
+        (5, '&lt;script&gt;alert()&lt;/script&gt;'),  # entity-coded tags stay text
+        (6, '  lots   of\n\nspace  '),
+        (7, ''),
+        (8, None),
+    ]
+    out = {
+        r.doc_id: r.clean_text
+        for r in strip_markup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0] == "hello world"
+    assert out[1] == "real"
+    assert out[2] == "styled"
+    assert out[3] == "a b"
+    assert out[4] == "x &lt; y"
+    assert out[5] == "<script>alert()</script>"  # decoded to TEXT, not re-stripped
+    assert out[6] == "lots of space"
+    assert out[7] == ""
+    assert out[8] is None
