@@ -6431,6 +6431,78 @@ def q171(spark, sf_dir):
     return strip_markup(wrapped).select("doc_id", "clean_text")
 
 
+@query(
+    "q172_curation_pipeline",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+             length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS nc
+      FROM documents),
+    kept AS (
+      SELECT doc_id, source, len(toks) AS n_tokens
+      FROM t
+      WHERE len(toks) >= 25
+        AND coalesce(nc::DOUBLE / nullif(len(toks), 0) BETWEEN 3.0 AND 4.5,
+                     false)
+        AND len(list_distinct(list_intersect(toks,
+            ['the','and','of','to','in','is','that','it','for','with']))) >= 1),
+    capped AS (
+      SELECT doc_id, source, n_tokens,
+             ('0x' || substr(md5('s5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS hv
+      FROM kept
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY
+          ('0x' || substr(md5('s5' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+          doc_id) <= 15)
+    SELECT CAST(hv % 4 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min_by(doc_id, hv) AS first_doc
+    FROM capped GROUP BY shard
+    """,
+)
+def q172(spark, sf_dir):
+    """End-to-end curation composition for the round-5 operator family —
+    the q60 pattern: Gopher hard rules → per-source quota cap →
+    deterministic training-shard assignment → per-shard token budget.
+    The whole CHAIN (rule arithmetic, the cap's hash order interacting
+    with the rule survivors, the shard split of the capped set, token
+    sums per shard) replays in one SQL statement, so stage ORDERING and
+    interaction are value-checked, not just each stage alone. Note the
+    cap and the shard assignment share one portable hash — the oracle
+    proves they compose without re-ranking surprises."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        assign_training_shards,
+        cap_per_group,
+        with_gopher_rules,
+        with_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = with_gopher_rules(
+        docs,
+        min_words=25,
+        min_mean_word_len=3.0,
+        max_mean_word_len=4.5,
+        min_distinct_stopwords=1,
+    ).filter(
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_stopwords")
+    )
+    kept = with_token_count(kept, mode="whitespace")
+    capped = cap_per_group(kept, "source", n_max=15, id_col="doc_id", salt="s5")
+    sharded = assign_training_shards(capped, "doc_id", n_shards=4, salt="s5")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min_by("doc_id", "shard_pos").alias("first_doc"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
