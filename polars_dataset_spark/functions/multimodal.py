@@ -151,7 +151,7 @@ def decode_media(
     ``decoder``:
 
     - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"`` / ``"gif"`` /
-      ``"webp"``: REAL
+      ``"webp"`` / ``"tiff"``: REAL
       decodes implemented here in pure python/numpy (binary PGM/PPM
       headers + samples; uncompressed 24-bpp BMP with row padding and
       bottom-up order; baseline AND progressive JFIF JPEG — Huffman
@@ -167,14 +167,18 @@ def decode_media(
       :mod:`polars_dataset_spark.functions.gif`; lossless WebP — the
       full VP8L bitstream: canonical prefix codes, meta groups, color
       cache, LZ77 with the 2-D distance map, and all four transforms —
-      see :mod:`polars_dataset_spark.functions.webp`) followed by
+      see :mod:`polars_dataset_spark.functions.webp`; baseline TIFF —
+      both byte orders, strips, gray/RGB, uncompressed/PackBits/TIFF-LZW
+      with the early code-width change, horizontal-differencing
+      predictor — see :mod:`polars_dataset_spark.functions.tiff`)
+      followed by
       deterministic nearest-neighbor resampling — no codec library
       needed. Blobs that fail to parse decode to null.
     - ``"fake"`` (default): a deterministic stand-in for formats whose
       codecs aren't installed — bytes tile into the target shape so the
       full Spark pipeline (schema, Arrow batches, partition shape) stays
       exercised.
-    - ``"pil"``: the general-codec path (lossy WebP, TIFF, arithmetic/
+    - ``"pil"``: the general-codec path (lossy WebP, arithmetic/
       12-bit JPEG, ...); raises ``NotImplementedError``
       in this container (Pillow absent) — install it on the cluster
       image.
@@ -188,12 +192,13 @@ def decode_media(
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
             "installed in this environment; use decoder='ppm'/'bmp'/'jpeg'/"
-            "'png'/'gif'/'webp' (built-in pure-python decodes), decoder='fake' for "
+            "'png'/'gif'/'webp'/'tiff' (built-in pure-python decodes), decoder='fake' for "
             "plumbing tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "tiff", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
     from polars_dataset_spark.functions.gif import decode_gif_gray
+    from polars_dataset_spark.functions.tiff import decode_tiff_gray
     from polars_dataset_spark.functions.webp import decode_webp_gray
     from polars_dataset_spark.functions.jpeg import decode_jpeg_gray
     from polars_dataset_spark.functions.png import decode_png_gray
@@ -205,6 +210,7 @@ def decode_media(
         "png": decode_png_gray,
         "gif": decode_gif_gray,
         "webp": decode_webp_gray,
+        "tiff": decode_tiff_gray,
     }.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -6503,6 +6503,46 @@ def q172(spark, sf_dir):
     )
 
 
+@query(
+    "q173_tiff_decode",
+    """
+    SELECT CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+           CAST((t1.y * 7 + t2.x * 13) % 256 AS BIGINT) AS px
+    FROM range(16) t1(y) CROSS JOIN range(16) t2(x)
+    """,
+)
+def q173(spark, sf_dir):
+    """Driver gate for the pure-python baseline TIFF decoder (q153/q156
+    pattern): a 16×16 fixture whose pixels follow the closed form
+    ``(y·7 + x·13) mod 256`` is TIFF-encoded with the HARD options —
+    big-endian byte order, TIFF-LZW (so the MSB-first variable-width
+    reader and its early code-width change run), horizontal-differencing
+    predictor, and a 5-row strip split — pushed through
+    ``decode_media(decoder='tiff')`` on the executor and re-emitted
+    per-pixel; the oracle restates the closed form, so every pixel is a
+    full value match through decompression, prediction and strip
+    reassembly. The 8-bit gray round-trip is exact (v/255·255 → v)."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_media
+    from polars_dataset_spark.functions.tiff import encode_tiff_gray
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = ((yy * 7 + xx * 13) % 256).astype(np.float64) / 255.0
+    blob = encode_tiff_gray(
+        img, compression="lzw", predictor=2, byte_order=">", rows_per_strip=5
+    )
+    df = spark.createDataFrame([(0, bytearray(blob))], "media_id long, content binary")
+    dec = decode_media(df, decoder="tiff", target_size=(16, 16))
+    px = dec.select(F.posexplode("decoded").alias("pos", "val"))
+    return px.select(
+        F.floor(F.col("pos") / 16).cast("long").alias("y"),
+        (F.col("pos") % 16).cast("long").alias("x"),
+        F.round(F.col("val") * 255).cast("long").alias("px"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
