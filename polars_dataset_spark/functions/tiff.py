@@ -263,6 +263,14 @@ def _lzw_encode(data: bytes) -> bytes:
         omega = bytes([b])
     if omega:
         emit(table[omega])
+        # the DECODER adds a phantom table entry for this final code (it
+        # can't know no more data follows), so when the table sits exactly
+        # at a 2^w−2 boundary it widens before reading EOI; mirror the
+        # phantom add + width check here (libtiff bumps free_ent before
+        # EOI for precisely this reason) or EOI is emitted one bit short
+        nxt += 1
+        if nxt >= (1 << width) - 1 and width < 12:
+            width += 1
     emit(257)  # EOI
     # MSB-first packing
     acc = 0

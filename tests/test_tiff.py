@@ -103,3 +103,21 @@ def test_decode_media_tiff_end_to_end(spark):
     got = np.asarray(out[0], dtype=np.float64).reshape(16, 16)
     assert np.allclose(got, np.round(img * 255) / 255, atol=1e-3)  # float32 channel
     assert out[1] is None  # malformed -> null, never raise
+
+
+def test_lzw_flush_at_width_boundary():
+    # regression: a stream whose table sits exactly at 2^w - 2 when the
+    # final code flushes made the decoder's phantom add widen BEFORE
+    # reading EOI while the encoder emitted it at the old width — the
+    # whole strip decoded to None. bytes(range(253)) lands the 9->10
+    # boundary at flush; the exhaustive 1..1200 sweep covers every flush
+    # position around the 510/1022 boundaries.
+    assert bytes(_lzw_decode(_lzw_encode(bytes(range(253))), 253)) == bytes(range(253))
+    import numpy as np
+
+    img = np.arange(253).reshape(11, 23) / 255.0
+    back = decode_tiff_gray(encode_tiff_gray(img, compression="lzw"))
+    assert back is not None and np.allclose(back, np.round(img * 255) / 255, atol=1e-6)
+    for n in range(1, 1200):
+        d = bytes(i % 256 for i in range(n))
+        assert bytes(_lzw_decode(_lzw_encode(d), n)) == d, n
