@@ -239,6 +239,19 @@ def decode_media(
     return df.mapInPandas(decode_batches, schema=out_schema)
 
 
+def _decode_audio_blob(data: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """Magic-byte dispatch for the audio operators: RIFF/WAVE → the PCM
+    parser below, ``fLaC`` → the pure-python FLAC decoder
+    (:mod:`polars_dataset_spark.functions.flac`). Same
+    ``(rate, n_channels, frames)`` contract either way; anything else
+    (or a failed parse) → None."""
+    if data[:4] == b"fLaC":
+        from polars_dataset_spark.functions.flac import decode_flac
+
+        return decode_flac(data)
+    return _decode_wav(data)
+
+
 def _decode_wav(data: bytes) -> "tuple[int, int, np.ndarray] | None":
     """Pure-numpy RIFF/WAVE parse (PCM, 8- or 16-bit, any channel count):
     returns ``(sample_rate, n_channels, samples)`` with samples as float64
@@ -290,7 +303,9 @@ def decode_audio(
     df: DataFrame, content_col: str = "content", envelope_bins: int = 16
 ) -> DataFrame:
     """REAL audio decode without any codec library: parse RIFF/PCM WAV
-    blobs (8/16-bit, mono or multichannel) in pure numpy and attach
+    blobs (8/16-bit, mono or multichannel) — or FLAC streams, via the
+    pure-python decoder in :mod:`polars_dataset_spark.functions.flac`
+    (magic-byte sniffed) — in pure numpy and attach
     ``sample_rate, n_channels, n_frames, duration_s, rms, peak`` plus a
     fixed-width loudness ``envelope`` (per-bin RMS over the channel-mean
     signal — the audio analogue of the image thumbnail). Unparseable or
@@ -302,7 +317,7 @@ def decode_audio(
         for pdf in batches:
             cols = {f.name: [] for f in AUDIO_SCHEMA_FIELDS}
             for blob in pdf[content_col]:
-                parsed = _decode_wav(bytes(blob)) if blob is not None else None
+                parsed = _decode_audio_blob(bytes(blob)) if blob is not None else None
                 if parsed is None:
                     for v in cols.values():
                         v.append(None)
@@ -340,7 +355,7 @@ def audio_spectrogram(
     hop: int = 128,
     max_frames: int = 64,
 ) -> DataFrame:
-    """STFT magnitude spectrogram of PCM WAV blobs, pure numpy — the
+    """STFT magnitude spectrogram of PCM WAV or FLAC blobs, pure numpy — the
     frequency-domain audio feature beside :func:`decode_audio`'s
     time-domain stats: Hann-windowed ``frame_size`` frames at ``hop``
     stride, one-sided rFFT magnitude per frame (``frame_size//2 + 1``
@@ -364,7 +379,7 @@ def audio_spectrogram(
         for pdf in batches:
             cols = {f.name: [] for f in fields}
             for blob in pdf[content_col]:
-                parsed = _decode_wav(bytes(blob)) if blob is not None else None
+                parsed = _decode_audio_blob(bytes(blob)) if blob is not None else None
                 if parsed is None or parsed[2].shape[0] < frame_size:
                     for v in cols.values():
                         v.append(None)

@@ -6543,6 +6543,58 @@ def q173(spark, sf_dir):
     )
 
 
+@query(
+    "q174_flac_decode",
+    """
+    WITH s AS (
+      SELECT ((i * 37) % 1001 - 500) / 32768.0 AS l,
+             ((i * 53) % 997 - 498) / 32768.0 AS r
+      FROM range(2000) t(i)),
+    m AS (SELECT (l + r) / 2 AS v FROM s)
+    SELECT 8000 AS sample_rate, 2 AS n_channels, CAST(2000 AS BIGINT) AS n_frames,
+           round(0.25, 6) AS duration_s,
+           round(sqrt(avg(v * v)), 6) AS rms,
+           round(max(abs(v)), 6) AS peak
+    FROM m
+    """,
+)
+def q174(spark, sf_dir):
+    """Driver gate for the pure-python FLAC decoder: a closed-form stereo
+    signal (``L = (37i mod 1001) − 500``, ``R = (53i mod 997) − 498``) is
+    FLAC-encoded through the HARD path — mid/side decorrelation, fixed
+    order-2 predictors, Rice-coded partitioned residuals, CRC-8/16 —
+    decoded by ``decode_audio`` on the executor, and the oracle restates
+    the audio statistics from the closed form. The channel-mean mono
+    values are EXACT dyadic rationals (÷32768 and ÷2 are power-of-two),
+    so rms/peak/duration match to round-6 across engines; any bit error
+    anywhere in subframe decode, stereo reconstruction or rice coding
+    shifts rms/peak and fails the value hash."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_audio
+    from polars_dataset_spark.functions.flac import encode_flac
+
+    i = np.arange(2000)
+    frames = np.stack(
+        [(i * 37) % 1001 - 500, (i * 53) % 997 - 498], axis=1
+    ).astype(np.int64)
+    blob = encode_flac(
+        frames, rate=8000, stereo_mode="mid_side", subframe="fixed", order=2,
+        partition_order=2, blocksize=500,
+    )
+    df = spark.createDataFrame([(0, bytearray(blob))], "media_id long, content binary")
+    out = decode_audio(df)
+    return out.select(
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
