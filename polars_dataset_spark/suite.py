@@ -6552,7 +6552,7 @@ def q173(spark, sf_dir):
       FROM range(2000) t(i)),
     m AS (SELECT (l + r) / 2 AS v FROM s)
     SELECT 8000 AS sample_rate, 2 AS n_channels, CAST(2000 AS BIGINT) AS n_frames,
-           round(0.25, 6) AS duration_s,
+           CAST(0.25 AS DOUBLE) AS duration_s,
            round(sqrt(avg(v * v)), 6) AS rms,
            round(max(abs(v)), 6) AS peak
     FROM m
@@ -6593,6 +6593,70 @@ def q174(spark, sf_dir):
         F.round("rms", 6).alias("rms"),
         F.round("peak", 6).alias("peak"),
     )
+
+
+@query(
+    "q175_dsir_weights",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, is_target,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    g AS (
+      SELECT doc_id, is_target,
+             list_concat(toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM tok),
+    inst AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024 AS bucket
+      FROM g, unnest(grams) AS u(gram)),
+    feats AS (
+      SELECT doc_id, is_target, bucket, count(*) AS cnt
+      FROM inst GROUP BY 1, 2, 3),
+    marg AS (
+      SELECT bucket, sum(cnt) AS r_b,
+             sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_b
+      FROM feats GROUP BY 1),
+    tot AS (SELECT sum(r_b) AS rr, sum(t_b) AS tt FROM marg),
+    ratios AS (
+      SELECT bucket,
+             CAST(round(ln((t_b + 1.0) / (tt + 1024.0))
+                        - ln((r_b + 1.0) / (rr + 1024.0)), 7)
+                  AS DECIMAL(20,7)) AS lr
+      FROM marg, tot)
+    SELECT f.doc_id, any_value(f.is_target) AS is_target,
+           CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+           CAST(round(sum(f.cnt * r.lr), 4) AS DOUBLE) AS dsir_logw,
+           round(CAST(sum(f.cnt * r.lr) AS DOUBLE) / CAST(sum(f.cnt) AS DOUBLE), 4)
+               + 0.0 AS dsir_logw_per_gram
+    FROM feats f JOIN ratios r USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def q175(spark, sf_dir):
+    """DSIR importance weighting (functions/dsir.py): hashed
+    unigram+bigram bag-of-buckets models fit on the English subset
+    (target) vs the whole corpus (raw), per-doc log likelihood ratio.
+    Full value oracle: the ENTIRE pipeline — tokenization, gram
+    formation, md5 bucket hash, smoothed marginals, round-7 DECIMAL
+    log-ratio accumulation — restated in SQL; per-bucket ratios round
+    to 7 and sum as DECIMAL so the per-doc sums are exact on both
+    engines. Scale: one instance-keyed shuffle (map-side combined),
+    bucket marginals collapse to ≤1024 rows, ratio table broadcast."""
+    _prep(spark)
+    from polars_dataset_spark.functions import dsir_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_score(docs, F.col("lang") == "en", buckets=1024, alpha=1.0)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

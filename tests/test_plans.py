@@ -193,3 +193,20 @@ def test_assign_training_shards_map_only(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     assert count_exchanges(assign_training_shards(docs)) == 0
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
+    """The ≤buckets-row log-ratio table must come back onto the per-doc
+    features as a BROADCAST join — a shuffled join there would re-key
+    the instance-scale feature table a second time for nothing."""
+    from pyspark.sql import functions as F
+
+    from polars_dataset_spark.functions import dsir_score
+    from polars_dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dsir_score(docs, F.col("lang") == "en", buckets=256)
+    text = explain_str(df)
+    assert "BroadcastHashJoin" in text
+    assert "Exchange SinglePartition" not in text
+    assert "pythonUDF" not in text.lower()
