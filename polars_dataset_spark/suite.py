@@ -6659,6 +6659,66 @@ def q175(spark, sf_dir):
     return dsir_score(docs, F.col("lang") == "en", buckets=1024, alpha=1.0)
 
 
+@query(
+    "q176_leakage_safe_split",
+    r"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
+      FROM d),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+    e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT doc.doc_id, comp.component,
+             substr(md5('split' || CAST(comp.component AS VARCHAR)), 1, 15) AS hx
+      FROM documents doc JOIN comp ON doc.doc_id = comp.id)
+    SELECT doc_id, component,
+           CASE WHEN hx <= 'ccccccccccccccc' THEN 'train'
+                WHEN hx <= 'e66666666666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def q176(spark, sf_dir):
+    """Leakage-safe train/val/test split (functions/shards.py): MinHash
+    near-dup clusters (LSH candidates → connected components) are
+    assigned ATOMICALLY to one split by hashing the cluster
+    representative — a paraphrase of a test doc can never land in
+    train. Full value oracle: exact-Jaccard pair graph (recall 1 on the
+    fixture, the q37/q64 argument) closed with a recursive CTE, then
+    the identical md5-hex threshold compare with EXACT Fraction-derived
+    boundaries (0.8 → 'ccccccccccccccc'). Scale: CC is the
+    large/small-star contraction; the split itself is one left join +
+    map-only hash compare."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        leakage_safe_split,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, threshold=0.7)
+    return leakage_safe_split(docs, pairs).select("doc_id", "component", "split")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
