@@ -276,8 +276,18 @@ def _decode_wav(data: bytes) -> "tuple[int, int, np.ndarray] | None":
         n_channels = int.from_bytes(fmt[2:4], "little")
         rate = int.from_bytes(fmt[4:8], "little")
         bits = int.from_bytes(fmt[14:16], "little")
-        if audio_format != 1 or n_channels < 1 or bits not in (8, 16):
-            return None  # PCM only; compressed formats need a codec lib
+        if n_channels < 1:
+            return None
+        if audio_format in (6, 7) and bits == 8:
+            # ITU-T G.711 telephony formats: 6 = A-law, 7 = mu-law
+            from polars_dataset_spark.functions.g711 import alaw_decode, mulaw_decode
+
+            dec = alaw_decode if audio_format == 6 else mulaw_decode
+            samples = dec(np.frombuffer(raw, dtype=np.uint8)).astype(np.float64) / 32768.0
+            n_frames = samples.size // n_channels
+            return rate, n_channels, samples[: n_frames * n_channels].reshape(n_frames, n_channels)
+        if audio_format != 1 or bits not in (8, 16):
+            return None  # linear PCM or G.711 only; other codecs need a codec lib
         if bits == 16:
             samples = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.float64) / 32768.0
         else:  # 8-bit WAV is unsigned
@@ -302,9 +312,11 @@ AUDIO_SCHEMA_FIELDS = [
 def decode_audio(
     df: DataFrame, content_col: str = "content", envelope_bins: int = 16
 ) -> DataFrame:
-    """REAL audio decode without any codec library: parse RIFF/PCM WAV
-    blobs (8/16-bit, mono or multichannel) — or FLAC streams, via the
-    pure-python decoder in :mod:`polars_dataset_spark.functions.flac`
+    """REAL audio decode without any codec library: parse RIFF WAV
+    blobs (linear PCM 8/16-bit, or G.711 mu-law/A-law telephony via
+    :mod:`polars_dataset_spark.functions.g711`, mono or multichannel) —
+    or FLAC streams, via the pure-python decoder in
+    :mod:`polars_dataset_spark.functions.flac`
     (magic-byte sniffed) — in pure numpy and attach
     ``sample_rate, n_channels, n_frames, duration_s, rms, peak`` plus a
     fixed-width loudness ``envelope`` (per-bin RMS over the channel-mean

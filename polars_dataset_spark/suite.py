@@ -6719,6 +6719,71 @@ def q176(spark, sf_dir):
     return leakage_safe_split(docs, pairs).select("doc_id", "component", "split")
 
 
+@query(
+    "q177_g711_decode",
+    """
+    WITH mu AS (
+      SELECT 255 - ((i * 7) % 256) AS u FROM range(2048) t(i)),
+    mud AS (
+      SELECT CASE WHEN u >= 128
+                  THEN -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+                  ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+             END / 32768.0 AS v
+      FROM mu),
+    al AS (
+      SELECT xor((i * 11) % 256, 85) AS a FROM range(2048) t(i)),
+    ald AS (
+      SELECT CASE WHEN a >= 128 THEN mag ELSE -mag END / 32768.0 AS v
+      FROM (SELECT a, CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                           ELSE (((a % 16) * 16) + 264) << (((a // 16) % 8) - 1)
+                      END AS mag
+            FROM al))
+    SELECT 6 AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(2048 AS BIGINT) AS n_frames, CAST(0.256 AS DOUBLE) AS duration_s,
+           round(sqrt(avg(v * v)), 6) AS rms, round(max(abs(v)), 6) AS peak
+    FROM ald
+    UNION ALL
+    SELECT 7, 8000, 1, CAST(2048 AS BIGINT), CAST(0.256 AS DOUBLE),
+           round(sqrt(avg(v * v)), 6), round(max(abs(v)), 6)
+    FROM mud
+    """,
+)
+def q177(spark, sf_dir):
+    """Driver gate for the G.711 telephony decoders (functions/g711.py):
+    every byte value 0..255 appears in each ramp payload, so the oracle —
+    which restates the FULL bit-field decode arithmetic (complement /
+    XOR 0x55, sign, exponent shift, mantissa, bias) in SQL — checks the
+    decoder at every quantization level, through the real WAV container
+    path (format tags 6/7) on the executor. Any wrong bit anywhere in
+    either companding law shifts rms/peak and fails the value hash."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_audio
+    from polars_dataset_spark.functions.g711 import g711_wav_bytes
+
+    i = np.arange(2048)
+    alaw = bytes(((i * 11) % 256).astype(np.uint8))
+    mulaw = bytes(((i * 7) % 256).astype(np.uint8))
+    df = spark.createDataFrame(
+        [
+            (6, bytearray(g711_wav_bytes(alaw, fmt_tag=6))),
+            (7, bytearray(g711_wav_bytes(mulaw, fmt_tag=7))),
+        ],
+        "media_id int, content binary",
+    )
+    out = decode_audio(df)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
