@@ -1,0 +1,89 @@
+"""Key-distribution profiling: the measurement behind every skew
+decision in this package.
+
+``operators/skew.py`` salts joins and AQE splits skewed partitions, but
+both need to know WHICH keys are hot — guessing wastes either shuffle
+width (salting uniform keys) or wall-clock (not salting the one key
+holding 40% of the table). ``key_skew_profile`` measures it:
+
+- ONE pass over the input: every profiled column's value is packed into
+  an exploded ``(col_name, value)`` stream, so profiling k columns
+  costs one instance-scale shuffle (map-side combined) — not k separate
+  jobs/scans;
+- the per-(col, value) count table then collapses per column to
+  ``n_rows``, ``n_distinct``, the heaviest key and its share, and
+  ``skew_factor`` = heaviest-key count ÷ mean-key count (1.0 = uniform;
+  ≥ the AQE skew threshold ⇒ salt or let AQE split);
+- the heaviest key is chosen DETERMINISTICALLY (max count, ties broken
+  by max value string) via a struct max — so the result is stable
+  across partitionings and restatable in SQL.
+
+At 100 TB: the explode multiplies rows by k before the combine — for
+wide profiling (k ≫ 4), run on a ``hash_sample`` first; key *shares*
+concentrate fast (the heavy-hitter keys a skew decision cares about are
+exactly the ones a 1% sample cannot miss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["key_skew_profile"]
+
+
+def key_skew_profile(
+    df: DataFrame,
+    cols: "list[str]",
+    null_token: str = "<null>",
+    share_round: int = 6,
+) -> DataFrame:
+    """Per-column key-distribution profile: one row per profiled column
+    with ``(col_name, n_rows, n_distinct, top1_key, top1_cnt,
+    top1_share, skew_factor)``. Values are profiled as strings
+    (``null_token`` stands in for NULL so it participates like any
+    key — a NULL-heavy join key is the classic hidden skew)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.coalesce(F.col(c).cast("string"), F.lit(null_token)).alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    counts = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.col_name", "p.value")
+        .groupBy("col_name", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_distinct"),
+        F.max(F.struct(F.col("cnt").alias("cnt"), F.col("value").alias("value"))).alias(
+            "__top"
+        ),
+    )
+    return top.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("__top.value").alias("top1_key"),
+        F.col("__top.cnt").cast("long").alias("top1_cnt"),
+        F.round(
+            F.col("__top.cnt").cast("double") / F.col("n_rows").cast("double"),
+            share_round,
+        ).alias("top1_share"),
+        F.round(
+            F.col("__top.cnt").cast("double")
+            * F.col("n_distinct").cast("double")
+            / F.col("n_rows").cast("double"),
+            4,
+        ).alias("skew_factor"),
+    )

@@ -6784,6 +6784,50 @@ def q177(spark, sf_dir):
     )
 
 
+@query(
+    "q178_key_skew_profile",
+    """
+    WITH stream AS (
+      SELECT 'lang' AS col_name, coalesce(CAST(lang AS VARCHAR), '<null>') AS value
+      FROM documents
+      UNION ALL
+      SELECT 'source', coalesce(CAST(source AS VARCHAR), '<null>') FROM documents
+      UNION ALL
+      SELECT 'doc_id', coalesce(CAST(doc_id AS VARCHAR), '<null>') FROM documents),
+    v AS (
+      SELECT col_name, value, count(*) AS cnt FROM stream GROUP BY 1, 2),
+    agg AS (
+      SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(cnt) AS BIGINT) AS top1_cnt
+      FROM v GROUP BY 1),
+    t AS (
+      SELECT v.col_name, max(v.value) AS top1_key
+      FROM v JOIN agg ON v.col_name = agg.col_name AND v.cnt = agg.top1_cnt
+      GROUP BY 1)
+    SELECT agg.col_name, n_rows, n_distinct, top1_key, top1_cnt,
+           round(top1_cnt::DOUBLE / n_rows, 6) AS top1_share,
+           round(top1_cnt::DOUBLE * n_distinct / n_rows, 4) AS skew_factor
+    FROM agg JOIN t ON agg.col_name = t.col_name
+    """,
+)
+def q178(spark, sf_dir):
+    """Key-skew profiler (functions/profiling.py): the measurement that
+    drives the salting / AQE-skew decisions in operators/skew.py —
+    heaviest key, its share, and skew_factor (heaviest ÷ mean key
+    count) per column, all in ONE instance-scale shuffle for k columns.
+    Full value oracle: the exploded (col, value) stream, the
+    deterministic struct-max tie-break (max count → max value), and
+    both ratios restated in SQL. The fixture exposes all three regimes:
+    doc_id uniform-unique (skew 1.0), source balanced, lang skewed
+    ('en' ≈ 44%)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import key_skew_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return key_skew_profile(docs, ["lang", "source", "doc_id"])
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
