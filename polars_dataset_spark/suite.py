@@ -6828,6 +6828,106 @@ def q178(spark, sf_dir):
     return key_skew_profile(docs, ["lang", "source", "doc_id"])
 
 
+@query(
+    "q179_url_filter",
+    r"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://www.' || source || '.example/p/' || lang || '/' || doc_id
+               WHEN 1 THEN 'https://sub.' || source || '.co.uk/a/b?x=1&y=' || doc_id
+               WHEN 2 THEN 'http://' || source || '.org:8080/idx'
+               WHEN 3 THEN 'ftp://10.0.0.' || (doc_id % 250) || '/f'
+               WHEN 4 THEN 'not a url ' || doc_id
+               ELSE 'https://spam.example/bad/' || doc_id
+             END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             nullif(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
+             nullif(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '') AS host,
+             CAST(nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1), '') AS INTEGER) AS port,
+             nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path,
+             nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+      FROM src),
+    dom AS (
+      SELECT *,
+             CASE WHEN host IS NULL THEN NULL
+                  WHEN regexp_matches(host, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+                       OR len(string_split(host, '.')) <= 2 THEN host
+                  WHEN array_to_string(string_split(host, '.')[-2:], '.')
+                       IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                           'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                           'com.mx','co.in','co.kr','co.za')
+                       AND len(string_split(host, '.')) >= 3
+                    THEN array_to_string(string_split(host, '.')[-3:], '.')
+                  ELSE array_to_string(string_split(host, '.')[-2:], '.')
+             END AS domain
+      FROM parts)
+    SELECT doc_id, scheme, host, port, path,
+           CAST(CASE WHEN path IS NULL THEN 0
+                ELSE len(list_filter(string_split(path, '/'), s -> s <> '')) END AS INTEGER)
+               AS n_path_segments,
+           CAST(CASE WHEN query IS NULL THEN 0
+                ELSE len(list_filter(string_split(query, '&'), s -> s <> '')) END AS INTEGER)
+               AS n_query_params,
+           domain
+    FROM dom
+    WHERE domain IS NOT NULL
+      AND domain NOT IN ('spam.example', 'src3.co.uk')
+    """,
+)
+def q179(spark, sf_dir):
+    """URL parsing + domain blocklist (functions/urls.py): URLs are
+    synthesized deterministically from the fixture (six regimes: www
+    host, multi-part co.uk suffix, explicit port, IPv4 literal,
+    unparseable, blocklisted domain), parsed with the RE2-portable
+    regex set, reduced to registered domains (embedded multi-part
+    suffix subset), and filtered through the broadcast anti-join
+    blocklist. Full value oracle: the identical regexes, suffix rules
+    and blocklist restated in SQL. Map-only + broadcast — zero corpus
+    shuffles."""
+    _prep(spark)
+    from polars_dataset_spark.functions import filter_url_blocklist, with_url_parts
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("https://www."), F.col("source"), F.lit(".example/p/"),
+                     F.col("lang"), F.lit("/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("https://sub."), F.col("source"), F.lit(".co.uk/a/b?x=1&y="),
+                     F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".org:8080/idx")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("ftp://10.0.0."), (F.col("doc_id") % 250).cast("string"),
+                     F.lit("/f")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("not a url "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://spam.example/bad/"), F.col("doc_id").cast("string"))
+        )
+    )
+    with_urls = docs.select("doc_id", url.alias("url"))
+    parsed = with_url_parts(with_urls)
+    kept = filter_url_blocklist(parsed, ["spam.example", "src3.co.uk"])
+    return kept.select(
+        "doc_id", "scheme", "host", "port", "path",
+        "n_path_segments", "n_query_params", "domain",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
