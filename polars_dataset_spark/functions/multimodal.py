@@ -151,7 +151,7 @@ def decode_media(
     ``decoder``:
 
     - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"`` / ``"gif"`` /
-      ``"webp"`` / ``"tiff"``: REAL
+      ``"webp"`` / ``"tiff"`` / ``"tga"``: REAL
       decodes implemented here in pure python/numpy (binary PGM/PPM
       headers + samples; uncompressed 24-bpp BMP with row padding and
       bottom-up order; baseline AND progressive JFIF JPEG — Huffman
@@ -170,7 +170,10 @@ def decode_media(
       see :mod:`polars_dataset_spark.functions.webp`; baseline TIFF —
       both byte orders, strips, gray/RGB, uncompressed/PackBits/TIFF-LZW
       with the early code-width change, horizontal-differencing
-      predictor — see :mod:`polars_dataset_spark.functions.tiff`)
+      predictor — see :mod:`polars_dataset_spark.functions.tiff`;
+      Truevision TGA — color-mapped/truecolor/grayscale + RLE variants,
+      16/24/32 bpp, both scanline orders — see
+      :mod:`polars_dataset_spark.functions.tga`)
       followed by
       deterministic nearest-neighbor resampling — no codec library
       needed. Blobs that fail to parse decode to null.
@@ -192,12 +195,13 @@ def decode_media(
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
             "installed in this environment; use decoder='ppm'/'bmp'/'jpeg'/"
-            "'png'/'gif'/'webp'/'tiff' (built-in pure-python decodes), decoder='fake' for "
+            "'png'/'gif'/'webp'/'tiff'/'tga' (built-in pure-python decodes), decoder='fake' for "
             "plumbing tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "tiff", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "tiff", "tga", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
     from polars_dataset_spark.functions.gif import decode_gif_gray
+    from polars_dataset_spark.functions.tga import decode_tga_gray
     from polars_dataset_spark.functions.tiff import decode_tiff_gray
     from polars_dataset_spark.functions.webp import decode_webp_gray
     from polars_dataset_spark.functions.jpeg import decode_jpeg_gray
@@ -211,6 +215,7 @@ def decode_media(
         "gif": decode_gif_gray,
         "webp": decode_webp_gray,
         "tiff": decode_tiff_gray,
+        "tga": decode_tga_gray,
     }.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

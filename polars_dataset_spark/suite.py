@@ -6928,6 +6928,44 @@ def q179(spark, sf_dir):
     )
 
 
+@query(
+    "q180_tga_decode",
+    """
+    SELECT CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+           CAST(((t1.y * 5 + t2.x // 4) * 29) % 256 AS BIGINT) AS px
+    FROM range(16) t1(y) CROSS JOIN range(16) t2(x)
+    """,
+)
+def q180(spark, sf_dir):
+    """Driver gate for the pure-python TGA decoder (q173 pattern): a
+    16×16 fixture whose pixels follow the closed form
+    ``((y·5 + x div 4)·29) mod 256`` (RLE-friendly runs of 4) is
+    encoded through the HARD path — type 10 RLE truecolor, 24-bpp BGR,
+    bottom-up scanline order, runs wrapping across row boundaries —
+    pushed through ``decode_media(decoder='tga')`` on the executor and
+    re-emitted per pixel; the oracle restates the closed form, so every
+    pixel is a full value match through packet decode, BGR channel
+    mean (all three channels equal → exact) and the vertical flip."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_media
+    from polars_dataset_spark.functions.tga import encode_tga_rle
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    v = ((yy * 5 + xx // 4) * 29) % 256
+    rgb = np.repeat((v / 255.0)[:, :, None], 3, axis=2)
+    blob = encode_tga_rle(rgb, depth=24, top_down=False)
+    df = spark.createDataFrame([(0, bytearray(blob))], "media_id long, content binary")
+    dec = decode_media(df, decoder="tga", target_size=(16, 16))
+    px = dec.select(F.posexplode("decoded").alias("pos", "val"))
+    return px.select(
+        F.floor(F.col("pos") / 16).cast("long").alias("y"),
+        (F.col("pos") % 16).cast("long").alias("x"),
+        F.round(F.col("val") * 255).cast("long").alias("px"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
