@@ -6966,6 +6966,57 @@ def q180(spark, sf_dir):
     )
 
 
+@query(
+    "q181_line_dedup",
+    """
+    WITH src AS (
+      SELECT doc_id, source,
+             'Subscribe to our newsletter' || chr(10) || text || chr(10)
+               || 'Copyright ' || source AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, i - 1 AS pos, string_split(text, chr(10))[i] AS line
+      FROM src CROSS JOIN range(1, 4) t(i)),
+    r AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM l)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '')
+               AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+    FROM r GROUP BY doc_id
+    """,
+)
+def q181(spark, sf_dir):
+    """C4-style line-level dedup (functions/dedup.dedup_lines): every
+    duplicated line keeps only its first occurrence corpus-wide —
+    the boilerplate killer shingle dedup misses. The fixture wraps each
+    doc in a shared header + per-source footer, so three regimes fire:
+    the header survives in exactly one doc, each footer in one doc per
+    source, and bodies of exact-duplicate docs get excised too (some
+    docs rebuild to '' — the empty-rebuild path is covered). Full value
+    oracle: explode, md5-keyed first-occurrence window with the same
+    (doc, pos) tie order, ordered string_agg rebuild — all restated in
+    SQL, texts compared string-exact."""
+    _prep(spark)
+    from polars_dataset_spark.functions import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return dedup_lines(wrapped)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
