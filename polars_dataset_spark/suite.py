@@ -7017,6 +7017,72 @@ def q181(spark, sf_dir):
     return dedup_lines(wrapped)
 
 
+@query(
+    "q182_bot_detection",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT user_id,
+             (us - lag(us) OVER (PARTITION BY user_id ORDER BY us)) // 1000 AS gap_ms
+      FROM e),
+    gg AS (
+      SELECT user_id, count(*) AS m, CAST(sum(gap_ms) AS BIGINT) AS sg,
+             CAST(sum(gap_ms * gap_ms) AS BIGINT) AS sg2
+      FROM g WHERE gap_ms IS NOT NULL GROUP BY 1),
+    mixc AS (
+      SELECT user_id, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+    mix AS (
+      SELECT user_id, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_events,
+             sum(CAST(c AS DECIMAL(10,0))
+                 * CAST(round(log2(c), 7) AS DECIMAL(20,7))) AS clog
+      FROM mixc GROUP BY 1),
+    sp AS (SELECT user_id, min(us) AS mn, max(us) AS mx FROM e GROUP BY 1),
+    f AS (
+      SELECT mix.user_id, n_events, CAST(n_types AS BIGINT) AS n_types,
+             round((mx - mn) / 1e6, 4) AS span_s,
+             CASE WHEN mx > mn
+                  THEN round(CAST(n_events AS DOUBLE) * 86400000000.0
+                             / CAST(mx - mn AS DOUBLE), 4) END AS events_per_day,
+             round((CAST(sg AS DOUBLE) / CAST(m AS DOUBLE)) / 1000.0, 4) AS mean_gap_s,
+             CASE WHEN m >= 2 THEN
+               round(sqrt((CAST(m AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                          / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)))
+                     / (CAST(sg AS DOUBLE) / CAST(m AS DOUBLE)), 4) END AS gap_cv,
+             round(log2(CAST(n_events AS DOUBLE))
+                   - CAST(clog AS DOUBLE) / CAST(n_events AS DOUBLE), 4)
+                 AS type_entropy_bits
+      FROM mix JOIN sp ON mix.user_id = sp.user_id
+               LEFT JOIN gg ON mix.user_id = gg.user_id)
+    SELECT *,
+           coalesce(gap_cv < 0.9, false) AS too_regular,
+           events_per_day > 2.5 AS too_hot,
+           type_entropy_bits < 2.25 AS too_narrow,
+           coalesce(gap_cv < 0.9, false) OR events_per_day > 2.5
+             OR type_entropy_bits < 2.25 AS is_bot
+    FROM f
+    """,
+)
+def q182(spark, sf_dir):
+    """Behavioral bot detection (functions/behavior.py): per-actor
+    rate / regularity / diversity features — integer-exact millisecond
+    gap sums, q95-style DECIMAL entropy accumulation — plus the
+    disjunctive rule flag. Thresholds (gap_cv < 0.9, > 2.5 events/day,
+    entropy < 2.25 bits) chosen so each rule splits the fixture's 150
+    users both ways (the q168 convention). Full value oracle: gaps,
+    variance-from-integer-sums, entropy identity
+    ``H = log2 n − Σc·log2 c / n`` and all four booleans restated in
+    SQL. Two keyed shuffles, no UDFs."""
+    _prep(spark)
+    from polars_dataset_spark.functions import flag_bots
+
+    events = load_table(spark, sf_dir, "events")
+    return flag_bots(
+        events, max_gap_cv=0.9, min_events_per_day=2.5, max_entropy_bits=2.25
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
