@@ -151,7 +151,7 @@ def decode_media(
     ``decoder``:
 
     - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"`` / ``"gif"`` /
-      ``"webp"`` / ``"tiff"`` / ``"tga"``: REAL
+      ``"webp"`` / ``"tiff"`` / ``"tga"`` / ``"ico"``: REAL
       decodes implemented here in pure python/numpy (binary PGM/PPM
       headers + samples; uncompressed 24-bpp BMP with row padding and
       bottom-up order; baseline AND progressive JFIF JPEG — Huffman
@@ -173,7 +173,9 @@ def decode_media(
       predictor — see :mod:`polars_dataset_spark.functions.tiff`;
       Truevision TGA — color-mapped/truecolor/grayscale + RLE variants,
       16/24/32 bpp, both scanline orders — see
-      :mod:`polars_dataset_spark.functions.tga`)
+      :mod:`polars_dataset_spark.functions.tga`; ICO icons — largest
+      directory member, PNG or doubled-height DIB payloads — see
+      :mod:`polars_dataset_spark.functions.ico`)
       followed by
       deterministic nearest-neighbor resampling — no codec library
       needed. Blobs that fail to parse decode to null.
@@ -195,12 +197,13 @@ def decode_media(
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
             "installed in this environment; use decoder='ppm'/'bmp'/'jpeg'/"
-            "'png'/'gif'/'webp'/'tiff'/'tga' (built-in pure-python decodes), decoder='fake' for "
+            "'png'/'gif'/'webp'/'tiff'/'tga'/'ico' (built-in pure-python decodes), decoder='fake' for "
             "plumbing tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "tiff", "tga", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "tiff", "tga", "ico", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
     from polars_dataset_spark.functions.gif import decode_gif_gray
+    from polars_dataset_spark.functions.ico import decode_ico_gray
     from polars_dataset_spark.functions.tga import decode_tga_gray
     from polars_dataset_spark.functions.tiff import decode_tiff_gray
     from polars_dataset_spark.functions.webp import decode_webp_gray
@@ -216,6 +219,7 @@ def decode_media(
         "webp": decode_webp_gray,
         "tiff": decode_tiff_gray,
         "tga": decode_tga_gray,
+        "ico": decode_ico_gray,
     }.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,15 +249,21 @@ def decode_media(
 
 
 def _decode_audio_blob(data: bytes) -> "tuple[int, int, np.ndarray] | None":
-    """Magic-byte dispatch for the audio operators: RIFF/WAVE → the PCM
-    parser below, ``fLaC`` → the pure-python FLAC decoder
-    (:mod:`polars_dataset_spark.functions.flac`). Same
+    """Magic-byte dispatch for the audio operators: RIFF/WAVE → the
+    PCM/G.711 parser below, ``fLaC`` → the pure-python FLAC decoder
+    (:mod:`polars_dataset_spark.functions.flac`), ``FORM``/``AIFF`` →
+    the big-endian AIFF parser
+    (:mod:`polars_dataset_spark.functions.aiff`). Same
     ``(rate, n_channels, frames)`` contract either way; anything else
     (or a failed parse) → None."""
     if data[:4] == b"fLaC":
         from polars_dataset_spark.functions.flac import decode_flac
 
         return decode_flac(data)
+    if data[:4] == b"FORM" and data[8:12] == b"AIFF":
+        from polars_dataset_spark.functions.aiff import decode_aiff
+
+        return decode_aiff(data)
     return _decode_wav(data)
 
 

@@ -7083,6 +7083,89 @@ def q182(spark, sf_dir):
     )
 
 
+@query(
+    "q183_aiff_decode",
+    """
+    WITH s AS (
+      SELECT ((i * 37) % 1001 - 500) / 32768.0 AS l,
+             ((i * 53) % 997 - 498) / 32768.0 AS r
+      FROM range(1500) t(i)),
+    m AS (SELECT (l + r) / 2 AS v FROM s)
+    SELECT 44100 AS sample_rate, 2 AS n_channels, CAST(1500 AS BIGINT) AS n_frames,
+           round(CAST(1500 AS DOUBLE) / 44100, 6) AS duration_s,
+           round(sqrt(avg(v * v)), 6) AS rms,
+           round(max(abs(v)), 6) AS peak
+    FROM m
+    """,
+)
+def q183(spark, sf_dir):
+    """Driver gate for the pure-python AIFF decoder (q174 pattern): a
+    closed-form stereo signal is packed through the big-endian IFF
+    container — including the sample rate stored as an 80-bit IEEE
+    extended float, the format's hard corner — decoded by
+    ``decode_audio`` on the executor, and the oracle restates the audio
+    statistics from the closed form. Channel-mean mono values are exact
+    dyadic rationals, so rms/peak match to round-6; a wrong bit in the
+    extended-float parse shifts sample_rate/duration and fails too."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_audio
+    from polars_dataset_spark.functions.aiff import encode_aiff
+
+    i = np.arange(1500)
+    frames = np.stack(
+        [(i * 37) % 1001 - 500, (i * 53) % 997 - 498], axis=1
+    ).astype(np.int64)
+    blob = encode_aiff(frames, rate=44100)
+    df = spark.createDataFrame([(0, bytearray(blob))], "media_id long, content binary")
+    return decode_audio(df).select(
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+@query(
+    "q184_ico_decode",
+    """
+    SELECT CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+           CAST((t1.y * 11 + t2.x * 3) % 256 AS BIGINT) AS px
+    FROM range(16) t1(y) CROSS JOIN range(16) t2(x)
+    """,
+)
+def q184(spark, sf_dir):
+    """Driver gate for the ICO container decoder (q173/q180 pattern): an
+    icon holding TWO members — a small decoy DIB and the 16×16 PNG
+    payload whose pixels follow ``(y·11 + x·3) mod 256`` — goes through
+    ``decode_media(decoder='ico')``; the decoder must pick the LARGEST
+    member (the spec's 0-means-256 sizing included in the walk), hand
+    it to the full PNG decoder, and every pixel value-matches the
+    closed form restated by the oracle."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_media
+    from polars_dataset_spark.functions.ico import _dib_bytes, encode_ico
+    from polars_dataset_spark.functions.png import encode_png_gray
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = ((yy * 11 + xx * 3) % 256).astype(np.float64) / 255.0
+    decoy = np.full((4, 4), 0.5)
+    blob = encode_ico([_dib_bytes(decoy, bpp=32), encode_png_gray(img, filter_type=4)])
+    df = spark.createDataFrame([(0, bytearray(blob))], "media_id long, content binary")
+    dec = decode_media(df, decoder="ico", target_size=(16, 16))
+    px = dec.select(F.posexplode("decoded").alias("pos", "val"))
+    return px.select(
+        F.floor(F.col("pos") / 16).cast("long").alias("y"),
+        (F.col("pos") % 16).cast("long").alias("x"),
+        F.round(F.col("val") * 255).cast("long").alias("px"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
