@@ -63,6 +63,7 @@ __all__ = [
     "neardup_filter_against",
     "remove_repeated_substrings",
     "dedup_lines",
+    "drop_frequent_lines",
 ]
 
 
@@ -1059,6 +1060,65 @@ def dedup_lines(
                         )
                     ),
                     lambda s: s["line"],
+                ),
+            ).alias(text_col),
+        )
+        .select(id_col, *scope, text_col, "n_lines", "n_kept")
+    )
+
+def drop_frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    scope_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """RefinedWeb-style frequent-line REMOVAL: any line occurring in at
+    least ``min_docs`` DISTINCT documents is boilerplate and is removed
+    from EVERY document — including the first (unlike
+    :func:`dedup_lines`, which keeps one copy; a nav menu's first
+    occurrence is just as worthless as its millionth). Lines below the
+    threshold are untouched, so rare legitimate repetition (quotes,
+    citations) survives. Blank lines are always kept as structure.
+
+    Returns ``(id_col, *scope_cols, text, n_lines, n_kept)`` with
+    ``text`` rebuilt from the kept lines in original order.
+
+    Scale shape: one explode, one line-digest-keyed aggregation down to
+    distinct lines (map-side combined; the per-line doc count is an
+    exact ``countDistinct(id)``), then an anti-join of the line stream
+    against the SMALL frequent set (tiny by construction — lines
+    crossing a ≥``min_docs`` bar — so Spark/AQE broadcasts it), and one
+    doc-keyed rebuild. The digest keys mean both the aggregation and
+    the join shuffle 32-byte md5s, never line text."""
+    scope = list(scope_cols)
+    lines = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in scope],
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__lh", F.md5(F.col("line")))
+    is_blank = F.trim(F.col("line")) == ""
+    freq = (
+        lines.filter(~is_blank)
+        .groupBy(*scope, "__lh")
+        .agg(F.countDistinct(id_col).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select(*scope, "__lh", F.lit(True).alias("__frequent"))
+    )
+    tagged = lines.join(F.broadcast(freq), on=[*scope, "__lh"], how="left")
+    kept_struct = F.when(
+        is_blank | F.col("__frequent").isNull(),
+        F.struct(F.col("pos"), F.col("line")),
+    )
+    return (
+        tagged.groupBy(id_col, *scope)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(kept_struct.isNotNull().cast("long")).cast("long").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
                 ),
             ).alias(text_col),
         )

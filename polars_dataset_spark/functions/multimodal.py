@@ -151,7 +151,7 @@ def decode_media(
     ``decoder``:
 
     - ``"ppm"`` / ``"bmp"`` / ``"jpeg"`` / ``"png"`` / ``"gif"`` /
-      ``"webp"`` / ``"tiff"`` / ``"tga"`` / ``"ico"``: REAL
+      ``"webp"`` / ``"tiff"`` / ``"tga"`` / ``"ico"`` / ``"qoi"``: REAL
       decodes implemented here in pure python/numpy (binary PGM/PPM
       headers + samples; uncompressed 24-bpp BMP with row padding and
       bottom-up order; baseline AND progressive JFIF JPEG — Huffman
@@ -175,7 +175,9 @@ def decode_media(
       16/24/32 bpp, both scanline orders — see
       :mod:`polars_dataset_spark.functions.tga`; ICO icons — largest
       directory member, PNG or doubled-height DIB payloads — see
-      :mod:`polars_dataset_spark.functions.ico`)
+      :mod:`polars_dataset_spark.functions.ico`; QOI — the complete
+      one-page spec: all six chunk ops, running hash table, wraparound
+      arithmetic — see :mod:`polars_dataset_spark.functions.qoi`)
       followed by
       deterministic nearest-neighbor resampling — no codec library
       needed. Blobs that fail to parse decode to null.
@@ -197,13 +199,14 @@ def decode_media(
         raise NotImplementedError(
             "decoder='pil' needs the PIL/Pillow codec stack, which is not "
             "installed in this environment; use decoder='ppm'/'bmp'/'jpeg'/"
-            "'png'/'gif'/'webp'/'tiff'/'tga'/'ico' (built-in pure-python decodes), decoder='fake' for "
+            "'png'/'gif'/'webp'/'tiff'/'tga'/'ico'/'qoi' (built-in pure-python decodes), decoder='fake' for "
             "plumbing tests, or install Pillow on the cluster image."
         )
-    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "tiff", "tga", "ico", "pil"):
+    if decoder not in ("fake", "ppm", "bmp", "jpeg", "png", "gif", "webp", "tiff", "tga", "ico", "qoi", "pil"):
         raise ValueError(f"unknown decoder {decoder!r}")
     from polars_dataset_spark.functions.gif import decode_gif_gray
     from polars_dataset_spark.functions.ico import decode_ico_gray
+    from polars_dataset_spark.functions.qoi import decode_qoi_gray
     from polars_dataset_spark.functions.tga import decode_tga_gray
     from polars_dataset_spark.functions.tiff import decode_tiff_gray
     from polars_dataset_spark.functions.webp import decode_webp_gray
@@ -220,6 +223,7 @@ def decode_media(
         "tiff": decode_tiff_gray,
         "tga": decode_tga_gray,
         "ico": decode_ico_gray,
+        "qoi": decode_qoi_gray,
     }.get(decoder)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -7166,6 +7166,99 @@ def q184(spark, sf_dir):
     )
 
 
+@query(
+    "q185_qoi_decode",
+    """
+    SELECT CAST(t1.y AS BIGINT) AS y, CAST(t2.x AS BIGINT) AS x,
+           CAST(((t1.y * 13 + t2.x * 7) % 256 + (t1.y * 31 + t2.x * 5) % 256
+                 + (t1.y * 3 + t2.x * 11) % 256) AS BIGINT) AS px3
+    FROM range(16) t1(y) CROSS JOIN range(16) t2(x)
+    """,
+)
+def q185(spark, sf_dir):
+    """Driver gate for the QOI decoder (q173/q180/q184 pattern): a
+    16×16 RGB fixture with three DIFFERENT per-channel closed forms —
+    so the greedy encoder emits a real mix of RGB/LUMA/DIFF/INDEX/RUN
+    chunks, not one op — goes through ``decode_media(decoder='qoi')``;
+    the oracle restates the channel SUM (the float32 channel mean times
+    765 recovers the exact integer sum), so every pixel of every
+    channel is value-checked through the running hash table and
+    wraparound arithmetic."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_media
+    from polars_dataset_spark.functions.qoi import encode_qoi
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    rgb = np.stack(
+        [
+            (yy * 13 + xx * 7) % 256,
+            (yy * 31 + xx * 5) % 256,
+            (yy * 3 + xx * 11) % 256,
+        ],
+        axis=2,
+    ).astype(np.float64) / 255.0
+    blob = encode_qoi(rgb)
+    df = spark.createDataFrame([(0, bytearray(blob))], "media_id long, content binary")
+    dec = decode_media(df, decoder="qoi", target_size=(16, 16))
+    px = dec.select(F.posexplode("decoded").alias("pos", "val"))
+    return px.select(
+        F.floor(F.col("pos") / 16).cast("long").alias("y"),
+        (F.col("pos") % 16).cast("long").alias("x"),
+        F.round(F.col("val") * 765).cast("long").alias("px3"),
+    )
+
+
+@query(
+    "q186_drop_frequent_lines",
+    """
+    WITH src AS (
+      SELECT doc_id, source,
+             'Subscribe to our newsletter' || chr(10) || text || chr(10)
+               || 'Copyright ' || source AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, i - 1 AS pos, string_split(text, chr(10))[i] AS line
+      FROM src CROSS JOIN range(1, 4) t(i)),
+    freq AS (
+      SELECT line FROM l WHERE trim(line) <> ''
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE line NOT IN (SELECT line FROM freq)), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE line NOT IN (SELECT line FROM freq)) AS BIGINT)
+               AS n_kept
+    FROM l GROUP BY doc_id
+    """,
+)
+def q186(spark, sf_dir):
+    """RefinedWeb-style frequent-line removal
+    (functions/dedup.drop_frequent_lines): lines in ≥3 distinct docs
+    vanish from EVERY doc — including the first occurrence q181 keeps;
+    sub-threshold repetition (duplicate-pair bodies) survives, pinning
+    the semantic difference between the two line ops. Same wrapped
+    fixture as q181: the shared header and every per-source footer
+    (25 docs each) are removed everywhere; bodies stay unless the
+    corpus has them in ≥3 docs. Full value oracle, texts
+    string-exact."""
+    _prep(spark)
+    from polars_dataset_spark.functions import drop_frequent_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return drop_frequent_lines(wrapped, min_docs=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -65,3 +65,39 @@ def test_deterministic_across_partitionings(docs):
         for r in dedup_lines(docs.repartition(7, "doc_id")).collect()
     )
     assert a == b
+
+
+def test_drop_frequent_lines_semantics(spark):
+    from polars_dataset_spark.functions import drop_frequent_lines
+
+    rows = [
+        (1, "MENU\nunique one\nquote"),
+        (2, "MENU\nunique two\nquote"),
+        (3, "MENU\nunique three"),
+        (4, "MENU\n\nunique four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in drop_frequent_lines(df, min_docs=3).collect()}
+    # MENU (4 docs) removed EVERYWHERE, incl. its first occurrence
+    for d in (1, 2, 3, 4):
+        assert "MENU" not in out[d]["text"]
+    # 'quote' (2 docs < 3) survives in both
+    assert out[1]["text"] == "unique one\nquote"
+    assert out[2]["text"] == "unique two\nquote"
+    # blank lines always kept
+    assert out[4]["text"] == "\nunique four"
+    assert out[4]["n_lines"] == 3 and out[4]["n_kept"] == 2
+
+
+def test_drop_frequent_lines_scoped(spark):
+    from polars_dataset_spark.functions import drop_frequent_lines
+
+    rows = [
+        (1, "a", "NAV\nx"), (2, "a", "NAV\ny"), (3, "a", "NAV\nz"),
+        (4, "b", "NAV\nw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {r["doc_id"]: r for r in drop_frequent_lines(df, min_docs=3, scope_cols=["src"]).collect()}
+    # NAV crosses the bar only inside scope 'a'
+    assert out[1]["text"] == "x" and out[3]["text"] == "z"
+    assert out[4]["text"] == "NAV\nw"
