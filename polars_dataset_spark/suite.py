@@ -7259,6 +7259,66 @@ def q186(spark, sf_dir):
     return drop_frequent_lines(wrapped, min_docs=3)
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Full multi-round BPE replay in DuckDB SQL: chars + end-of-word
+    marker, weighted adjacent-pair counts, deterministic argmax
+    (count desc, then lexicographic), and the left-to-right merge as a
+    ``list_reduce`` fold — the fold is EXACTLY ``merge_sequence``
+    (after a merge the accumulator tail is ``a||b``, which can never
+    false-rematch since ``b`` is non-empty). One CTE pair per round."""
+    sql = r"""
+    WITH v AS (
+      SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents WHERE trim(text) <> '')
+      WHERE token <> '' GROUP BY 1),
+    s0 AS (SELECT token, cnt,
+           list_transform(range(1, len(token) + 1), i -> token[i]) || ['</w>'] AS syms
+           FROM v)"""
+    for r in range(n_merges):
+        sql += f""",
+    p{r} AS (
+      SELECT u.s['l'] AS l, u.s['r'] AS r, sum(cnt) AS pc FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                                          i -> {{'l': syms[i], 'r': syms[i+1]}})) AS s
+        FROM s{r}) u
+      GROUP BY 1, 2),
+    m{r} AS (SELECT l, r, pc FROM p{r} ORDER BY pc DESC, l, r LIMIT 1)"""
+        if r < n_merges - 1:
+            sql += f""",
+    s{r + 1} AS (
+      SELECT token, cnt,
+             list_reduce(list_transform(syms, x -> [x]),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{r}.l AND x[1] = m{r}.r
+                                THEN acc[:len(acc)-1] || [m{r}.l || m{r}.r]
+                                ELSE acc || x END) AS syms
+      FROM s{r} CROSS JOIN m{r})"""
+    parts = [
+        f'SELECT {r} AS rank, l AS "left", r AS "right",'
+        f" CAST(pc AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(n_merges)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@query("q187_bpe_train", _bpe_oracle(4))
+def q187(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.py, Sennrich
+    et al. 2016): the corpus collapses to the vocabulary table in ONE
+    instance-scale shuffle, then every merge round runs on vocab-sized
+    data (map-only pair explode + one aggregation + a 1-row argmax to
+    the driver). FULL value oracle: all four rounds — weighted pair
+    counts, the deterministic tie-break, and the left-to-right merge
+    fold — replayed in SQL via list_reduce; the q166-style one-step
+    precedent upgraded to the whole training loop."""
+    _prep(spark)
+    from polars_dataset_spark.functions import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, table = bpe_learn(docs, n_merges=4)
+    return table
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
