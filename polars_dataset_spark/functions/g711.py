@@ -35,6 +35,8 @@ __all__ = [
     "alaw_decode",
     "alaw_encode",
     "g711_wav_bytes",
+    "decode_au",
+    "encode_au",
 ]
 
 _MULAW_BIAS = 0x84  # 132
@@ -98,3 +100,57 @@ def g711_wav_bytes(payload: bytes, fmt_tag: int, rate: int = 8000, channels: int
         + (b"\x00" if len(payload) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+
+# --- Sun AU (.au/.snd) container -----------------------------------------
+# The classic NeXT/Sun audio format (public spec): 24-byte big-endian
+# header — magic ".snd", data offset, data size (0xFFFFFFFF = unknown),
+# encoding, sample rate, channels — then raw big-endian samples. The
+# format's native encodings 1 (G.711 mu-law) and 27 (G.711 A-law) reuse
+# the decoders above; 2/3 are signed linear PCM (8/16-bit).
+
+AU_MULAW, AU_PCM8, AU_PCM16, AU_ALAW = 1, 2, 3, 27
+
+
+def decode_au(data: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """AU blob → (rate, n_channels, frames float64 in [-1, 1]) or None —
+    the shared audio-decoder contract."""
+    try:
+        if len(data) < 24 or data[:4] != b".snd":
+            return None
+        offset, size, enc, rate, channels = struct.unpack(">LLLLL", data[4:24])
+        if offset < 24 or rate == 0 or channels == 0:
+            return None
+        raw = data[offset:]
+        if size != 0xFFFFFFFF:
+            raw = raw[:size]
+        if enc == AU_MULAW:
+            samples = mulaw_decode(np.frombuffer(raw, dtype=np.uint8)).astype(np.float64) / 32768.0
+        elif enc == AU_ALAW:
+            samples = alaw_decode(np.frombuffer(raw, dtype=np.uint8)).astype(np.float64) / 32768.0
+        elif enc == AU_PCM8:  # signed, unlike WAV's unsigned 8-bit
+            samples = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+        elif enc == AU_PCM16:  # big-endian
+            n = len(raw) // 2 * 2
+            samples = np.frombuffer(raw[:n], dtype=">i2").astype(np.float64) / 32768.0
+        else:
+            return None  # float/ADPCM encodings out of scope
+        n_frames = samples.size // channels
+        if n_frames == 0:
+            return None
+        return int(rate), int(channels), samples[: n_frames * channels].reshape(
+            n_frames, channels
+        )
+    except Exception:
+        return None
+
+
+def encode_au(payload: bytes, encoding: int, rate: int = 8000, channels: int = 1) -> bytes:
+    """Fixture encoder: raw sample bytes (already in the target
+    encoding, big-endian for PCM16) wrapped in an AU header."""
+    if encoding not in (AU_MULAW, AU_PCM8, AU_PCM16, AU_ALAW):
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    return (
+        b".snd" + struct.pack(">LLLLL", 24, len(payload), encoding, rate, channels)
+        + payload
+    )

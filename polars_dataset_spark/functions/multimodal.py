@@ -257,13 +257,19 @@ def _decode_audio_blob(data: bytes) -> "tuple[int, int, np.ndarray] | None":
     PCM/G.711 parser below, ``fLaC`` → the pure-python FLAC decoder
     (:mod:`polars_dataset_spark.functions.flac`), ``FORM``/``AIFF`` →
     the big-endian AIFF parser
-    (:mod:`polars_dataset_spark.functions.aiff`). Same
+    (:mod:`polars_dataset_spark.functions.aiff`), ``.snd`` → the Sun AU
+    parser (G.711 + signed linear PCM,
+    :mod:`polars_dataset_spark.functions.g711`). Same
     ``(rate, n_channels, frames)`` contract either way; anything else
     (or a failed parse) → None."""
     if data[:4] == b"fLaC":
         from polars_dataset_spark.functions.flac import decode_flac
 
         return decode_flac(data)
+    if data[:4] == b".snd":
+        from polars_dataset_spark.functions.g711 import decode_au
+
+        return decode_au(data)
     if data[:4] == b"FORM" and data[8:12] == b"AIFF":
         from polars_dataset_spark.functions.aiff import decode_aiff
 

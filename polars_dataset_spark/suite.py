@@ -7301,6 +7301,33 @@ def _bpe_oracle(n_merges: int) -> str:
     return sql + "\n" + "\nUNION ALL\n".join(parts)
 
 
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """q188's oracle: the q187 training replay extended one step — the
+    post-merge symbol table ``s{n}`` joins back onto each document's
+    token stream, so per-doc encoded lengths are value-exact."""
+    base = _bpe_oracle(n_merges)
+    # keep only the CTE chain (drop the UNION ALL merge-table select)
+    ctes = base[: base.index("\nSELECT 0 AS rank")]
+    last = n_merges - 1
+    return (
+        ctes
+        + f""",
+    s{n_merges} AS (
+      SELECT token, cnt,
+             list_reduce(list_transform(syms, x -> [x]),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{last}.l AND x[1] = m{last}.r
+                                THEN acc[:len(acc)-1] || [m{last}.l || m{last}.r]
+                                ELSE acc || x END) AS syms
+      FROM s{last} CROSS JOIN m{last}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents WHERE trim(text) <> '')
+    SELECT doc_id, CAST(sum(len(s{n_merges}.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM tok JOIN s{n_merges} USING (token)
+    GROUP BY doc_id"""
+    )
+
+
 @query("q187_bpe_train", _bpe_oracle(4))
 def q187(spark, sf_dir):
     """Distributed BPE tokenizer training (functions/bpe.py, Sennrich
@@ -7317,6 +7344,67 @@ def q187(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     _, table = bpe_learn(docs, n_merges=4)
     return table
+
+
+@query("q188_bpe_encode", _bpe_apply_oracle(4))
+def q188(spark, sf_dir):
+    """BPE encoding end-to-end (functions/bpe.bpe_apply): the corpus
+    re-encoded with the four merges q187 learns; per-doc encoded
+    lengths. Full value oracle: the training replay extended one merge
+    step to the final symbol table, joined back onto each document's
+    token stream — so the Arrow-batched apply path (cache, rank-order
+    merge loop) is value-checked against the SQL fold for every doc."""
+    _prep(spark)
+    from polars_dataset_spark.functions import bpe_apply, bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_learn(docs, n_merges=4)
+    return bpe_apply(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+@query(
+    "q189_au_decode",
+    """
+    WITH mu AS (
+      SELECT 255 - ((i * 13) % 256) AS u FROM range(1024) t(i)),
+    mud AS (
+      SELECT CASE WHEN u >= 128
+                  THEN -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+                  ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+             END / 32768.0 AS v
+      FROM mu)
+    SELECT 8000 AS sample_rate, 1 AS n_channels, CAST(1024 AS BIGINT) AS n_frames,
+           CAST(0.128 AS DOUBLE) AS duration_s,
+           round(sqrt(avg(v * v)), 6) AS rms, round(max(abs(v)), 6) AS peak
+    FROM mud
+    """,
+)
+def q189(spark, sf_dir):
+    """Driver gate for the Sun AU container (functions/g711.decode_au):
+    a mu-law byte ramp covering all 256 quantization levels rides the
+    big-endian .snd header into ``decode_audio``; the oracle restates
+    the G.711 bit-field arithmetic (the q177 oracle, new container
+    path). A wrong header field (offset/encoding/rate) or any decode
+    bit shifts rate/duration/rms and fails the hash."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import decode_audio
+    from polars_dataset_spark.functions.g711 import AU_MULAW, encode_au
+
+    payload = bytes(((np.arange(1024) * 13) % 256).astype(np.uint8))
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_au(payload, AU_MULAW, rate=8000, channels=1)))],
+        "media_id long, content binary",
+    )
+    return decode_audio(df).select(
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

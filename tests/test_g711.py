@@ -75,3 +75,50 @@ def test_wav_container_dispatch(spark):
 def test_wav_bytes_validates_tag():
     with pytest.raises(ValueError):
         g711_wav_bytes(b"\x00", fmt_tag=1)
+
+
+# --- Sun AU container ----------------------------------------------------
+
+
+def test_au_all_encodings_roundtrip():
+    from polars_dataset_spark.functions.g711 import (
+        AU_ALAW,
+        AU_MULAW,
+        AU_PCM8,
+        AU_PCM16,
+        decode_au,
+        encode_au,
+    )
+
+    i = np.arange(1000)
+    sig = ((i * 37) % 1001 - 500).astype(np.int64)
+    rate, nch, fr = decode_au(encode_au(sig.astype(">i2").tobytes(), AU_PCM16))
+    assert (rate, nch) == (8000, 1) and np.allclose(fr[:, 0], sig / 32768.0)
+    s8 = ((i * 7) % 256 - 128).astype(np.int8)
+    _, _, fr = decode_au(encode_au(s8.tobytes(), AU_PCM8))
+    assert np.allclose(fr[:, 0], s8 / 128.0)  # AU 8-bit PCM is SIGNED
+    for enc, encf, decf in (
+        (AU_MULAW, mulaw_encode, mulaw_decode),
+        (AU_ALAW, alaw_encode, alaw_decode),
+    ):
+        pay = bytes(encf(sig * 8))
+        _, _, fr = decode_au(encode_au(pay, enc))
+        assert np.allclose(fr[:, 0], decf(np.frombuffer(pay, np.uint8)) / 32768.0)
+
+
+def test_au_malformed_and_dispatch(spark):
+    from polars_dataset_spark.functions import decode_audio
+    from polars_dataset_spark.functions.g711 import AU_MULAW, decode_au, encode_au
+
+    assert decode_au(b".snd") is None
+    assert decode_au(b".snd" + b"\x00" * 20) is None  # zero rate/channels
+    bad_enc = encode_au(b"\x00" * 10, AU_MULAW)
+    bad_enc = bad_enc[:15] + b"\x63" + bad_enc[16:]  # unknown encoding 99
+    assert decode_au(bad_enc) is None
+    payload = bytes(((np.arange(256) * 9) % 256).astype(np.uint8))
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_au(payload, AU_MULAW, rate=16000)))],
+        "media_id long, content binary",
+    )
+    r = decode_audio(df).collect()[0]
+    assert r["sample_rate"] == 16000 and r["n_frames"] == 256
