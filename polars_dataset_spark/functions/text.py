@@ -29,6 +29,7 @@ __all__ = [
     "with_compression_ratio",
     "with_gopher_rules",
     "strip_markup",
+    "with_encoding_anomalies",
     "DEFAULT_QUALITY_WEIGHTS",
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
@@ -501,3 +502,49 @@ def strip_markup(
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)
+
+
+# Mojibake detection patterns (public, well-known byte-sequence
+# artifacts of decoding UTF-8 bytes as Latin-1/Windows-1252): a
+# two-byte UTF-8 sequence for a Latin letter re-read as Latin-1 always
+# starts with \u00c3/\u00c2, three-byte punctuation with \u00e2, and the
+# BOM shows as \u00ef\u00bb\u00bf. RE2- and Java-regex portable (no
+# lookaround); character ranges written as escapes so the pattern is
+# identical byte-for-byte in both engines.
+MOJIBAKE_RE = "(\u00c3[\u0080-\u00bf]|\u00c2[\u00a0-\u00bf]|\u00e2\u0080.|\u00ef\u00bb\u00bf)"
+# C0/DEL control characters that never belong in prose (tab/newline/CR
+# excluded -- they are document structure). Written with backslash-x
+# escapes (valid in BOTH Java regex and RE2) so the pattern string is
+# printable and embeds verbatim in SQL oracles.
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def with_encoding_anomalies(
+    df: DataFrame, text_col: str = "text", out_prefix: str = ""
+) -> DataFrame:
+    """Encoding-damage detector -- the cheap filter for the classic web
+    corpus failure modes no language model should train on:
+
+    - ``n_replacement`` -- U+FFFD replacement characters (a decoder
+      already gave up once);
+    - ``n_control`` -- C0/DEL control characters (binary junk in text);
+    - ``n_mojibake`` -- UTF-8-read-as-Latin-1 double-encoding artifacts
+      (``\u00c3\u00a9`` for ``\u00e9``, ``\u00e2\u0080\u009c`` for a curly
+      quote, stray BOMs);
+    - ``encoding_clean`` -- the conjunction (all three zero).
+
+    Pure codegen'd ``regexp_count`` expressions -- map-only, zero
+    shuffles, SQL-restatable verbatim."""
+    p = out_prefix
+    s = F.col(text_col)
+    n_rep = F.regexp_count(s, F.lit("\ufffd"))
+    n_ctl = F.regexp_count(s, F.lit(CONTROL_RE))
+    n_moj = F.regexp_count(s, F.lit(MOJIBAKE_RE))
+    return df.withColumns(
+        {
+            f"{p}n_replacement": n_rep.cast("long"),
+            f"{p}n_control": n_ctl.cast("long"),
+            f"{p}n_mojibake": n_moj.cast("long"),
+            f"{p}encoding_clean": (n_rep == 0) & (n_ctl == 0) & (n_moj == 0),
+        }
+    )

@@ -7407,6 +7407,64 @@ def q189(spark, sf_dir):
     )
 
 
+def _encoding_oracle() -> str:
+    """q190's oracle, composed from the SAME pattern constants the
+    operator compiles (single source of truth -- the regex bytes cannot
+    drift between engines)."""
+    from polars_dataset_spark.functions.text import CONTROL_RE, MOJIBAKE_RE
+
+    moj = "caf\u00c3\u00a9"
+    quote = "\u00e2\u0080\u009c"
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN text
+               WHEN 1 THEN text || ' {moj}'
+               WHEN 2 THEN text || chr(65533)
+               WHEN 3 THEN text || chr(7)
+               ELSE '{quote}' || text
+             END AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT) AS n_replacement,
+             CAST(len(regexp_extract_all(t, '{CONTROL_RE}')) AS BIGINT) AS n_control,
+             CAST(len(regexp_extract_all(t, '{MOJIBAKE_RE}')) AS BIGINT) AS n_mojibake
+      FROM s)
+    SELECT doc_id, n_replacement, n_control, n_mojibake,
+           n_replacement = 0 AND n_control = 0 AND n_mojibake = 0 AS encoding_clean
+    FROM c
+    """
+
+
+@query("q190_encoding_anomalies", _encoding_oracle())
+def q190(spark, sf_dir):
+    """Encoding-damage detection (functions/text.with_encoding_anomalies):
+    replacement characters, C0/DEL control bytes, and
+    UTF-8-as-Latin-1 mojibake artifacts counted per doc with pure
+    codegen'd regexp_count -- the cheap filter for text no model should
+    train on. The fixture injects each damage class deterministically
+    (doc_id mod 5: clean / mojibake e-acute / U+FFFD / BEL /
+    curly-quote mojibake prefix); the oracle counts with the IDENTICAL
+    pattern constants (imported, not copied). Map-only, zero
+    shuffles."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_encoding_anomalies
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" caf\u00c3\u00a9")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit("\ufffd")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.col("text"), F.lit("\u0007")))
+        .otherwise(F.concat(F.lit("\u00e2\u0080\u009c"), F.col("text")))
+        .alias("text"),
+    )
+    return with_encoding_anomalies(injected).drop("text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
