@@ -47,6 +47,7 @@ __all__ = [
     "binary_auc",
     "KMeansModel",
     "kmeans_fit",
+    "groupwise_linear_trend",
 ]
 
 
@@ -347,3 +348,52 @@ def kmeans_fit(
         if tol is not None and shift < tol:
             break
     return KMeansModel(centers, sizes, inertia, iters_run)
+
+
+def groupwise_linear_trend(
+    df: DataFrame,
+    group_cols: "list[str]",
+    x_col: str,
+    y_col: str,
+    y_round: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line — thousands of tiny
+    independent regressions in ONE aggregation pass (the grouped-model
+    sibling of the global :func:`ridge_fit`): per group,
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` and
+    ``intercept = (Σy − slope·Σx)/n`` from closed-form sums.
+
+    Determinism contract (what makes this oracle-able): ``x_col`` must
+    be integer-valued (day index, step number, ...) and ``y`` is
+    rounded to ``y_round`` decimals then accumulated as DECIMAL — so
+    every sum is EXACT whatever the partitioning, and the final double
+    arithmetic is a pure function of exact inputs. Degenerate groups
+    (n < 2 or zero x-variance) get null slope/intercept.
+
+    Shape: ONE map-side-combined aggregation keyed by the group — no
+    windows, no joins, no driver state; 100-TB cost is the single
+    group-keyed exchange of five decimals per group."""
+    x = F.col(x_col).cast("decimal(18,0)")
+    y = F.round(F.col(y_col), y_round).cast(f"decimal(24,{y_round})")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum((x.cast(f"decimal(12,0)") * y).cast(f"decimal(36,{y_round})")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    ok = (F.col("n") >= 2) & (denom != 0.0)
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(intercept, 6)).alias("intercept"),
+    )

@@ -7465,6 +7465,57 @@ def q190(spark, sf_dir):
     return with_encoding_anomalies(injected).drop("text")
 
 
+@query(
+    "q191_group_trend",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS x, value FROM events),
+    d AS (
+      SELECT event_type,
+             CAST(x AS DECIMAL(18,0)) AS xd,
+             CAST(round(value, 6) AS DECIMAL(24,6)) AS yd,
+             CAST(CAST(x AS DECIMAL(12,0)) * CAST(round(value, 6) AS DECIMAL(24,6))
+                  AS DECIMAL(36,6)) AS xyd
+      FROM e),
+    a AS (
+      SELECT event_type, count(*) AS n, sum(xd) AS sx, sum(xd * xd) AS sxx,
+             sum(yd) AS sy, sum(xyd) AS sxy
+      FROM d GROUP BY 1),
+    f AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd
+      FROM a)
+    SELECT event_type, n,
+           CASE WHEN n >= 2 AND nd * sxxd - sxd * sxd <> 0.0
+                THEN round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+           END AS slope,
+           CASE WHEN n >= 2 AND nd * sxxd - sxd * sxd <> 0.0
+                THEN round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                            * sxd) / nd, 6)
+           END AS intercept
+    FROM f
+    """,
+)
+def q191(spark, sf_dir):
+    """Per-group OLS trend (functions/ml.groupwise_linear_trend): one
+    regression per event type — value vs absolute day index — from
+    closed-form sums in ONE map-side-combined aggregation (the
+    grouped-model sibling of q158's global ridge fit). Determinism
+    contract: integer x, round-6 DECIMAL-accumulated y, so every sum
+    is exact and the slope/intercept doubles are pure functions of
+    exact inputs — the whole computation restates in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import groupwise_linear_trend
+
+    events = load_table(spark, sf_dir, "events")
+    with_day = events.withColumn(
+        "x", F.expr("unix_micros(cast(ts as timestamp)) DIV 86400000000")
+    )
+    return groupwise_linear_trend(with_day, ["event_type"], "x", "value")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

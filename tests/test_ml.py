@@ -253,3 +253,31 @@ def test_kmeans_fit_validates_and_ignores_nulls(spark):
     empty = spark.createDataFrame([], "embedding array<double>")
     with _pytest.raises(ValueError, match="no non-null"):
         kmeans_fit(empty, k=2)
+
+
+def test_groupwise_linear_trend_exact(spark):
+    import numpy as np
+
+    from polars_dataset_spark.functions import groupwise_linear_trend
+
+    rows = []
+    # group a: exact line y = 2x + 1; group b: noisy; group c: degenerate
+    for x in range(10):
+        rows.append(("a", x, 2.0 * x + 1.0))
+        rows.append(("b", x, 3.0 * x - 5.0 + (0.5 if x % 2 else -0.5)))
+    rows.append(("c", 4, 9.0))            # single point
+    rows.append(("d", 7, 1.0))
+    rows.append(("d", 7, 3.0))            # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r["g"]: r for r in groupwise_linear_trend(df, ["g"], "x", "y").collect()}
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 1.0
+    xb = np.arange(10); yb = 3.0 * xb - 5.0 + np.where(xb % 2, 0.5, -0.5)
+    slope_ref, inter_ref = np.polyfit(xb, yb, 1)
+    assert abs(out["b"]["slope"] - slope_ref) < 1e-6
+    assert abs(out["b"]["intercept"] - inter_ref) < 1e-6
+    assert out["c"]["slope"] is None and out["d"]["slope"] is None
+    # partitioning invariance (the decimal-sum contract)
+    again = {r["g"]: r for r in groupwise_linear_trend(df.repartition(9), ["g"], "x", "y").collect()}
+    assert {g: (r["slope"], r["intercept"]) for g, r in out.items()} == {
+        g: (r["slope"], r["intercept"]) for g, r in again.items()
+    }
