@@ -471,3 +471,65 @@ def test_state_fs_repair_restores_crashed_swap(spark, tmp_path):
     assert spark.read.parquet(target).count() == 2
     assert not os.path.exists(f"{target_posix}__staging")
     assert not os.path.exists(f"{target_posix}__old")
+
+
+def test_curation_ops_are_streamable(spark, sf_dir):
+    """The round-5 curation surface (Gopher rules, encoding anomalies,
+    URL blocklists, DSIR scoring via a pre-trained broadcast ratio
+    table is excluded — it aggregates) is MAP-ONLY, so the identical
+    call must run unchanged on a stream and agree with batch row for
+    row."""
+    from polars_dataset_spark.functions import (
+        with_encoding_anomalies,
+        with_gopher_rules,
+    )
+    from polars_dataset_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = with_encoding_anomalies(with_gopher_rules(docs)).select(
+        "doc_id", "gopher_keep", "encoding_clean"
+    )
+    st = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out = with_encoding_anomalies(with_gopher_rules(st)).select(
+        "doc_id", "gopher_keep", "encoding_clean"
+    )
+    assert out.isStreaming
+    run_stream_to_memory(out, "t_curation_stream", output_mode="append")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, spark.sql("select * from t_curation_stream").collect()))
+    assert b == s
+
+
+def test_url_filter_streamable(spark, sf_dir):
+    from polars_dataset_spark.functions import filter_url_blocklist
+    from polars_dataset_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    def add_url(df):
+        return df.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("spam.example"))
+                .otherwise(F.concat(F.col("source"), F.lit(".example"))),
+                F.lit("/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_ids = {
+        r["doc_id"]
+        for r in filter_url_blocklist(add_url(docs), ["spam.example"]).collect()
+    }
+    st = add_url(read_documents_stream(spark, f"{sf_dir}/documents.parquet"))
+    out = filter_url_blocklist(st, ["spam.example"])
+    assert out.isStreaming
+    run_stream_to_memory(out, "t_url_stream", output_mode="append")
+    stream_ids = {r["doc_id"] for r in spark.sql("select doc_id from t_url_stream").collect()}
+    assert batch_ids == stream_ids and batch_ids
