@@ -427,3 +427,81 @@ def test_lloyd_kmeans_inertia_never_increases(n, k, d, iters, seed):
         np.add.at(sums, a, x)
         nz = counts > 0
         centers[nz] = sums[nz] / counts[nz, None]
+
+
+# --- round-5 codec/kernel properties -------------------------------------
+
+
+@given(x=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_g711_quantization_error_bounded(x):
+    from polars_dataset_spark.functions.g711 import (
+        alaw_decode,
+        alaw_encode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    arr = np.asarray(x, dtype=np.int32)
+    for enc, dec in ((mulaw_encode, mulaw_decode), (alaw_encode, alaw_decode)):
+        rt = dec(enc(arr)).astype(np.int64)
+        # error bounded by the widest segment's half-width (full-scale
+        # step 1024 for mu-law, 512 for A-law before the >>3 alignment)
+        assert np.abs(rt - arr).max() <= 1024
+        # re-encoding a canonical level reproduces it exactly
+        assert np.array_equal(dec(enc(rt.astype(np.int32))), rt)
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=30),
+    pair=st.tuples(st.sampled_from(["a", "b", "ab", "c"]), st.sampled_from(["a", "b", "ab", "c"])),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_merge_leaves_no_residual_pair(syms, pair):
+    from polars_dataset_spark.functions.bpe import merge_sequence
+
+    out = merge_sequence(syms, pair)
+    # 1. token stream conserved
+    assert "".join(out) == "".join(syms)
+    # 2. greedy left-to-right leaves no adjacent (a, b) behind: a
+    #    residual could only sit after a merged 'ab' token, which would
+    #    require 'ab' == a — impossible since b is non-empty
+    assert all((l, r) != pair for l, r in zip(out, out[1:]))
+
+
+@given(
+    data=st.integers(0, 2**32 - 1),
+    h=st.integers(1, 8),
+    w=st.integers(1, 9),
+    channels=st.sampled_from([3, 4]),
+)
+@settings(max_examples=100, deadline=None)
+def test_qoi_roundtrip_random(data, h, w, channels):
+    from polars_dataset_spark.functions.qoi import decode_qoi_gray, encode_qoi
+
+    rng = np.random.RandomState(data % (2**31))
+    img = rng.randint(0, 256, (h, w, channels)) / 255.0
+    got = decode_qoi_gray(encode_qoi(img, channels=channels))
+    exp = np.round(img[..., :3] * 255).astype(np.uint8).astype(np.float32).mean(axis=2) / 255.0
+    assert got.shape == (h, w)
+    assert np.allclose(got, exp, atol=1e-6)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 8),
+    w=st.integers(1, 9),
+    palette_size=st.integers(1, 8),
+    top_down=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_tga_rle_roundtrip_random(seed, h, w, palette_size, top_down):
+    from polars_dataset_spark.functions.tga import decode_tga_gray, encode_tga_rle
+
+    rng = np.random.RandomState(seed)
+    # low-cardinality pixels force real runs AND raw packets
+    levels = rng.randint(0, 256, palette_size)
+    img = levels[rng.randint(0, palette_size, (h, w))] / 255.0
+    got = decode_tga_gray(encode_tga_rle(img, top_down=top_down))
+    assert got.shape == (h, w)
+    assert np.allclose(got, np.round(img * 255) / 255.0, atol=1e-6)
