@@ -64,6 +64,7 @@ __all__ = [
     "remove_repeated_substrings",
     "dedup_lines",
     "drop_frequent_lines",
+    "edit_distance_join",
 ]
 
 
@@ -1123,4 +1124,53 @@ def drop_frequent_lines(
             ).alias(text_col),
         )
         .select(id_col, *scope, text_col, "n_lines", "n_kept")
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str = "text",
+    max_dist: int = 2,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance (Levenshtein) join with SOUND length blocking:
+    pairs whose strings differ by at most ``max_dist`` unit edits.
+    Strings at distance <= k differ in length by <= k, so the LEFT side
+    fans out to every candidate length in ``[len-k, len+k]`` and
+    equi-joins the RIGHT side's exact length -- recall 1 by
+    construction (every true pair shares a length key), then the exact
+    ``levenshtein`` verifies candidates. Complements :func:`fuzzy_join`
+    (token-set Jaccard): edit distance catches character-level typos
+    and OCR noise that token shingles miss.
+
+    Returns ``(id_a, id_b, dist)``. Scale: shuffle volume is
+    ``(2k+1)*|L| + |R|`` keyed by length -- the candidate set within a
+    length key is |L_len| x |R_len|; for heavily length-skewed corpora
+    pre-hash into (length, prefix-bucket) keys or cap per-length
+    cardinality upstream. Verification is JVM-side ``levenshtein``
+    codegen, no UDFs."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    lengths = F.explode(
+        F.sequence(
+            F.greatest(F.length(F.col(col)) - max_dist, F.lit(0)),
+            F.length(F.col(col)) + max_dist,
+        )
+    )
+    l = left.select(
+        F.col(left_id).alias("id_a"), F.col(col).alias("__sa"), lengths.alias("__blk")
+    )
+    r = right.select(
+        F.col(right_id).alias("id_b"),
+        F.col(col).alias("__sb"),
+        F.length(F.col(col)).alias("__blk"),
+    )
+    joined = l.join(r, on="__blk")
+    return (
+        joined.withColumn("dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+        .distinct()
     )

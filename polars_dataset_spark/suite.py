@@ -7516,6 +7516,107 @@ def q191(spark, sf_dir):
     return groupwise_linear_trend(with_day, ["event_type"], "x", "value")
 
 
+@query(
+    "q192_column_profile",
+    """
+    WITH w AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+             count(DISTINCT lang) AS dist_lang,
+             CAST(min(lang) AS VARCHAR) AS min_lang, CAST(max(lang) AS VARCHAR) AS max_lang,
+             sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_nc,
+             count(DISTINCT n_chars) AS dist_nc,
+             CAST(min(n_chars) AS VARCHAR) AS min_nc, CAST(max(n_chars) AS VARCHAR) AS max_nc,
+             sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_src,
+             count(DISTINCT source) AS dist_src,
+             CAST(min(source) AS VARCHAR) AS min_src, CAST(max(source) AS VARCHAR) AS max_src
+      FROM documents)
+    SELECT 'lang' AS col_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(null_lang AS BIGINT) AS n_null,
+           round(null_lang::DOUBLE / n, 6) AS null_frac,
+           CAST(dist_lang AS BIGINT) AS n_distinct,
+           min_lang AS min_value, max_lang AS max_value
+    FROM w
+    UNION ALL
+    SELECT 'n_chars', CAST(n AS BIGINT), CAST(null_nc AS BIGINT),
+           round(null_nc::DOUBLE / n, 6), CAST(dist_nc AS BIGINT), min_nc, max_nc
+    FROM w
+    UNION ALL
+    SELECT 'source', CAST(n AS BIGINT), CAST(null_src AS BIGINT),
+           round(null_src::DOUBLE / n, 6), CAST(dist_src AS BIGINT), min_src, max_src
+    FROM w
+    """,
+)
+def q192(spark, sf_dir):
+    """Column profiler (functions/profiling.column_profile): per-column
+    nulls / exact distincts / native-ordering min-max in ONE
+    aggregation pass (min/max computed on the native type, THEN
+    rendered as strings — a numeric column profiles numerically). Full
+    value oracle over a string, a bigint and a categorical column."""
+    _prep(spark)
+    from polars_dataset_spark.functions import column_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return column_profile(docs, ["lang", "n_chars", "source"])
+
+
+@query(
+    "q193_edit_distance_join",
+    """
+    WITH s AS (
+      SELECT doc_id, substring(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 12) AS p
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.p, b.p) AS dist
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+    FROM pairs WHERE dist <= 2
+    """,
+)
+def q193(spark, sf_dir):
+    """Edit-distance join (functions/dedup.edit_distance_join): doc
+    pairs whose normalized 12-char prefixes are within 2 unit edits —
+    the character-level typo/OCR matcher the token-Jaccard fuzzy_join
+    (q130) can't express. Spark runs the SOUND length-blocked plan
+    (left fans out to [len−k, len+k], equi-join, exact levenshtein
+    verify — recall 1 by construction); the oracle brute-forces ALL
+    pairs, so blocking recall and the distance metric are both
+    value-checked."""
+    _prep(spark)
+    from polars_dataset_spark.functions import edit_distance_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefixes = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 1, 12
+        ).alias("p"),
+    )
+    pairs = edit_distance_join(prefixes, prefixes, col="p", max_dist=2)
+    return pairs.filter(F.col("id_a") < F.col("id_b"))
+
+
+@query(
+    "q194_k_anonymity",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size,
+           count(*) < 7 AS at_risk
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q194(spark, sf_dir):
+    """k-anonymity audit (functions/profiling.k_anonymity_audit): the
+    (lang, source) quasi-identifier classes of the corpus with the
+    under-k flag — the privacy gate a training-data release pipeline
+    runs before shipping. k=7 splits the fixture's ~100 classes both
+    ways. One map-side-combined shuffle; full value oracle."""
+    _prep(spark)
+    from polars_dataset_spark.functions import k_anonymity_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_anonymity_audit(docs, ["lang", "source"], k=7)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

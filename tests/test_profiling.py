@@ -45,3 +45,73 @@ def test_single_shuffle_plan(skewed):
     # one exchange for the (col,value) counts + one for the tiny per-col
     # rollup — profiling k columns must NOT cost k scans/shuffles
     assert count_exchanges(prof) <= 2
+
+
+def test_column_profile(spark):
+    from polars_dataset_spark.functions import column_profile
+
+    rows = [(1, "a", 10.5), (2, "b", None), (3, None, 2.5), (4, "a", 99.0)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    prof = {r["col_name"]: r for r in column_profile(df, ["id", "s", "v"]).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_distinct"] == 4
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    assert prof["s"]["n_null"] == 1 and prof["s"]["null_frac"] == 0.25
+    assert prof["s"]["n_distinct"] == 2  # NULL excluded
+    # native numeric ordering, not lexicographic: 2.5 < 10.5, though '10.5' < '2.5'
+    assert prof["v"]["min_value"] == "2.5" and prof["v"]["max_value"] == "99.0"
+    with pytest.raises(ValueError):
+        column_profile(df, [])
+    with pytest.raises(ValueError):
+        column_profile(df, ["nope"])
+
+
+def test_k_anonymity_audit(spark):
+    from polars_dataset_spark.functions import k_anonymity_audit
+
+    rows = [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 1
+    df = spark.createDataFrame(rows, "g string, h string")
+    out = {(r["g"], r["h"]): r for r in k_anonymity_audit(df, ["g", "h"], k=3).collect()}
+    assert not out[("a", "x")]["at_risk"] and out[("a", "x")]["class_size"] == 5
+    assert out[("a", "y")]["at_risk"] and out[("b", "x")]["at_risk"]
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["g"], k=0)
+
+
+def test_edit_distance_join_sound_blocking(spark):
+    from polars_dataset_spark.functions import edit_distance_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "abcdef"), (3, "xy")], "doc_id long, s string"
+    )
+    right = spark.createDataFrame(
+        [(10, "sitting"), (11, "abXdef"), (12, "xyz"), (13, "zzzzzz")],
+        "doc_id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(left, right, col="s", max_dist=3).collect()
+    }
+    # kitten->sitting is the textbook distance 3 (crosses a length boundary)
+    assert got[(1, 10)] == 3
+    assert got[(2, 11)] == 1
+    assert got[(3, 12)] == 1
+    assert (1, 13) not in got and (2, 13) not in got  # all-different 6-char strings: dist 6
+    # brute-force parity
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    expected = {
+        (l["doc_id"], r["doc_id"]): lev(l["s"], r["s"])
+        for l, r in itertools.product(left.collect(), right.collect())
+        if lev(l["s"], r["s"]) <= 3
+    }
+    assert got == expected
