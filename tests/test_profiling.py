@@ -115,3 +115,42 @@ def test_edit_distance_join_sound_blocking(spark):
         if lev(l["s"], r["s"]) <= 3
     }
     assert got == expected
+
+
+def test_edit_distance_join_segment_blocking_hypothesis(spark):
+    """Brute-force parity on a randomized corpus spanning the blocking
+    regimes: variable lengths, fixed lengths (where length blocking
+    alone degenerates), short strings (< k+1, the fallback bucket),
+    and k=0/1/2."""
+    import itertools
+    import random
+
+    from polars_dataset_spark.functions import edit_distance_join
+
+    rng = random.Random(42)
+    alphabet = "abc"
+    words = []
+    for i in range(60):
+        n = rng.choice([0, 1, 2, 3, 6, 8, 8, 8, 8, 12])
+        words.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(words, "doc_id long, s string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    for k in (0, 1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_join(df, df, col="s", max_dist=k).collect()
+        }
+        expected = {
+            (a[0], b[0]): lev(a[1], b[1])
+            for a, b in itertools.product(words, words)
+            if lev(a[1], b[1]) <= k
+        }
+        assert got == expected, (k, len(got), len(expected))
