@@ -118,9 +118,15 @@ def dsir_score(
       unless you *want* long docs favored.
 
     Per-bucket log ratios are rounded to 7 decimals and summed as
-    DECIMAL, making both outputs partition- and engine-exact. The two
-    model totals are one bounded single-row collect; the ratio table
-    (≤ ``buckets`` rows) is broadcast."""
+    DECIMAL, making both outputs partition- and engine-exact.
+
+    Plan shape: the per-doc feature table is a LAZY localCheckpoint, so
+    the explode→aggregate chain (the instance-scale work) runs ONCE and
+    both consumers — the bucket marginals and the per-doc scoring —
+    read the materialization; the two corpus totals ride a broadcast
+    single-row cross join instead of a separate collect action, so the
+    whole score is one job. The ratio table (≤ ``buckets`` rows) is
+    broadcast."""
     feats = hashed_gram_features(
         df.withColumn("__is_target", target.cast("boolean")),
         id_col,
@@ -128,7 +134,7 @@ def dsir_score(
         buckets,
         salt,
         carry_cols=["__is_target"],
-    )
+    ).localCheckpoint(eager=False)
     marg = feats.groupBy("bucket").agg(
         F.sum("cnt").alias("r_b"),
         F.sum(F.when(F.col("__is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
@@ -136,17 +142,17 @@ def dsir_score(
         ),
     )
     totals = marg.agg(
-        F.sum("r_b").alias("R"), F.sum("t_b").alias("T")
-    ).collect()[0]  # bounded: one row of two longs
-    big_r, big_t = int(totals["R"] or 0), int(totals["T"] or 0)
-    denom_t = float(big_t) + alpha * buckets
-    denom_r = float(big_r) + alpha * buckets
+        F.sum("r_b").cast("double").alias("__R"),
+        F.sum("t_b").cast("double").alias("__T"),
+    )
+    denom_t = F.col("__T") + F.lit(float(alpha * buckets))
+    denom_r = F.col("__R") + F.lit(float(alpha * buckets))
     lr = F.round(
-        F.log((F.col("t_b") + F.lit(alpha)) / F.lit(denom_t))
-        - F.log((F.col("r_b") + F.lit(alpha)) / F.lit(denom_r)),
+        F.log((F.col("t_b") + F.lit(alpha)) / denom_t)
+        - F.log((F.col("r_b") + F.lit(alpha)) / denom_r),
         7,
     ).cast("decimal(20,7)")
-    ratios = marg.select("bucket", lr.alias("__lr"))
+    ratios = marg.crossJoin(F.broadcast(totals)).select("bucket", lr.alias("__lr"))
     # decimal(10,0) × decimal(20,7) → decimal(31,7): inside Spark's
     # 38-digit ceiling, so the product keeps scale 7 EXACTLY. (An
     # (18,0) factor would make the product (39,7) → Spark silently
