@@ -111,6 +111,7 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q124_source_kl": {"BNL"},  # 1-row corpus-total broadcast crossJoin
         "q144_heavy_hitters": {"BNL"},  # 1-row total-count broadcast crossJoin
         "q146_ivf_recall": {"BNL"},  # recall audit runs the exact cosine baseline (q34's declared BNL) as its reference
+        "q175_dsir_weights": {"BNL"},  # 1-row corpus-totals broadcast crossJoin (q124/q144 pattern)
         # NO SINGLE_PART entries: every positional/rank op rides either
         # TakeOrderedAndProject, a keyed window, or the two-pass
         # distributed prefix sum — zero single-partition exchanges in
