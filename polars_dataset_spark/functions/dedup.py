@@ -65,6 +65,7 @@ __all__ = [
     "dedup_lines",
     "drop_frequent_lines",
     "edit_distance_join",
+    "cdc_chunks",
 ]
 
 
@@ -1245,4 +1246,80 @@ def edit_distance_join(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
         .distinct()
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions chosen
+    by CONTENT, not offset, so an insertion near the top of a document
+    shifts no chunk boundary below it — the property that makes
+    chunk-hash dedup robust to edits (the rsync/LBFS/storage-dedup
+    boundary idea — public; the hash here is the engine-portable md5
+    gram hash, not Rabin, so the oracle replays it in SQL).
+
+    Rule: position ``i`` (1-based, ``i >= window``) ends a chunk iff the
+    60-bit md5 hash of the ``window`` characters ending at ``i`` is
+    ``0 mod 2^mask_bits`` — expected chunk length ``2^mask_bits``. The
+    final tail (boundary position < length) is always its own chunk;
+    documents shorter than ``window`` are one chunk. Emits
+    ``(id_col, chunk_idx, chunk_start, chunk_len, chunk_text,
+    chunk_hash)`` with ``chunk_start`` 0-based and chunks concatenating
+    back to the exact original text (q199's rebuild oracle).
+
+    Scale shape: pure codegen'd expressions (sequence → md5 filter →
+    slice), map-only — no shuffle, no Python. The md5-per-position
+    constant is deliberate for oracle portability; a production variant
+    would swap in a Gear rolling hash inside ``mapInPandas`` with the
+    same boundary semantics.
+    """
+    if window <= 0 or mask_bits <= 0:
+        raise ValueError(f"window/mask_bits must be positive: {window}/{mask_bits}")
+    mask = 1 << mask_bits
+    t = F.col(text_col)
+    n = F.length(t)
+    # boundary positions: 1-based end positions whose trailing gram hashes
+    # to 0 mod 2^mask_bits; guard the sequence — F.sequence DESCENDS when
+    # stop < start, so short docs must yield [] explicitly
+    positions = F.when(
+        n >= window, F.sequence(F.lit(window), n)
+    ).otherwise(F.array().cast("array<int>"))
+    is_boundary = lambda i: (
+        F.conv(
+            F.substring(F.md5(F.substring(t, i - F.lit(window - 1), window)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % mask
+        == 0
+    )
+    bounds = F.filter(positions, is_boundary)
+    # chunk ends = boundaries + the final tail end (deduped when the last
+    # boundary IS the end); starts = 0 ++ boundaries
+    ends = F.when(
+        (F.size(bounds) > 0) & (F.element_at(bounds, -1) == n), bounds
+    ).otherwise(F.concat(bounds, F.array(n)))
+    starts = F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("start"), (e - s).alias("len"), F.substring(t, s + 1, e - s).alias("txt")
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("c.start").alias("chunk_start"),
+            F.col("c.len").alias("chunk_len"),
+            F.col("c.txt").alias("chunk_text"),
+            F.md5(F.col("c.txt")).alias("chunk_hash"),
+        )
     )

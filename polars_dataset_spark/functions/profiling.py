@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_profile", "column_profile", "k_anonymity_audit"]
+__all__ = [
+    "key_skew_profile",
+    "column_profile",
+    "k_anonymity_audit",
+    "numeric_outliers",
+]
 
 
 def key_skew_profile(
@@ -151,3 +156,46 @@ def k_anonymity_audit(
     return df.groupBy(*qi_cols).agg(
         F.count("*").cast("long").alias("class_size")
     ).withColumn("at_risk", F.col("class_size") < k)
+
+
+def numeric_outliers(
+    df: DataFrame,
+    col: str,
+    c: float = 3.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robust (median/MAD) outlier flags for a numeric column — the
+    data-quality gate that survives the outliers it is looking for
+    (mean/stddev z-scores are dragged by the very rows they should
+    flag; the median and the median absolute deviation have a 50%
+    breakdown point — Hampel's rule, public).
+
+    Two exact-percentile aggregations (median of ``col``, then median
+    of ``|col - median|``) each reduce to ONE scalar row that joins
+    back by broadcast cross join — no corpus-scale re-shuffle, and the
+    flag itself is map-only. On integer input both medians are dyadic
+    (an int or a .5 midpoint) and ``c`` defaults to 3.5 = 7/2, so
+    ``|x - med| > c * mad`` compares exact doubles — the q198 oracle
+    replays every column bit-for-bit.
+
+    Returns ``(id_col, col, median, mad, deviation, is_outlier)``.
+    At 100 TB, swap ``percentile`` for ``percentile_approx`` (the flags
+    become approximate with it — documented tradeoff, not the default).
+    """
+    med_row = df.agg(F.expr(f"percentile({col}, 0.5)").alias("__med"))
+    with_med = df.select(F.col(id_col), F.col(col)).crossJoin(F.broadcast(med_row))
+    mad_row = with_med.agg(
+        F.expr(f"percentile(abs({col} - __med), 0.5)").alias("__mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad_row))
+        .withColumn("deviation", F.abs(F.col(col) - F.col("__med")))
+        .select(
+            id_col,
+            col,
+            F.col("__med").alias("median"),
+            F.col("__mad").alias("mad"),
+            "deviation",
+            (F.col("deviation") > F.lit(c) * F.col("__mad")).alias("is_outlier"),
+        )
+    )

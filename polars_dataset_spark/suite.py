@@ -7617,6 +7617,258 @@ def q194(spark, sf_dir):
     return k_anonymity_audit(docs, ["lang", "source"], k=7)
 
 
+@query(
+    "q195_bm25_topk",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+      FROM d WHERE norm <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+                   (SELECT coalesce(sum(dl), 0) FROM dl) AS sumdl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))), 6)
+               AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), tot
+      GROUP BY tf.doc_id)
+    SELECT doc_id, score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def q195(spark, sf_dir):
+    """BM25 top-k retrieval (functions/retrieval.bm25_topk): the 15 best
+    documents for a 3-term query under Okapi BM25 (Lucene idf variant,
+    k1=1.2, b=0.75). Postings are pruned to the query's terms BEFORE the
+    explode, document frequencies and corpus totals join back by
+    broadcast, the per-doc reduce is one map-side-combined groupBy and
+    the cut is a TakeOrdered — no corpus-cardinality shuffle, no global
+    sort. Scores round to 6 with an id tiebreak, so the top-k set and
+    values replay exactly in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "hash join vector", k=15)
+
+
+@query(
+    "q196_count_min_sketch",
+    r"""
+    WITH vals AS (
+      SELECT CAST(source AS VARCHAR) AS item FROM documents
+      WHERE source IS NOT NULL),
+    js AS (SELECT j FROM range(4) t(j)),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5('cms' || j || ':' || item), 1, 15))::BIGINT % 32 AS b,
+             count(*) AS cnt
+      FROM vals, js GROUP BY 1, 2),
+    keys AS (SELECT unnest(['src1', 'src19', 'src3', 'src7', 'zz_absent']) AS item),
+    probes AS (
+      SELECT item, j,
+             ('0x' || substr(md5('cms' || j || ':' || item), 1, 15))::BIGINT % 32 AS b
+      FROM keys, js),
+    est AS (
+      SELECT item, min(coalesce(cnt, 0)) AS est
+      FROM probes LEFT JOIN cells USING (j, b) GROUP BY item),
+    ex AS (SELECT item, count(*) AS exact FROM vals
+           WHERE item IN ('src1', 'src19', 'src3', 'src7', 'zz_absent')
+           GROUP BY item)
+    SELECT item, CAST(est AS BIGINT) AS est,
+           CAST(coalesce(exact, 0) AS BIGINT) AS exact,
+           est >= coalesce(exact, 0) AS bound_ok
+    FROM est LEFT JOIN ex USING (item)
+    """,
+)
+def q196(spark, sf_dir):
+    """Count-Min sketch (functions/frequency.cms_estimate): 4x32 cells
+    over the source column, point estimates for four present keys and
+    one absent key, joined against exact counts. The cell table's
+    map-side combine bounds the shuffle at depth*width rows no matter
+    the corpus size; the oracle replays the md5 bucketing, the min over
+    hash rows, and the never-underestimates bound, all value-exact."""
+    _prep(spark)
+    from polars_dataset_spark.functions import cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    keys = ["src1", "src19", "src3", "src7", "zz_absent"]
+    est = cms_estimate(docs, "source", keys, depth=4, width=32)
+    vals = docs.select(F.col("source").cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    exact = (
+        vals.filter(F.col("item").isin(keys))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "item", "left").select(
+        "item",
+        F.col("est").cast("long").alias("est"),
+        F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+        (F.col("est") >= F.coalesce("exact", F.lit(0))).alias("bound_ok"),
+    )
+
+
+@query(
+    "q197_hll_distinct",
+    r"""
+    WITH vals AS (
+      SELECT CAST(user_id AS VARCHAR) AS item FROM events
+      WHERE user_id IS NOT NULL),
+    hs AS (
+      SELECT ('0x' || substr(md5('hll:' || item), 1, 15))::BIGINT AS h FROM vals),
+    regs AS (
+      SELECT h % 256 AS bucket,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+      FROM hs),
+    reg2 AS (SELECT bucket, max(rho) AS r FROM regs GROUP BY bucket),
+    s AS (
+      SELECT count(*) AS nonzero_buckets, sum(r) AS sum_registers,
+             max(r) AS max_register,
+             sum(power(0.5, r)) + (256 - count(*)) * 1.0 AS harmonic_sum
+      FROM reg2),
+    e AS (
+      SELECT nonzero_buckets, sum_registers, max_register, harmonic_sum,
+             round((0.7213 / (1 + 1.079 / 256)) * 65536 / harmonic_sum, 4) AS estimate
+      FROM s),
+    c AS (
+      SELECT *,
+             CASE WHEN estimate <= 640.0 AND nonzero_buckets < 256
+                  THEN round(256 * ln(256.0 / (256 - nonzero_buckets)), 4)
+                  ELSE estimate END AS corrected_estimate
+      FROM e)
+    SELECT CAST(256 AS BIGINT) AS m,
+           CAST(nonzero_buckets AS BIGINT) AS nonzero_buckets,
+           CAST(sum_registers AS BIGINT) AS sum_registers,
+           CAST(max_register AS BIGINT) AS max_register,
+           harmonic_sum, estimate, corrected_estimate,
+           CAST((SELECT count(DISTINCT item) FROM vals) AS BIGINT) AS n_exact,
+           abs(corrected_estimate / (SELECT count(DISTINCT item) FROM vals) - 1)
+             < 0.25 AS rel_ok
+    FROM c
+    """,
+)
+def q197(spark, sf_dir):
+    """Portable HyperLogLog (functions/frequency.hll_summary): p=8
+    distinct-count sketch over event users whose EVERY output column —
+    including the float estimate and the small-range linear-counting
+    correction — replays bit-exactly in SQL (registers via integer
+    bin-length, harmonic sum of exact dyadic 2^-r terms, one-multiply
+    alpha*m^2 form). The exact distinct count rides along for the
+    rel_ok accuracy contract. Complements q105 (Spark's JVM-internal
+    HLL++, contract oracle only)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import hll_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    summ = hll_summary(ev, "user_id", p=8)
+    exact = (
+        ev.select(F.col("user_id").cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .agg(F.countDistinct("item").alias("n_exact"))
+    )
+    return summ.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "nonzero_buckets",
+        "sum_registers",
+        "max_register",
+        "harmonic_sum",
+        "estimate",
+        "corrected_estimate",
+        "n_exact",
+        (
+            F.abs(F.col("corrected_estimate") / F.col("n_exact") - 1) < 0.25
+        ).alias("rel_ok"),
+    )
+
+
+@query(
+    "q198_numeric_outliers",
+    r"""
+    WITH m AS (SELECT median(n_chars) AS med FROM documents),
+    d AS (SELECT median(abs(n_chars - med)) AS mad FROM documents, m)
+    SELECT doc_id, n_chars, med AS median, mad,
+           abs(n_chars - med) AS deviation,
+           abs(n_chars - med) > 2.0 * mad AS is_outlier
+    FROM documents, m, d
+    """,
+)
+def q198(spark, sf_dir):
+    """Robust outlier flags (functions/profiling.numeric_outliers):
+    median/MAD (Hampel) flags on document length at c=2.0 — 16 of 500
+    rows flag at sf0.01, so the rule splits the fixture both ways. Both
+    medians are exact percentiles of integers (dyadic), c=2.0 is exact,
+    so every comparison replays bit-for-bit in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import numeric_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return numeric_outliers(docs, "n_chars", c=2.0)
+
+
+@query(
+    "q199_cdc_chunks",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE text IS NOT NULL),
+    p AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n >= 8 THEN list_filter(range(8, n + 1),
+                    i -> ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))::BIGINT
+                         % 32 = 0)
+                  ELSE [] END AS bounds
+      FROM d),
+    s AS (
+      SELECT doc_id, text,
+             CASE WHEN len(bounds) > 0 AND bounds[-1] = n THEN bounds
+                  ELSE list_append(bounds, n) END AS ends
+      FROM p),
+    u AS (
+      SELECT doc_id, text, unnest(ends) AS e,
+             generate_subscripts(ends, 1) AS idx
+      FROM s),
+    ch AS (
+      SELECT doc_id, idx - 1 AS chunk_idx,
+             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY idx) AS st, e, text
+      FROM u)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(st AS BIGINT) AS chunk_start, CAST(e - st AS BIGINT) AS chunk_len,
+           md5(substr(text, st + 1, e - st)) AS chunk_hash
+    FROM ch
+    """,
+)
+def q199(spark, sf_dir):
+    """Content-defined chunking (functions/dedup.cdc_chunks): every
+    document split at md5-gram boundaries (window 8, expected chunk 32
+    chars) — the edit-robust chunk-hash dedup primitive. Map-only pure
+    expressions, no shuffle; the oracle recomputes every boundary, every
+    offset and every chunk hash, so the rebuild (chunks concatenate to
+    the exact original text) is verified value-exact."""
+    _prep(spark)
+    from polars_dataset_spark.functions import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ch = cdc_chunks(docs, window=8, mask_bits=5)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        "chunk_hash",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

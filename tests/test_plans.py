@@ -112,6 +112,9 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q144_heavy_hitters": {"BNL"},  # 1-row total-count broadcast crossJoin
         "q146_ivf_recall": {"BNL"},  # recall audit runs the exact cosine baseline (q34's declared BNL) as its reference
         "q175_dsir_weights": {"BNL"},  # 1-row corpus-totals broadcast crossJoin (q124/q144 pattern)
+        "q195_bm25_topk": {"BNL"},  # 1-row corpus-totals (N, sum dl) broadcast crossJoin
+        "q197_hll_distinct": {"BNL"},  # 1-row exact-distinct broadcast crossJoin (accuracy contract column)
+        "q198_numeric_outliers": {"BNL"},  # two 1-row scalar (median, MAD) broadcast crossJoins
         # NO SINGLE_PART entries: every positional/rank op rides either
         # TakeOrderedAndProject, a keyed window, or the two-pass
         # distributed prefix sum — zero single-partition exchanges in

@@ -1,0 +1,217 @@
+"""BM25 retrieval, Count-Min / portable-HLL sketches, MAD outliers and
+content-defined chunking (functions/retrieval.py, frequency.py,
+profiling.py numeric_outliers, dedup.py cdc_chunks)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.functions import (
+    bm25_topk,
+    cdc_chunks,
+    cms_estimate,
+    hll_summary,
+    numeric_outliers,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark spark spark joins tables"),
+        (3, "a tiny document about nothing"),
+        (4, "joins and shuffles dominate cost"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_matches_reference(corpus):
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(corpus, "spark joins", k=5).collect()}
+    # reference computation, straight from the formula
+    docs = {
+        1: "spark shuffles data across the cluster".split(),
+        2: "spark spark spark joins tables".split(),
+        3: "a tiny document about nothing".split(),
+        4: "joins and shuffles dominate cost".split(),
+        5: [],
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    want = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for term in ("spark", "joins"):
+            tf = toks.count(term)
+            if not tf:
+                continue
+            df = sum(term in t for t in docs.values())
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if s:
+            want[d] = round(s, 6)
+    assert got == want
+    # doc 2 (3x spark + joins) outranks everything
+    assert max(want, key=want.get) == 2
+
+
+def test_bm25_k_cut_and_validation(corpus):
+    assert bm25_topk(corpus, "spark joins", k=1).count() == 1
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, "   ", k=5)
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, "spark", k=0)
+
+
+def test_bm25_no_match_is_empty(corpus):
+    assert bm25_topk(corpus, "zzz_not_a_word", k=3).count() == 0
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    rows = [(f"k{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "v string")
+    keys = [f"k{i}" for i in range(7)] + ["absent"]
+    est = {r["item"]: r["est"] for r in cms_estimate(df, "v", keys, depth=4, width=1024).collect()}
+    # wide sketch, 7 keys: collisions are possible but min-over-4-rows
+    # with 7 items in 1024 buckets is exact with overwhelming margin
+    for i in range(7):
+        assert est[f"k{i}"] == 100
+    assert est["absent"] == 0
+
+
+def test_cms_narrow_width_still_bounds(spark):
+    rows = [(f"k{i % 50}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "v string")
+    keys = [f"k{i}" for i in range(50)]
+    out = cms_estimate(df, "v", keys, depth=2, width=8).collect()
+    for r in out:
+        assert r["est"] >= 10  # exact count per key
+
+
+def test_cms_validation(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        cms_estimate(df, "v", [], depth=4, width=8)
+    with pytest.raises(ValueError):
+        cms_estimate(df, "v", ["a"], depth=0, width=8)
+
+
+# ------------------------------------------------------------ portable HLL
+
+
+def test_hll_register_definition(spark):
+    # one known value: recompute bucket/rho in python over the same md5
+    import hashlib
+
+    df = spark.createDataFrame([("x",)], "v string")
+    row = hll_summary(df, "v", p=8).collect()[0]
+    h = int(hashlib.md5(b"hll:x").hexdigest()[:15], 16)
+    w = h >> 8
+    rho = 53 - (w.bit_length()) if w else 53
+    assert row["nonzero_buckets"] == 1
+    assert row["sum_registers"] == rho == row["max_register"]
+    assert row["harmonic_sum"] == 2.0**-rho + 255.0
+
+
+def test_hll_accuracy_over_cardinalities(spark):
+    for n in (50, 2000, 20000):
+        df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+        row = hll_summary(df, "v", p=8).collect()[0]
+        est = row["corrected_estimate"]
+        assert abs(est / n - 1) < 0.2, (n, est)
+
+
+def test_hll_merge_invariance(spark):
+    # partitioning cannot change a register table built via max
+    df1 = spark.range(1000).repartition(1).select(F.col("id").cast("string").alias("v"))
+    df32 = spark.range(1000).repartition(32).select(F.col("id").cast("string").alias("v"))
+    assert hll_summary(df1, "v").collect() == hll_summary(df32, "v").collect()
+
+
+# ------------------------------------------------------------ MAD outliers
+
+
+def test_numeric_outliers_exact_medians(spark):
+    vals = [10, 12, 11, 13, 12, 11, 100]  # 100 is the outlier
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "doc_id long, x long")
+    out = numeric_outliers(df, "x", c=3.5).collect()
+    med = sorted(vals)[3]  # 12
+    mad = sorted(abs(v - med) for v in vals)[3]  # 1
+    flagged = {r["doc_id"] for r in out if r["is_outlier"]}
+    assert flagged == {6}
+    assert all(r["median"] == med and r["mad"] == mad for r in out)
+
+
+def test_numeric_outliers_even_count_midpoint(spark):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate([1, 2, 3, 4])], "doc_id long, x long")
+    out = numeric_outliers(df, "x", c=1.0).collect()
+    assert all(r["median"] == 2.5 and r["mad"] == 1.0 for r in out)
+    assert {r["doc_id"] for r in out if r["is_outlier"]} == {0, 3}
+
+
+# ------------------------------------------------------------ CDC chunking
+
+
+def _rebuild(rows):
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    return {
+        d: "".join(c["chunk_text"] for c in sorted(cs, key=lambda c: c["chunk_idx"]))
+        for d, cs in by_doc.items()
+    }
+
+
+def test_cdc_rebuild_exact(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "short"),
+        (3, ""),
+        (4, "x" * 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(df, window=8, mask_bits=4).collect()
+    rebuilt = _rebuild(out)
+    assert rebuilt == {d: t for d, t in rows}
+    # offsets are consistent: start of chunk i+1 == start + len of chunk i
+    for d in rebuilt:
+        cs = sorted([r for r in out if r["doc_id"] == d], key=lambda r: r["chunk_idx"])
+        pos = 0
+        for c in cs:
+            assert c["chunk_start"] == pos
+            pos += c["chunk_len"]
+
+
+def test_cdc_boundaries_shift_invariant(spark):
+    """The CDC property: prepending text changes only chunks BEFORE the
+    first post-edit boundary — later chunk hashes are unchanged."""
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame(
+        [(1, base), (2, "EDITEDEDITED" + base)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, window=8, mask_bits=4).collect()
+    h1 = [r["chunk_hash"] for r in sorted([r for r in out if r["doc_id"] == 1], key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_hash"] for r in sorted([r for r in out if r["doc_id"] == 2], key=lambda r: r["chunk_idx"])]
+    # the tails agree: the longest common hash SUFFIX covers all but the
+    # first couple of chunks of each doc (offset-based chunking would
+    # shift every boundary and share nothing)
+    common = 0
+    while (
+        common < min(len(h1), len(h2)) and h1[-1 - common] == h2[-1 - common]
+    ):
+        common += 1
+    assert common >= len(h1) - 2 and common >= len(h2) - 2
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    out = cdc_chunks(df, window=8, mask_bits=4).collect()
+    assert len(out) == 1 and out[0]["chunk_text"] == "tiny" and out[0]["chunk_idx"] == 0

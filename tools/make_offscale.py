@@ -13,12 +13,14 @@ read-only) by unioning REPLICAS key-offset copies of each scaling table:
   never collide -> join fan-outs scale linearly, exactly like a bigger
   TPC-H SF;
 - ``nation``/``region`` stay fixed (TPC-H scales facts, not these dims);
-- ``documents.text`` gets a per-replica word-level suffix so WITHIN-
-  replica dup/near-dup structure is identical to sf0.1 while CROSS-
-  replica shingle overlap is ~0: the corpus keeps a constant duplicate
-  RATE as it grows (the realistic scale-up), instead of every doc gaining
-  9 exact twins (which would quadratically flood every LSH bucket and
-  measure a data artifact, not the plan);
+- ``documents.text`` is relabeled through a per-replica affine letter
+  permutation so WITHIN-replica string structure (shingles, lines, edit
+  distances, lengths) is identical to sf0.1 while CROSS-replica overlap
+  is ~0 in both shingle and edit-distance space: the corpus keeps a
+  constant duplicate RATE as it grows (the realistic scale-up), instead
+  of every doc gaining N-1 near twins (which would quadratically flood
+  every LSH bucket / edit-distance block and measure a data artifact,
+  not the plan);
 - ``embeddings.embedding`` is rotated by ``replica`` positions per copy:
   within-replica neighbor structure is preserved exactly, cross-replica
   cosine is that of a randomly permuted vector (~0 in expectation);
@@ -43,6 +45,17 @@ from polars_dataset_spark.session import get_spark
 
 KEY_STRIDE = 10_000_000  # > any key at sf0.1 (max ~600k), so offsets never collide
 
+# non-identity affine maps c -> a*c + b (mod 26), gcd(a, 26) = 1, in a
+# fixed enumeration: replica i > 0 uses _AFFINE_MAPS[i - 1]; replica 0 is
+# the identity (the untouched source copy)
+_AFFINE_MAPS = [
+    (a, b)
+    for a in range(1, 26, 2)
+    if a != 13
+    for b in range(26)
+    if (a, b) != (1, 0)
+]
+
 # table -> (key columns to offset, output file count)
 OFFSET_COLS = {
     "customer": (["c_custkey"], 4),
@@ -61,15 +74,25 @@ def _replica(df: DataFrame, table: str, i: int, emb_dim: int = 64) -> DataFrame:
     for c in OFFSET_COLS[table][0]:
         df = df.withColumn(c, F.col(c) + F.lit(i * KEY_STRIDE))
     if table == "documents" and i > 0:
-        # suffix every whitespace-delimited word with a replica-specific
-        # TWO-letter tag (unique up to 676 replicas — one letter repeated
-        # past 26 and reintroduced cross-replica exact twins): all
-        # k-shingles differ from every other replica's, so near-dup
-        # candidates stay intra-replica (constant dup RATE)
-        suf = chr(ord("a") + (i - 1) % 26) + chr(ord("a") + ((i - 1) // 26) % 26)
-        df = df.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", r"$1" + suf)
-        ).withColumn("n_chars", F.length("text").cast("long"))
+        # Relabel letters through a replica-specific AFFINE permutation
+        # c -> a*c + b (mod 26), gcd(a, 26) = 1 — 312 distinct maps.
+        # Injective symbol relabeling preserves WITHIN-replica structure
+        # EXACTLY for every string-space op (edit distance, word/shingle
+        # equality, line equality, repeated substrings, lengths), so the
+        # corpus keeps a constant dup/near-dup RATE as it grows; and any
+        # two distinct affine maps agree on at most 2 of the 26 letters
+        # ((a1-a2)c = b2-b1 mod 26 has <= gcd(a1-a2, 26) = 2 solutions),
+        # so CROSS-replica copies of the same doc differ at essentially
+        # every letter position — far apart in BOTH shingle and
+        # edit-distance space.  The earlier word-tag schemes measured
+        # data artifacts instead: a 2-letter suffix left cross-replica
+        # pairs within edit distance 2 (q193 x282.9 at 100x = quadratic
+        # OUTPUT, not plan), and a prepended tag made all docs within a
+        # replica share a window prefix (denser matches, q193 x8.2).
+        a, b = _AFFINE_MAPS[i - 1]
+        lo = "".join(chr(ord("a") + (a * c + b) % 26) for c in range(26))
+        src = "abcdefghijklmnopqrstuvwxyz" + "abcdefghijklmnopqrstuvwxyz".upper()
+        df = df.withColumn("text", F.translate("text", src, lo + lo.upper()))
     if table == "embeddings" and i > 0:
         # rotate by the ACTUAL dimension's cycle; past one full cycle of
         # rotations, NEGATE the vector as well (negation preserves
@@ -125,6 +148,10 @@ def main() -> None:
     assert args.replicas <= 2 * (emb_dim - 1), (
         f"embedding derivations repeat past 2*(dim-1)={2 * (emb_dim - 1)} "
         "replicas — cross-replica exact twins would poison the sweep"
+    )
+    assert args.replicas <= 1 + len(_AFFINE_MAPS), (
+        f"text derivations repeat past {1 + len(_AFFINE_MAPS)} replicas — "
+        "cross-replica exact twins would poison the sweep"
     )
     for table, (_, nfiles) in OFFSET_COLS.items():
         if only and table not in only:

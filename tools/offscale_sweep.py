@@ -44,6 +44,11 @@ def main() -> None:
     queries = entrymod.queries()
     if args.queries:
         names = [n for n in args.queries.split(",") if n]
+        unknown = [n for n in names if n not in queries]
+        # fail BEFORE measuring anything: a typo'd name used to KeyError
+        # mid-loop and discard every row already measured (merge happens
+        # only at the end)
+        assert not unknown, f"unknown queries: {unknown}"
     else:
         detail_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
