@@ -7821,7 +7821,7 @@ def q198(spark, sf_dir):
     r"""
     WITH d AS (
       SELECT doc_id, text, length(text) AS n FROM documents
-      WHERE text IS NOT NULL),
+      WHERE text IS NOT NULL AND doc_id % 10 = 0),
     p AS (
       SELECT doc_id, text, n,
              CASE WHEN n >= 8 THEN list_filter(range(8, n + 1),
@@ -7849,16 +7849,24 @@ def q198(spark, sf_dir):
     """,
 )
 def q199(spark, sf_dir):
-    """Content-defined chunking (functions/dedup.cdc_chunks): every
-    document split at md5-gram boundaries (window 8, expected chunk 32
-    chars) — the edit-robust chunk-hash dedup primitive. Map-only pure
+    """Content-defined chunking (functions/dedup.cdc_chunks): documents
+    split at md5-gram boundaries (window 8, expected chunk 32 chars) —
+    the edit-robust chunk-hash dedup primitive. Map-only pure
     expressions, no shuffle; the oracle recomputes every boundary, every
     offset and every chunk hash, so the rebuild (chunks concatenate to
-    the exact original text) is verified value-exact."""
+    the exact original text) is verified value-exact. The fixture query
+    chunks a deterministic tenth of the corpus (doc_id % 10) — the
+    md5-per-position constant is the operator's declared cost and needs
+    no more than 50 docs to value-check; the sf0.1 bench would otherwise
+    spend its whole wall on this one scan."""
     _prep(spark)
     from polars_dataset_spark.functions import cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id") % 10 == 0)
+    )
     ch = cdc_chunks(docs, window=8, mask_bits=5)
     return ch.select(
         "doc_id",

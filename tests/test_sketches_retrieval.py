@@ -215,3 +215,101 @@ def test_cdc_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     out = cdc_chunks(df, window=8, mask_bits=4).collect()
     assert len(out) == 1 and out[0]["chunk_text"] == "tiny" and out[0]["chunk_idx"] == 0
+
+
+# ---------------------------------------------------- streaming parity
+
+
+def test_cdc_chunks_stream_matches_batch(spark, sf_dir):
+    """cdc_chunks is pure map-only expressions — it must run UNCHANGED
+    on a readStream input and agree with batch row-for-row."""
+    from polars_dataset_spark.sources.tables import load_table
+    from polars_dataset_spark.streaming import read_documents_stream, run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("text").isNotNull()) & (F.col("doc_id") % 25 == 0)
+    )
+    batch = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_hash"])
+        for r in cdc_chunks(docs, window=8, mask_bits=5).collect()
+    )
+    st = read_documents_stream(spark, f"{sf_dir}/documents.parquet").filter(
+        (F.col("text").isNotNull()) & (F.col("doc_id") % 25 == 0)
+    )
+    out = cdc_chunks(st, window=8, mask_bits=5)
+    assert out.isStreaming
+    run_stream_to_memory(out, "t_cdc_stream", output_mode="append")
+    stream = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_hash"])
+        for r in spark.sql("select * from t_cdc_stream").collect()
+    )
+    assert batch == stream
+
+
+# ------------------------------------------------- randomized properties
+
+
+def test_cdc_rebuild_random_roundtrip(spark):
+    import random
+
+    rng = random.Random(199)
+    alpha = "abcdef gh\nij"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 300))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(df, window=5, mask_bits=3).collect()
+    assert _rebuild(out) == dict(rows)
+
+
+def test_cms_bound_random(spark):
+    import random
+
+    rng = random.Random(196)
+    data = [(f"k{rng.randrange(30)}",) for _ in range(3000)]
+    df = spark.createDataFrame(data, "v string")
+    from collections import Counter
+
+    exact = Counter(v for (v,) in data)
+    keys = [f"k{i}" for i in range(30)]
+    for depth, width in ((1, 4), (3, 16), (5, 64)):
+        est = {
+            r["item"]: r["est"]
+            for r in cms_estimate(df, "v", keys, depth=depth, width=width).collect()
+        }
+        for k in keys:
+            assert est[k] >= exact.get(k, 0), (depth, width, k)
+
+
+# --------------------------------------------------------- plan contracts
+
+
+def test_cdc_plan_is_map_only(spark, sf_dir):
+    from polars_dataset_spark.plans import count_exchanges, explain_str
+    from polars_dataset_spark import suite
+
+    df = suite.QUERIES["q199_cdc_chunks"](spark, sf_dir)
+    assert count_exchanges(df) == 0  # chunking never shuffles
+    assert "pythonudf" not in explain_str(df).lower()  # pure codegen
+
+
+def test_bm25_plan_contracts(spark, sf_dir):
+    from polars_dataset_spark.plans import count_joins, explain_str, has_take_ordered
+    from polars_dataset_spark import suite
+
+    df = suite.QUERIES["q195_bm25_topk"](spark, sf_dir)
+    assert has_take_ordered(df)  # top-k cut, never a global sort
+    joins = count_joins(df)
+    # df table and corpus totals come back by broadcast; the postings
+    # stream is never sort-merge-joined
+    assert joins["sort_merge"] == 0
+    assert "pythonudf" not in explain_str(df).lower()
+
+
+def test_sketch_plans_have_no_python(spark, sf_dir):
+    from polars_dataset_spark.plans import explain_str
+    from polars_dataset_spark import suite
+
+    for q in ("q196_count_min_sketch", "q197_hll_distinct", "q198_numeric_outliers"):
+        assert "pythonudf" not in explain_str(suite.QUERIES[q](spark, sf_dir)).lower(), q
