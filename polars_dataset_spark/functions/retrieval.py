@@ -12,9 +12,9 @@ is non-negative for any df).
 Scale shape (the reason this is not "just a groupBy"):
 
 - the corpus scan keeps ONLY postings matching the query's terms
-  (``array_intersect`` against a literal term array before the
-  explode) — the exploded stream is bounded by matching-doc count x
-  |query|, not corpus token count;
+  (``F.filter`` against a literal term array before the explode, so
+  every occurrence still counts toward tf) — the exploded stream is
+  bounded by matching occurrences, not corpus token count;
 - document frequencies and corpus totals are tiny aggregates
   (|query| rows and 1 row) joined back by BROADCAST — no second
   corpus-scale shuffle;

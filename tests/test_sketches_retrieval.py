@@ -313,3 +313,14 @@ def test_sketch_plans_have_no_python(spark, sf_dir):
 
     for q in ("q196_count_min_sketch", "q197_hll_distinct", "q198_numeric_outliers"):
         assert "pythonudf" not in explain_str(suite.QUERIES[q](spark, sf_dir)).lower(), q
+
+
+def test_bm25_scan_prunes_columns(spark, sf_dir):
+    from polars_dataset_spark.plans import read_schema_columns
+    from polars_dataset_spark import suite
+
+    df = suite.QUERIES["q195_bm25_topk"](spark, sf_dir)
+    # every documents scan in the plan reads only (doc_id, text) — lang,
+    # source and n_chars never leave the parquet reader
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols

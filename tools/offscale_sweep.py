@@ -33,6 +33,15 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--queries", default="")
     ap.add_argument(
+        "--reps",
+        type=int,
+        default=2,
+        help="runs per (query, scale) leg; the MIN is recorded. One rep "
+        "conflates first-run codegen/JIT with scaling: the base leg runs "
+        "cold and the big leg warm, so sub-second-base queries report "
+        "inflated ratios (q79 x13.3 single-rep vs x1.0 warm)",
+    )
+    ap.add_argument(
         "--out",
         default="BENCH_OFFSCALE.json",
         help="output file name (repo-root-relative) — use a different name "
@@ -76,9 +85,16 @@ def main() -> None:
         fn = queries[name]
         row: dict[str, float] = {}
         for key, sf_dir in (("base", args.base), ("big", args.big)):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            row[key] = round(time.perf_counter() - t0, 2)
+            best = float("inf")
+            for _ in range(max(1, args.reps)):
+                # internal .cache()/localCheckpoint survives across reps
+                # (CacheManager matches by logical plan), so a second rep
+                # would measure a cache HIT, not the query — clear first
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            row[key] = round(best, 2)
         row["ratio"] = round(row["big"] / max(row["base"], 1e-9), 1)
         results[name] = row
         flag = "  <-- SUPERLINEAR?" if row["ratio"] > 2.5 * args.ratio else ""
@@ -112,13 +128,27 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     merged.update(results)
+    # queries whose cost is quadratic BY CONTRACT (each is the declared
+    # exact baseline for a bucketed/banded scale path, and is whitelisted
+    # in tests/test_plans.py): their ratios legitimately exceed the data
+    # ratio and are excluded from max_subquadratic_ratio
+    declared_quadratic = {"q35_embedding_neardup", "q61_join_where"}
     out = {
         "data_ratio": args.ratio,
         "base": args.base,
         "big": args.big,
         "queries": merged,
+        "declared_quadratic": sorted(declared_quadratic & set(merged)),
         "max_ratio": max(
             (r["ratio"] for r in merged.values() if isinstance(r, dict)),
+            default=0.0,
+        ),
+        "max_subquadratic_ratio": max(
+            (
+                r["ratio"]
+                for n, r in merged.items()
+                if isinstance(r, dict) and n not in declared_quadratic
+            ),
             default=0.0,
         ),
     }
