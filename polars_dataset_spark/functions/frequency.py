@@ -266,13 +266,16 @@ def hll_summary(
     # alpha * (m*m) as ONE multiply by the exact integer m^2, matching
     # the SQL restatement's `(...) * 65536`
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    # coalesce the sums so an EMPTY input yields (0 registers, harmonic
+    # sum = m) -> raw estimate alpha*m, corrected 0 via linear counting —
+    # instead of an all-NULL row
     return regs.agg(
         F.lit(m).cast("long").alias("m"),
         F.count(F.lit(1)).alias("nonzero_buckets"),
-        F.sum("r").cast("long").alias("sum_registers"),
-        F.max("r").cast("long").alias("max_register"),
+        F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sum_registers"),
+        F.coalesce(F.max("r"), F.lit(0)).cast("long").alias("max_register"),
         (
-            F.sum(F.pow(F.lit(0.5), F.col("r")))
+            F.coalesce(F.sum(F.pow(F.lit(0.5), F.col("r"))), F.lit(0.0))
             + (F.lit(m) - F.count(F.lit(1))).cast("double")
         ).alias("harmonic_sum"),
     ).withColumn(

@@ -324,3 +324,38 @@ def test_bm25_scan_prunes_columns(spark, sf_dir):
     # source and n_chars never leave the parquet reader
     for cols in read_schema_columns(df):
         assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    df = spark.createDataFrame([], "v string")
+    row = hll_summary(df, "v", p=8).collect()[0]
+    assert row["nonzero_buckets"] == 0 and row["sum_registers"] == 0
+    assert row["harmonic_sum"] == 256.0
+    assert row["corrected_estimate"] == 0.0  # linear counting: 256*ln(1)
+
+
+def test_numeric_outliers_zero_mad_degenerate(spark):
+    # constant column + one deviant: MAD = 0, so ANY deviation flags
+    # (the standard Hampel degenerate case)
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(9)] + [(9, 6)], "doc_id long, x long"
+    )
+    out = {r["doc_id"]: r for r in numeric_outliers(df, "x", c=3.5).collect()}
+    assert out[9]["is_outlier"] and out[9]["mad"] == 0.0
+    assert not any(out[i]["is_outlier"] for i in range(9))
+
+
+def test_cms_width_one_returns_total(spark):
+    # every value lands in the single cell of each row: est = n for all keys
+    df = spark.createDataFrame([(f"v{i}",) for i in range(25)], "v string")
+    out = cms_estimate(df, "v", ["v0", "nope"], depth=3, width=1).collect()
+    assert all(r["est"] == 25 for r in out)
+
+
+def test_bm25_rounded_tie_at_k_breaks_by_id(spark):
+    # four identical docs tie exactly; k=2 must keep the two lowest ids
+    df = spark.createDataFrame(
+        [(i, "same text here") for i in (7, 3, 9, 5)], "doc_id long, text string"
+    )
+    got = [r["doc_id"] for r in bm25_topk(df, "same", k=2).collect()]
+    assert sorted(got) == [3, 5]
