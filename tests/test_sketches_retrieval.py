@@ -359,3 +359,39 @@ def test_bm25_rounded_tie_at_k_breaks_by_id(spark):
     )
     got = [r["doc_id"] for r in bm25_topk(df, "same", k=2).collect()]
     assert sorted(got) == [3, 5]
+
+
+def test_bm25_randomized_parity_with_python_reference(spark):
+    """Random corpora: Spark BM25 == the straight-from-the-formula
+    python computation, for every doc, across seeds."""
+    import random
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        qterms = ["w0", "w3", "w7"]
+        got = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(df, " ".join(qterms), k=25).collect()
+        }
+        docs = {i: t.split() for i, t in rows}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        want = {}
+        for d, toks in docs.items():
+            s = 0.0
+            for term in qterms:
+                tf = toks.count(term)
+                if not tf:
+                    continue
+                df_t = sum(term in t for t in docs.values())
+                idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            if s:
+                want[d] = round(s, 6)
+        assert got == want, seed
