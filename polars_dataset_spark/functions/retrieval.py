@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from polars_dataset_spark.functions.text import tokenize
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_topk_many"]
 
 
 def bm25_topk(
@@ -129,4 +129,118 @@ def bm25_topk(
         scored.orderBy(F.col("score").desc(), F.col("__id").asc())
         .limit(k)
         .select(F.col("__id").alias(id_col), "score")
+    )
+
+
+def bm25_topk_many(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_round: int = 6,
+) -> DataFrame:
+    """BM25 top-``k`` per query for a TABLE of queries — the batch shape
+    eval-set decontamination and exemplar mining actually run (one
+    query at a time re-scans the corpus per query; this scans it ONCE
+    for all of them).
+
+    Same scoring as :func:`bm25_topk`. Plan shape:
+
+    - the query table's distinct terms form the pruning vocabulary; it
+      is assumed SMALL (an eval set, not a second corpus) and is
+      broadcast everywhere it joins;
+    - the corpus explodes once, pruned to the union vocabulary, and
+      joins the (term -> query) map by broadcast — the intermediate is
+      bounded by matching occurrences x queries-per-term;
+    - per-(query, doc) scores reduce in one map-side-combined groupBy;
+      the top-k cut is a row_number over a window PARTITIONED BY query
+      (parallelism = number of queries, never a single partition).
+
+    Returns ``(query_id_col, id_col, score, rank)``.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qterms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(F.array_distinct(tokenize(F.col(query_text_col)))).alias("__term"),
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        tokenize(F.col(text_col)).alias("__toks"),
+    ).withColumn("__dl", F.size("__toks"))
+    totals = base.agg(F.count("*").alias("__n"), F.sum("__dl").alias("__sumdl"))
+
+    vocab = qterms.select("__term").distinct()
+    postings = (
+        base.join(
+            F.broadcast(vocab.agg(F.collect_set("__term").alias("__vocab"))).hint(
+                "broadcast"
+            )
+        )
+        .select(
+            "__id",
+            "__dl",
+            F.explode(
+                F.filter(
+                    F.col("__toks"),
+                    lambda t: F.array_contains(F.col("__vocab"), t),
+                )
+            ).alias("__term"),
+        )
+        .groupBy("__id", "__term")
+        .agg(F.count("*").alias("__tf"), F.max("__dl").alias("__dl"))
+    )
+    dfreq = postings.groupBy("__term").agg(F.count("*").alias("__df"))
+
+    scored = (
+        postings.join(F.broadcast(qterms), "__term")
+        .join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__norm",
+            F.col("__tf")
+            * (F.lit(k1) + 1.0)
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(b)
+                    + F.lit(b)
+                    * F.col("__dl")
+                    / (F.col("__sumdl").cast("double") / F.col("__n"))
+                )
+            ),
+        )
+        .groupBy("__qid", "__id")
+        .agg(
+            F.round(F.sum(F.col("__idf") * F.col("__norm")), score_round).alias("score")
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("__id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            "score",
+            "rank",
+        )
     )

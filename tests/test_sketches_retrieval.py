@@ -395,3 +395,47 @@ def test_bm25_randomized_parity_with_python_reference(spark):
             if s:
                 want[d] = round(s, 6)
         assert got == want, seed
+
+
+def test_bm25_many_matches_single(spark, corpus):
+    """Per-query results of the batch scorer == the single-query scorer
+    (scores AND membership), for queries with disjoint and overlapping
+    vocabularies."""
+    from polars_dataset_spark.functions import bm25_topk_many
+
+    qs = spark.createDataFrame(
+        [(1, "spark joins"), (2, "shuffles"), (3, "nothing tiny")],
+        "query_id long, query string",
+    )
+    many = bm25_topk_many(corpus, qs, k=5)
+    rows = many.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for qid, qtext in ((1, "spark joins"), (2, "shuffles"), (3, "nothing tiny")):
+        single = {
+            r["doc_id"]: r["score"] for r in bm25_topk(corpus, qtext, k=5).collect()
+        }
+        assert by_q.get(qid, {}) == single, qid
+    # ranks are 1..n per query, ordered by (score desc, id)
+    for qid, cs in by_q.items():
+        ranked = sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+        assert all(
+            (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+            for a, b in zip(ranked, ranked[1:])
+        )
+
+
+def test_bm25_many_plan_is_broadcast_only(spark, corpus):
+    from polars_dataset_spark.functions import bm25_topk_many
+    from polars_dataset_spark.plans import count_joins, explain_str
+
+    qs = spark.createDataFrame([(1, "spark")], "query_id long, query string")
+    df = bm25_topk_many(corpus, qs, k=3)
+    joins = count_joins(df)
+    assert joins["sort_merge"] == 0  # corpus never sort-merge-joins
+    text = explain_str(df)
+    assert "Exchange SinglePartition" not in text  # window is query-keyed
