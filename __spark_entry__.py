@@ -33,68 +33,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return suite.flagship(spark, "/root/testdata/sf0.001")
 
 
-# The driver scores the FIRST 50 entries of queries(); registration order
-# left q51-q137 without a driver correctness row for two rounds
-# (VERDICT r02 "What's missing" #1).  This explicit priority list front-
-# loads (a) q25, driver hash-red in r01/r02 — fixed this round (oracle
-# HUGEINT session_id now cast to BIGINT), and (b) 49 never-driver-checked
-# queries spanning every unverified family: connected components, packing,
-# sampling, corpus ops, event analytics, the new q76/q77 contract oracles,
-# and the six oracles whose HUGEINT outputs were caught by the same-class
-# audit (q62/q68/q69/q94/q108/q124).  The remaining never-checked queries
-# follow (rotate into the window next round), previously-driver-green
-# q01-q50 last.
-_DRIVER_PRIORITY = [
-    "q25_sessionize",
-    "q60_clean_corpus",
-    "q62_fill_nan",
+# The driver scores the FIRST 50 entries of queries().  Rotation policy
+# (VERDICT r05 items 2+4): every round the window spends (a) its first
+# rows on queries a past round scored RED without a later green, then
+# (b) never-driver-checked queries (new additions), then (c) a standing
+# RE-CHECK budget — previously-green queries, refactor-touched ones
+# first (code changed AFTER their last driver row), then oldest-checked
+# first — so no query's driver row goes stale indefinitely.  New-query
+# additions per round must leave >= 10 window rows for group (c); with
+# 199 green rows and ~40 re-check slots/round the full suite re-verifies
+# every ~5 rounds.
+#
+# Queries whose implementation changed in round 5 (similarity.py
+# quantizer rebuild, ml.py, dedup.py, graph.py touch-ups) after their
+# last driver check (r2-r4) — fronted in the re-check group until their
+# next green row supersedes the stale one:
+_REFACTOR_TOUCHED = [
+    "q58_ivf_topk",
+    "q35_embedding_neardup",
+    "q36_neardup_lsh",
+    "q37_minhash_pairs",
+    "q38_simhash_dedup",
+    "q39_lsh_topk",
+    "q34_cosine_topk",
+    "q146_ivf_recall",
+    "q142_pca_whiten",
     "q63_connected_components",
     "q64_dedup_components",
-    "q66_stratified_sample",
-    "q67_hash_sample",
-    "q68_pack_sequences",
-    "q69_pack_global",
-    "q73_hash_sample_by",
-    "q76_regrid_uniform",
-    "q77_fourier_spline",
-    "q81_sample_exact_n",
-    "q89_decontamination",
-    "q91_temperature_mix",
-    "q92_token_budget",
-    "q93_chunk_documents",
-    "q94_vocab_oov",
-    "q95_surprisal",
-    "q96_pii_redaction",
-    "q97_tfidf_topk",
-    "q98_chunk_dedup",
-    "q108_packing_report",
-    "q111_funnel",
-    "q112_cohort_retention",
-    "q113_merge_upsert",
-    "q114_snapshot_diff",
-    "q115_weighted_sample",
-    "q116_group_quantiles",
-    "q117_zscore_outliers",
-    "q118_quality_audit",
-    "q119_savgol_smooth",
-    "q120_detrend",
-    "q121_normalize",
-    "q122_autocorr",
-    "q123_ohlc",
-    "q124_source_kl",
-    "q125_rolling_corr",
-    "q126_winsorize",
-    "q127_mad_outliers",
-    "q128_interevent_times",
-    "q129_audience_overlap",
+    "q138_cc_small_clusters",
     "q130_fuzzy_join",
-    "q131_cluster_report",
-    "q132_centroid_separation",
-    "q133_rfm_segments",
-    "q134_event_transitions",
-    "q135_pareto_abc",
-    "q136_wow_growth",
-    "q137_new_vs_returning",
+    "q141_neardup_vs_corpus",
+    "q32_exact_dedup",
+    "q109_dup_cluster_sizes",
+    "q98_chunk_dedup",
 ]
 
 
@@ -102,18 +73,23 @@ def _qnum(name: str) -> int:
     return int(name.split("_")[0][1:])
 
 
-def _driver_history() -> "tuple[set[str], set[str]]":
+def _driver_history() -> "tuple[set[str], set[str], dict[str, int]]":
     """Scan past driver correctness artifacts (CORRECTNESS_r*.json beside
-    this file): returns (ever_failed, ever_green) query-name sets. Used
-    to rotate the driver's 50-query scoring window automatically —
-    failed queries re-enter first, never-checked next, proven-green
-    last — so no hand-maintained priority list can go stale."""
+    this file): returns (ever_failed_without_later_green, ever_green,
+    last_checked_round). Used to rotate the driver's 50-query scoring
+    window automatically — failed queries re-enter first, never-checked
+    next, then green queries oldest-driver-row-first — so no
+    hand-maintained priority list can go stale."""
     import glob
     import json
+    import re
 
     failed: set[str] = set()
     green: set[str] = set()
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -131,24 +107,25 @@ def _driver_history() -> "tuple[set[str], set[str]]":
                 and row.get("err") in (None, "")
             )
             (green if ok else failed).add(name)
+            last_round[name] = max(last_round.get(name, 0), rnd)
     # a later green clears an earlier failure; a later failure re-flags
     # (keep it simple: any recorded failure without a LATER green is
     # approximated by set difference — failures that were subsequently
     # fixed and re-scored green drop out)
-    return failed - green, green
+    return failed - green, green, last_round
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window scores the queries that
-    most need a driver row: (1) queries a past round scored RED and no
-    later round scored green, (2) queries with no driver row ever
-    (newest additions included automatically), (3) proven-green queries
-    last — each group in _DRIVER_PRIORITY order then query number, so
-    the window rotates round-over-round without hand edits."""
+    most need a driver row: (1) queries a past round scored RED with no
+    later green, (2) queries with no driver row ever (newest additions
+    included automatically), (3) the standing re-check rotation of green
+    queries — refactor-touched first, then oldest driver row first —
+    so every row is eventually re-verified without hand edits."""
     all_q = dict(suite.QUERIES)
-    failed, green = _driver_history()
-    prio_rank = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    failed, green, last_round = _driver_history()
+    touched_rank = {n: i for i, n in enumerate(_REFACTOR_TOUCHED)}
 
     def key(n: str):
         if n in failed:
@@ -157,7 +134,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tier = 1
         else:
             tier = 2
-        return (tier, prio_rank.get(n, len(prio_rank)), _qnum(n))
+        return (
+            tier,
+            0 if n in touched_rank else 1,
+            touched_rank.get(n, 0),
+            last_round.get(n, 0),
+            _qnum(n),
+        )
 
     return {n: all_q[n] for n in sorted(all_q, key=key)}
 

@@ -126,9 +126,15 @@ def flag_bots(
     thresholds to the property's traffic; the defaults are conservative
     (cron-grade regularity, ~0.5 QPM sustained, near-zero mix)."""
     f = user_behavior_features(events, user_col, ts_col, type_col)
+    # every rule coalesces to false: single-event users have NULL gap_cv
+    # AND NULL events_per_day (span 0), and a NULL rule would propagate
+    # into is_bot — silently dropping such users from both the is_bot
+    # and ~is_bot filters instead of marking them human (ADVICE r5)
     regular = F.coalesce(F.col("gap_cv") < max_gap_cv, F.lit(False))
-    hot = F.col("events_per_day") > min_events_per_day
-    narrow = F.col("type_entropy_bits") < max_entropy_bits
+    hot = F.coalesce(F.col("events_per_day") > min_events_per_day, F.lit(False))
+    narrow = F.coalesce(
+        F.col("type_entropy_bits") < max_entropy_bits, F.lit(False)
+    )
     return f.withColumns(
         {
             "too_regular": regular,

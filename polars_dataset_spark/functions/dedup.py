@@ -1026,9 +1026,13 @@ def dedup_lines(
     the exchange hashes 32-byte digests; ties inside a digest bucket
     order by (id, pos), giving a total deterministic order. At 100 TB
     the line-keyed exchange is the cost — same class as every dedup in
-    this module, and AQE splits skewed digests (the empty/boilerplate
-    lines) automatically; ``keep_blank=True`` additionally exempts the
-    single heaviest key (the blank line) from the shuffle entirely.
+    this module. AQE's skew splitting does NOT apply to window
+    exchanges (only to skewed join sides), so the heaviest keys would
+    each serialize into one task; with ``keep_blank=True`` the worst
+    offender by far — the blank line — is ROUTED AROUND the window
+    entirely (kept unconditionally, so it needs no rank), and the
+    residual skew is ordinary boilerplate lines whose per-key row
+    counts are corpus-bounded.
 
     Reference-parity note: the reference engine has no corpus surface;
     this is part of the LLM-pipeline extension family (the same
@@ -1043,10 +1047,18 @@ def dedup_lines(
     )
     is_blank = F.trim(F.col("line")) == ""
     w = Window.partitionBy(*scope, F.md5(F.col("line"))).orderBy(id_col, "pos")
-    ranked = lines.withColumn(
-        "__keep",
-        (is_blank if keep_blank else F.lit(False)) | (F.row_number().over(w) == 1),
-    )
+    if keep_blank:
+        # blank lines are kept unconditionally, so they need no rank:
+        # route them AROUND the window shuffle (the blank line is the
+        # single heaviest key in any real corpus, and AQE does not
+        # split window-exchange skew) and union back before the rebuild
+        ranked = (
+            lines.filter(~is_blank)
+            .withColumn("__keep", F.row_number().over(w) == 1)
+            .unionByName(lines.filter(is_blank).withColumn("__keep", F.lit(True)))
+        )
+    else:
+        ranked = lines.withColumn("__keep", F.row_number().over(w) == 1)
     kept_line = F.when(F.col("__keep"), F.col("line"))
     return (
         ranked.groupBy(id_col, *scope)
@@ -1088,11 +1100,14 @@ def drop_frequent_lines(
 
     Scale shape: one explode, one line-digest-keyed aggregation down to
     distinct lines (map-side combined; the per-line doc count is an
-    exact ``countDistinct(id)``), then an anti-join of the line stream
-    against the SMALL frequent set (tiny by construction — lines
-    crossing a ≥``min_docs`` bar — so Spark/AQE broadcasts it), and one
-    doc-keyed rebuild. The digest keys mean both the aggregation and
-    the join shuffle 32-byte md5s, never line text."""
+    exact ``countDistinct(id)``), then a left join of the line stream
+    against the frequent set, and one doc-keyed rebuild. The frequent
+    set is usually small, but on a web-scale corpus the ≥``min_docs``
+    (default 3) line set is NOT bounded — so the join strategy is left
+    to AQE, which broadcasts it when its runtime size is under the
+    threshold and shuffles otherwise (a forced broadcast here could OOM
+    the driver; ADVICE r5). The digest keys mean both the aggregation
+    and the join shuffle 32-byte md5s, never line text."""
     scope = list(scope_cols)
     lines = df.select(
         F.col(id_col),
@@ -1107,7 +1122,7 @@ def drop_frequent_lines(
         .filter(F.col("__docs") >= min_docs)
         .select(*scope, "__lh", F.lit(True).alias("__frequent"))
     )
-    tagged = lines.join(F.broadcast(freq), on=[*scope, "__lh"], how="left")
+    tagged = lines.join(freq, on=[*scope, "__lh"], how="left")
     kept_struct = F.when(
         is_blank | F.col("__frequent").isNull(),
         F.struct(F.col("pos"), F.col("line")),
@@ -1267,7 +1282,8 @@ def cdc_chunks(
     60-bit md5 hash of the ``window`` characters ending at ``i`` is
     ``0 mod 2^mask_bits`` — expected chunk length ``2^mask_bits``. The
     final tail (boundary position < length) is always its own chunk;
-    documents shorter than ``window`` are one chunk. Emits
+    documents shorter than ``window`` are one chunk; documents with
+    NULL ``text_col`` emit NO rows (there is nothing to chunk). Emits
     ``(id_col, chunk_idx, chunk_start, chunk_len, chunk_text,
     chunk_hash)`` with ``chunk_start`` 0-based and chunks concatenating
     back to the exact original text (q199's rebuild oracle).
@@ -1300,10 +1316,15 @@ def cdc_chunks(
     )
     bounds = F.filter(positions, is_boundary)
     # chunk ends = boundaries + the final tail end (deduped when the last
-    # boundary IS the end); starts = 0 ++ boundaries
-    ends = F.when(
-        (F.size(bounds) > 0) & (F.element_at(bounds, -1) == n), bounds
-    ).otherwise(F.concat(bounds, F.array(n)))
+    # boundary IS the end); starts = 0 ++ boundaries. NULL text short-
+    # circuits to NO rows (empty ends → posexplode emits nothing) —
+    # without the guard, NULL n made ends [NULL] and emitted one
+    # all-NULL garbage chunk per NULL document (ADVICE r5)
+    ends = F.when(t.isNull(), F.array().cast("array<int>")).otherwise(
+        F.when(
+            (F.size(bounds) > 0) & (F.element_at(bounds, -1) == n), bounds
+        ).otherwise(F.concat(bounds, F.array(n)))
+    )
     starts = F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1))
     chunks = F.zip_with(
         starts,

@@ -537,7 +537,15 @@ def encode_flac(
             "mid_side": 10,
         }[stereo_mode]
         w.write(ch_code, 4)
-        w.write(4, 3)  # 16 bps  (fixture encoder is 16-bit)
+        # sample-size code derived from bps (was hardcoded to 16's code
+        # 4, which mis-labeled non-16-bit streams; ADVICE r5)
+        bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}.get(bps)
+        if bps_code is None:
+            raise ValueError(
+                f"encode_flac: no frame-header sample-size code for bps={bps} "
+                "(supported: 8/12/16/20/24)"
+            )
+        w.write(bps_code, 3)
         w.write(0, 1)
         _write_utf8_number(w, frame_no)
         w.write(bs - 1, 16)

@@ -6133,11 +6133,10 @@ def q165(spark, sf_dir):
       SELECT a.cell, generate_subscripts(e.ev, 1) AS dim, unnest(e.ev) AS val
       FROM assign a JOIN e USING (vec_id)),
     newc AS (
-      SELECT cell, list(round(m, 6) ORDER BY dim) AS centroid
-      FROM (SELECT cell, dim, avg(val) AS m FROM dims GROUP BY cell, dim)
-      GROUP BY cell),
+      SELECT cell, CAST(dim AS INT) AS dim, round(avg(val), 6) AS val
+      FROM dims GROUP BY cell, dim),
     sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY cell)
-    SELECT CAST(s.cell AS INT) AS cell, s.n, newc.centroid, inert.inertia
+    SELECT CAST(s.cell AS INT) AS cell, s.n, newc.dim, newc.val, inert.inertia
     FROM sizes s JOIN newc USING (cell) CROSS JOIN inert
     """,
 )
@@ -6149,7 +6148,11 @@ def q166(spark, sf_dir):
     all replay in SQL — a full value oracle over the whole distributed
     iteration: per-batch broadcast argmin, one groupBy(cell) with
     map-side combine, driver sees exactly k moment rows. Multi-iteration
-    convergence vs a numpy reference is pinned in tests/test_ml.py."""
+    convergence vs a numpy reference is pinned in tests/test_ml.py.
+
+    Output is posexploded to scalar ``(cell, n, dim, val, inertia)``
+    rows: the driver's canonicalizer hashes stringified pandas cells and
+    cannot sort ``array<double>`` columns (r5's one red row)."""
     _prep(spark)
     from polars_dataset_spark.functions import kmeans_fit
 
@@ -6171,10 +6174,14 @@ def q166(spark, sf_dir):
         rows, "cell int, n long, centroid array<double>, inertia double"
     )
     return raw.select(
+        "cell", "n", F.round("inertia", 6).alias("inertia"),
+        F.posexplode("centroid").alias("dim", "val"),
+    ).select(
         "cell",
         "n",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
-        F.round("inertia", 6).alias("inertia"),
+        (F.col("dim") + 1).cast("int").alias("dim"),
+        F.round("val", 6).alias("val"),
+        "inertia",
     )
 
 
@@ -7057,10 +7064,11 @@ def q181(spark, sf_dir):
                LEFT JOIN gg ON mix.user_id = gg.user_id)
     SELECT *,
            coalesce(gap_cv < 0.9, false) AS too_regular,
-           events_per_day > 2.5 AS too_hot,
-           type_entropy_bits < 2.25 AS too_narrow,
-           coalesce(gap_cv < 0.9, false) OR events_per_day > 2.5
-             OR type_entropy_bits < 2.25 AS is_bot
+           coalesce(events_per_day > 2.5, false) AS too_hot,
+           coalesce(type_entropy_bits < 2.25, false) AS too_narrow,
+           coalesce(gap_cv < 0.9, false)
+             OR coalesce(events_per_day > 2.5, false)
+             OR coalesce(type_entropy_bits < 2.25, false) AS is_bot
     FROM f
     """,
 )
@@ -7875,6 +7883,69 @@ def q199(spark, sf_dir):
         F.col("chunk_len").cast("long").alias("chunk_len"),
         "chunk_hash",
     )
+
+
+@query(
+    "q200_bm25_topk_many",
+    r"""
+    WITH q(qid, qtext) AS (
+      VALUES ('evalA', 'hash join'),
+             ('evalB', 'vector index'),
+             ('evalC', 'stream join vector')),
+    qt AS (
+      SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term
+      FROM q),
+    d AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+      FROM d WHERE norm <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+                   (SELECT coalesce(sum(dl), 0) FROM dl) AS sumdl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT qt.qid, tf.doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))), 6)
+               AS score
+      FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+           JOIN dfq USING (term), tot
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+    SELECT qid AS query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def q200(spark, sf_dir):
+    """Batch BM25 retrieval (functions/retrieval.bm25_topk_many): top-5
+    per query for a TABLE of queries — the shape eval-set
+    decontamination actually runs (per-query bm25_topk would re-scan the
+    corpus once per query; this scans it ONCE for all queries). The
+    query table's union vocabulary prunes the corpus explode, the
+    (term -> query) map / document frequencies / totals all join back by
+    broadcast, the per-(query, doc) reduce is one map-side-combined
+    groupBy and the top-k cut is a window PARTITIONED BY query (never a
+    single partition). Same rounded-score + id tiebreak determinism as
+    q195, so set, scores AND ranks replay exactly in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import bm25_topk_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    qtab = spark.createDataFrame(
+        [("evalA", "hash join"), ("evalB", "vector index"),
+         ("evalC", "stream join vector")],
+        "query_id string, query string",
+    )
+    return bm25_topk_many(docs, qtab, k=5)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,21 +27,30 @@ def _canon_val(v) -> str:
     ``1`` (bigint) and ``1.0`` (double) canonicalise DIFFERENTLY on
     purpose — the driver's value hash stringifies, so a DuckDB HUGEINT
     materialised as float64 must FAIL here too (the q25 round-1/2 bug
-    class).  Arrays/lists are canonicalised element-wise so numpy's
-    ``[1. 2.]`` and Python's ``[1.0, 2.0]`` agree.
+    class).  No list/ndarray handling ON PURPOSE: the driver's
+    canonicalizer crashes on nested cells (the q166 r5 red), so nested
+    output columns must fail HERE too — see ``_nested_cols`` pre-flight.
     """
     if v is None:
         return "NULL"
     if isinstance(v, float):
         return "NULL" if v != v else str(v)
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ", ".join(_canon_val(x) for x in v) + "]"
     try:
         if pd.isna(v):
             return "NULL"
     except (TypeError, ValueError):
         pass
     return str(v)
+
+
+def _nested_cols(sdf) -> list[str]:
+    """Output columns the driver's canonicalizer cannot hash
+    (array/map/struct) — a guaranteed driver-red even with right values."""
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -90,6 +99,14 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
+            nested = _nested_cols(sdf)
+            if nested:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: nested output columns {nested} — the "
+                    "driver canonicalizer cannot hash these (q166 r5 class)"
+                )
+                continue
             spark_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)

@@ -39,3 +39,25 @@ def test_no_hugeint_or_decimal_outputs(con):
         "oracles emitting HUGEINT/DECIMAL columns (cast to BIGINT/DOUBLE "
         f"in the SQL): {offenders}"
     )
+
+
+def test_no_nested_output_columns(con):
+    """Guard against the q166 bug class: the driver's canonicalizer
+    pandas-sorts every output column and crashes on unhashable cells, so
+    an ``array``/``struct``/``map`` output column is driver-red even when
+    the values are right (VERDICT r05 "What's wrong" #1).  Every oracle
+    output must be scalar — posexplode/unnest nested results instead.
+
+    Oracle-side (planning-only) is sufficient: the driver's schema gate
+    fails unless the Spark output carries the same column shapes."""
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            ts = str(typ)
+            if "[]" in ts or "STRUCT" in ts or "MAP" in ts or "LIST" in ts:
+                offenders.append((name, col, ts))
+    assert not offenders, (
+        "oracles emitting nested (list/struct/map) output columns — the "
+        f"driver canonicalizer cannot hash these: {offenders}"
+    )
