@@ -44,29 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # 199 green rows and ~40 re-check slots/round the full suite re-verifies
 # every ~5 rounds.
 #
-# Queries whose implementation changed in round 5 (similarity.py
-# quantizer rebuild, ml.py, dedup.py, graph.py touch-ups) after their
-# last driver check (r2-r4) — fronted in the re-check group until their
-# next green row supersedes the stale one:
-_REFACTOR_TOUCHED = [
-    "q58_ivf_topk",
-    "q35_embedding_neardup",
-    "q36_neardup_lsh",
-    "q37_minhash_pairs",
-    "q38_simhash_dedup",
-    "q39_lsh_topk",
-    "q34_cosine_topk",
-    "q146_ivf_recall",
-    "q142_pca_whiten",
-    "q63_connected_components",
-    "q64_dedup_components",
-    "q138_cc_small_clusters",
-    "q130_fuzzy_join",
-    "q141_neardup_vs_corpus",
-    "q32_exact_dedup",
-    "q109_dup_cluster_sizes",
-    "q98_chunk_dedup",
-]
+# Queries whose implementation changed AFTER their last driver row —
+# {name: round_the_code_changed}. Fronted in the re-check group ONLY
+# while their last driver row is OLDER than the touch round; once a
+# row from touch-round+1 or later lands, the entry expires on its own
+# (ADVICE r6: the previous unconditional list never expired and
+# permanently ate ~17 rotation slots). The r5-touched similarity/dedup/
+# graph family all re-greened in r6, so this is empty; add
+# {"qNN_name": <round>} entries when a refactor touches a green query.
+_REFACTOR_TOUCHED: dict[str, int] = {}
 
 
 def _qnum(name: str) -> int:
@@ -125,7 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so every row is eventually re-verified without hand edits."""
     all_q = dict(suite.QUERIES)
     failed, green, last_round = _driver_history()
-    touched_rank = {n: i for i, n in enumerate(_REFACTOR_TOUCHED)}
+    # stale-touched = code changed in round R but last driver row <= R
+    stale_touched = {
+        n for n, rnd in _REFACTOR_TOUCHED.items() if last_round.get(n, 0) <= rnd
+    }
 
     def key(n: str):
         if n in failed:
@@ -136,8 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tier = 2
         return (
             tier,
-            0 if n in touched_rank else 1,
-            touched_rank.get(n, 0),
+            0 if n in stale_touched else 1,
             last_round.get(n, 0),
             _qnum(n),
         )

@@ -1325,7 +1325,16 @@ def cdc_chunks(
             (F.size(bounds) > 0) & (F.element_at(bounds, -1) == n), bounds
         ).otherwise(F.concat(bounds, F.array(n)))
     )
-    starts = F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1))
+    # starts mirrors ends: EMPTY when ends is empty (NULL text) — an
+    # unconditional concat would make starts [0] and zip_with would
+    # NULL-pad back to one garbage row; and the slice length must be
+    # clamped >= 0 or NULL docs throw INVALID_PARAMETER_VALUE.LENGTH
+    starts = F.when(F.size(ends) == 0, F.array().cast("array<int>")).otherwise(
+        F.concat(
+            F.array(F.lit(0)),
+            F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+        )
+    )
     chunks = F.zip_with(
         starts,
         ends,

@@ -538,13 +538,11 @@ def encode_flac(
         }[stereo_mode]
         w.write(ch_code, 4)
         # sample-size code derived from bps (was hardcoded to 16's code
-        # 4, which mis-labeled non-16-bit streams; ADVICE r5)
-        bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}.get(bps)
-        if bps_code is None:
-            raise ValueError(
-                f"encode_flac: no frame-header sample-size code for bps={bps} "
-                "(supported: 8/12/16/20/24)"
-            )
+        # 4, which mis-labeled non-16-bit streams; ADVICE r5). Depths
+        # without a dedicated code (e.g. 13) use code 0 = get-from-
+        # STREAMINFO, which already records bps-1 and which the decoder
+        # honors (fbps = bps if ss_code == 0) — RFC 9639 §9.1.4 / ADVICE r6
+        bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bps, 0)
         w.write(bps_code, 3)
         w.write(0, 1)
         _write_utf8_number(w, frame_no)

@@ -123,6 +123,13 @@ def test_encode_flac_derives_sample_size_code():
     assert np.allclose(arr, frames / 128.0, atol=1e-12)
 
 
-def test_encode_flac_rejects_uncodable_bps():
-    with pytest.raises(ValueError, match="sample-size code"):
-        encode_flac(np.zeros((64, 1), dtype=np.int64), bps=13)
+def test_encode_flac_odd_bps_roundtrips_via_streaminfo_code():
+    # bps=13 has no dedicated frame-header sample-size code; the encoder
+    # must fall back to code 0 (get-from-STREAMINFO, RFC 9639) instead of
+    # raising, and the decoder reads the depth from STREAMINFO (ADVICE r6)
+    t = np.arange(256)
+    frames = (1000 * np.sin(2 * np.pi * 3 * t / 256)).astype(np.int64)[:, None]
+    got = decode_flac(encode_flac(frames, bps=13))
+    assert got is not None
+    rate, nch, arr = got
+    assert np.allclose(arr, frames / float(1 << 12), atol=1e-12)

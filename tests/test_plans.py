@@ -115,6 +115,7 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q195_bm25_topk": {"BNL"},  # 1-row corpus-totals (N, sum dl) broadcast crossJoin
         "q197_hll_distinct": {"BNL"},  # 1-row exact-distinct broadcast crossJoin (accuracy contract column)
         "q198_numeric_outliers": {"BNL"},  # two 1-row scalar (median, MAD) broadcast crossJoins
+        "q200_bm25_topk_many": {"BNL"},  # two 1-row broadcasts: vocab-size agg (retrieval.py idf) + corpus totals crossJoin — same bounded class as q195
         # NO SINGLE_PART entries: every positional/rank op rides either
         # TakeOrderedAndProject, a keyed window, or the two-pass
         # distributed prefix sum — zero single-partition exchanges in

@@ -145,14 +145,19 @@ def main() -> None:
         .selectExpr("size(embedding) AS d")
         .first()["d"]
     )
-    assert args.replicas <= 2 * (emb_dim - 1), (
-        f"embedding derivations repeat past 2*(dim-1)={2 * (emb_dim - 1)} "
-        "replicas — cross-replica exact twins would poison the sweep"
-    )
-    assert args.replicas <= 1 + len(_AFFINE_MAPS), (
-        f"text derivations repeat past {1 + len(_AFFINE_MAPS)} replicas — "
-        "cross-replica exact twins would poison the sweep"
-    )
+    # uniqueness guards apply only to the tables actually generated: a
+    # documents-only 300x sweep must not be blocked by the embedding
+    # rotation cycle (2*(dim-1)=126), and vice versa
+    if not only or "embeddings" in only:
+        assert args.replicas <= 2 * (emb_dim - 1), (
+            f"embedding derivations repeat past 2*(dim-1)={2 * (emb_dim - 1)} "
+            "replicas — cross-replica exact twins would poison the sweep"
+        )
+    if not only or "documents" in only:
+        assert args.replicas <= 1 + len(_AFFINE_MAPS), (
+            f"text derivations repeat past {1 + len(_AFFINE_MAPS)} replicas — "
+            "cross-replica exact twins would poison the sweep"
+        )
     for table, (_, nfiles) in OFFSET_COLS.items():
         if only and table not in only:
             continue
