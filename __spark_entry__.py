@@ -45,14 +45,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # every ~5 rounds.
 #
 # Queries whose implementation changed AFTER their last driver row —
-# {name: round_the_code_changed}. Fronted in the re-check group ONLY
-# while their last driver row is OLDER than the touch round; once a
-# row from touch-round+1 or later lands, the entry expires on its own
-# (ADVICE r6: the previous unconditional list never expired and
-# permanently ate ~17 rotation slots). The r5-touched similarity/dedup/
-# graph family all re-greened in r6, so this is empty; add
-# {"qNN_name": <round>} entries when a refactor touches a green query.
-_REFACTOR_TOUCHED: dict[str, int] = {}
+# {name: last round whose driver rows PREDATE the change} (the driver
+# scores at END of round, after commits, so a change in round N is
+# covered by round-N rows: record N-1). Fronted in the re-check group
+# ONLY while their last driver row is <= that round; the next green row
+# expires the entry on its own (ADVICE r6: the previous unconditional
+# list never expired and permanently ate ~17 rotation slots).
+#
+# Round 7 touched: cdc_chunks staged-projection rewrite (q199) and the
+# expr-duplication fixes in with_text_stats/with_quality_score/
+# with_language_id/with_url_parts (q28-q30, q60, q143, q179) — all
+# re-verified oracle-exact in-session; fronted for a driver row.
+_REFACTOR_TOUCHED: dict[str, int] = {
+    "q28_text_stats": 6,
+    "q29_language_id": 6,
+    "q30_quality_score": 6,
+    "q60_clean_corpus": 6,
+    "q143_model_quality": 6,
+    "q179_url_filter": 6,
+    "q199_cdc_chunks": 6,
+}
 
 
 def _qnum(name: str) -> int:

@@ -84,14 +84,17 @@ def _stop_hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
 
 
-def _text_stat_exprs(text_col: str) -> "dict[str, Column]":
+def _text_stat_exprs(text_col: str, tokens: "Column | None" = None) -> "dict[str, Column]":
     """The token/char statistic expressions shared by ``with_text_stats``
     and the quality scorers. Returned as plain Columns so callers that only
     need them as INPUTS (the scorers) can inline them without ever
     materializing — and thus without clobbering — caller-owned columns of
-    the same names."""
+    the same names. Pass ``tokens`` (an already-staged token-array column)
+    to keep the tokenize chain out of the expressions entirely — otherwise
+    every statistic that mentions the token array embeds its own copy."""
     text = F.col(text_col)
-    tokens = tokenize(text)
+    if tokens is None:
+        tokens = tokenize(text)
     n_chars = F.length(text)
     nz = F.when(n_chars > 0, n_chars.cast("double"))  # null-divide guard
     return {
@@ -119,8 +122,13 @@ def _text_stat_exprs(text_col: str) -> "dict[str, Column]":
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add token/char statistics: ``n_tokens``, ``n_chars_actual``,
-    ``mean_token_len``, ``punct_ratio``, ``upper_ratio``, ``digit_ratio``."""
-    return df.withColumns(_text_stat_exprs(text_col))
+    ``mean_token_len``, ``punct_ratio``, ``upper_ratio``, ``digit_ratio``.
+    The token array is staged once (its own projection) so the stats
+    reference it by alias instead of each embedding a tokenize copy."""
+    staged = df.withColumn("__ts_toks", tokenize(F.col(text_col)))
+    return staged.withColumns(
+        _text_stat_exprs(text_col, tokens=F.col("__ts_toks"))
+    ).drop("__ts_toks")
 
 
 def with_repetition_stats(
@@ -177,15 +185,31 @@ def with_repetition_stats(
 
 def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Coarse language ID: most stopword hits wins; zero hits → ``und``.
-    Ties break in fixed language order (en, de, fr, es) for determinism."""
-    tokens = tokenize(F.col(text_col))
-    hits = {lang: _stop_hits(tokens, words) for lang, words in STOPWORDS.items()}
-    best = F.greatest(*hits.values())
+    Ties break in fixed language order (en, de, fr, es) for determinism.
+
+    Each intermediate (token array, per-language hit counts, the max) is
+    staged into its OWN projection and referenced by alias: the inlined
+    single-projection form duplicated the tokenize chain 36x in the
+    optimized plan (4 stopword filters × greatest × the tie-break
+    when-chain) — the q199-class defect found by tools/expr_dup_audit.py
+    — and pointing F.filter at the raw tokenize EXPRESSION re-evaluates
+    the regex split per ELEMENT under interpreted higher-order lambdas
+    (the O(n²) trap documented on with_repetition_stats)."""
+    toks = F.col("__lid_toks")
+    staged = df.withColumn("__lid_toks", tokenize(F.col(text_col)))
+    staged = staged.withColumns(
+        {f"__lid_{lang}": _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+    )
+    hits = {lang: F.col(f"__lid_{lang}") for lang in STOPWORDS}
+    staged = staged.withColumn("__lid_best", F.greatest(*hits.values()))
+    best = F.col("__lid_best")
     expr = F.lit("und")
     # build reversed so earlier languages win ties
     for lang in reversed(list(STOPWORDS)):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return staged.withColumn(out_col, expr).drop(
+        "__lid_toks", "__lid_best", *[f"__lid_{lang}" for lang in STOPWORDS]
+    )
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
@@ -194,23 +218,34 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "qu
     fully codegen'd; thresholds follow common pretraining-filter heuristics
     (Gopher-style length/punct rules).
 
-    Features are inlined expressions — caller columns that happen to be
-    named ``n_tokens``/``punct_ratio``/… are left untouched."""
-    st = _text_stat_exprs(text_col)
-    n_tok = st["n_tokens"]
+    Features live in __-prefixed staging columns (dropped before
+    returning) — caller columns named ``n_tokens``/``punct_ratio``/… are
+    left untouched. Staging each statistic into its own aliased
+    projection keeps CollapseProject from inlining the tokenize/regexp
+    chains at every reference (the q199-class duplication found by
+    tools/expr_dup_audit.py)."""
+    staged = df.withColumn("__q_toks", tokenize(F.col(text_col)))
+    st = _text_stat_exprs(text_col, tokens=F.col("__q_toks"))
+    staged = staged.withColumns(
+        {
+            "__q_ntok": st["n_tokens"],
+            "__q_mtl": st["mean_token_len"],
+            "__q_punct": st["punct_ratio"],
+            "__q_digit": st["digit_ratio"],
+        }
+    )
+    n_tok, mtl = F.col("__q_ntok"), F.col("__q_mtl")
     length_score = F.when(n_tok <= 0, 0.0).otherwise(
         F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
     )
-    token_len_score = F.when(
-        (st["mean_token_len"] >= 3.0) & (st["mean_token_len"] <= 10.0), 1.0
-    ).otherwise(0.5)
+    token_len_score = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.5)
     noise_score = F.lit(1.0) - F.least(
-        F.lit(1.0), st["punct_ratio"] * 2.0 + st["digit_ratio"]
+        F.lit(1.0), F.col("__q_punct") * 2.0 + F.col("__q_digit")
     )
-    return df.withColumn(
+    return staged.withColumn(
         out_col,
         F.round((length_score * 0.4 + token_len_score * 0.3 + noise_score * 0.3), 6),
-    )
+    ).drop("__q_toks", "__q_ntok", "__q_mtl", "__q_punct", "__q_digit")
 
 
 # Fixed public-heuristic weights for the logistic quality scorer: prose

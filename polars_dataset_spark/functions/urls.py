@@ -55,26 +55,33 @@ _QUERY_RE = r"\?([^#]*)"
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add ``scheme, host, port, path, query, n_path_segments,
     n_query_params, domain`` parsed from ``url_col``. Unparseable rows
-    get null scheme/host/domain and zero counts. Map-only."""
+    get null scheme/host/domain and zero counts. Map-only.
+
+    Two projections on purpose: the five regexp extractions land first,
+    and the derived columns (counts, registered domain) reference them
+    as ALIASES — ``domain`` mentions ``host`` eight times, and the
+    single-projection form inlined the host regexp at every mention
+    (9 copies, tools/expr_dup_audit.py); CollapseProject keeps the
+    stages apart because merging would duplicate non-cheap aliases."""
     u = F.col(url_col)
-    scheme = F.nullif(F.lower(F.regexp_extract(u, _SCHEME_RE, 1)), F.lit(""))
-    host = F.nullif(F.lower(F.regexp_extract(u, _HOST_RE, 1)), F.lit(""))
-    port = F.nullif(F.regexp_extract(u, _PORT_RE, 1), F.lit("")).cast("int")
-    path = F.nullif(F.regexp_extract(u, _PATH_RE, 1), F.lit(""))
-    query = F.nullif(F.regexp_extract(u, _QUERY_RE, 1), F.lit(""))
+    staged = df.withColumns(
+        {
+            "scheme": F.nullif(F.lower(F.regexp_extract(u, _SCHEME_RE, 1)), F.lit("")),
+            "host": F.nullif(F.lower(F.regexp_extract(u, _HOST_RE, 1)), F.lit("")),
+            "port": F.nullif(F.regexp_extract(u, _PORT_RE, 1), F.lit("")).cast("int"),
+            "path": F.nullif(F.regexp_extract(u, _PATH_RE, 1), F.lit("")),
+            "query": F.nullif(F.regexp_extract(u, _QUERY_RE, 1), F.lit("")),
+        }
+    )
+    host, path, query = F.col("host"), F.col("path"), F.col("query")
     n_seg = F.when(path.isNull(), F.lit(0)).otherwise(
         F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
     )
     n_par = F.when(query.isNull(), F.lit(0)).otherwise(
         F.size(F.filter(F.split(query, "&"), lambda s: s != ""))
     )
-    return df.withColumns(
+    return staged.withColumns(
         {
-            "scheme": scheme,
-            "host": host,
-            "port": port,
-            "path": path,
-            "query": query,
             "n_path_segments": n_seg.cast("int"),
             "n_query_params": n_par.cast("int"),
             "domain": registered_domain_col(host),
