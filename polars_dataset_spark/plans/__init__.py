@@ -4,6 +4,7 @@ from polars_dataset_spark.plans.inspect import (
     read_schema_columns,
     count_joins,
     count_exchanges,
+    expensive_snippet_counts,
     has_take_ordered,
     plan_report,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "read_schema_columns",
     "count_joins",
     "count_exchanges",
+    "expensive_snippet_counts",
     "has_take_ordered",
     "plan_report",
 ]

@@ -88,3 +88,34 @@ def plan_report(df: DataFrame) -> dict:
         "shuffle_exchanges": count_exchanges(df),
         "take_ordered": has_take_ordered(df),
     }
+
+
+# functions whose per-row cost makes duplication matter: hashes, string
+# builders, array pipelines, higher-order lambdas, regex
+_EXPENSIVE_FNS = (
+    "md5", "sha2", "crc32", "xxhash64", "hash",
+    "sequence", "aggregate", "zip_with", "transform", "filter",
+    "array_sort", "sort_array", "regexp_replace", "regexp_extract_all",
+    "split", "levenshtein", "conv",
+)
+_EXPENSIVE_CALL_RE = re.compile(r"\b(" + "|".join(_EXPENSIVE_FNS) + r")\((.{0,120})")
+
+
+def expensive_snippet_counts(df: DataFrame) -> dict[str, int]:
+    """Copies of each long expensive-call snippet in the OPTIMIZED plan —
+    the round-7 duplication detector. Catalyst's CollapseProject inlines
+    a projection's expressions at every consumer reference unless the
+    alias is non-cheap AND referenced more than once; an operator built
+    as one giant projection therefore pays N× for every named
+    sub-expression (q199's md5 boundary chain appeared 16 times and ran
+    4.5× slower than its staged rewrite). The 120-char argument prefix
+    identifies a specific sub-expression; Catalyst expr-ids (#123) are
+    stripped so copies of the same expression hash together; snippets
+    under 40 chars are ignored (too generic to indicate a real chain)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    counts: dict[str, int] = {}
+    for m in _EXPENSIVE_CALL_RE.finditer(plan):
+        frag = re.sub(r"#\d+", "#", m.group(0))
+        if len(frag) >= 40:
+            counts[frag] = counts.get(frag, 0) + 1
+    return counts

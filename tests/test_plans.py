@@ -8,6 +8,7 @@ from polars_dataset_spark import suite
 from polars_dataset_spark.plans import (
     count_exchanges,
     count_joins,
+    expensive_snippet_counts,
     explain_str,
     has_take_ordered,
     plan_report,
@@ -121,9 +122,24 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         # distributed prefix sum — zero single-partition exchanges in
         # the whole suite, enforced here.
     }
+    # Expensive-expression duplication caps (the round-7 q199 disease:
+    # CollapseProject inlines a single-projection operator's named
+    # sub-expressions at every reference — md5 chain x16 ran 4.5x slow).
+    # Default cap 5 copies of any one >=40-char expensive-call snippet;
+    # adjudicated exceptions (plans read, duplication bounded):
+    dup_allowed = {
+        # filter pushdown substitutes the quality/tokenize derivation into
+        # the pushed predicate (~2x per-row, filters before the wide
+        # projection) and the anti-join branch rescans the map pipeline
+        "q60_clean_corpus": 40,
+        # same pushdown shape: isnotnull(domain) re-derives the host regex
+        # in the pushed filter; projection side is CSE'd (_common_expr)
+        "q179_url_filter": 12,
+    }
     problems = []
     for name, fn in suite.QUERIES.items():
-        text = explain_str(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        text = explain_str(df)
         flags = set()
         if "Exchange SinglePartition" in text:
             flags.add("SINGLE_PART")
@@ -132,6 +148,9 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         if "CartesianProduct" in text:
             flags.add("CARTESIAN")
         extra = flags - allowed.get(name, set())
+        worst = max(expensive_snippet_counts(df).values(), default=0)
+        if worst > dup_allowed.get(name, 5):
+            extra.add(f"EXPR_DUP x{worst}")
         if extra:
             problems.append((name, sorted(extra)))
     assert not problems, f"unexpected scale red flags: {problems}"

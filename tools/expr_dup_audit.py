@@ -9,10 +9,16 @@ reference to a named sub-expression (ends/starts/bounds/...) becomes a
 full copy in the physical plan — q199's md5-per-position boundary chain
 appeared 16 times and ran ~4.5x slower than its staged rewrite.
 
-This tool scans every suite query's optimized plan for long repeated
-call-expression snippets rooted at expensive functions and reports
-(query, snippet-prefix, copies). Copies >= the threshold deserve the
-staged-projection treatment (alias the intermediate in its own select).
+The detector lives in :func:`polars_dataset_spark.plans.
+expensive_snippet_counts` and is ALSO enforced suite-wide by
+``tests/test_plans.py`` against an adjudicated allowlist; this tool is
+the exploratory front-end (arbitrary thresholds, full snippet text).
+
+Copies >= the threshold usually deserve the staged-projection treatment
+(alias the intermediate in its own select) — but read the plan first:
+filter PUSHDOWN also substitutes derivations into predicates (bounded
+~2x, usually worth it), and literal fan-outs (LSH band slices) repeat by
+construction.
 
 Usage: python tools/expr_dup_audit.py [sf_dir] [--min-copies 4]
 """
@@ -21,39 +27,13 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
-from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from polars_dataset_spark import suite
+from polars_dataset_spark.plans import expensive_snippet_counts
 from polars_dataset_spark.session import get_spark
-
-# functions whose per-row cost makes duplication matter: hashes, string
-# builders, array pipelines, higher-order lambdas, regex
-_EXPENSIVE = (
-    "md5", "sha2", "crc32", "xxhash64", "hash",
-    "sequence", "aggregate", "zip_with", "transform", "filter",
-    "array_sort", "sort_array", "regexp_replace", "regexp_extract_all",
-    "split", "levenshtein", "conv",
-)
-_CALL = re.compile(r"\b(" + "|".join(_EXPENSIVE) + r")\((.{0,120})")
-
-
-def snippets(plan: str) -> Counter:
-    """Count long expensive-call snippets. The 120-char argument prefix
-    is enough to identify a specific sub-expression while tolerating
-    differing expr-ids deeper in the tree."""
-    c: Counter = Counter()
-    for m in _CALL.finditer(plan):
-        frag = m.group(0)
-        # strip Catalyst expr-ids (#1234) so copies of the same
-        # expression over the same columns hash together
-        frag = re.sub(r"#\d+", "#", frag)
-        if len(frag) >= 40:
-            c[frag] += 1
-    return c
 
 
 def main() -> None:
@@ -65,24 +45,20 @@ def main() -> None:
     hits = []
     for name, fn in sorted(suite.QUERIES.items()):
         try:
-            plan = fn(spark, args.sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+            counts = expensive_snippet_counts(fn(spark, args.sf_dir))
         except Exception as exc:  # surface, don't die mid-scan
             print(f"{name}: PLAN ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
             continue
-        worst = [
-            (copies, frag)
-            for frag, copies in snippets(plan).items()
-            if copies >= args.min_copies
-        ]
+        worst = [(c, frag) for frag, c in counts.items() if c >= args.min_copies]
         if worst:
             worst.sort(reverse=True)
             copies, frag = worst[0]
-            hits.append((copies, name, frag, len(plan)))
+            hits.append((copies, name, frag))
     hits.sort(reverse=True)
     if not hits:
         print("no expensive-expression duplication at threshold", args.min_copies)
-    for copies, name, frag, plen in hits:
-        print(f"{name}: x{copies} (plan {plen} chars)  {frag[:100]}")
+    for copies, name, frag in hits:
+        print(f"{name}: x{copies}  {frag[:100]}")
     spark.stop()
 
 
