@@ -156,6 +156,34 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
     assert not problems, f"unexpected scale red flags: {problems}"
 
 
+def test_expensive_snippet_counts_detects_inlined_duplication(spark):
+    """The detector's core contract: a single projection that references
+    a named md5-chain alias N times shows N copies (CollapseProject
+    inlines it), while the staged two-projection form shows one."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(8).withColumn("t", F.concat(F.lit("x"), F.col("id")))
+    chain = F.filter(
+        F.sequence(F.lit(1), F.length("t")),
+        lambda i: F.conv(F.substring(F.md5(F.substring("t", i, 2)), 1, 15), 16, 10)
+        .cast("long") % 4 == 0,
+    )
+    # inlined: one projection mentions the chain three times
+    inlined = df.select(
+        (F.size(chain) + F.size(chain) * 2).alias("a"),
+        F.element_at(chain, 1).alias("b"),
+    )
+    worst_inlined = max(expensive_snippet_counts(inlined).values(), default=0)
+    assert worst_inlined >= 3
+    # staged: alias the chain in its own projection, reference the column
+    staged = df.withColumn("__c", chain).select(
+        (F.size("__c") + F.size("__c") * 2).alias("a"),
+        F.element_at("__c", 1).alias("b"),
+    )
+    worst_staged = max(expensive_snippet_counts(staged).values(), default=0)
+    assert worst_staged <= 1
+
+
 def test_plan_report_shape(spark, sf_dir):
     rep = plan_report(suite.QUERIES["q06_star_join"](spark, sf_dir))
     assert set(rep) == {"pushed_filters", "read_schemas", "joins", "shuffle_exchanges", "take_ordered"}
