@@ -62,6 +62,8 @@ _REFACTOR_TOUCHED: dict[str, int] = {
     "q30_quality_score": 6,
     "q60_clean_corpus": 6,
     "q143_model_quality": 6,
+    "q168_gopher_rules": 6,
+    "q172_curation_pipeline": 6,
     "q179_url_filter": 6,
     "q199_cdc_chunks": 6,
 }

@@ -505,6 +505,11 @@ def encode_flac(
     frames = np.atleast_2d(np.asarray(frames, dtype=np.int64))
     if frames.ndim == 1:
         frames = frames[:, None]
+    # STREAMINFO's 5-bit field stores bps-1, so only 4..32 is encodable
+    # (RFC 9639); out-of-range values would WRAP in the header while the
+    # subframes write the real width — a silently undecodable stream
+    if not 4 <= bps <= 32:
+        raise ValueError(f"encode_flac: bps must be in 4..32, got {bps}")
     n, nch = frames.shape
     out = bytearray(b"fLaC")
     # STREAMINFO (last metadata block)

@@ -79,6 +79,24 @@ def with_token_count(
     raise ValueError(f"mode must be 'whitespace' or 'bpe', got {mode!r}")
 
 
+def _staging_names(df: DataFrame, *bases: str) -> "list[str]":
+    """Temp column names guaranteed not to collide with ``df``'s columns.
+    The staged-projection pattern (withColumn → reference → drop) would
+    otherwise silently replace-and-remove a caller column that happens to
+    share a staging name — the pre-staging inlined forms never touched
+    caller columns, and that contract is kept."""
+    existing = set(df.columns)
+    out: list[str] = []
+    for b in bases:
+        name, i = b, 0
+        while name in existing:
+            i += 1
+            name = f"{b}_{i}"
+        existing.add(name)
+        out.append(name)
+    return out
+
+
 def _stop_hits(tokens: Column, words: list[str]) -> Column:
     stop = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
@@ -125,10 +143,9 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``mean_token_len``, ``punct_ratio``, ``upper_ratio``, ``digit_ratio``.
     The token array is staged once (its own projection) so the stats
     reference it by alias instead of each embedding a tokenize copy."""
-    staged = df.withColumn("__ts_toks", tokenize(F.col(text_col)))
-    return staged.withColumns(
-        _text_stat_exprs(text_col, tokens=F.col("__ts_toks"))
-    ).drop("__ts_toks")
+    (tk,) = _staging_names(df, "__ts_toks")
+    staged = df.withColumn(tk, tokenize(F.col(text_col)))
+    return staged.withColumns(_text_stat_exprs(text_col, tokens=F.col(tk))).drop(tk)
 
 
 def with_repetition_stats(
@@ -195,21 +212,24 @@ def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang
     — and pointing F.filter at the raw tokenize EXPRESSION re-evaluates
     the regex split per ELEMENT under interpreted higher-order lambdas
     (the O(n²) trap documented on with_repetition_stats)."""
-    toks = F.col("__lid_toks")
-    staged = df.withColumn("__lid_toks", tokenize(F.col(text_col)))
-    staged = staged.withColumns(
-        {f"__lid_{lang}": _stop_hits(toks, words) for lang, words in STOPWORDS.items()}
+    tk, bst, *hit_names = _staging_names(
+        df, "__lid_toks", "__lid_best", *[f"__lid_{lang}" for lang in STOPWORDS]
     )
-    hits = {lang: F.col(f"__lid_{lang}") for lang in STOPWORDS}
-    staged = staged.withColumn("__lid_best", F.greatest(*hits.values()))
-    best = F.col("__lid_best")
+    staged = df.withColumn(tk, tokenize(F.col(text_col)))
+    staged = staged.withColumns(
+        {
+            name: _stop_hits(F.col(tk), words)
+            for name, words in zip(hit_names, STOPWORDS.values())
+        }
+    )
+    hits = dict(zip(STOPWORDS, [F.col(n) for n in hit_names]))
+    staged = staged.withColumn(bst, F.greatest(*hits.values()))
+    best = F.col(bst)
     expr = F.lit("und")
     # build reversed so earlier languages win ties
     for lang in reversed(list(STOPWORDS)):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return staged.withColumn(out_col, expr).drop(
-        "__lid_toks", "__lid_best", *[f"__lid_{lang}" for lang in STOPWORDS]
-    )
+    return staged.withColumn(out_col, expr).drop(tk, bst, *hit_names)
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
@@ -224,28 +244,31 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "qu
     projection keeps CollapseProject from inlining the tokenize/regexp
     chains at every reference (the q199-class duplication found by
     tools/expr_dup_audit.py)."""
-    staged = df.withColumn("__q_toks", tokenize(F.col(text_col)))
-    st = _text_stat_exprs(text_col, tokens=F.col("__q_toks"))
+    tk, ntok_c, mtl_c, punct_c, digit_c = _staging_names(
+        df, "__q_toks", "__q_ntok", "__q_mtl", "__q_punct", "__q_digit"
+    )
+    staged = df.withColumn(tk, tokenize(F.col(text_col)))
+    st = _text_stat_exprs(text_col, tokens=F.col(tk))
     staged = staged.withColumns(
         {
-            "__q_ntok": st["n_tokens"],
-            "__q_mtl": st["mean_token_len"],
-            "__q_punct": st["punct_ratio"],
-            "__q_digit": st["digit_ratio"],
+            ntok_c: st["n_tokens"],
+            mtl_c: st["mean_token_len"],
+            punct_c: st["punct_ratio"],
+            digit_c: st["digit_ratio"],
         }
     )
-    n_tok, mtl = F.col("__q_ntok"), F.col("__q_mtl")
+    n_tok, mtl = F.col(ntok_c), F.col(mtl_c)
     length_score = F.when(n_tok <= 0, 0.0).otherwise(
         F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
     )
     token_len_score = F.when((mtl >= 3.0) & (mtl <= 10.0), 1.0).otherwise(0.5)
     noise_score = F.lit(1.0) - F.least(
-        F.lit(1.0), F.col("__q_punct") * 2.0 + F.col("__q_digit")
+        F.lit(1.0), F.col(punct_c) * 2.0 + F.col(digit_c)
     )
     return staged.withColumn(
         out_col,
         F.round((length_score * 0.4 + token_len_score * 0.3 + noise_score * 0.3), 6),
-    ).drop("__q_toks", "__q_ntok", "__q_mtl", "__q_punct", "__q_digit")
+    ).drop(tk, ntok_c, mtl_c, punct_c, digit_c)
 
 
 # Fixed public-heuristic weights for the logistic quality scorer: prose
@@ -285,35 +308,51 @@ def with_model_quality(
     the scorer is map-only and runs at scan speed, and Catalyst fuses it
     into the same whole-stage pass as the surrounding filters.
 
-    Features are inlined expressions — caller columns that happen to be
-    named ``n_tokens``/``punct_ratio``/… are left untouched. ``lang`` must
-    be one of the supported stopword languages (``ValueError`` otherwise)."""
+    Features live in collision-checked staging columns (dropped before
+    returning) — caller columns named ``n_tokens``/``punct_ratio``/… are
+    left untouched. ``lang`` must be one of the supported stopword
+    languages (``ValueError`` otherwise)."""
     if lang not in STOPWORDS:
         raise ValueError(
             f"unsupported lang {lang!r}; supported: {sorted(STOPWORDS)}"
         )
     w = dict(DEFAULT_QUALITY_WEIGHTS)
     w.update(weights or {})
-    st = _text_stat_exprs(text_col)
-    tokens = tokenize(F.col(text_col))
-    n_tok = F.size(tokens)
+    # staged like with_quality_score: the inlined form embedded ~6 copies
+    # of the tokenize chain in one projection (expr_dup_audit, round 7)
+    tk, ntok_c, mtl_c, punct_c, digit_c, upper_c = _staging_names(
+        df, "__mq_toks", "__mq_ntok", "__mq_mtl", "__mq_punct", "__mq_digit",
+        "__mq_upper",
+    )
+    staged = df.withColumn(tk, tokenize(F.col(text_col)))
+    st = _text_stat_exprs(text_col, tokens=F.col(tk))
+    staged = staged.withColumns(
+        {
+            ntok_c: st["n_tokens"],
+            mtl_c: st["mean_token_len"],
+            punct_c: st["punct_ratio"],
+            digit_c: st["digit_ratio"],
+            upper_c: st["upper_ratio"],
+        }
+    )
+    n_tok = F.col(ntok_c)
     sw = F.array([F.lit(s) for s in STOPWORDS[lang]])
     stop_ratio = F.when(
         n_tok > 0,
-        F.size(F.array_intersect(tokens, sw)).cast("double") / n_tok,
+        F.size(F.array_intersect(F.col(tk), sw)).cast("double") / n_tok,
     ).otherwise(F.lit(0.0))
     z = (
         F.lit(float(bias))
-        + F.lit(w["log_tokens"]) * F.log1p(st["n_tokens"].cast("double"))
-        + F.lit(w["mean_token_len"]) * st["mean_token_len"]
+        + F.lit(w["log_tokens"]) * F.log1p(n_tok.cast("double"))
+        + F.lit(w["mean_token_len"]) * F.col(mtl_c)
         + F.lit(w["stopword_ratio"]) * stop_ratio
-        + F.lit(w["punct_ratio"]) * st["punct_ratio"]
-        + F.lit(w["digit_ratio"]) * st["digit_ratio"]
-        + F.lit(w["upper_ratio"]) * st["upper_ratio"]
+        + F.lit(w["punct_ratio"]) * F.col(punct_c)
+        + F.lit(w["digit_ratio"]) * F.col(digit_c)
+        + F.lit(w["upper_ratio"]) * F.col(upper_c)
     )
-    return df.withColumn(
+    return staged.withColumn(
         out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    )
+    ).drop(tk, ntok_c, mtl_c, punct_c, digit_c, upper_c)
 
 
 def with_fingerprint(
@@ -458,10 +497,18 @@ def with_gopher_rules(
     Everything is a codegen'd expression (map-only, no UDF) and restates
     in ANSI SQL, so the whole rule set is driver-oracle-checkable. Empty
     documents fail ``rule_word_count`` and keep=false; line rules treat
-    a no-newline document as one line."""
+    a no-newline document as one line.
+
+    The token/line arrays and word count are staged into their own
+    (collision-checked, dropped) projections: the inlined form embedded
+    13 copies of the tokenize chain across the rule expressions
+    (expr_dup_audit, round 7), and F.filter over a raw tokenize
+    EXPRESSION re-evaluates the regex split per element."""
     text = F.col(text_col)
-    toks = tokenize(text)
-    n_words = F.size(toks)
+    tk, ln, nw = _staging_names(df, "__g_toks", "__g_lines", "__g_nwords")
+    staged = df.withColumns({tk: tokenize(text), ln: F.split(text, "\n")})
+    staged = staged.withColumn(nw, F.size(F.col(tk)))
+    toks, lines, n_words = F.col(tk), F.col(ln), F.col(nw)
     wordsf = F.when(n_words > 0, n_words.cast("double"))  # null-divide guard
     mean_len = (
         F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("double") / wordsf
@@ -469,7 +516,6 @@ def with_gopher_rules(
     n_symbols = (
         F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
     ) + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
-    lines = F.split(text, "\n")
     n_lines = F.size(lines)
     ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
     bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
@@ -497,11 +543,11 @@ def with_gopher_rules(
         ),
         "rule_stopwords": distinct_stops >= min_distinct_stopwords,
     }
-    out = df.withColumns(rules)
+    out = staged.withColumns(rules)
     keep = F.lit(True)
     for name in rules:
         keep = keep & F.col(name)
-    return out.withColumn("gopher_keep", keep)
+    return out.withColumn("gopher_keep", keep).drop(tk, ln, nw)
 
 
 def strip_markup(

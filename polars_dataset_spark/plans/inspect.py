@@ -98,7 +98,7 @@ _EXPENSIVE_FNS = (
     "array_sort", "sort_array", "regexp_replace", "regexp_extract_all",
     "split", "levenshtein", "conv",
 )
-_EXPENSIVE_CALL_RE = re.compile(r"\b(" + "|".join(_EXPENSIVE_FNS) + r")\((.{0,120})")
+_EXPENSIVE_CALL_RE = re.compile(r"\b(" + "|".join(_EXPENSIVE_FNS) + r")\(")
 
 
 def expensive_snippet_counts(df: DataFrame) -> dict[str, int]:
@@ -108,14 +108,31 @@ def expensive_snippet_counts(df: DataFrame) -> dict[str, int]:
     alias is non-cheap AND referenced more than once; an operator built
     as one giant projection therefore pays N× for every named
     sub-expression (q199's md5 boundary chain appeared 16 times and ran
-    4.5× slower than its staged rewrite). The 120-char argument prefix
-    identifies a specific sub-expression; Catalyst expr-ids (#123) are
-    stripped so copies of the same expression hash together; snippets
-    under 40 chars are ignored (too generic to indicate a real chain)."""
+    4.5× slower than its staged rewrite).
+
+    Each snippet is the call text up to its MATCHING close paren (capped
+    at 400 chars, so an over-long call truncates identically every
+    time): a fixed-length raw prefix would bleed into each copy's
+    DIFFERENT surrounding context and make N copies hash to N distinct
+    singletons, and a greedy multi-hundred-char match would swallow a
+    second copy starting inside the first (finditer is non-overlapping —
+    here matches are just ``name(``, so close copies all count).
+    Catalyst expr-ids (#123) are stripped so copies of the same
+    expression hash together; snippets under 40 chars are ignored (too
+    generic to indicate a real chain)."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     counts: dict[str, int] = {}
     for m in _EXPENSIVE_CALL_RE.finditer(plan):
-        frag = re.sub(r"#\d+", "#", m.group(0))
+        depth, j = 1, m.end()
+        limit = min(len(plan), m.start() + 400)
+        while j < limit and depth:
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        frag = re.sub(r"#\d+", "#", plan[m.start() : j])
         if len(frag) >= 40:
             counts[frag] = counts.get(frag, 0) + 1
     return counts

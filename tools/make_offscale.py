@@ -140,15 +140,17 @@ def main() -> None:
         src = spark.read.parquet(f"{args.src}/{table}.parquet")
         src.coalesce(1).write.mode("overwrite").parquet(f"{args.dst}/{table}.parquet")
         print(f"{table}: copied fixed dim")
-    emb_dim = int(
-        spark.read.parquet(f"{args.src}/embeddings.parquet")
-        .selectExpr("size(embedding) AS d")
-        .first()["d"]
-    )
-    # uniqueness guards apply only to the tables actually generated: a
-    # documents-only 300x sweep must not be blocked by the embedding
-    # rotation cycle (2*(dim-1)=126), and vice versa
+    # uniqueness guards (and the embeddings schema probe itself) apply
+    # only to the tables actually generated: a documents-only 300x sweep
+    # must not be blocked by the embedding rotation cycle (2*(dim-1)=126)
+    # nor fail on a src directory that has no embeddings.parquet at all
+    emb_dim = 0
     if not only or "embeddings" in only:
+        emb_dim = int(
+            spark.read.parquet(f"{args.src}/embeddings.parquet")
+            .selectExpr("size(embedding) AS d")
+            .first()["d"]
+        )
         assert args.replicas <= 2 * (emb_dim - 1), (
             f"embedding derivations repeat past 2*(dim-1)={2 * (emb_dim - 1)} "
             "replicas — cross-replica exact twins would poison the sweep"
