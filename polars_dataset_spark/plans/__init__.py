@@ -7,6 +7,7 @@ from polars_dataset_spark.plans.inspect import (
     expensive_snippet_counts,
     has_take_ordered,
     plan_report,
+    scale_report,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "expensive_snippet_counts",
     "has_take_ordered",
     "plan_report",
+    "scale_report",
 ]

@@ -22,8 +22,10 @@ __all__ = [
     "read_schema_columns",
     "count_joins",
     "count_exchanges",
+    "expensive_snippet_counts",
     "has_take_ordered",
     "plan_report",
+    "scale_report",
 ]
 
 
@@ -88,6 +90,42 @@ def plan_report(df: DataFrame) -> dict:
         "shuffle_exchanges": count_exchanges(df),
         "take_ordered": has_take_ordered(df),
     }
+
+
+def scale_report(df: DataFrame) -> dict:
+    """One-call "would this plan survive 100 TB?" audit of a DataFrame —
+    the same checks the suite-wide plan tests enforce, exposed for users
+    building their own pipelines:
+
+    - ``single_partition`` / ``cartesian`` / ``nested_loop_join``: the
+      three shapes that do not scale (a global single-partition
+      exchange, an |L|×|R| product, a key-less join) — each fine only
+      when one side is provably tiny;
+    - ``python_udf``: whether any stage leaves the JVM (Arrow-batched
+      or otherwise) — fine for kernel-shaped work, a smell on a
+      filter/projection path;
+    - ``shuffle_exchanges`` / ``joins`` / ``take_ordered`` /
+      ``pushed_filters`` / ``read_schemas``: the plan_report fields;
+    - ``worst_expr_dup``: max copies of any one expensive expression in
+      the optimized plan (see :func:`expensive_snippet_counts`) — above
+      ~5, look for a single giant projection to stage.
+    """
+    text = explain_str(df)
+    dup = expensive_snippet_counts(df)
+    rep = plan_report(df)
+    rep.update(
+        {
+            "single_partition": "Exchange SinglePartition" in text,
+            "cartesian": "CartesianProduct" in text,
+            "nested_loop_join": "BroadcastNestedLoopJoin" in text,
+            "python_udf": any(
+                m in text.lower()
+                for m in ("pythonudf", "arrowevalpython", "flatmapgroupsinpandas", "mapinpandas")
+            ),
+            "worst_expr_dup": max(dup.values(), default=0),
+        }
+    )
+    return rep
 
 
 # functions whose per-row cost makes duplication matter: hashes, string

@@ -197,6 +197,24 @@ def test_plan_report_shape(spark, sf_dir):
     assert set(rep) == {"pushed_filters", "read_schemas", "joins", "shuffle_exchanges", "take_ordered"}
 
 
+def test_scale_report_flags(spark, sf_dir):
+    from polars_dataset_spark.plans import scale_report
+
+    # a clean broadcast star join: no red flags, no python, no duplication
+    rep = scale_report(suite.QUERIES["q06_star_join"](spark, sf_dir))
+    assert not rep["single_partition"] and not rep["cartesian"]
+    assert not rep["nested_loop_join"] and not rep["python_udf"]
+    assert rep["worst_expr_dup"] <= 1
+    assert rep["joins"]["broadcast_hash"] == 4
+    # the declared-exact cosine baseline: BNL by design (dot products stay
+    # JVM-side via aggregate/zip_with, so no python flag)
+    rep2 = scale_report(suite.QUERIES["q34_cosine_topk"](spark, sf_dir))
+    assert rep2["nested_loop_join"] and not rep2["python_udf"]
+    # regrid: a genuine grouped pandas kernel must raise the python flag
+    rep3 = scale_report(suite.QUERIES["q40_regrid"](spark, sf_dir))
+    assert rep3["python_udf"] and not rep3["nested_loop_join"]
+
+
 def test_heavy_hitters_candidate_prune_is_broadcast(spark, sf_dir):
     """The exact-verify count must prune the stream with a BROADCAST
     semi-join BEFORE the counting shuffle — if the candidate set ever
