@@ -262,6 +262,14 @@ class Dataset:
     def to_arrow(self):
         return self._df.toArrow()
 
+    def scale_report(self) -> dict:
+        """One-call "would this plan survive 100 TB?" audit of the
+        Dataset's current plan — see
+        :func:`polars_dataset_spark.plans.scale_report`."""
+        from polars_dataset_spark.plans import scale_report
+
+        return scale_report(self._df)
+
     # -- explicit operators (reference E3-E21) ------------------------------
 
     def select(self, *exprs) -> "Dataset":

@@ -200,6 +200,13 @@ def test_plan_report_shape(spark, sf_dir):
 def test_scale_report_flags(spark, sf_dir):
     from polars_dataset_spark.plans import scale_report
 
+    # Dataset-level convenience returns the same shape
+    from polars_dataset_spark import Dataset
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ds_rep = Dataset(li, index="l_shipdate", id_vars=["l_returnflag"]).scale_report()
+    assert "worst_expr_dup" in ds_rep and not ds_rep["single_partition"]
+
     # a clean broadcast star join: no red flags, no python, no duplication
     rep = scale_report(suite.QUERIES["q06_star_join"](spark, sf_dir))
     assert not rep["single_partition"] and not rep["cartesian"]
