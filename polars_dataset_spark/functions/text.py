@@ -79,13 +79,16 @@ def with_token_count(
     raise ValueError(f"mode must be 'whitespace' or 'bpe', got {mode!r}")
 
 
-def _staging_names(df: DataFrame, *bases: str) -> "list[str]":
-    """Temp column names guaranteed not to collide with ``df``'s columns.
-    The staged-projection pattern (withColumn → reference → drop) would
+def _staging_names(df: DataFrame, *bases: str, reserved: "tuple[str, ...]" = ()) -> "list[str]":
+    """Temp column names guaranteed not to collide with ``df``'s columns
+    OR any ``reserved`` name (pass the function's ``out_col`` — a user
+    choosing an output name equal to a staging base would otherwise have
+    their result column dropped with the staging temps). The
+    staged-projection pattern (withColumn → reference → drop) would
     otherwise silently replace-and-remove a caller column that happens to
     share a staging name — the pre-staging inlined forms never touched
     caller columns, and that contract is kept."""
-    existing = set(df.columns)
+    existing = set(df.columns) | set(reserved)
     out: list[str] = []
     for b in bases:
         name, i = b, 0
@@ -169,14 +172,17 @@ def with_repetition_stats(
     # materialize the token array ONCE: interpreted higher-order lambdas
     # re-evaluate a referenced expression tree per ELEMENT, so pointing
     # them at the raw `tokenize(text)` expression costs an O(n) regex
-    # split per token — O(n²) per doc (measured 7× on this operator)
-    toks = F.col("__toks")
-    df = df.withColumn("__toks", tokenize(F.col(text_col)))
+    # split per token — O(n²) per doc (measured 7× on this operator);
+    # collision-checked name so a caller's column of the same name
+    # survives (the staging-contract fix, round 7)
+    (tk,) = _staging_names(df, "__toks")
+    toks = F.col(tk)
+    df = df.withColumn(tk, tokenize(F.col(text_col)))
     dup = F.when(
         F.size(toks) > 0,
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
     ).otherwise(F.lit(0.0))
-    base = df.withColumn("dup_token_frac", dup).drop("__toks")
+    base = df.withColumn("dup_token_frac", dup).drop(tk)
 
     # adjacent bigrams = element-wise zip of the array with itself shifted
     # by one (two O(n) slices), never a per-element array lookup
@@ -213,7 +219,8 @@ def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang
     the regex split per ELEMENT under interpreted higher-order lambdas
     (the O(n²) trap documented on with_repetition_stats)."""
     tk, bst, *hit_names = _staging_names(
-        df, "__lid_toks", "__lid_best", *[f"__lid_{lang}" for lang in STOPWORDS]
+        df, "__lid_toks", "__lid_best", *[f"__lid_{lang}" for lang in STOPWORDS],
+        reserved=(out_col,),
     )
     staged = df.withColumn(tk, tokenize(F.col(text_col)))
     staged = staged.withColumns(
@@ -245,7 +252,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out_col: str = "qu
     chains at every reference (the q199-class duplication found by
     tools/expr_dup_audit.py)."""
     tk, ntok_c, mtl_c, punct_c, digit_c = _staging_names(
-        df, "__q_toks", "__q_ntok", "__q_mtl", "__q_punct", "__q_digit"
+        df, "__q_toks", "__q_ntok", "__q_mtl", "__q_punct", "__q_digit",
+        reserved=(out_col,),
     )
     staged = df.withColumn(tk, tokenize(F.col(text_col)))
     st = _text_stat_exprs(text_col, tokens=F.col(tk))
@@ -322,7 +330,7 @@ def with_model_quality(
     # of the tokenize chain in one projection (expr_dup_audit, round 7)
     tk, ntok_c, mtl_c, punct_c, digit_c, upper_c = _staging_names(
         df, "__mq_toks", "__mq_ntok", "__mq_mtl", "__mq_punct", "__mq_digit",
-        "__mq_upper",
+        "__mq_upper", reserved=(out_col,),
     )
     staged = df.withColumn(tk, tokenize(F.col(text_col)))
     st = _text_stat_exprs(text_col, tokens=F.col(tk))

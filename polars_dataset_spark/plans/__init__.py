@@ -6,8 +6,11 @@ from polars_dataset_spark.plans.inspect import (
     count_exchanges,
     expensive_snippet_counts,
     has_take_ordered,
+    has_unbounded_single_partition,
+    is_python_path,
     plan_report,
     scale_report,
+    single_partition_consumers,
 )
 
 __all__ = [
@@ -18,6 +21,9 @@ __all__ = [
     "count_exchanges",
     "expensive_snippet_counts",
     "has_take_ordered",
+    "has_unbounded_single_partition",
+    "is_python_path",
     "plan_report",
     "scale_report",
+    "single_partition_consumers",
 ]

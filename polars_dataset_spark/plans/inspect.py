@@ -24,8 +24,11 @@ __all__ = [
     "count_exchanges",
     "expensive_snippet_counts",
     "has_take_ordered",
+    "has_unbounded_single_partition",
+    "is_python_path",
     "plan_report",
     "scale_report",
+    "single_partition_consumers",
 ]
 
 
@@ -81,6 +84,73 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in _executed(df)
 
 
+def single_partition_consumers(df: DataFrame) -> list[str]:
+    """For every ``Exchange SinglePartition`` in the EXECUTED plan, the
+    head word of the nearest consumer line above it (the operator that
+    reads the single partition). The round-7 review found the old check
+    — ``"Exchange SinglePartition" in explain_str(df)`` — was DEAD:
+    formatted explain prints the node name and its arguments on separate
+    lines, so the substring never occurs and the guard enforced nothing.
+    The simple executedPlan string does contain it on one line.
+
+    Scale adjudication belongs to the CALLER: a single-partition
+    exchange feeding a final global aggregate carries one partial row
+    per upstream partition (bounded — the normal global-agg shape),
+    while one feeding a Sort/Window/flatMap carries the full data set
+    (the true 100-TB red flag)."""
+    text = _executed(df)
+    lines = text.split("\n")
+    # pass-through wrappers between an exchange and its real consumer
+    wrappers = {
+        "ShuffleQueryStage", "AQEShuffleRead", "InputAdapter",
+        "WholeStageCodegen", "ResultQueryStage", "TableCacheQueryStage",
+        "InMemoryRelation", "==",
+    }
+
+    def head(s: str) -> str:
+        w = re.sub(r"^[\s:*+\-()0-9=]*", "", s)
+        return re.split(r"[ \[(]", w, maxsplit=1)[0]
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*(0123456789)"))
+
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        consumer = ""
+        for j in range(i - 1, -1, -1):
+            if not lines[j].strip() or depth(lines[j]) >= d:
+                continue
+            h = head(lines[j])
+            d = depth(lines[j])
+            if h in wrappers or not h:
+                continue  # keep walking up past the wrapper
+            consumer = h
+            break
+        out.append(consumer or "<root>")
+    return out
+
+
+_BOUNDED_SINGLE_PART_CONSUMERS = frozenset(
+    # final global aggregates: the exchange moves one partial-state row
+    # per upstream partition, bounded at any data size
+    {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+)
+
+
+def has_unbounded_single_partition(df: DataFrame) -> bool:
+    """True when some single-partition exchange feeds a NON-aggregate
+    consumer (global sort, keyless window, single-threaded map) — the
+    shape that does not survive 100 TB. Final global aggregates are
+    bounded (one partial row per upstream partition) and allowed."""
+    return any(
+        c not in _BOUNDED_SINGLE_PART_CONSUMERS
+        for c in single_partition_consumers(df)
+    )
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call summary used in notebooks/debugging."""
     return {
@@ -110,22 +180,36 @@ def scale_report(df: DataFrame) -> dict:
       the optimized plan (see :func:`expensive_snippet_counts`) — above
       ~5, look for a single giant projection to stage.
     """
-    text = explain_str(df)
+    executed = _executed(df)  # one render; the simple string has
+    # one-line nodes, so substring checks actually match (the formatted
+    # mode splits node name and arguments across lines — a check against
+    # it can never fire, the round-7 review's dead-guard finding)
     dup = expensive_snippet_counts(df)
     rep = plan_report(df)
     rep.update(
         {
-            "single_partition": "Exchange SinglePartition" in text,
-            "cartesian": "CartesianProduct" in text,
-            "nested_loop_join": "BroadcastNestedLoopJoin" in text,
-            "python_udf": any(
-                m in text.lower()
-                for m in ("pythonudf", "arrowevalpython", "flatmapgroupsinpandas", "mapinpandas")
-            ),
+            "single_partition": has_unbounded_single_partition(df),
+            "single_partition_consumers": single_partition_consumers(df),
+            "cartesian": "CartesianProduct" in executed,
+            "nested_loop_join": "BroadcastNestedLoopJoin" in executed,
+            "python_udf": is_python_path(executed),
             "worst_expr_dup": max(dup.values(), default=0),
         }
     )
     return rep
+
+
+def is_python_path(executed_plan_text: str) -> bool:
+    """Whether any stage of the (simple executed) plan text leaves the
+    JVM: row-at-a-time UDFs (BatchEvalPython), Arrow-batched scalar UDFs
+    (ArrowEvalPython), every pandas fan-out (MapInPandas,
+    FlatMapGroupsInPandas, FlatMapCoGroupsInPandas,
+    ApplyInPandasWithState — all contain "InPandas"), and the Arrow map
+    variants (MapInArrow, FlatMapGroupsInArrow — "InArrow")."""
+    low = executed_plan_text.lower()
+    return any(
+        m in low for m in ("pythonudf", "evalpython", "inpandas", "inarrow")
+    )
 
 
 # functions whose per-row cost makes duplication matter: hashes, string
@@ -162,15 +246,25 @@ def expensive_snippet_counts(df: DataFrame) -> dict[str, int]:
     counts: dict[str, int] = {}
     for m in _EXPENSIVE_CALL_RE.finditer(plan):
         depth, j = 1, m.end()
-        limit = min(len(plan), m.start() + 400)
+        limit = min(len(plan), m.start() + 600)
         while j < limit and depth:
             c = plan[j]
+            if c == "\\":
+                j += 2  # escaped char (regex literals like \( in the plan
+                # text) must not move the paren depth — an unbalanced
+                # escaped paren would otherwise desync the scan and run
+                # every copy to the cap with different trailing context
+                continue
             if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
             j += 1
-        frag = re.sub(r"#\d+", "#", plan[m.start() : j])
+        # normalize BEFORE the length cap: expr-ids differ in digit count
+        # across join branches (#87 vs #1042), so a raw-offset cap would
+        # cover different logical spans and split copies of the same
+        # over-long chain into distinct fragments
+        frag = re.sub(r"#\d+", "#", plan[m.start() : j])[:400]
         if len(frag) >= 40:
             counts[frag] = counts.get(frag, 0) + 1
     return counts

@@ -11,9 +11,11 @@ from polars_dataset_spark.plans import (
     expensive_snippet_counts,
     explain_str,
     has_take_ordered,
+    has_unbounded_single_partition,
     plan_report,
     pushed_filters,
     read_schema_columns,
+    single_partition_consumers,
 )
 
 
@@ -59,8 +61,11 @@ def test_asof_single_shuffle_per_side(spark, sf_dir):
     # the 100-TB contract — no single-partition global sort of |L|+|R| rows
     joins = count_joins(df)
     assert joins["broadcast_nested_loop"] == 0
+    # the old check ("Exchange SinglePartition" in explain_str) was DEAD:
+    # formatted explain splits node name and arguments across lines, so
+    # the substring never occurs — use the executed-plan consumer walk
+    assert single_partition_consumers(df) == []
     text = explain_str(df)
-    assert "Exchange SinglePartition" not in text
     assert "FlatMapGroupsInPandas" in text or "MapInPandas" in text
 
 
@@ -93,9 +98,8 @@ def test_interpolate_nulls_no_single_partition(spark, sf_dir):
     # trace key — no shrinking frame (O(n²) re-aggregation) and no global
     # single-partition exchange
     df = suite.QUERIES["q82_interpolate_nulls"](spark, sf_dir)
-    text = explain_str(df)
-    assert "Exchange SinglePartition" not in text
-    assert "following$()" not in text.lower()
+    assert single_partition_consumers(df) == []
+    assert "following$()" not in explain_str(df).lower()
 
 
 def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
@@ -117,10 +121,15 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q197_hll_distinct": {"BNL"},  # 1-row exact-distinct broadcast crossJoin (accuracy contract column)
         "q198_numeric_outliers": {"BNL"},  # two 1-row scalar (median, MAD) broadcast crossJoins
         "q200_bm25_topk_many": {"BNL"},  # two 1-row broadcasts: vocab-size agg (retrieval.py idf) + corpus totals crossJoin — same bounded class as q195
-        # NO SINGLE_PART entries: every positional/rank op rides either
-        # TakeOrderedAndProject, a keyed window, or the two-pass
-        # distributed prefix sum — zero single-partition exchanges in
-        # the whole suite, enforced here.
+        # NO SINGLE_PART entries: SINGLE_PART means an UNBOUNDED
+        # single-partition exchange (consumer is a Sort/Window/map over
+        # instance-scale data). Bounded final-global-aggregate single
+        # partitions (one partial row per upstream partition) exist in 20
+        # queries by design and are allowed by the consumer walk; the
+        # fixed r7 audit (the old explain_str substring check was DEAD)
+        # confirmed the whole suite has ZERO unbounded ones — every
+        # positional/rank op rides TakeOrderedAndProject, a keyed window,
+        # or the two-pass distributed prefix sum.
     }
     # Expensive-expression duplication caps (the round-7 q199 disease:
     # CollapseProject inlines a single-projection operator's named
@@ -149,7 +158,10 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         df = fn(spark, sf_dir)
         text = explain_str(df)
         flags = set()
-        if "Exchange SinglePartition" in text:
+        # executed-plan check (the explain_str substring form was dead);
+        # bounded global-agg single partitions are allowed, sort/window/
+        # map consumers are the real red flag
+        if has_unbounded_single_partition(df):
             flags.add("SINGLE_PART")
         if "BroadcastNestedLoopJoin" in text:
             flags.add("BNL")
@@ -230,7 +242,7 @@ def test_heavy_hitters_candidate_prune_is_broadcast(spark, sf_dir):
     df = suite.QUERIES["q144_heavy_hitters"](spark, sf_dir)
     text = explain_str(df)
     assert "BroadcastHashJoin" in text and "LeftSemi" in text
-    assert "Exchange SinglePartition" not in text
+    assert not has_unbounded_single_partition(df)
 
 
 def test_pca_projection_is_map_only(spark, sf_dir):
@@ -265,9 +277,8 @@ def test_cap_per_group_single_window_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     df = cap_per_group(docs, "source", n_max=10)
-    text = explain_str(df)
     assert count_exchanges(df) == 1
-    assert "Exchange SinglePartition" not in text
+    assert single_partition_consumers(df) == []
 
 
 def test_assign_training_shards_map_only(spark, sf_dir):
@@ -293,5 +304,9 @@ def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
     df = dsir_score(docs, F.col("lang") == "en", buckets=256)
     text = explain_str(df)
     assert "BroadcastHashJoin" in text
-    assert "Exchange SinglePartition" not in text
+    # the corpus-totals reduction IS a bounded single-partition global
+    # agg (one partial row per partition) — the honest invariant is no
+    # UNBOUNDED single partition (the old dead substring check hid this)
+    assert single_partition_consumers(df) == ["HashAggregate"]
+    assert not has_unbounded_single_partition(df)
     assert "pythonUDF" not in text.lower()

@@ -78,6 +78,81 @@ def test_snippet_detector_counts_short_call_copies(spark):
     assert split_frags and max(split_frags.values()) >= 3, counts
 
 
+def test_single_partition_detection_is_live_and_adjudicates(spark):
+    # the old check — "Exchange SinglePartition" in explain_str(df) —
+    # could NEVER fire (formatted explain splits node name and arguments
+    # across lines); the consumer walk over the executed plan must flag a
+    # keyless window (instance-scale single partition) and allow a final
+    # global aggregate (one partial row per upstream partition)
+    from pyspark.sql import Window
+
+    from polars_dataset_spark.plans import (
+        explain_str,
+        has_unbounded_single_partition,
+        single_partition_consumers,
+    )
+
+    df = spark.range(0, 1000, 1, 8)
+    agg = df.groupBy().agg(F.sum("id").alias("s"))
+    assert single_partition_consumers(agg) == ["HashAggregate"]
+    assert not has_unbounded_single_partition(agg)
+    kw = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert has_unbounded_single_partition(kw)
+    # document WHY the substring form was dead: formatted explain really
+    # does not contain the one-line node text, while the walk still fires
+    assert "Exchange SinglePartition" not in explain_str(kw)
+
+
+def test_python_path_detects_arrow_and_cogroup_stages(spark):
+    from polars_dataset_spark.plans import is_python_path
+
+    df = spark.range(8).withColumn("g", F.col("id") % 2)
+    mia = df.mapInArrow(lambda it: it, "id long, g long")
+    assert is_python_path(mia._jdf.queryExecution().executedPlan().toString())
+    cg = df.groupBy("g").cogroup(df.groupBy("g")).applyInPandas(
+        lambda a, b: a, "id long, g long"
+    )
+    assert is_python_path(cg._jdf.queryExecution().executedPlan().toString())
+    assert not is_python_path(
+        df.groupBy("g").count()._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_snippet_detector_survives_escaped_parens(spark):
+    # a regex literal containing \( in the plan text must not desync the
+    # balanced-paren scan: two copies of the same call still hash together
+    df = spark.range(4).withColumn("t", F.concat(F.lit("x(y"), F.col("id")))
+    chain = F.regexp_replace(F.col("t"), r"\(abcdefghijklmnopqrstuvwxyz", "_")
+    inlined = df.select(F.length(chain).alias("a"), F.upper(chain).alias("b"))
+    counts = expensive_snippet_counts(inlined)
+    rr = {f: c for f, c in counts.items() if f.startswith("regexp_replace(")}
+    assert rr and max(rr.values()) >= 2, counts
+
+
+def test_staging_names_respect_reserved_out_col(spark):
+    # a user naming the OUTPUT column like a staging base must get their
+    # column, not have it dropped with the staging temps
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = with_language_id(docs, out_col="__lid_toks")
+    assert "__lid_toks" in out.columns
+    assert out.first()["__lid_toks"] == "en"
+    out2 = with_quality_score(docs, out_col="__q_toks")
+    assert "__q_toks" in out2.columns and 0.0 <= out2.first()["__q_toks"] <= 1.0
+
+
+def test_repetition_stats_preserve_caller_toks_column(spark):
+    from polars_dataset_spark.functions.text import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b", 42)], "doc_id long, text string, __toks long"
+    )
+    out = with_repetition_stats(docs)
+    assert out.first()["__toks"] == 42  # caller column survives
+
+
 def test_snippet_detector_counts_adjacent_copies(spark):
     # two copies of the same long chain closer together than the old
     # 120-char greedy window must BOTH count (finditer anchors on the

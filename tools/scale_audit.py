@@ -26,6 +26,8 @@ from polars_dataset_spark.plans import (
     count_joins,
     explain_str,
     has_take_ordered,
+    is_python_path,
+    single_partition_consumers,
 )
 from polars_dataset_spark.session import get_spark
 
@@ -38,15 +40,20 @@ def main() -> None:
         df = fn(spark, sf_dir)
         text = explain_str(df)
         joins = count_joins(df)
+        # single-partition detection via the EXECUTED plan consumer walk
+        # (the explain_str substring form could never match — the
+        # round-7 dead-guard finding); consumers recorded so bounded
+        # global-agg shapes are distinguishable from sort/window reds
+        sp = single_partition_consumers(df)
         rows[name] = {
             "exchanges": count_exchanges(df),
             "joins": {k: v for k, v in joins.items() if v},
             "take_ordered": has_take_ordered(df),
-            "python_udf": "pythonudf" in text.lower()
-            or "arrowevalpython" in text.lower()
-            or "flatmapgroupsinpandas" in text.lower()
-            or "mapinpandas" in text.lower(),
-            "single_partition": "Exchange SinglePartition" in text,
+            "python_udf": is_python_path(
+                df._jdf.queryExecution().executedPlan().toString()
+            ),
+            "single_partition": bool(sp),
+            "single_partition_consumers": sp,
             "cartesian": "CartesianProduct" in text,
         }
         print(f"{name:36s} x={rows[name]['exchanges']:2d} "
@@ -60,6 +67,14 @@ def main() -> None:
         "python_udf_queries": sorted(n for n, r in rows.items() if r["python_udf"]),
         "single_partition_queries": sorted(
             n for n, r in rows.items() if r["single_partition"]
+        ),
+        "unbounded_single_partition_queries": sorted(
+            n
+            for n, r in rows.items()
+            if any(
+                c not in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+                for c in r["single_partition_consumers"]
+            )
         ),
         "queries": rows,
     }
