@@ -43,9 +43,10 @@ def _executed(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
-    """Filter predicates that reached the data source scan."""
-    text = explain_str(df)
+def pushed_filters(df: DataFrame, text: "str | None" = None) -> list[str]:
+    """Filter predicates that reached the data source scan. Pass ``text``
+    (a pre-rendered formatted explain) to avoid re-rendering the plan."""
+    text = explain_str(df) if text is None else text
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
         body = m.group(1).strip()
@@ -54,9 +55,10 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
-def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists actually read from each scan (column pruning check)."""
-    text = explain_str(df)
+def read_schema_columns(df: DataFrame, text: "str | None" = None) -> list[list[str]]:
+    """Column lists actually read from each scan (column pruning check).
+    Pass ``text`` (a pre-rendered formatted explain) to skip the render."""
+    text = explain_str(df) if text is None else text
     schemas = []
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
         cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
@@ -64,8 +66,8 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return schemas
 
 
-def count_joins(df: DataFrame) -> dict[str, int]:
-    text = _executed(df)
+def count_joins(df: DataFrame, text: "str | None" = None) -> dict[str, int]:
+    text = _executed(df) if text is None else text
     return {
         "broadcast_hash": text.count("BroadcastHashJoin"),
         "sort_merge": text.count("SortMergeJoin"),
@@ -74,17 +76,17 @@ def count_joins(df: DataFrame) -> dict[str, int]:
     }
 
 
-def count_exchanges(df: DataFrame) -> int:
+def count_exchanges(df: DataFrame, text: "str | None" = None) -> int:
     """Shuffle exchanges in the plan (broadcast exchanges excluded)."""
-    text = _executed(df)
+    text = _executed(df) if text is None else text
     return len(re.findall(r"(?<!Broadcast)Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text))
 
 
-def has_take_ordered(df: DataFrame) -> bool:
-    return "TakeOrderedAndProject" in _executed(df)
+def has_take_ordered(df: DataFrame, text: "str | None" = None) -> bool:
+    return "TakeOrderedAndProject" in (_executed(df) if text is None else text)
 
 
-def single_partition_consumers(df: DataFrame) -> list[str]:
+def single_partition_consumers(df: DataFrame, text: "str | None" = None) -> list[str]:
     """For every ``Exchange SinglePartition`` in the EXECUTED plan, the
     head word of the nearest consumer line above it (the operator that
     reads the single partition). The round-7 review found the old check
@@ -97,8 +99,9 @@ def single_partition_consumers(df: DataFrame) -> list[str]:
     exchange feeding a final global aggregate carries one partial row
     per upstream partition (bounded — the normal global-agg shape),
     while one feeding a Sort/Window/flatMap carries the full data set
-    (the true 100-TB red flag)."""
-    text = _executed(df)
+    (the true 100-TB red flag). Pass ``text`` (a pre-rendered simple
+    executedPlan string) to skip the render."""
+    text = _executed(df) if text is None else text
     lines = text.split("\n")
     # pass-through wrappers between an exchange and its real consumer
     wrappers = {
@@ -140,14 +143,14 @@ _BOUNDED_SINGLE_PART_CONSUMERS = frozenset(
 )
 
 
-def has_unbounded_single_partition(df: DataFrame) -> bool:
+def has_unbounded_single_partition(df: DataFrame, text: "str | None" = None) -> bool:
     """True when some single-partition exchange feeds a NON-aggregate
     consumer (global sort, keyless window, single-threaded map) — the
     shape that does not survive 100 TB. Final global aggregates are
     bounded (one partial row per upstream partition) and allowed."""
     return any(
         c not in _BOUNDED_SINGLE_PART_CONSUMERS
-        for c in single_partition_consumers(df)
+        for c in single_partition_consumers(df, text)
     )
 
 
@@ -180,23 +183,31 @@ def scale_report(df: DataFrame) -> dict:
       the optimized plan (see :func:`expensive_snippet_counts`) — above
       ~5, look for a single giant projection to stage.
     """
-    executed = _executed(df)  # one render; the simple string has
-    # one-line nodes, so substring checks actually match (the formatted
-    # mode splits node name and arguments across lines — a check against
-    # it can never fire, the round-7 review's dead-guard finding)
+    # exactly three plan renders for the whole audit: the formatted
+    # explain (pushdown/pruning), the simple executed string (joins,
+    # exchanges, single-partition, python — its one-line nodes are what
+    # make substring checks actually match; the formatted mode splits
+    # node name and arguments across lines, the round-7 dead-guard
+    # finding), and the optimized plan (duplication counts)
+    formatted = explain_str(df)
+    executed = _executed(df)
     dup = expensive_snippet_counts(df)
-    rep = plan_report(df)
-    rep.update(
-        {
-            "single_partition": has_unbounded_single_partition(df),
-            "single_partition_consumers": single_partition_consumers(df),
-            "cartesian": "CartesianProduct" in executed,
-            "nested_loop_join": "BroadcastNestedLoopJoin" in executed,
-            "python_udf": is_python_path(executed),
-            "worst_expr_dup": max(dup.values(), default=0),
-        }
-    )
-    return rep
+    sp = single_partition_consumers(df, executed)
+    return {
+        "pushed_filters": pushed_filters(df, formatted),
+        "read_schemas": read_schema_columns(df, formatted),
+        "joins": count_joins(df, executed),
+        "shuffle_exchanges": count_exchanges(df, executed),
+        "take_ordered": has_take_ordered(df, executed),
+        "single_partition": any(
+            c not in _BOUNDED_SINGLE_PART_CONSUMERS for c in sp
+        ),
+        "single_partition_consumers": sp,
+        "cartesian": "CartesianProduct" in executed,
+        "nested_loop_join": "BroadcastNestedLoopJoin" in executed,
+        "python_udf": is_python_path(executed),
+        "worst_expr_dup": max(dup.values(), default=0),
+    }
 
 
 def is_python_path(executed_plan_text: str) -> bool:
