@@ -546,8 +546,11 @@ def encode_flac(
         # 4, which mis-labeled non-16-bit streams; ADVICE r5). Depths
         # without a dedicated code (e.g. 13) use code 0 = get-from-
         # STREAMINFO, which already records bps-1 and which the decoder
-        # honors (fbps = bps if ss_code == 0) — RFC 9639 §9.1.4 / ADVICE r6
-        bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bps, 0)
+        # honors (fbps = bps if ss_code == 0) — RFC 9639 §9.1.4 / ADVICE r6.
+        # bps=32 also uses code 0: its dedicated code 7 is new in RFC 9639
+        # and pre-RFC decoders treat 7 as reserved/invalid, while code 0
+        # is honored by every decoder generation — ADVICE r7
+        bps_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}.get(bps, 0)
         w.write(bps_code, 3)
         w.write(0, 1)
         _write_utf8_number(w, frame_no)

@@ -103,19 +103,33 @@ def single_partition_consumers(df: DataFrame, text: "str | None" = None) -> list
     executedPlan string) to skip the render."""
     text = _executed(df) if text is None else text
     lines = text.split("\n")
-    # pass-through wrappers between an exchange and its real consumer
+    # pass-through wrappers between an exchange and its real consumer.
+    # "Final"/"Initial" are what head() reduces the AQE section headers
+    # ("== Final Plan ==" / "== Initial Plan ==") to; AdaptiveSparkPlan
+    # is the AQE root wrapper. All three show up in POST-execution plan
+    # strings (isFinalPlan=true renders both sections) — the round-8
+    # review found the walk mis-attributing consumers there.
     wrappers = {
         "ShuffleQueryStage", "AQEShuffleRead", "InputAdapter",
         "WholeStageCodegen", "ResultQueryStage", "TableCacheQueryStage",
-        "InMemoryRelation", "==",
+        "InMemoryRelation", "Final", "Initial", "AdaptiveSparkPlan",
     }
 
     def head(s: str) -> str:
         w = re.sub(r"^[\s:*+\-()0-9=]*", "", s)
         return re.split(r"[ \[(]", w, maxsplit=1)[0]
 
+    # Depth must be the TREE-DRAWING prefix only (spaces, ':', '+', '-').
+    # The old lstrip-a-char-set version also consumed whole-stage-codegen
+    # markers ("*(2) "), so once a plan executed (AQE final plans render
+    # codegen stars) a starred consumer measured 5 chars DEEPER than its
+    # true depth and the walk skipped it, mis-reporting a bounded global
+    # aggregate as an unbounded single-partition consumer. Strip the
+    # codegen token separately — it carries no depth information.
+    _tree_prefix = re.compile(r"^[ :+\-]*")
+
     def depth(s: str) -> int:
-        return len(s) - len(s.lstrip(" :+-*(0123456789)"))
+        return _tree_prefix.match(s).end()
 
     out: list[str] = []
     for i, line in enumerate(lines):
@@ -210,17 +224,31 @@ def scale_report(df: DataFrame) -> dict:
     }
 
 
+_PY_NODE_HEAD_RE = re.compile(
+    # a plan line = tree prefix, optional codegen star, then the node name;
+    # Python-eval nodes are BatchEvalPython / ArrowEvalPython and every
+    # pandas/arrow fan-out (MapInPandas, FlatMapGroupsInPandas,
+    # FlatMapCoGroupsInPandas, ApplyInPandasWithState, MapInArrow,
+    # FlatMapGroupsInArrow, PythonMapInArrow)
+    r"^[ :+\-]*(?:\*\(\d+\) )?"
+    r"(?:\w*(?:BatchEvalPython|ArrowEvalPython|InPandas|InArrow)\w*)\b",
+    re.MULTILINE,
+)
+
+
 def is_python_path(executed_plan_text: str) -> bool:
     """Whether any stage of the (simple executed) plan text leaves the
     JVM: row-at-a-time UDFs (BatchEvalPython), Arrow-batched scalar UDFs
     (ArrowEvalPython), every pandas fan-out (MapInPandas,
     FlatMapGroupsInPandas, FlatMapCoGroupsInPandas,
     ApplyInPandasWithState — all contain "InPandas"), and the Arrow map
-    variants (MapInArrow, FlatMapGroupsInArrow — "InArrow")."""
-    low = executed_plan_text.lower()
-    return any(
-        m in low for m in ("pythonudf", "evalpython", "inpandas", "inarrow")
-    )
+    variants (MapInArrow, FlatMapGroupsInArrow — "InArrow").
+
+    Matches node NAMES at line heads only — the round-8 review found the
+    old whole-text lowercase substring scan false-positived on string
+    literals in predicates (e.g. a filter comparing a column against
+    the literal 'MapInPandas')."""
+    return _PY_NODE_HEAD_RE.search(executed_plan_text) is not None
 
 
 # functions whose per-row cost makes duplication matter: hashes, string
