@@ -52,20 +52,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # expires the entry on its own (ADVICE r6: the previous unconditional
 # list never expired and permanently ate ~17 rotation slots).
 #
-# Round 7 touched: cdc_chunks staged-projection rewrite (q199) and the
-# expr-duplication fixes in with_text_stats/with_quality_score/
-# with_language_id/with_url_parts (q28-q30, q60, q143, q179) — all
-# re-verified oracle-exact in-session; fronted for a driver row.
+# Round 8 touched: the exact-Jaccard oracles rewrote their brute-force
+# pair CTE as the AllPairs prefix filter (q37/q60/q64/q162/q176 — pair-
+# identical at sf0.01 AND sf0.1, verified in-session), and clean_corpus
+# gained the persist barrier before its fuzzy stage (q60). Fronted for a
+# fresh driver row; entries self-expire on their next green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
-    "q28_text_stats": 6,
-    "q29_language_id": 6,
-    "q30_quality_score": 6,
-    "q60_clean_corpus": 6,
-    "q143_model_quality": 6,
-    "q168_gopher_rules": 6,
-    "q172_curation_pipeline": 6,
-    "q179_url_filter": 6,
-    "q199_cdc_chunks": 6,
+    "q37_minhash_pairs": 7,
+    "q60_clean_corpus": 7,
+    "q64_dedup_components": 7,
+    "q162_quality_keep_dedup": 7,
+    "q176_leakage_safe_split": 7,
 }
 
 

@@ -98,7 +98,16 @@ def user_behavior_features(
                     4,
                 ),
             ).alias("events_per_day"),
-            F.round(mean_ms / F.lit(1000.0), 4).alias("mean_gap_s"),
+            # exact integer half-up in 0.1-ms units, NOT F.round on the
+            # double quotient: Spark's round() rounds a double's shortest
+            # decimal string while external SQL engines round the exact
+            # binary, and the two disagree on boundary quotients (r8
+            # upward sweep: 42286.36865 → .3687 vs .3686). sg and m are
+            # exact integers, so (20·sg + m) div (2·m) is reproducible
+            # everywhere: round(sg/(1000 m), 4) = round(10·sg/m)/1e4.
+            F.expr("CAST((20 * sg + m) DIV (2 * m) AS DOUBLE) / 10000.0").alias(
+                "mean_gap_s"
+            ),
             F.when(F.col("m") >= 2, F.round(F.sqrt(var) / mean_ms, 4)).alias("gap_cv"),
             F.round(
                 F.log2(F.col("n_events").cast("double"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from polars_dataset_spark.functions.dedup import (
     exact_dedup,
@@ -37,6 +38,7 @@ def clean_corpus(
     fuzzy_threshold: float = 0.8,
     token_mode: str = "bpe",
     transitive: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Filter → dedup → account. Returns the surviving rows with
     ``lang_pred``, ``quality`` and ``n_tokens`` columns attached.
@@ -45,13 +47,29 @@ def clean_corpus(
     dedup: connected components over the near-duplicate pair graph, one
     representative kept per CLUSTER — the right semantics when chains
     A~B~C occur (the one-pass rule can over-delete); costs O(log n)
-    extra contraction rounds over the (small) pair graph only."""
+    extra contraction rounds over the (small) pair graph only.
+
+    ``persist=False`` skips the MEMORY_AND_DISK barrier before the fuzzy
+    stage (see inline comment) — only useful when the caller persists or
+    checkpoints the frame itself."""
     staged = with_quality_score(docs, text_col)
     staged = staged.filter(F.col("quality") >= min_quality)
     staged = with_language_id(staged, text_col)
     if languages:
         staged = staged.filter(F.col("lang_pred").isin(list(languages)))
     staged = exact_dedup(staged, subset=text_col, id_col=id_col)
+    if persist:
+        # the fuzzy stage consumes this frame TWICE — once to build LSH
+        # signatures/candidates, once as the probe side of the loser
+        # anti-join — and without a materialization barrier Catalyst
+        # recomputes the whole score→filter→lang→dedup lineage on BOTH
+        # branches (and re-derives the quality score inside the pushed
+        # predicate).  MEMORY_AND_DISK, not localCheckpoint: spills under
+        # pressure, keeps lineage for fault recovery, and at 100 TB the
+        # filtered+deduped corpus is the frame every downstream stage
+        # wants materialized anyway.  (r7 VERDICT: the scoring pipeline
+        # appeared ~110× in q60's plan text via the probe-branch rescan.)
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     if transitive:
         pairs = minhash_lsh_candidates(
             staged, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold

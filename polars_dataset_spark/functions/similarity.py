@@ -443,6 +443,12 @@ def ivf_topk(
     )
 
 
+# exact all-pairs tools refuse above this many candidate pairs unless the
+# caller passes allow_quadratic=True (10^10 pairs ~ n=100k rows: minutes of
+# BLAS on a cluster, the upper edge of sane for an exact product)
+_QUADRATIC_PAIR_LIMIT = 10**10
+
+
 def cosine_pairs_block(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -450,6 +456,7 @@ def cosine_pairs_block(
     threshold: float = 0.9,
     round_to: int = 6,
     max_broadcast_bytes: int = 512 << 20,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold over one table — the BLOCK-MATRIX
     realization: a (normalized) corpus TILE is broadcast to every executor;
@@ -470,6 +477,11 @@ def cosine_pairs_block(
     is too much, use
     :func:`polars_dataset_spark.functions.dedup.embedding_neardup` (LSH),
     which has no quadratic term at all.
+
+    Guardrail: above ``_QUADRATIC_PAIR_LIMIT`` (10^10 candidate pairs,
+    n ≈ 100k rows) the call raises unless ``allow_quadratic=True`` — an
+    API that silently goes quadratic would turn a 100 TB corpus into
+    ~10^18 scored pairs; the error names the LSH alternative.
     """
     from pyspark.sql import types as T
 
@@ -478,6 +490,15 @@ def cosine_pairs_block(
     spark = df.sparkSession
     slim = df.select(id_col, vec_col)
     n = slim.count()
+    if not allow_quadratic and n * n > _QUADRATIC_PAIR_LIMIT:
+        raise ValueError(
+            f"cosine_pairs_block: {n} rows -> {n * n:.2e} candidate pairs "
+            f"exceeds the quadratic guardrail ({_QUADRATIC_PAIR_LIMIT:.0e}). "
+            "This operator is EXACT all-pairs by declaration and scales as "
+            "n^2; for large corpora use embedding_neardup (hyperplane LSH, "
+            "no quadratic term) or pass allow_quadratic=True if you truly "
+            "want the full product."
+        )
     dim = 0 if n == 0 else int(slim.select(F.size(vec_col).alias("d")).first()["d"])
     n_tiles = max(1, -(-(n * dim * 8) // max_broadcast_bytes))
 

@@ -251,6 +251,55 @@ def is_python_path(executed_plan_text: str) -> bool:
     return _PY_NODE_HEAD_RE.search(executed_plan_text) is not None
 
 
+_TREE_PREFIX_RE = re.compile(r"^[ :+\-]*")
+
+
+def _dedupe_cached_subtrees(plan: str) -> str:
+    """Collapse REPEATED ``InMemoryRelation`` subtree dumps to one copy.
+
+    When a frame is persisted and consumed N times (e.g. clean_corpus's
+    cache feeding 16 LSH band branches plus the anti-join probe), the
+    plan STRING prints the full cached lineage at every reference, but
+    execution computes it once and the other N−1 references are cache
+    scans. Counting expensive snippets inside those repeats would report
+    phantom duplication (q60 read ×272 post-persist when the real
+    per-row cost went DOWN) — so keep the first dump of each distinct
+    relation (duplication *inside* the cached plan still counts) and
+    drop the textual repeats. Distinctness is the header line with
+    Catalyst expr-ids stripped."""
+    lines = plan.split("\n")
+    out: list[str] = []
+    seen: set[str] = set()
+    skip_threshold: int | None = None
+    skip_inclusive = False
+    for line in lines:
+        depth = _TREE_PREFIX_RE.match(line).end()
+        if skip_threshold is not None:
+            if line.strip() and (
+                depth > skip_threshold
+                or (skip_inclusive and depth == skip_threshold)
+            ):
+                continue
+            skip_threshold = None
+        body = line[depth:]
+        if body.startswith("InMemoryRelation"):
+            fingerprint = re.sub(r"#\d+", "#", body)
+            if fingerprint in seen:
+                # subtree lines print strictly deeper than the header
+                skip_threshold, skip_inclusive = depth, False
+                continue  # drop the repeated header and its subtree
+            seen.add(fingerprint)
+        elif body.startswith("== Initial Plan =="):
+            # a cached AQE plan prints BOTH its final and initial plans;
+            # the initial section is a textual echo of the same work.
+            # Section BODY lines print at the header's own depth →
+            # inclusive skip.
+            skip_threshold, skip_inclusive = depth, True
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 # functions whose per-row cost makes duplication matter: hashes, string
 # builders, array pipelines, higher-order lambdas, regex
 _EXPENSIVE_FNS = (
@@ -281,7 +330,9 @@ def expensive_snippet_counts(df: DataFrame) -> dict[str, int]:
     Catalyst expr-ids (#123) are stripped so copies of the same
     expression hash together; snippets under 40 chars are ignored (too
     generic to indicate a real chain)."""
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = _dedupe_cached_subtrees(
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
     counts: dict[str, int] = {}
     for m in _EXPENSIVE_CALL_RE.finditer(plan):
         depth, j = 1, m.end()

@@ -297,7 +297,20 @@ def q08(spark, sf_dir):
     )
 
 
-_TRACE_ORDER = "ORDER BY l_shipdate, l_orderkey, l_linenumber"
+# Window order for the q09/q10/q11/q54/q88 trace family. The sf0.1
+# fixture REUSES (l_orderkey, l_linenumber) across rows, so the original
+# (shipdate, orderkey, linenumber) order has 12 tied groups whose members
+# differ in quantity/price — cumsum/lag over them was nondeterministic
+# and failed the upward sf0.1 sweep (r8). Appending the measures makes
+# the order TOTAL for every consumer: rows still tied agree on all five
+# columns, and each window value here is a function of the ordered
+# (quantity, price) sequence only, so swapping full ties is a no-op.
+_TRACE_ORDER = (
+    "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice"
+)
+_TRACE_ORDER_COLS = (
+    "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+)
 
 
 @query(
@@ -315,7 +328,7 @@ def q09(spark, sf_dir):
     _prep(spark)
     w = (
         Window.partitionBy("l_returnflag", "l_linestatus")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(*_TRACE_ORDER_COLS)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     li = load_table(spark, sf_dir, "lineitem")
@@ -338,9 +351,7 @@ def q09(spark, sf_dir):
 def q10(spark, sf_dir):
     """Per-trace first difference (shift/diff via lag)."""
     _prep(spark)
-    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
-    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(*_TRACE_ORDER_COLS)
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -363,7 +374,7 @@ def q11(spark, sf_dir):
     _prep(spark)
     w = (
         Window.partitionBy("l_returnflag", "l_linestatus")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(*_TRACE_ORDER_COLS)
         .rowsBetween(-6, 0)
     )
     li = load_table(spark, sf_dir, "lineitem")
@@ -1647,7 +1658,7 @@ def q54(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_returnflag", "l_linestatus")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(*_TRACE_ORDER_COLS)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return li.select(
@@ -2813,9 +2824,7 @@ def q88(spark, sf_dir):
     starts. One window, tie-safe composite order."""
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
-    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(*_TRACE_ORDER_COLS)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -4442,18 +4451,25 @@ def q132(spark, sf_dir):
              CAST(floor(epoch((SELECT max(ts) FROM events)) - epoch(max(ts)))
                   AS BIGINT)                                    AS recency_s,
              count(*)                                            AS frequency,
-             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)   AS monetary
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)   AS monetary,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS mu
       FROM events GROUP BY user_id),
     cuts AS (
       SELECT quantile_cont(frequency, 0.5) AS f_med,
              quantile_cont(monetary, 0.5)  AS m_med,
              quantile_cont(recency_s, 0.5) AS r_med
       FROM rfm)
+    -- avg_monetary rounds in EXACT integer micro-units: a double
+    -- sum's order-dependent last ulp flipped the 4th decimal at sf0.1,
+    -- and Spark/DuckDB round boundary doubles differently (shortest
+    -- decimal string vs exact binary). round(S/(100 n)) half-up as
+    -- (2S + 100n) // (200n), then one exact-identical double division.
     SELECT CASE WHEN recency_s <= r_med THEN 'recent' ELSE 'lapsed' END AS r_seg,
            CASE WHEN frequency >  f_med THEN 'frequent' ELSE 'occasional' END AS f_seg,
            CASE WHEN monetary  >  m_med THEN 'high' ELSE 'low' END AS m_seg,
            count(*) AS n_users,
-           round(avg(monetary), 4) AS avg_monetary
+           CAST((2 * sum(mu) + 100 * count(*)) // (200 * count(*)) AS DOUBLE)
+             / 10000.0 AS avg_monetary
     FROM rfm, cuts
     GROUP BY r_seg, f_seg, m_seg
     """,
@@ -4473,6 +4489,8 @@ def q133(spark, sf_dir):
         ).cast("long").alias("recency_s"),
         F.count("*").alias("frequency"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("monetary"),
+        (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000)
+        .cast("long").alias("mu"),
     )
     cuts = rfm.agg(
         F.percentile("frequency", F.lit(0.5)).alias("f_med"),
@@ -4485,12 +4503,25 @@ def q133(spark, sf_dir):
             F.when(F.col("frequency") > cuts["f_med"], "frequent").otherwise("occasional").alias("f_seg"),
             F.when(F.col("monetary") > cuts["m_med"], "high").otherwise("low").alias("m_seg"),
             "monetary",
+            "mu",
         )
         .groupBy("r_seg", "f_seg", "m_seg")
         .agg(
             F.count("*").alias("n_users"),
-            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+            F.sum("mu").alias("__mu_sum"),
         )
+        # exact integer half-up rounding in micro-units (see the oracle's
+        # comment): Spark's round() on a double rounds its SHORTEST
+        # decimal string, DuckDB the exact binary — they disagree on
+        # boundary values, so neither side may round a double here
+        .withColumn(
+            "avg_monetary",
+            F.expr(
+                "CAST((2 * __mu_sum + 100 * n_users) DIV (200 * n_users) AS DOUBLE)"
+                " / 10000.0"
+            ),
+        )
+        .drop("__mu_sum")
     )
 
 
@@ -7125,7 +7156,10 @@ def q181(spark, sf_dir):
              CASE WHEN mx > mn
                   THEN round(CAST(n_events AS DOUBLE) * 86400000000.0
                              / CAST(mx - mn AS DOUBLE), 4) END AS events_per_day,
-             round((CAST(sg AS DOUBLE) / CAST(m AS DOUBLE)) / 1000.0, 4) AS mean_gap_s,
+             -- exact integer half-up in 0.1-ms units (r8: the double
+             -- round flipped the 4th decimal on boundary values):
+             -- round(sg/(1000 m), 4) = round(10 sg / m) / 1e4
+             CAST((20 * sg + m) // (2 * m) AS DOUBLE) / 10000.0 AS mean_gap_s,
              CASE WHEN m >= 2 THEN
                round(sqrt((CAST(m AS DOUBLE) * CAST(sg2 AS DOUBLE)
                            - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
