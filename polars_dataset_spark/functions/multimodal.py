@@ -31,6 +31,8 @@ __all__ = [
     "decode_media",
     "decode_audio",
     "extract_features",
+    "media_probe",
+    "probe_media_header",
     "MEDIA_META_SCHEMA",
 ]
 
@@ -579,3 +581,217 @@ def extract_features(
             yield out
 
     return df.mapInPandas(feat, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# container-level header probing (no entropy decode)
+# ---------------------------------------------------------------------------
+
+#: JPEG start-of-frame marker → mode name. C4 (DHT), C8 (JPG) and CC (DAC)
+#: are not SOFs and are skipped by the scanner.
+_JPEG_SOF_MODES = {
+    0xC0: "baseline",
+    0xC1: "extended_sequential",
+    0xC2: "progressive",
+    0xC3: "lossless",
+    0xC5: "diff_sequential",
+    0xC6: "diff_progressive",
+    0xC7: "diff_lossless",
+    0xC9: "arith_sequential",
+    0xCA: "arith_progressive",
+    0xCB: "arith_lossless",
+    0xCD: "diff_arith_sequential",
+    0xCE: "diff_arith_progressive",
+    0xCF: "diff_arith_lossless",
+}
+
+
+def probe_media_header(data: bytes) -> "dict | None":
+    """Format / dimensions / mode from a media blob's CONTAINER headers —
+    no entropy decode, so it works on the formats the pure-python decode
+    path gates (lossy-WebP/VP8, arithmetic & 12-bit JPEG): a 100 TB crawl
+    can still inventory what it cannot decode (r7 VERDICT adjudicated the
+    decode gate, r8 #6 asked for this prober).
+
+    Returns ``{"fmt", "width", "height", "mode", "gated"}`` or ``None``
+    for unrecognized/truncated blobs. ``gated`` is True when
+    :func:`decode_media`'s built-in decoders cannot decode the blob
+    (VP8 lossy, non-baseline/progressive or non-8-bit JPEG). Dimension
+    sources per format:
+
+    - JPEG: first SOFn segment (height/width big-endian at +3); mode
+      from the SOF marker, ``precision=N`` appended when ≠ 8.
+    - WebP: ``VP8 `` lossy — RFC 6386 §9.1 keyframe header (3-byte
+      frame tag, 0x9D012A start code, 14-bit le width/height);
+      ``VP8L`` lossless — 14-bit fields of the signature dword;
+      ``VP8X`` extended — 24-bit le canvas size minus one.
+    - PNG (IHDR), GIF (logical screen), BMP (DIB), QOI, PPM (P5/P6),
+      TIFF (first IFD's 256/257 tags, both byte orders).
+    """
+    if data is None:
+        return None
+    data = bytes(data)
+    n = len(data)
+
+    def le16(o):
+        return data[o] | (data[o + 1] << 8)
+
+    def le24(o):
+        return data[o] | (data[o + 1] << 8) | (data[o + 2] << 16)
+
+    def le32(o):
+        return le16(o) | (le16(o + 2) << 16)
+
+    def be16(o):
+        return (data[o] << 8) | data[o + 1]
+
+    def be32(o):
+        return (be16(o) << 16) | be16(o + 2)
+
+    try:
+        if n >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+            return {"fmt": "png", "width": be32(16), "height": be32(20),
+                    "mode": "lossless", "gated": False}
+        if n >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+            return {"fmt": "gif", "width": le16(6), "height": le16(8),
+                    "mode": "lzw", "gated": False}
+        if n >= 26 and data[:2] == b"BM":
+            return {"fmt": "bmp", "width": le32(18), "height": le32(22),
+                    "mode": "uncompressed", "gated": False}
+        if n >= 12 and data[:4] == b"qoif":
+            return {"fmt": "qoi", "width": be32(4), "height": be32(8),
+                    "mode": "lossless", "gated": False}
+        if n >= 2 and data[:2] in (b"P5", b"P6"):
+            fields: "list[int]" = []
+            i = 2
+            while i < n and len(fields) < 2:
+                c = data[i]
+                if c in b"#":  # comment to EOL
+                    while i < n and data[i] not in b"\n":
+                        i += 1
+                elif chr(c).isdigit():
+                    j = i
+                    while j < n and chr(data[j]).isdigit():
+                        j += 1
+                    fields.append(int(data[i:j]))
+                    i = j - 1
+                i += 1
+            if len(fields) == 2:
+                return {"fmt": "ppm", "width": fields[0], "height": fields[1],
+                        "mode": "P6" if data[:2] == b"P6" else "P5",
+                        "gated": False}
+            return None
+        if n >= 8 and data[:4] in (b"II*\x00", b"MM\x00*"):
+            big = data[:2] == b"MM"
+
+            def rd(o, w):
+                b = data[o : o + w]
+                return int.from_bytes(b, "big" if big else "little")
+
+            ifd = rd(4, 4)
+            if ifd + 2 > n:
+                return None
+            cnt = rd(ifd, 2)
+            width = height = None
+            for k in range(cnt):
+                e = ifd + 2 + 12 * k
+                if e + 12 > n:
+                    break
+                tag, typ = rd(e, 2), rd(e + 2, 2)
+                val = rd(e + 8, 2 if typ == 3 else 4)
+                if tag == 256:
+                    width = val
+                elif tag == 257:
+                    height = val
+            if width is not None and height is not None:
+                return {"fmt": "tiff", "width": width, "height": height,
+                        "mode": "baseline", "gated": False}
+            return None
+        if n >= 20 and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            fourcc = data[12:16]
+            p = 20  # chunk payload
+            if fourcc == b"VP8 " and n >= p + 10:
+                tag = le24(p)
+                keyframe = not (tag & 1)
+                if keyframe and data[p + 3 : p + 6] == b"\x9d\x01\x2a":
+                    w, h = le16(p + 6), le16(p + 8)
+                    return {"fmt": "webp_vp8", "width": w & 0x3FFF,
+                            "height": h & 0x3FFF, "mode": "lossy_key",
+                            "gated": True}
+                return {"fmt": "webp_vp8", "width": None, "height": None,
+                        "mode": "lossy_inter" if not keyframe else "lossy",
+                        "gated": True}
+            if fourcc == b"VP8L" and n >= p + 5 and data[p] == 0x2F:
+                bits = le32(p + 1)
+                return {"fmt": "webp_vp8l", "width": (bits & 0x3FFF) + 1,
+                        "height": ((bits >> 14) & 0x3FFF) + 1,
+                        "mode": "lossless", "gated": False}
+            if fourcc == b"VP8X" and n >= p + 10:
+                return {"fmt": "webp_vp8x", "width": le24(p + 4) + 1,
+                        "height": le24(p + 7) + 1, "mode": "extended",
+                        "gated": True}
+            return None
+        if n >= 4 and data[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= n:
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = data[i + 1]
+                if marker == 0xFF:
+                    i += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if marker == 0xD9 or i + 4 > n:
+                    break
+                seg_len = be16(i + 2)
+                if marker in _JPEG_SOF_MODES and i + 9 <= n:
+                    precision = data[i + 4]
+                    height, width = be16(i + 5), be16(i + 7)
+                    mode = _JPEG_SOF_MODES[marker]
+                    if precision != 8:
+                        mode += f"_p{precision}"
+                    gated = marker not in (0xC0, 0xC2) or precision != 8
+                    return {"fmt": "jpeg", "width": width, "height": height,
+                            "mode": mode, "gated": gated}
+                if marker == 0xDA:  # SOS before any SOF: malformed
+                    break
+                i += 2 + seg_len
+            return None
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
+_PROBE_FIELDS = [
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("mode", T.StringType()),
+    T.StructField("gated", T.BooleanType()),
+]
+
+
+def media_probe(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-row container metadata for a binary media column — appends
+    ``fmt/width/height/mode/gated`` (see :func:`probe_media_header`;
+    unrecognized blobs give all-null). Arrow-batched map-only: probing
+    reads a fixed-size header per blob, so throughput is I/O bound and
+    the plan shape survives any corpus size."""
+    out_schema = T.StructType(df.schema.fields + _PROBE_FIELDS)
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {f.name: [] for f in _PROBE_FIELDS}
+            for blob in pdf[content_col]:
+                meta = probe_media_header(blob) or {}
+                for f in _PROBE_FIELDS:
+                    cols[f.name].append(meta.get(f.name))
+            out = pdf.copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(probe_batches, schema=out_schema)

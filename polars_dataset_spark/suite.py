@@ -8056,6 +8056,81 @@ def q200(spark, sf_dir):
     return bm25_topk_many(docs, qtab, k=5)
 
 
+@query(
+    "q201_media_probe",
+    """
+    SELECT * FROM (VALUES
+      (0, 'webp_vp8',  160,  120,  'lossy_key',            true),
+      (1, 'jpeg',      64,   48,   'arith_sequential_p12', true),
+      (2, 'webp_vp8l', 9,    7,    'lossless',             false),
+      (3, 'png',       5,    4,    'lossless',             false),
+      (4, 'webp_vp8x', 2000, 1000, 'extended',             true),
+      (5, NULL, NULL, NULL, NULL, NULL)
+    ) AS t(media_id, fmt, width, height, mode, gated)
+    """,
+)
+def q201(spark, sf_dir):
+    """Container-level media inventory (functions/multimodal.media_probe):
+    format, dimensions, coding mode, and a ``gated`` flag parsed from
+    CONTAINER headers only — so the formats whose entropy decode is
+    gated (lossy-WebP/VP8 per RFC 6386 §9.1 keyframe headers,
+    arithmetic/12-bit JPEG per their SOF segments) are still
+    inventoriable on a 100 TB crawl. Fixtures: a hand-built VP8 lossy
+    keyframe header, a hand-built SOF9 12-bit JPEG, a real VP8L blob
+    from the in-repo lossless encoder, a real PNG from the in-repo
+    encoder, a VP8X extended header, and a junk blob (all-null row).
+    Contract oracle: the literal expected rows (same style as the
+    codec family's closed-form oracles). Map-only Arrow batch; fixed
+    bytes read per blob."""
+    _prep(spark)
+    import struct
+
+    import numpy as np
+
+    from polars_dataset_spark.functions import media_probe
+    from polars_dataset_spark.functions.png import encode_png_gray
+    from polars_dataset_spark.functions.webp import encode_webp_lossless
+
+    tag = 0 | (3 << 1) | (1 << 4) | (100 << 5)  # keyframe, ver 3, shown
+    vp8_payload = (
+        tag.to_bytes(3, "little") + b"\x9d\x01\x2a" + struct.pack("<HH", 160, 120)
+    )
+    vp8 = (
+        b"RIFF" + (12 + len(vp8_payload)).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + len(vp8_payload).to_bytes(4, "little") + vp8_payload
+    )
+    jpg = (
+        b"\xff\xd8\xff\xc9" + (11).to_bytes(2, "big") + bytes([12])
+        + (48).to_bytes(2, "big") + (64).to_bytes(2, "big")
+        + bytes([1, 0x11, 0, 0x11])
+    )
+    img = np.stack(
+        [(np.arange(63, dtype=np.float64).reshape(7, 9) % 256) / 255.0] * 3, axis=-1
+    )
+    vp8l = encode_webp_lossless(img)
+    png = encode_png_gray((np.arange(20, dtype=np.float64).reshape(4, 5)) / 255.0)
+    vp8x_payload = (
+        bytes([0x10, 0, 0, 0]) + (1999).to_bytes(3, "little")
+        + (999).to_bytes(3, "little")
+    )
+    vp8x = (
+        b"RIFF" + (12 + len(vp8x_payload)).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + len(vp8x_payload).to_bytes(4, "little") + vp8x_payload
+    )
+    rows = [
+        (0, bytearray(vp8)),
+        (1, bytearray(jpg)),
+        (2, bytearray(vp8l)),
+        (3, bytearray(png)),
+        (4, bytearray(vp8x)),
+        (5, bytearray(b"not a media blob")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return media_probe(df).select(
+        "media_id", "fmt", "width", "height", "mode", "gated"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -84,8 +84,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+    import os
+
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: "dict[str, dict]" = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -110,20 +120,29 @@ def main() -> int:
             spark_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"match": False, "err": f"spark error: {exc}"}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(spark_pdf)} rows)")
             if len(spark_pdf) == 0:
                 print(f"WARN  {name}: zero rows")
+            results[name] = {"rows_only": True, "spark_rows": len(spark_pdf), "err": None}
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"match": False, "err": f"duckdb error: {exc}"}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         problems = compare(name, spark_pdf, duck_pdf)
+        results[name] = {
+            "match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(duck_pdf),
+            "problems": problems or None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
@@ -137,6 +156,20 @@ def main() -> int:
         if n <= 0:
             failures.append("entry")
     spark.stop()
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_failures": len(failures),
+                    "failures": failures,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     print(("ALL GREEN" if not failures else f"FAILURES: {failures}"))
     return 1 if failures else 0
 
