@@ -105,6 +105,9 @@ def user_behavior_features(
             # upward sweep: 42286.36865 → .3687 vs .3686). sg and m are
             # exact integers, so (20·sg + m) div (2·m) is reproducible
             # everywhere: round(sg/(1000 m), 4) = round(10·sg/m)/1e4.
+            # DIV (truncate) vs an engine's floor division only differs
+            # for negative numerators; sg ≥ 0 always (gaps come from an
+            # ASCENDING order over the same partition), so both agree.
             F.expr("CAST((20 * sg + m) DIV (2 * m) AS DOUBLE) / 10000.0").alias(
                 "mean_gap_s"
             ),

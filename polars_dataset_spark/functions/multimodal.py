@@ -656,15 +656,32 @@ def probe_media_header(data: bytes) -> "dict | None":
             return {"fmt": "gif", "width": le16(6), "height": le16(8),
                     "mode": "lzw", "gated": False}
         if n >= 26 and data[:2] == b"BM":
-            return {"fmt": "bmp", "width": le32(18), "height": le32(22),
-                    "mode": "uncompressed", "gated": False}
+            hdr = le32(14)  # DIB header size selects the layout
+            if hdr == 12:  # OS/2 BITMAPCOREHEADER: 16-bit unsigned dims
+                return {"fmt": "bmp", "width": le16(18), "height": le16(20),
+                        "mode": "core_header", "gated": False}
+            # BITMAPINFOHEADER+: dims are SIGNED; a negative biHeight is
+            # the common top-down row-order encoding, not a 4-billion-px
+            # image (r8 review)
+            w = le32(18) - (1 << 32) if data[21] & 0x80 else le32(18)
+            h = le32(22) - (1 << 32) if data[25] & 0x80 else le32(22)
+            return {"fmt": "bmp", "width": abs(w), "height": abs(h),
+                    "mode": "top_down" if h < 0 else "uncompressed",
+                    "gated": False}
         if n >= 12 and data[:4] == b"qoif":
             return {"fmt": "qoi", "width": be32(4), "height": be32(8),
                     "mode": "lossless", "gated": False}
-        if n >= 2 and data[:2] in (b"P5", b"P6"):
+        if n >= 3 and data[:2] in (b"P5", b"P6") and data[2] in b" \t\r\n":
+            # the magic must be followed by whitespace (netpbm spec) —
+            # without the check, any TEXT blob starting "P6..." would be
+            # misclassified. PPM has no real signature beyond these two
+            # bytes, so additionally parse ALL THREE header fields
+            # (width, height, maxval) and require the payload length to
+            # match w·h·channels — prose like "P6 chips cost 500 or 600
+            # yen" parses digits but fails the size check (r8 review)
             fields: "list[int]" = []
             i = 2
-            while i < n and len(fields) < 2:
+            while i < n and len(fields) < 3:
                 c = data[i]
                 if c in b"#":  # comment to EOL
                     while i < n and data[i] not in b"\n":
@@ -675,11 +692,19 @@ def probe_media_header(data: bytes) -> "dict | None":
                         j += 1
                     fields.append(int(data[i:j]))
                     i = j - 1
+                elif c not in b" \t\r\n":
+                    return None  # non-numeric junk inside the header
                 i += 1
-            if len(fields) == 2:
-                return {"fmt": "ppm", "width": fields[0], "height": fields[1],
-                        "mode": "P6" if data[:2] == b"P6" else "P5",
-                        "gated": False}
+            if len(fields) == 3:
+                w, h, maxval = fields
+                channels = 3 if data[:2] == b"P6" else 1
+                px_bytes = w * h * channels * (2 if maxval > 255 else 1)
+                # i indexes the single whitespace terminating the header;
+                # pixel data starts at i + 1
+                if w > 0 and h > 0 and 0 < maxval < 65536 and n >= i + 1 + px_bytes:
+                    return {"fmt": "ppm", "width": w, "height": h,
+                            "mode": "P6" if channels == 3 else "P5",
+                            "gated": False}
             return None
         if n >= 8 and data[:4] in (b"II*\x00", b"MM\x00*"):
             big = data[:2] == b"MM"

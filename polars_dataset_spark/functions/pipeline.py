@@ -51,13 +51,22 @@ def clean_corpus(
 
     ``persist=False`` skips the MEMORY_AND_DISK barrier before the fuzzy
     stage (see inline comment) — only useful when the caller persists or
-    checkpoints the frame itself."""
+    checkpoints the frame itself.
+
+    Cache lifecycle: the persisted frame is NOT the returned frame, so
+    ``result.unpersist()`` would not release it. The handle is exposed
+    as ``result._corpus_cache`` — call ``.unpersist()`` on it when the
+    result has been materialized/written and the session lives on
+    (long-lived sessions otherwise accumulate one cache entry per
+    ``clean_corpus`` call, and Spark's CacheManager substitutes a live
+    entry into ANY later plan that rebuilds the same lineage)."""
     staged = with_quality_score(docs, text_col)
     staged = staged.filter(F.col("quality") >= min_quality)
     staged = with_language_id(staged, text_col)
     if languages:
         staged = staged.filter(F.col("lang_pred").isin(list(languages)))
     staged = exact_dedup(staged, subset=text_col, id_col=id_col)
+    cached = None
     if persist:
         # the fuzzy stage consumes this frame TWICE — once to build LSH
         # signatures/candidates, once as the probe side of the loser
@@ -69,7 +78,7 @@ def clean_corpus(
         # filtered+deduped corpus is the frame every downstream stage
         # wants materialized anyway.  (r7 VERDICT: the scoring pipeline
         # appeared ~110× in q60's plan text via the probe-branch rescan.)
-        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+        staged = cached = staged.persist(StorageLevel.MEMORY_AND_DISK)
     if transitive:
         pairs = minhash_lsh_candidates(
             staged, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold
@@ -79,7 +88,11 @@ def clean_corpus(
         staged = minhash_dedup(
             staged, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold
         )
-    return with_token_count(staged, text_col, mode=token_mode)
+    out = with_token_count(staged, text_col, mode=token_mode)
+    # expose the persisted handle for release (see docstring: the
+    # returned frame's own unpersist() cannot reach it)
+    out._corpus_cache = cached
+    return out
 
 
 def corpus_report(clean: DataFrame) -> DataFrame:

@@ -443,9 +443,10 @@ def ivf_topk(
     )
 
 
-# exact all-pairs tools refuse above this many candidate pairs unless the
-# caller passes allow_quadratic=True (10^10 pairs ~ n=100k rows: minutes of
-# BLAS on a cluster, the upper edge of sane for an exact product)
+# exact all-pairs tools refuse above this many candidate pairs — pairs as
+# counted, n·(n−1)/2 — unless the caller passes allow_quadratic=True
+# (10^10 pairs ~ n=141k rows: minutes of BLAS on a cluster, the upper
+# edge of sane for an exact product)
 _QUADRATIC_PAIR_LIMIT = 10**10
 
 
@@ -478,8 +479,9 @@ def cosine_pairs_block(
     :func:`polars_dataset_spark.functions.dedup.embedding_neardup` (LSH),
     which has no quadratic term at all.
 
-    Guardrail: above ``_QUADRATIC_PAIR_LIMIT`` (10^10 candidate pairs,
-    n ≈ 100k rows) the call raises unless ``allow_quadratic=True`` — an
+    Guardrail: above ``_QUADRATIC_PAIR_LIMIT`` (10^10 candidate pairs
+    n·(n−1)/2, n ≈ 141k rows) the call raises unless
+    ``allow_quadratic=True`` — an
     API that silently goes quadratic would turn a 100 TB corpus into
     ~10^18 scored pairs; the error names the LSH alternative.
     """
@@ -490,9 +492,10 @@ def cosine_pairs_block(
     spark = df.sparkSession
     slim = df.select(id_col, vec_col)
     n = slim.count()
-    if not allow_quadratic and n * n > _QUADRATIC_PAIR_LIMIT:
+    n_pairs = n * (n - 1) // 2
+    if not allow_quadratic and n_pairs > _QUADRATIC_PAIR_LIMIT:
         raise ValueError(
-            f"cosine_pairs_block: {n} rows -> {n * n:.2e} candidate pairs "
+            f"cosine_pairs_block: {n} rows -> {n_pairs:.2e} candidate pairs "
             f"exceeds the quadratic guardrail ({_QUADRATIC_PAIR_LIMIT:.0e}). "
             "This operator is EXACT all-pairs by declaration and scales as "
             "n^2; for large corpora use embedding_neardup (hyperplane LSH, "

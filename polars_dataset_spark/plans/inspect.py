@@ -268,12 +268,51 @@ def _dedupe_cached_subtrees(plan: str) -> str:
     drop the textual repeats. Distinctness is the header line with
     Catalyst expr-ids stripped."""
     lines = plan.split("\n")
-    out: list[str] = []
+    depths = [_TREE_PREFIX_RE.match(ln).end() for ln in lines]
+
+    # Pass 1: fingerprint every InMemoryRelation DUMP as header + its
+    # whole subtree (expr-ids stripped). Two DISTINCT cached frames can
+    # share a schema — e.g. the same corpus persisted after two
+    # different filters renders identical headers — so a header-only
+    # fingerprint would delete real work from the audit (r8 review).
+    # Dumps of the SAME relation render the same subtree text; dumps
+    # that differ keep both copies (over-counting is the safe failure
+    # direction for a duplication detector).
     seen: set[str] = set()
+    drop_header: set[int] = set()
+    for i, line in enumerate(lines):
+        body = line[depths[i] :]
+        if not body.startswith("InMemoryRelation"):
+            continue
+        j = i + 1
+        while j < len(lines) and (not lines[j].strip() or depths[j] > depths[i]):
+            j += 1
+        # fingerprint DEPTH-STRIPPED bodies: the same relation printed on
+        # different branches carries different tree-drawing prefixes
+        # (':' continuation vs spaces), which must not defeat the dedupe
+        fingerprint = re.sub(
+            r"#\d+",
+            "#",
+            body
+            + "\n"
+            + "\n".join(
+                # keep RELATIVE depth (nesting structure), drop the
+                # branch-dependent prefix characters
+                " " * (depths[k] - depths[i]) + lines[k][depths[k] :]
+                for k in range(i + 1, j)
+            ),
+        )
+        if fingerprint in seen:
+            drop_header.add(i)
+        else:
+            seen.add(fingerprint)
+
+    # Pass 2: emit, skipping dropped dumps and AQE initial-plan echoes
+    out: list[str] = []
     skip_threshold: int | None = None
     skip_inclusive = False
-    for line in lines:
-        depth = _TREE_PREFIX_RE.match(line).end()
+    for i, line in enumerate(lines):
+        depth = depths[i]
         if skip_threshold is not None:
             if line.strip() and (
                 depth > skip_threshold
@@ -282,14 +321,11 @@ def _dedupe_cached_subtrees(plan: str) -> str:
                 continue
             skip_threshold = None
         body = line[depth:]
-        if body.startswith("InMemoryRelation"):
-            fingerprint = re.sub(r"#\d+", "#", body)
-            if fingerprint in seen:
-                # subtree lines print strictly deeper than the header
-                skip_threshold, skip_inclusive = depth, False
-                continue  # drop the repeated header and its subtree
-            seen.add(fingerprint)
-        elif body.startswith("== Initial Plan =="):
+        if i in drop_header:
+            # subtree lines print strictly deeper than the header
+            skip_threshold, skip_inclusive = depth, False
+            continue
+        if body.startswith("== Initial Plan =="):
             # a cached AQE plan prints BOTH its final and initial plans;
             # the initial section is a textual echo of the same work.
             # Section BODY lines print at the header's own depth →

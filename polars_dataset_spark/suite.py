@@ -1984,25 +1984,9 @@ def q63(spark, sf_dir):
         THEN list_distinct(list_transform(range(1, len(toks) - 1),
                                           i -> array_to_string(toks[i:i+2], ' ')))
         ELSE [array_to_string(toks, ' ')] END AS shingles
-      FROM tok),
-    -- exact-Jaccard pairs via the AllPairs prefix filter (tractable at
-    -- sf0.1; literal copy of _jaccard_pair_ctes(0.7) — raw string, so
-    -- the helper can't be interpolated; soundness argument lives there)
-    inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-    gfreq AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
-    ranked AS (
-      SELECT inv.doc_id, inv.g,
-             row_number() OVER (PARTITION BY inv.doc_id ORDER BY gfreq.c, inv.g) AS rk,
-             count(*) OVER (PARTITION BY inv.doc_id) AS sz
-      FROM inv JOIN gfreq USING (g)),
-    pref AS (SELECT doc_id, g FROM ranked WHERE rk <= sz - ceil(0.7 * sz) + 1),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
-    p AS (
-      SELECT cand.id_a, cand.id_b
-      FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
-      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+      FROM tok),"""
+    + _jaccard_pair_ctes(0.7)
+    + r""",
     e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
     reach AS (
       SELECT doc_id AS id, doc_id AS r FROM documents
@@ -4513,12 +4497,18 @@ def q133(spark, sf_dir):
         # exact integer half-up rounding in micro-units (see the oracle's
         # comment): Spark's round() on a double rounds its SHORTEST
         # decimal string, DuckDB the exact binary — they disagree on
-        # boundary values, so neither side may round a double here
+        # boundary values, so neither side may round a double here.
+        # FLOOR division, not DIV: Spark's DIV truncates toward zero
+        # while DuckDB's // floors, so a negative numerator (refund-heavy
+        # segment) would diverge by one micro-unit step; (a − pmod(a,b))
+        # is exactly divisible, making the truncating DIV equal the
+        # mathematical floor for either sign (r8 review).
         .withColumn(
             "avg_monetary",
             F.expr(
-                "CAST((2 * __mu_sum + 100 * n_users) DIV (200 * n_users) AS DOUBLE)"
-                " / 10000.0"
+                "CAST((2 * __mu_sum + 100 * n_users"
+                " - pmod(2 * __mu_sum + 100 * n_users, 200 * n_users))"
+                " DIV (200 * n_users) AS DOUBLE) / 10000.0"
             ),
         )
         .drop("__mu_sum")
@@ -5991,25 +5981,9 @@ def q161(spark, sf_dir):
         THEN list_distinct(list_transform(range(1, len(toks) - 1),
                                           i -> array_to_string(toks[i:i+2], ' ')))
         ELSE [array_to_string(toks, ' ')] END AS shingles
-      FROM tok),
-    -- exact-Jaccard pairs via the AllPairs prefix filter (tractable at
-    -- sf0.1; literal copy of _jaccard_pair_ctes(0.7) — raw string, so
-    -- the helper can't be interpolated; soundness argument lives there)
-    inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-    gfreq AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
-    ranked AS (
-      SELECT inv.doc_id, inv.g,
-             row_number() OVER (PARTITION BY inv.doc_id ORDER BY gfreq.c, inv.g) AS rk,
-             count(*) OVER (PARTITION BY inv.doc_id) AS sz
-      FROM inv JOIN gfreq USING (g)),
-    pref AS (SELECT doc_id, g FROM ranked WHERE rk <= sz - ceil(0.7 * sz) + 1),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
-    p AS (
-      SELECT cand.id_a, cand.id_b
-      FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
-      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+      FROM tok),"""
+    + _jaccard_pair_ctes(0.7)
+    + r""",
     e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
     reach AS (
       SELECT doc_id AS id, doc_id AS r FROM documents
@@ -6773,25 +6747,9 @@ def q175(spark, sf_dir):
         THEN list_distinct(list_transform(range(1, len(toks) - 1),
                                           i -> array_to_string(toks[i:i+2], ' ')))
         ELSE [array_to_string(toks, ' ')] END AS shingles
-      FROM tok),
-    -- exact-Jaccard pairs via the AllPairs prefix filter (tractable at
-    -- sf0.1; literal copy of _jaccard_pair_ctes(0.7) — raw string, so
-    -- the helper can't be interpolated; soundness argument lives there)
-    inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-    gfreq AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
-    ranked AS (
-      SELECT inv.doc_id, inv.g,
-             row_number() OVER (PARTITION BY inv.doc_id ORDER BY gfreq.c, inv.g) AS rk,
-             count(*) OVER (PARTITION BY inv.doc_id) AS sz
-      FROM inv JOIN gfreq USING (g)),
-    pref AS (SELECT doc_id, g FROM ranked WHERE rk <= sz - ceil(0.7 * sz) + 1),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
-    p AS (
-      SELECT cand.id_a, cand.id_b
-      FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
-      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.7),
+      FROM tok),"""
+    + _jaccard_pair_ctes(0.7)
+    + r""",
     e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
     reach AS (
       SELECT doc_id AS id, doc_id AS r FROM documents

@@ -91,6 +91,9 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: run_oracle_check.py [sf_dir] [--json PATH] [query ...]")
+            return 2
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

@@ -82,11 +82,14 @@ def test_dedupe_cached_subtrees_contract():
             "      +- AdaptiveSparkPlan isFinalPlan=true",
             "          +- == Final Plan ==",
             "             Project [md5(concat(a#9, b#8)) AS h#7]",
+            "          +- == Initial Plan ==",
+            "             Project [md5(concat(a#9, b#8)) AS h#7]",
         ]
     )
     ded = _dedupe_cached_subtrees(plan)
-    # second dump of the SAME relation (expr-ids differ) dropped entirely;
-    # the kept dump loses its Initial-plan echo
+    # second dump of the SAME relation (expr-ids differ, identical
+    # normalized subtree) dropped entirely; the kept dump loses its
+    # Initial-plan echo
     assert ded.count("InMemoryRelation") == 1
     assert ded.count("md5") == 1
     assert "== Initial Plan ==" not in ded
@@ -130,3 +133,89 @@ def test_clean_corpus_persist_false_skips_cache(spark, sf_dir):
         if "InMemoryRelation" in ln and "lang_pred" in ln
     ]
     assert not staged_caches, staged_caches[:1]
+
+
+def test_clean_corpus_cache_handle_releases(spark, sf_dir):
+    from polars_dataset_spark.functions import clean_corpus
+    from polars_dataset_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    out = clean_corpus(docs, min_quality=0.5, fuzzy_threshold=0.7)
+    cache = out._corpus_cache
+    assert cache is not None and cache.storageLevel.useMemory
+    out.count()
+    cache.unpersist(blocking=True)
+    assert not cache.storageLevel.useMemory
+
+
+def test_clean_corpus_cache_handle_none_when_persist_false(spark, sf_dir):
+    from polars_dataset_spark.functions import clean_corpus
+    from polars_dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = clean_corpus(docs, min_quality=0.5, fuzzy_threshold=0.7, persist=False)
+    assert out._corpus_cache is None
+
+
+def test_dedupe_keeps_distinct_same_schema_relations():
+    # two DIFFERENT cached frames can render the same header (same
+    # schema); only dumps with identical SUBTREES may collapse
+    from polars_dataset_spark.plans.inspect import _dedupe_cached_subtrees
+
+    plan = "\n".join(
+        [
+            "Union",
+            ":- InMemoryRelation [a#1, b#2], StorageLevel(memory)",
+            ":     +- Filter (a#1 > 5)",
+            ":        +- Scan parquet",
+            "+- InMemoryRelation [a#9, b#8], StorageLevel(memory)",
+            "      +- Filter (a#9 < 0)",
+            "         +- Scan parquet",
+        ]
+    )
+    ded = _dedupe_cached_subtrees(plan)
+    assert ded.count("InMemoryRelation") == 2
+    assert "(a# > 5)" in ded or "a#1 > 5" in ded
+    assert "a#9 < 0" in ded
+
+
+def test_cosine_guardrail_counts_unordered_pairs(spark, monkeypatch):
+    # n=6 -> 15 unordered pairs; a limit of 15 must NOT trip (n*n=36 would)
+    df = _tiny_emb(spark)
+    monkeypatch.setattr(SIM, "_QUADRATIC_PAIR_LIMIT", 15)
+    out = SIM.cosine_pairs_block(df, threshold=0.99)
+    assert out.count() >= 0
+    monkeypatch.setattr(SIM, "_QUADRATIC_PAIR_LIMIT", 14)
+    with pytest.raises(ValueError):
+        SIM.cosine_pairs_block(df, threshold=0.99)
+
+
+def test_probe_bmp_top_down_and_core_header():
+    from polars_dataset_spark.functions.multimodal import probe_media_header
+
+    def le(v, w):
+        return int(v % (1 << (8 * w))).to_bytes(w, "little")
+
+    # BITMAPINFOHEADER with biHeight = -1080 (top-down)
+    info = b"BM" + bytes(12) + le(40, 4) + le(1920, 4) + le(-1080, 4) + bytes(8)
+    meta = probe_media_header(info)
+    assert (meta["width"], meta["height"], meta["mode"]) == (1920, 1080, "top_down")
+    # OS/2 BITMAPCOREHEADER: 16-bit dims at 18/20
+    core = b"BM" + bytes(12) + le(12, 4) + le(640, 2) + le(480, 2) + bytes(6)
+    meta = probe_media_header(core)
+    assert (meta["width"], meta["height"], meta["mode"]) == (640, 480, "core_header")
+
+
+def test_probe_ppm_rejects_prose():
+    from polars_dataset_spark.functions.multimodal import probe_media_header
+
+    # PPM has a 2-byte "signature", so prose that starts with it must be
+    # rejected by the header grammar + payload-size plausibility check
+    assert probe_media_header(b"P6 chips cost 500 or 600 yen") is None
+    assert probe_media_header(b"P600 something 500") is None
+    assert probe_media_header(b"P6 500 x 600 pixels") is None
+    assert probe_media_header(b"P6 2 2 255 short") is None  # truncated payload
+    good = b"P6 2 2 255\n" + bytes(12)
+    meta = probe_media_header(good)
+    assert (meta["fmt"], meta["width"], meta["height"]) == ("ppm", 2, 2)
