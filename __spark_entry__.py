@@ -52,17 +52,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # expires the entry on its own (ADVICE r6: the previous unconditional
 # list never expired and permanently ate ~17 rotation slots).
 #
-# Round 8 touched: the exact-Jaccard oracles rewrote their brute-force
-# pair CTE as the AllPairs prefix filter (q37/q60/q64/q162/q176 — pair-
-# identical at sf0.01 AND sf0.1, verified in-session), and clean_corpus
-# gained the persist barrier before its fuzzy stage (q60). Fronted for a
-# fresh driver row; entries self-expire on their next green row.
+# Round 9 touched: connected_components rewrote both star contractions
+# as window-mins and gained the star-shape early exit (q63/q64/q138/
+# q162/q176), clean_corpus gained clean_corpus_scope (q60), media_probe
+# gained the sample_rate/channels/duration_s columns (q201), and
+# Datafile.load gained the no-throw existence precheck (q163/q164).
+# Fronted for a fresh driver row; entries self-expire on their next
+# green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
-    "q37_minhash_pairs": 7,
-    "q60_clean_corpus": 7,
-    "q64_dedup_components": 7,
-    "q162_quality_keep_dedup": 7,
-    "q176_leakage_safe_split": 7,
+    "q60_clean_corpus": 8,
+    "q63_connected_components": 8,
+    "q64_dedup_components": 8,
+    "q138_cc_small_clusters": 8,
+    "q162_quality_keep_dedup": 8,
+    "q163_datafile_csv": 8,
+    "q164_create_dataset_manifest": 8,
+    "q176_leakage_safe_split": 8,
+    "q201_media_probe": 8,
 }
 
 

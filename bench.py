@@ -187,6 +187,17 @@ def _timed_loop() -> float:
 
 
 def main() -> None:
+    # Route the package's Python-side logs (e.g. Datafile.load's
+    # deliberate missing-file warning in q163) to a file: with no
+    # handler configured, logging's lastResort writes WARNING+ to
+    # stderr, and the driver's bench artifact records a stderr tail —
+    # the tail should carry the JSON line only (VERDICT r8 #4).
+    import logging
+
+    _pkg_log = logging.getLogger("polars_dataset_spark")
+    _pkg_log.addHandler(logging.FileHandler("/tmp/spark_graft_bench.log"))
+    _pkg_log.propagate = False
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Single-core calibration BEFORE the JVM exists: round VMs differ a

@@ -51,15 +51,21 @@ def _canonicalize(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every neighbor w > c to min(N(c) ∪ {c}), for every center c.
     Input and output are canonical (u < v, distinct): the emitted link
-    (w, m) always has m < w, so (m, w) is already canonical."""
+    (w, m) always has m < w, so (m, w) is already canonical.
+
+    One window-min over the symmetric view instead of groupBy+join-back
+    (r9): the shuffle is the same (all of sym keyed on u) but the
+    separate mins exchange and the join disappear — each contraction
+    round was paying ~4 exchanges of fixed scheduling overhead where 1
+    suffices. Skew profile is unchanged: a hub key's rows land in one
+    task either way, and large-star shatters hubs by construction."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
-    mins = mins.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    w = Window.partitionBy("u")
     # No distinct here: duplicate (m, w) links from different centers are
     # bounded by deg(w) and the small-star that always follows ends in a
     # distinct — one less shuffle per round.
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("m").alias("u"), F.col("v"))
         .filter(F.col("u") != F.col("v"))
@@ -71,26 +77,53 @@ def _small_star(e: DataFrame) -> DataFrame:
     (and the center) to the neighborhood minimum. On canonical input the
     directed view (center > neighbor) is just the edge list read as
     (center=v, nbr=u) — no symmetrize needed; emitted links (x, m) have
-    m ≤ x, so (m, x) is canonical."""
-    mins = e.groupBy("v").agg(F.min("u").alias("m"))  # per center v: min nbr
-    link_nbrs = (
-        e.join(mins, "v")
-        .select(F.col("m").alias("u"), F.col("u").alias("v"))
-    )
-    link_center = mins.select(F.col("m").alias("u"), F.col("v"))
+    m ≤ x, so (m, x) is canonical.
+
+    Window-min + explode instead of groupBy+join+union (r9, see
+    _large_star): per edge (u, v) with neighborhood min m, emit (m, u)
+    (link the smaller neighbor) and (m, v) (link the center); the
+    center link is emitted once per edge instead of once per center,
+    and the closing distinct collapses the repeats."""
+    w = Window.partitionBy("v")
     return (
-        link_nbrs.union(link_center)
+        e.withColumn("m", F.min("u").over(w))
+        .select(
+            F.col("m").alias("u"),
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int]:
+def _fingerprint(e: DataFrame) -> tuple[int, int, int]:
+    """(edge count, order-insensitive xor hash, distinct right-endpoints).
+
+    The first two drive the no-change convergence test; the third is the
+    cheap NECESSARY half of the star-shape test (each v has exactly one
+    parent), folded into the same single-job aggregate so the early-exit
+    probe (`_is_star`) only ever runs when it can succeed."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.count_distinct("v").alias("nv"),
     ).first()
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h"]), int(row["nv"])
+
+
+def _is_star(e: DataFrame) -> bool:
+    """Exact second half of the star-shape test: no node appears both as
+    a parent (u) and a child (v). Together with v-uniqueness (checked
+    for free in `_fingerprint`) this is exactly 'disjoint union of
+    min-rooted stars' — every edge has u < v, so single-parent +
+    parents-never-children means depth-1 trees rooted at their minimum,
+    the fixpoint of both contractions. Lets the loop stop the round it
+    CONVERGES instead of one confirming round later (VERDICT r8 #4)."""
+    return (
+        e.select(F.col("u").alias("n"))
+        .intersect(e.select(F.col("v").alias("n")))
+        .isEmpty()
+    )
 
 
 def connected_components(
@@ -113,15 +146,29 @@ def connected_components(
     # cost grows superlinearly with plan size, outweighing the saved
     # fixed overhead.)
     e = _canonicalize(edges, id_a, id_b).localCheckpoint(eager=False)
-    prev = _fingerprint(e)
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = _fingerprint(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    n, h, nv = _fingerprint(e)
+    # Near-dup pair graphs are often ALREADY star unions (tiny diameter);
+    # detect it and skip the contraction loop outright. The intersect
+    # probe runs only when v-uniqueness (free in the fingerprint) holds.
+    converged = n == nv and _is_star(e)
+    prev = (n, h)
+    if not converged:
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            n, h, nv = _fingerprint(e)
+            if (n, h) == prev:
+                break
+            prev = (n, h)
+            if n == nv and _is_star(e):
+                # star-shaped = fixpoint of both contractions: stop the
+                # round the graph converges, not one confirming round
+                # later (saves the full ~4-exchange round; the probe is
+                # one tiny job on the just-checkpointed edge set)
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds"
+            )
     # Converged star graphs: a non-root's minimum neighbor IS the root,
     # and the root's own minimum is itself — both covered by
     # least(node, min over neighbors) on the symmetric view.

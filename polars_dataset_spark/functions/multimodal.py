@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from polars_dataset_spark.functions.containers import probe_av_header
+
 __all__ = [
     "binary_with_metadata",
     "decode_media",
@@ -33,6 +35,7 @@ __all__ = [
     "extract_features",
     "media_probe",
     "probe_media_header",
+    "probe_av_header",
     "MEDIA_META_SCHEMA",
 ]
 
@@ -627,6 +630,12 @@ def probe_media_header(data: bytes) -> "dict | None":
       ``VP8X`` extended — 24-bit le canvas size minus one.
     - PNG (IHDR), GIF (logical screen), BMP (DIB), QOI, PPM (P5/P6),
       TIFF (first IFD's 256/257 tags, both byte orders).
+
+    Blobs with no image signature fall through to the audio/video
+    container probers (:mod:`~polars_dataset_spark.functions.containers`,
+    r9): MP3, OGG (Vorbis/Opus), MP4/M4A, WebM/MKV, WAV, FLAC, AIFF, AU,
+    Y4M — those additionally fill ``sample_rate``/``channels``/
+    ``duration_s`` (None on image rows).
     """
     if data is None:
         return None
@@ -787,7 +796,8 @@ def probe_media_header(data: bytes) -> "dict | None":
             return None
     except (IndexError, ValueError):
         return None
-    return None
+    # no image signature matched: try the audio/video containers
+    return probe_av_header(data)
 
 
 _PROBE_FIELDS = [
@@ -796,6 +806,10 @@ _PROBE_FIELDS = [
     T.StructField("height", T.LongType()),
     T.StructField("mode", T.StringType()),
     T.StructField("gated", T.BooleanType()),
+    # audio/video container fields (r9) — None on image rows
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
 ]
 
 

@@ -10,6 +10,8 @@ reports. Every stage is the library operator — this module only composes.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -26,7 +28,7 @@ from polars_dataset_spark.functions.text import (
     with_token_count,
 )
 
-__all__ = ["clean_corpus", "corpus_report"]
+__all__ = ["clean_corpus", "clean_corpus_scope", "corpus_report"]
 
 
 def clean_corpus(
@@ -55,11 +57,16 @@ def clean_corpus(
 
     Cache lifecycle: the persisted frame is NOT the returned frame, so
     ``result.unpersist()`` would not release it. The handle is exposed
-    as ``result._corpus_cache`` — call ``.unpersist()`` on it when the
-    result has been materialized/written and the session lives on
-    (long-lived sessions otherwise accumulate one cache entry per
-    ``clean_corpus`` call, and Spark's CacheManager substitutes a live
-    entry into ANY later plan that rebuilds the same lineage)."""
+    as ``result._corpus_cache`` — **capture it immediately from the
+    direct return value**: any subsequent transformation
+    (select/filter/join) returns a NEW DataFrame without the attribute
+    (ADVICE r8). Call ``.unpersist()`` on it when the result has been
+    materialized/written and the session lives on (long-lived sessions
+    otherwise accumulate one cache entry per ``clean_corpus`` call, and
+    Spark's CacheManager substitutes a live entry into ANY later plan
+    that rebuilds the same lineage). Prefer :func:`clean_corpus_scope`
+    when the consumption window is lexically scoped — it owns the
+    release so no handle bookkeeping is needed."""
     staged = with_quality_score(docs, text_col)
     staged = staged.filter(F.col("quality") >= min_quality)
     staged = with_language_id(staged, text_col)
@@ -93,6 +100,22 @@ def clean_corpus(
     # returned frame's own unpersist() cannot reach it)
     out._corpus_cache = cached
     return out
+
+
+@contextmanager
+def clean_corpus_scope(docs: DataFrame, **kwargs):
+    """``with clean_corpus_scope(docs, ...) as clean:`` — same result as
+    :func:`clean_corpus`, but the MEMORY_AND_DISK barrier is released on
+    exit, so long-lived sessions (notebooks, services) cannot leak one
+    cache entry per call and callers need not capture ``_corpus_cache``
+    before transforming the result (ADVICE r8)."""
+    out = clean_corpus(docs, **kwargs)
+    try:
+        yield out
+    finally:
+        cached = getattr(out, "_corpus_cache", None)
+        if cached is not None:
+            cached.unpersist()
 
 
 def corpus_report(clean: DataFrame) -> DataFrame:

@@ -267,7 +267,11 @@ def _dedupe_cached_subtrees(plan: str) -> str:
     relation (duplication *inside* the cached plan still counts) and
     drop the textual repeats. Distinctness is the header line with
     Catalyst expr-ids stripped."""
-    lines = plan.split("\n")
+    # Spark's treeString always ends with a newline; trailing blanks would
+    # otherwise be absorbed into the LAST dump's subtree scan and its
+    # fingerprint, so a final dump never matched an earlier identical one
+    # (ADVICE r8). Blank lines are also excluded from fingerprints below.
+    lines = plan.rstrip("\n").split("\n")
     depths = [_TREE_PREFIX_RE.match(ln).end() for ln in lines]
 
     # Pass 1: fingerprint every InMemoryRelation DUMP as header + its
@@ -300,6 +304,7 @@ def _dedupe_cached_subtrees(plan: str) -> str:
                 # branch-dependent prefix characters
                 " " * (depths[k] - depths[i]) + lines[k][depths[k] :]
                 for k in range(i + 1, j)
+                if lines[k].strip()
             ),
         )
         if fingerprint in seen:
@@ -314,9 +319,14 @@ def _dedupe_cached_subtrees(plan: str) -> str:
     for i, line in enumerate(lines):
         depth = depths[i]
         if skip_threshold is not None:
-            if line.strip() and (
-                depth > skip_threshold
-                or (skip_inclusive and depth == skip_threshold)
+            if not line.strip():
+                # blanks INSIDE a dropped subtree / Initial-Plan section
+                # stay dropped — pass 1 treats them as part of the
+                # subtree, so ending the skip here would leak the rest of
+                # the region back into the deduped text (ADVICE r8)
+                continue
+            if depth > skip_threshold or (
+                skip_inclusive and depth == skip_threshold
             ):
                 continue
             skip_threshold = None

@@ -8089,6 +8089,162 @@ def q201(spark, sf_dir):
     )
 
 
+@query(
+    "q202_av_container_probe",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id, fmt,
+           CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+           mode, CAST(gated AS BOOLEAN) AS gated,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(duration_s AS DOUBLE) AS duration_s
+    FROM (VALUES
+      (0, 'mp3',  NULL, NULL, 'mpeg1_layer3', true,  44100, 2, 0.990375),
+      (1, 'ogg',  NULL, NULL, 'vorbis',       true,  44100, 2, 2.0),
+      (2, 'ogg',  NULL, NULL, 'opus',         true,  48000, 2, 2.0),
+      (3, 'mp4',  640,  360,  'avc1',         true,  44100, 2, 2.5),
+      (4, 'webm', 1280, 720,  'V_VP9',        true,  48000, 2, 1.5),
+      (5, 'wav',  NULL, NULL, 'pcm',          false, 44100, 2, 1.0),
+      (6, 'flac', NULL, NULL, 'lossless',     false, 44100, 2, 2.0),
+      (7, NULL,   NULL, NULL, NULL,           NULL,  NULL,  NULL, NULL)
+    ) AS t(media_id, fmt, width, height, mode, gated,
+           sample_rate, channels, duration_s)
+    """,
+)
+def q202(spark, sf_dir):
+    """Compressed audio/video container inventory (r9, VERDICT r8 #1 —
+    functions/containers.probe_av_header via media_probe): MP3 frame
+    header + CBR duration math, OGG pages with Vorbis/Opus id packets +
+    exact last-page granule duration, MP4 box walk (mvhd/hdlr/stsd),
+    WebM EBML (Info duration, track dims/rate/channels), plus WAV and
+    FLAC so the inventory covers decodable (gated=false) and
+    entropy-gated (gated=true) blobs uniformly. Fixtures hand-built
+    byte-for-byte from the public specs inside the query; the oracle is
+    the literal expected table (same contract style as q201). Map-only
+    Arrow batch; fixed bytes read per blob — the 100 TB story is a scan,
+    not a codec stack."""
+    _prep(spark)
+    import struct
+
+    from polars_dataset_spark.functions import media_probe
+
+    # MP3: MPEG1 Layer III 128 kbps CBR 44100 Hz stereo; frame size =
+    # 1152*128000/(8*44100) = 417; ID3v2.4 tag of 100 bytes skipped.
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    mp3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100 + frame * 38
+
+    def ogg_page(htype, granule, seq, payload):
+        return (
+            b"OggS\x00" + bytes([htype]) + granule.to_bytes(8, "little")
+            + (7).to_bytes(4, "little") + seq.to_bytes(4, "little")
+            + b"\x00" * 4 + bytes([1, len(payload)]) + payload
+        )
+
+    vorbis_id = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+        + (44100).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + (128000).to_bytes(4, "little") + (0).to_bytes(4, "little") + b"\xb8\x01"
+    )
+    ogg_vorbis = (
+        ogg_page(2, 0, 0, vorbis_id) + ogg_page(4, 88200, 1, b"\x00" * 8)
+    )
+    opus_id = (
+        b"OpusHead\x01\x02" + (312).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + b"\x00\x00\x00"
+    )
+    ogg_opus = ogg_page(2, 0, 0, opus_id) + ogg_page(4, 96312, 1, b"\x00" * 8)
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 2500) + b"\x00" * 80)
+    avc1 = (
+        struct.pack(">I", 86) + b"avc1" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", 640, 360) + b"\x00" * 50
+    )
+    trak_v = box(
+        b"trak",
+        box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 640 << 16, 360 << 16))
+        + box(b"mdia",
+              box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+              + box(b"minf", box(b"stbl",
+                    box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + avc1)))),
+    )
+    mp4a = (
+        struct.pack(">I", 36) + b"mp4a" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 8 + struct.pack(">HH", 2, 16) + b"\x00" * 4
+        + struct.pack(">I", 44100 << 16)
+    )
+    trak_a = box(
+        b"trak",
+        box(b"mdia",
+            box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 13)
+            + box(b"minf", box(b"stbl",
+                  box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + mp4a)))),
+    )
+    mp4 = (
+        box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomavc1")
+        + box(b"moov", mvhd + trak_v + trak_a)
+    )
+
+    def eid(i):
+        return i.to_bytes((i.bit_length() + 7) // 8, "big")
+
+    def el(i, payload):
+        return eid(i) + bytes([0x80 | len(payload)]) + payload
+
+    info = el(
+        0x1549A966,
+        el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + el(0x4489, struct.pack(">f", 1500.0)),
+    )
+    trk_v = el(
+        0xAE,
+        el(0x83, b"\x01") + el(0x86, b"V_VP9")
+        + el(0xE0, el(0xB0, (1280).to_bytes(2, "big"))
+             + el(0xBA, (720).to_bytes(2, "big"))),
+    )
+    trk_a = el(
+        0xAE,
+        el(0x83, b"\x02") + el(0x86, b"A_OPUS")
+        + el(0xE1, el(0xB5, struct.pack(">f", 48000.0)) + el(0x9F, b"\x02")),
+    )
+    seg_body = info + el(0x1654AE6B, trk_v + trk_a)
+    webm = (
+        el(0x1A45DFA3, el(0x4282, b"webm"))
+        + eid(0x18538067) + bytes([0x80 | len(seg_body)]) + seg_body
+    )
+
+    fmt_c = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 44100, 176400, 4, 16
+    )
+    dat = b"data" + struct.pack("<I", 176400) + b"\x00" * 176400
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt_c) + len(dat)) + b"WAVE" + fmt_c + dat
+
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 88200
+    flac = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + struct.pack(">HH", 1024, 1024) + b"\x00" * 6
+        + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+
+    rows = [
+        (0, bytearray(mp3)),
+        (1, bytearray(ogg_vorbis)),
+        (2, bytearray(ogg_opus)),
+        (3, bytearray(mp4)),
+        (4, bytearray(webm)),
+        (5, bytearray(wav)),
+        (6, bytearray(flac)),
+        (7, bytearray(b"opaque bytes, no container")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return media_probe(df).select(
+        "media_id", "fmt", "width", "height", "mode", "gated",
+        "sample_rate", "channels", F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -214,3 +214,33 @@ def test_two_level_top_cells_block_boundaries(monkeypatch):
     for row in got:
         assert len(set(row.tolist())) == 4
         assert all(0 <= c < q.n_cells for c in row)
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    """The recall/scan-fraction frontier (VERDICT r8 #8): with one fixed
+    quantizer, probing more cells gives a NESTED candidate set, so
+    recall@k vs the exact baseline is weakly monotone in n_probe — the
+    knob scale users turn to trade recall for scan fraction. Asserted
+    over n_probe in {1, 2, 4, 8} of 16 cells on the sf fixture."""
+    from polars_dataset_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = set(
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(probes, emb, k=5).collect()
+    )
+    quant = S._train_quantizer(emb, "vec_id", "embedding", 16, 42, 65_536)
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        approx = set(
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                probes, emb, k=5, n_cells=16, n_probe=n_probe,
+                centroids=quant.coarse,
+            ).collect()
+        )
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] > 0.6, f"recall@8/16 too low: {recalls}"
+    assert recalls[-1] > recalls[0], f"n_probe knob has no effect: {recalls}"
