@@ -290,6 +290,22 @@ def main() -> None:
     ordered = sorted(
         queries.items(), key=lambda it: _order_key(it[0], prev, rank)
     )
+    # Deterministic attribution for the shared-cache trio: q64/q162/q176
+    # reuse ONE cached LSH pair subtree per JVM, so whichever runs first
+    # pays its materialization (r8's q176 serial-min 1.95->3.85 move was
+    # pure run order, adjudicated in ROUND8_NOTES). Keep their SLOTS (so
+    # longest-first makespan scheduling is unchanged) but pin the
+    # occupants to a canonical order: the payer is ALWAYS q64, and a
+    # real regression in any of the three can no longer hide behind the
+    # self-tuned ordering reseeding each run (VERDICT r8 #3).
+    _TRIO = [
+        "q64_dedup_components",
+        "q162_quality_keep_dedup",
+        "q176_leakage_safe_split",
+    ]
+    slots = [i for i, (n, _) in enumerate(ordered) if n in _TRIO]
+    for slot, name in zip(slots, [t for t in _TRIO if t in queries]):
+        ordered[slot] = (name, queries[name])
 
     t_start = time.perf_counter()
     if workers <= 1:

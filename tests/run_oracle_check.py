@@ -102,7 +102,12 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; the off-scale fixtures
+        # (/tmp/sf1, /tmp/sf10) are Spark-written DIRECTORIES of part
+        # files — DuckDB needs the glob form for those
+        path = f"{sf_dir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -1,0 +1,132 @@
+"""Chunked full-suite oracle sweep for BIG fixtures (r9, VERDICT r8 #2).
+
+``tests/run_oracle_check.py`` runs the whole suite in one process — fine
+at the driver fixtures, but an sf1 sweep (6 M lineitem / 50 k documents)
+has a heavy tail on BOTH sides (Spark heavies, DuckDB oracle CTEs), and
+one stuck query must not discard hours of green results. This driver:
+
+1. splits the suite into chunks of ``--chunk`` queries,
+2. runs each chunk as a ``run_oracle_check.py <sf_dir> --json`` child
+   with a per-chunk ``--timeout`` (a timeout kills ONLY that chunk),
+3. retries every query of a timed-out chunk SOLO with the same budget,
+   so one slow query can't shadow its chunk-mates,
+4. merges everything into one artifact with explicit per-query status:
+   ``match`` / ``rows_only`` / ``timeout`` / error text — timeouts and
+   ``--skip`` entries are recorded as EXCLUSIONS, never silently absent.
+
+Usage:
+    python tools/oracle_sweep_chunked.py /tmp/sf1 CORRECTNESS_SF1_r09.json \
+        [--chunk 12] [--timeout 560] [--skip qNNN_a,qNNN_b]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _run_chunk(sf_dir: str, names: "list[str]", timeout: int) -> "dict | None":
+    """One run_oracle_check.py child over `names`; None on timeout."""
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
+        out_path = fh.name
+    cmd = [
+        sys.executable,
+        os.path.join(_REPO, "tests", "run_oracle_check.py"),
+        sf_dir,
+        "--json",
+        out_path,
+        *names,
+    ]
+    try:
+        subprocess.run(
+            cmd, timeout=timeout, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, check=False,
+        )
+        with open(out_path) as fh:
+            return json.load(fh)["queries"]
+    except (subprocess.TimeoutExpired, OSError, ValueError, KeyError):
+        return None
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    chunk, timeout, skip = 12, 560, set()
+    for flag, cast in (("--chunk", int), ("--timeout", int), ("--skip", str)):
+        if flag in args:
+            i = args.index(flag)
+            val = cast(args[i + 1])
+            args = args[:i] + args[i + 2 :]
+            if flag == "--chunk":
+                chunk = val
+            elif flag == "--timeout":
+                timeout = val
+            else:
+                skip = {s for s in val.split(",") if s}
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    sf_dir, out_json = args
+
+    from polars_dataset_spark import suite
+
+    names = sorted(suite.QUERIES)
+    results: "dict[str, dict]" = {
+        n: {"status": "skipped", "err": "excluded via --skip"} for n in skip
+    }
+    todo = [n for n in names if n not in skip]
+    t0 = time.time()
+    for c0 in range(0, len(todo), chunk):
+        batch = todo[c0 : c0 + chunk]
+        got = _run_chunk(sf_dir, batch, timeout)
+        if got is None:
+            print(f"chunk {batch[0]}..{batch[-1]} timed out; retrying solo",
+                  flush=True)
+            for n in batch:
+                solo = _run_chunk(sf_dir, [n], timeout)
+                if solo is None or n not in solo:
+                    results[n] = {"status": "timeout",
+                                  "err": f"exceeded {timeout}s solo"}
+                    print(f"TIMEOUT {n}", flush=True)
+                else:
+                    results[n] = solo[n]
+        else:
+            for n in batch:
+                results[n] = got.get(
+                    n, {"status": "missing", "err": "absent from chunk output"}
+                )
+        done = min(c0 + chunk, len(todo))
+        print(f"[{done}/{len(todo)}] {time.time() - t0:.0f}s", flush=True)
+
+    def ok(r):
+        return r.get("match") is True or r.get("rows_only") is True
+
+    greens = sum(1 for r in results.values() if ok(r))
+    excluded = {n: r for n, r in results.items() if not ok(r)}
+    artifact = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_green": greens,
+        "exclusions": {n: r.get("err") or r.get("problems") for n, r in excluded.items()},
+        "wall_sec": round(time.time() - t0, 1),
+        "queries": results,
+    }
+    with open(os.path.join(_REPO, out_json), "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+    print(f"{greens}/{len(results)} green; exclusions: {sorted(excluded)}")
+    return 0 if greens == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
