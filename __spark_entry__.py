@@ -56,13 +56,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # as window-mins and gained the star-shape early exit (q63/q64/q138/
 # q162/q176), clean_corpus gained clean_corpus_scope (q60), media_probe
 # gained the sample_rate/channels/duration_s columns (q201), and
-# Datafile.load gained the no-throw existence precheck (q163/q164).
+# Datafile.load gained the no-throw existence precheck (q163/q164),
+# and detrend gained the exact-moments deterministic fit (q120, found
+# by the r9 sf1 sweep).
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
     "q60_clean_corpus": 8,
     "q63_connected_components": 8,
     "q64_dedup_components": 8,
+    "q120_detrend": 8,
     "q138_cc_small_clusters": 8,
     "q162_quality_keep_dedup": 8,
     "q163_datafile_csv": 8,

@@ -295,9 +295,13 @@ def main() -> None:
     # pays its materialization (r8's q176 serial-min 1.95->3.85 move was
     # pure run order, adjudicated in ROUND8_NOTES). Keep their SLOTS (so
     # longest-first makespan scheduling is unchanged) but pin the
-    # occupants to a canonical order: the payer is ALWAYS q64, and a
-    # real regression in any of the three can no longer hide behind the
-    # self-tuned ordering reseeding each run (VERDICT r8 #3).
+    # occupants to a canonical order, so a real regression in any of the
+    # three can no longer hide behind the self-tuned ordering reseeding
+    # each run (VERDICT r8 #3). The payer is deterministically q64 in
+    # workers=1 runs (BENCH_SERIAL, the attribution reference); in the
+    # default concurrent mode the three still race for the subtree and
+    # per-query times stay contended — adjudicate regressions with
+    # tools/warm_solo.py, never with 16-way numbers.
     _TRIO = [
         "q64_dedup_components",
         "q162_quality_keep_dedup",

@@ -878,19 +878,68 @@ class Dataset:
     def detrend(self, col: str, out_col: str | None = None) -> "Dataset":
         """Remove each trace's least-squares linear trend (the
         spectroscopy/time-series preprocessing staple): per-trace slope
-        and intercept come from ONE ``regr_slope``/``regr_intercept``
-        aggregation (single-pass co-moment accumulators), broadcast back
-        and subtracted map-side — no window over the raw rows, all
+        and intercept come from ONE single-pass aggregation, broadcast
+        back and subtracted map-side — no window over the raw rows, all
         codegen. The fit aggregation reduces to one row per trace
         (parallelism of the reduce = trace cardinality, see
         ``_trace_window``); the subtract stage is map-only and scales
-        with the cluster regardless."""
+        with the cluster regardless.
+
+        Determinism (r9): when BOTH the index and the measure are exact
+        types (integral/decimal), the fit uses exact DECIMAL(38,0)
+        moment sums (measure scaled to integer units), so slope,
+        intercept and the residuals are BIT-IDENTICAL regardless of
+        partitioning, task order or cluster size — double co-moment
+        accumulators differ in their last ulps under re-partitioning,
+        which the r9 sf1 oracle sweep caught as rounded-residual
+        boundary splits. Envelope: a moment sum overflowing 38 digits
+        yields a null fit (honest) rather than silent noise. For
+        floating-point measures the ``regr_slope``/``regr_intercept``
+        co-moments remain the right tool: raw-moment OLS in doubles
+        invites cancellation, and float inputs have no exact answer to
+        preserve."""
         ids = list(self._id_vars)
         x = F.col(self._index).cast("double")
-        fit = (self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1).alias("__g"))).agg(
-            F.regr_slope(F.col(col).cast("double"), x).alias("__slope"),
-            F.regr_intercept(F.col(col).cast("double"), x).alias("__icept"),
+        xt = self._df.schema[self._index].dataType
+        yt = self._df.schema[col].dataType
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        exact = isinstance(xt, integral) and isinstance(
+            yt, (T.DecimalType, *integral)
         )
+        grouped = (
+            self._df.groupBy(*ids) if ids else self._df.groupBy(F.lit(1).alias("__g"))
+        )
+        if exact:
+            scale = yt.scale if isinstance(yt, T.DecimalType) else 0
+            xc, yc = F.col(self._index), F.col(col)
+            xu = xc.cast("decimal(38,0)")
+            yu = (yc * F.lit(10**scale)).cast("decimal(38,0)")
+            cond = xc.isNotNull() & yc.isNotNull()
+            agg = grouped.agg(
+                F.count(F.when(cond, 1)).alias("__fn"),
+                F.sum(F.when(cond, xu)).alias("__fsx"),
+                F.sum(F.when(cond, yu)).alias("__fsy"),
+                F.sum(F.when(cond, xu * xu)).alias("__fsxx"),
+                F.sum(F.when(cond, xu * yu)).alias("__fsxy"),
+            )
+            n, sx, sy = F.col("__fn"), F.col("__fsx"), F.col("__fsy")
+            sxx, sxy = F.col("__fsxx"), F.col("__fsxy")
+            den = (n * sxx - sx * sx).cast("double")
+            num_s = (n * sxy - sx * sy).cast("double")
+            num_b = (sy * sxx - sx * sxy).cast("double")
+            sf = F.lit(float(10**scale))
+            # op order mirrors the SQL oracles verbatim (cast/cast/div/
+            # div) so both engines execute the identical IEEE sequence
+            fit = agg.select(
+                *[c for c in agg.columns if not c.startswith("__f")],
+                F.when(den != 0, num_s / den / sf).alias("__slope"),
+                F.when(den != 0, num_b / den / sf).alias("__icept"),
+            )
+        else:
+            fit = grouped.agg(
+                F.regr_slope(F.col(col).cast("double"), x).alias("__slope"),
+                F.regr_intercept(F.col(col).cast("double"), x).alias("__icept"),
+            )
         # no forced broadcast: the fit frame is one row per TRACE, which
         # can itself be huge at scale — AQE broadcasts it when small and
         # shuffle-joins on the trace key otherwise

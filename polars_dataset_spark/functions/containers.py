@@ -94,7 +94,19 @@ def _mp3_frame(data: bytes, i: int) -> "dict | None":
 def _probe_mp3(data: bytes) -> "dict | None":
     n = len(data)
     off = 0
-    has_id3 = n >= 10 and data[:3] == b"ID3"
+    # a valid ID3v2 header is more than the three magic bytes (plain text
+    # starting "ID3 is a tagging format…" must NOT classify as audio —
+    # r9 review): version major must be 2/3/4 (not 0xFF), revision not
+    # 0xFF, the low flag nibble zero, and all four syncsafe size bytes
+    # MSB-clear (ID3v2.4 §3.1)
+    has_id3 = (
+        n >= 10
+        and data[:3] == b"ID3"
+        and data[3] in (2, 3, 4)
+        and data[4] != 0xFF
+        and (data[5] & 0x0F) == 0
+        and not any(data[i] & 0x80 for i in (6, 7, 8, 9))
+    )
     if has_id3:
         size = (
             ((data[6] & 0x7F) << 21)
@@ -269,20 +281,23 @@ def _probe_mp4(data: bytes) -> "dict | None":
             hdlr = _mp4_find(data, s, e, b"mdia", b"hdlr")
             handler = data[hdlr[0] + 8 : hdlr[0] + 12] if hdlr else b""
             stsd = _mp4_find(data, s, e, b"mdia", b"minf", b"stbl", b"stsd")
-            entry = None
+            entry, esize = None, 0
             if stsd and stsd[1] - stsd[0] >= 16:
                 es = stsd[0] + 8  # ver/flags + entry_count
                 esize = _be(data, es, 4)
                 if esize >= 16 and es + esize <= stsd[1]:
                     entry = es
+            # field reads are bounded by the ENTRY's declared size, not
+            # the stsd span — a truncated first entry must yield None,
+            # not bytes of the next entry (r9 review)
             if handler == b"vide" and entry is not None:
                 codec_v = data[entry + 4 : entry + 8].decode("latin1").strip()
-                if entry + 36 <= stsd[1]:
+                if esize >= 36:
                     out["width"] = _be(data, entry + 32, 2)
                     out["height"] = _be(data, entry + 34, 2)
             elif handler == b"soun" and entry is not None:
                 codec_a = data[entry + 4 : entry + 8].decode("latin1").strip()
-                if entry + 36 <= stsd[1]:
+                if esize >= 36:
                     out["channels"] = _be(data, entry + 24, 2)
                     out["sample_rate"] = _be(data, entry + 32, 4) >> 16
             if out["width"] is None:
@@ -544,7 +559,29 @@ def _probe_y4m(data: bytes) -> "dict | None":
             return None
     if not (w and h):
         return None
-    frames = data.count(b"FRAME", nl)
+    # count frames by WALKING frame boundaries, not by substring count —
+    # raw YCbCr payload bytes can spell 'FRAME' (r9 review). Frame size
+    # follows from the colorspace tag (default C420).
+    cs = b"420"
+    for tok in data[9:nl].split(b" "):
+        if tok[:1] == b"C":
+            cs = tok[1:]
+    digits = cs[:3]
+    if digits == b"444":
+        frame_bytes = w * h * 3
+    elif digits == b"422":
+        frame_bytes = w * h * 2
+    elif cs[:4] == b"mono":
+        frame_bytes = w * h
+    else:  # 420 family (jpeg/paldv/p10 treated as 8-bit 4:2:0 baseline)
+        frame_bytes = w * h * 3 // 2
+    frames, o = 0, nl + 1
+    while data[o : o + 5] == b"FRAME":
+        eol = data.find(b"\n", o)
+        if eol < 0:
+            break
+        frames += 1
+        o = eol + 1 + frame_bytes
     return {"fmt": "y4m", "width": w, "height": h, "mode": "yuv4mpeg",
             "gated": False, "sample_rate": None, "channels": None,
             "duration_s": (frames * fd / fn) if (frames and fn) else None}

@@ -20,8 +20,20 @@ fingerprint (2 longs) — nothing scales with |V| or |E| on the driver.
 Scale notes (100 TB / 1000-executor framing):
 - Each round's shuffle is keyed on node id; skewed degree (one hub
   node) is exactly what large-star is designed to shatter — the hub's
-  neighbors re-key to the component min after one round. AQE skew-join
-  splitting covers the join side.
+  neighbors re-key to the component min after one round.
+- The r9 window-min contractions trade AQE skew-join splitting for one
+  exchange per contraction (the groupBy+join form moved the same rows
+  but could split a skewed join partition at runtime): a hub key's rows
+  now min-reduce inside one spill-capable window task. Deliberate: in
+  this engine's pipelines the edge list is LSH/CC near-dup PAIRS that
+  arrive after exact dedup (identical-document hubs are gone) and after
+  banded candidate generation (per-doc fan-out bounded by bands ×
+  bucket membership), so degree is bounded far below the 10^8-row
+  single-task regime; a 10^7-degree residual hub is ~80 MB in one
+  sorted-spill task, a straggler but not a failure, and it exists for
+  exactly one round before large-star shatters it. If your edge source
+  is raw (no upstream dedup), pre-aggregate with a salted two-level min
+  before calling in.
 - ``localCheckpoint`` (eager) truncates lineage each round; without it
   the plan doubles per iteration and the optimizer re-walks ~2^rounds
   nodes.
@@ -54,11 +66,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     (w, m) always has m < w, so (m, w) is already canonical.
 
     One window-min over the symmetric view instead of groupBy+join-back
-    (r9): the shuffle is the same (all of sym keyed on u) but the
-    separate mins exchange and the join disappear — each contraction
-    round was paying ~4 exchanges of fixed scheduling overhead where 1
-    suffices. Skew profile is unchanged: a hub key's rows land in one
-    task either way, and large-star shatters hubs by construction."""
+    (r9): the same rows move (all of sym keyed on u) but the separate
+    mins exchange and the join disappear — each contraction round was
+    paying ~4 exchanges of fixed scheduling overhead where 1 suffices.
+    The traded-away piece is AQE's ability to skew-split the join-back
+    for a pathological hub key; see the module docstring for why degree
+    is bounded in this engine's pipelines and what to do when it
+    isn't."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
     # No distinct here: duplicate (m, w) links from different centers are

@@ -634,9 +634,24 @@ def probe_media_header(data: bytes) -> "dict | None":
     Blobs with no image signature fall through to the audio/video
     container probers (:mod:`~polars_dataset_spark.functions.containers`,
     r9): MP3, OGG (Vorbis/Opus), MP4/M4A, WebM/MKV, WAV, FLAC, AIFF, AU,
-    Y4M — those additionally fill ``sample_rate``/``channels``/
-    ``duration_s`` (None on image rows).
+    Y4M. Every recognized blob returns the SAME dict shape — ``fmt``,
+    ``width``, ``height``, ``mode``, ``gated``, ``sample_rate``,
+    ``channels``, ``duration_s`` — with the inapplicable fields None
+    (image rows carry None audio fields and vice versa), so direct
+    callers never hit a missing key (r9 review).
     """
+    meta = _probe_image_header(data)
+    if meta is None:
+        meta = probe_av_header(data)
+    if meta is not None:
+        for f in _PROBE_FIELDS:
+            meta.setdefault(f.name, None)
+    return meta
+
+
+def _probe_image_header(data: bytes) -> "dict | None":
+    """Image-container half of :func:`probe_media_header` (see its
+    docstring for the per-format field sources)."""
     if data is None:
         return None
     data = bytes(data)
@@ -796,8 +811,7 @@ def probe_media_header(data: bytes) -> "dict | None":
             return None
     except (IndexError, ValueError):
         return None
-    # no image signature matched: try the audio/video containers
-    return probe_av_header(data)
+    return None
 
 
 _PROBE_FIELDS = [

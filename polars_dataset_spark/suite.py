@@ -3924,25 +3924,54 @@ def q119(spark, sf_dir):
     WITH t AS (
       SELECT l_returnflag, l_linestatus,
              date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
-               AS revenue
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS rev
       FROM lineitem GROUP BY 1, 2, 3),
+    u AS (
+      SELECT l_returnflag, l_linestatus, day,
+             CAST(rev AS DOUBLE) AS revenue,
+             CAST(rev * 1000000 AS HUGEINT) AS rev_u
+      FROM t),
     fit AS (
       SELECT l_returnflag, l_linestatus,
-             regr_slope(revenue, day)     AS s,
-             regr_intercept(revenue, day) AS b
-      FROM t GROUP BY 1, 2)
-    SELECT t.l_returnflag, t.l_linestatus, t.day,
-           round(t.revenue - (fit.s * t.day + fit.b), 4) AS resid
-    FROM t JOIN fit USING (l_returnflag, l_linestatus)
+             count(*) AS n, sum(day) AS sx, sum(day*day) AS sxx,
+             sum(rev_u) AS sy, sum(day*rev_u) AS sxy
+      FROM u GROUP BY 1, 2),
+    sl AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               / 1000000.0 AS s,
+             CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               / 1000000.0 AS b
+      FROM fit)
+    SELECT u.l_returnflag, u.l_linestatus, u.day,
+           round(u.revenue - (sl.s * u.day + sl.b), 4) AS resid
+    FROM u JOIN sl USING (l_returnflag, l_linestatus)
     """,
 )
 def q120(spark, sf_dir):
-    """Per-trace linear detrend via single-pass regression aggregates
-    (regr_slope/regr_intercept co-moments), broadcast back and
-    subtracted map-side — no window, no second scan of the raw rows."""
+    """Per-trace linear detrend (Dataset.detrend), single-pass fit
+    broadcast back, map-side subtract. The trace measure is kept as
+    DECIMAL so detrend takes its EXACT-moments path (r9): the OLS fit is
+    computed from exact integer/decimal sums and is bit-deterministic
+    under any partitioning — the r9 sf1 sweep caught the previous
+    regr_slope co-moment fit differing from DuckDB's in the last ulps
+    (order-dependent double merges), splitting 4 of 15k rounded
+    residuals at a 4-dp boundary. The oracle replays the identical
+    formula over HUGEINT micro-units with the identical cast/divide
+    sequence, so both engines run the same IEEE ops on the same exact
+    integers."""
     _prep(spark)
-    traces = _daily_traces(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_dec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    )
+    traces = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("day"),
+    ).agg(rev_dec.alias("revenue"))
     ds = Dataset(traces, index="day", id_vars=["l_returnflag", "l_linestatus"])
     out = ds.detrend("revenue", out_col="resid")
     return out.fetch(

@@ -120,3 +120,29 @@ def test_datafile_glob_still_loads(spark, sf_dir):
     df = Datafile(sf_dir + "/region*.parquet", fmt="parquet")
     out = df.load(spark)
     assert out is not None and out.count() > 0
+
+
+def test_detrend_exact_path_partition_invariant(spark):
+    """Decimal measure + integer index takes the exact-moments fit (r9):
+    residuals must be BIT-identical under any repartitioning — the
+    property the regr_slope co-moment path lacks (last-ulp drift under
+    different merge orders, caught by the sf1 oracle sweep on q120)."""
+    import decimal
+
+    from polars_dataset_spark.core import Dataset
+
+    rows = [
+        (g, d, decimal.Decimal(f"{(d * 37 + g * 11) % 1000}.{(d * 7) % 100:02d}0000"))
+        for g in (0, 1)
+        for d in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g int, day int, rev decimal(28,6)")
+
+    def resids(frame):
+        ds = Dataset(frame, index="day", id_vars=["g"])
+        out = ds.detrend("rev", out_col="r")
+        return {(r.g, r.day): r.r for r in out.df.collect()}
+
+    a = resids(df.repartition(1))
+    b = resids(df.repartition(32, "day"))
+    assert a == b

@@ -312,10 +312,12 @@ def test_dispatch_from_probe_media_header():
     # probe_media_header falls through to the AV probers…
     m = probe_media_header(wav_bytes())
     assert m["fmt"] == "wav"
-    # …and image blobs still probe as images (no AV misfire on RIFF/WEBP)
+    # …and image blobs still probe as images (no AV misfire on RIFF/WEBP),
+    # with the UNIFORM dict shape: audio fields present and None
     vp8l_sig = b"RIFF" + b"\x0c\x00\x00\x00" + b"WEBP" + b"VP8L" + b"\x05\x00\x00\x00" + b"\x2f" + (8 | (7 << 14)).to_bytes(4, "little")
     img = probe_media_header(vp8l_sig)
-    assert img["fmt"] == "webp_vp8l" and "sample_rate" not in img
+    assert img["fmt"] == "webp_vp8l"
+    assert img["sample_rate"] is None and img["duration_s"] is None
 
 
 def test_junk_stays_unrecognized():
@@ -323,3 +325,40 @@ def test_junk_stays_unrecognized():
     assert probe_av_header(b"\x00" * 100) is None
     assert probe_av_header(None) is None
     assert probe_av_header(b"Og") is None
+
+
+def test_id3_prefix_prose_not_audio():
+    # plain text starting with the three magic bytes must NOT classify
+    # (r9 review): version byte ' ' (0x20) is not an ID3v2 version
+    assert probe_av_header(b"ID3 is a tagging format used by mp3 files") is None
+    # a REAL tag header with no audio frames still reports id3_only
+    tag_only = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    m = probe_av_header(tag_only)
+    assert m["fmt"] == "mp3" and m["mode"] == "id3_only"
+
+
+def test_y4m_frame_in_payload_not_counted():
+    # pixel bytes spelling 'FRAME' must not inflate the frame count
+    hdr = b"YUV4MPEG2 W4 H4 F25:1 C420\n"
+    payload = b"FRAME" + b"\x00" * 19  # 4*4*3//2 = 24 bytes
+    blob = hdr + b"FRAME\n" + payload
+    m = probe_av_header(blob)
+    assert m["duration_s"] == pytest.approx(1 / 25)
+
+
+def test_mp4_truncated_sample_entry_no_garbage_dims():
+    # a 16-byte first stsd entry followed by another entry: fields must
+    # be None, never read from the NEXT entry's bytes (r9 review)
+    short = struct.pack(">I", 16) + b"avc1" + b"\x00" * 8
+    second = struct.pack(">I", 86) + b"avc9" + b"\x00" * 78
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 2) + short + second)
+    trak = _box(
+        b"trak",
+        _box(b"mdia",
+             _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+             + _box(b"minf", _box(b"stbl", stsd))),
+    )
+    blob = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(b"moov", trak)
+    m = probe_av_header(blob)
+    assert m["fmt"] == "mp4" and m["mode"] == "avc1"
+    assert m["width"] is None and m["height"] is None

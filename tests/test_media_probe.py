@@ -11,6 +11,15 @@ import pytest
 from polars_dataset_spark.functions.multimodal import probe_media_header
 
 
+_AV_NONE = {"sample_rate": None, "channels": None, "duration_s": None}
+
+
+def _img(expected):
+    """probe_media_header returns ONE uniform dict shape (r9): image rows
+    carry the audio/video fields as None."""
+    return {**expected, **_AV_NONE}
+
+
 def _vp8_lossy(width: int, height: int, keyframe: bool = True) -> bytes:
     tag = (0 if keyframe else 1) | (3 << 1) | (1 << 4) | (100 << 5)
     payload = tag.to_bytes(3, "little")
@@ -26,10 +35,10 @@ def _vp8_lossy(width: int, height: int, keyframe: bool = True) -> bytes:
 
 def test_vp8_lossy_keyframe_dims():
     meta = probe_media_header(_vp8_lossy(1920, 1080))
-    assert meta == {
+    assert meta == _img({
         "fmt": "webp_vp8", "width": 1920, "height": 1080,
         "mode": "lossy_key", "gated": True,
-    }
+    })
 
 
 def test_vp8_lossy_dims_mask_scaling_bits():
@@ -89,9 +98,9 @@ def _jpeg_sof(marker: int, precision: int, width: int, height: int) -> bytes:
 )
 def test_jpeg_sof_modes(marker, precision, mode, gated):
     meta = probe_media_header(_jpeg_sof(marker, precision, 640, 480))
-    assert meta == {
+    assert meta == _img({
         "fmt": "jpeg", "width": 640, "height": 480, "mode": mode, "gated": gated,
-    }
+    })
 
 
 def test_jpeg_matches_own_encoder():

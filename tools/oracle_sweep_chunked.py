@@ -32,8 +32,15 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def _run_chunk(sf_dir: str, names: "list[str]", timeout: int) -> "dict | None":
-    """One run_oracle_check.py child over `names`; None on timeout."""
+def _run_chunk(
+    sf_dir: str, names: "list[str]", timeout: int
+) -> "tuple[str, dict | None]":
+    """One run_oracle_check.py child over `names`.
+
+    Returns ``("ok", queries)``, ``("timeout", None)``, or
+    ``("crash", None)`` — a crashed child (import error, OOM-kill,
+    invalid JSON) must NOT be recorded as a timeout, or a systematic
+    failure reads as 192 independent slow queries (r9 review)."""
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
         out_path = fh.name
     cmd = [
@@ -45,14 +52,20 @@ def _run_chunk(sf_dir: str, names: "list[str]", timeout: int) -> "dict | None":
         *names,
     ]
     try:
-        subprocess.run(
-            cmd, timeout=timeout, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL, check=False,
-        )
-        with open(out_path) as fh:
-            return json.load(fh)["queries"]
-    except (subprocess.TimeoutExpired, OSError, ValueError, KeyError):
-        return None
+        try:
+            subprocess.run(
+                cmd, timeout=timeout, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, check=False,
+            )
+        except subprocess.TimeoutExpired:
+            return "timeout", None
+        except OSError:
+            return "crash", None
+        try:
+            with open(out_path) as fh:
+                return "ok", json.load(fh)["queries"]
+        except (OSError, ValueError, KeyError):
+            return "crash", None
     finally:
         try:
             os.unlink(out_path)
@@ -86,44 +99,63 @@ def main() -> int:
         n: {"status": "skipped", "err": "excluded via --skip"} for n in skip
     }
     todo = [n for n in names if n not in skip]
+    for n in todo:
+        results[n] = {"status": "pending", "err": "sweep not reached"}
     t0 = time.time()
+
+    def ok(r):
+        return r.get("match") is True or r.get("rows_only") is True
+
+    def write_artifact():
+        greens = sum(1 for r in results.values() if ok(r))
+        excluded = {n: r for n, r in results.items() if not ok(r)}
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_green": greens,
+            "exclusions": {
+                n: r.get("err") or r.get("problems") for n, r in excluded.items()
+            },
+            "wall_sec": round(time.time() - t0, 1),
+            "queries": results,
+        }
+        # write-then-rename so the artifact is always valid JSON even if
+        # the sweep is interrupted mid-chunk
+        dst = os.path.join(_REPO, out_json)
+        with open(dst + ".tmp", "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        os.replace(dst + ".tmp", dst)
+        return greens, excluded
+
     for c0 in range(0, len(todo), chunk):
         batch = todo[c0 : c0 + chunk]
-        got = _run_chunk(sf_dir, batch, timeout)
-        if got is None:
-            print(f"chunk {batch[0]}..{batch[-1]} timed out; retrying solo",
+        status, got = _run_chunk(sf_dir, batch, timeout)
+        if status != "ok":
+            print(f"chunk {batch[0]}..{batch[-1]} {status}; retrying solo",
                   flush=True)
             for n in batch:
-                solo = _run_chunk(sf_dir, [n], timeout)
-                if solo is None or n not in solo:
+                sstat, solo = _run_chunk(sf_dir, [n], timeout)
+                if sstat == "ok" and solo is not None and n in solo:
+                    results[n] = solo[n]
+                elif sstat == "timeout":
                     results[n] = {"status": "timeout",
                                   "err": f"exceeded {timeout}s solo"}
                     print(f"TIMEOUT {n}", flush=True)
                 else:
-                    results[n] = solo[n]
+                    results[n] = {"status": "crash",
+                                  "err": "child crashed / produced no JSON"}
+                    print(f"CRASH {n}", flush=True)
+                write_artifact()
         else:
             for n in batch:
                 results[n] = got.get(
                     n, {"status": "missing", "err": "absent from chunk output"}
                 )
+        write_artifact()
         done = min(c0 + chunk, len(todo))
         print(f"[{done}/{len(todo)}] {time.time() - t0:.0f}s", flush=True)
 
-    def ok(r):
-        return r.get("match") is True or r.get("rows_only") is True
-
-    greens = sum(1 for r in results.values() if ok(r))
-    excluded = {n: r for n, r in results.items() if not ok(r)}
-    artifact = {
-        "sf_dir": sf_dir,
-        "n_queries": len(results),
-        "n_green": greens,
-        "exclusions": {n: r.get("err") or r.get("problems") for n, r in excluded.items()},
-        "wall_sec": round(time.time() - t0, 1),
-        "queries": results,
-    }
-    with open(os.path.join(_REPO, out_json), "w") as fh:
-        json.dump(artifact, fh, indent=1, sort_keys=True)
+    greens, excluded = write_artifact()
     print(f"{greens}/{len(results)} green; exclusions: {sorted(excluded)}")
     return 0 if greens == len(results) else 1
 
