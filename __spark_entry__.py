@@ -57,11 +57,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # q162/q176), clean_corpus gained clean_corpus_scope (q60), media_probe
 # gained the sample_rate/channels/duration_s columns (q201), and
 # Datafile.load gained the no-throw existence precheck (q163/q164),
-# and detrend gained the exact-moments deterministic fit (q120, found
-# by the r9 sf1 sweep).
+# detrend gained the exact-moments deterministic fit (q120) and
+# windowed_agg integral micro-unit avg rounding (q24) — both divergences
+# found by the r9 sf1 sweep.
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
+    "q24_windowed_agg": 8,
     "q60_clean_corpus": 8,
     "q63_connected_components": 8,
     "q64_dedup_components": 8,

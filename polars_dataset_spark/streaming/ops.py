@@ -126,12 +126,26 @@ def windowed_agg(
     if watermark is not None and events.isStreaming:
         src = events.withWatermark(ts_col, watermark)
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    # avg at 6 dp via INTEGRAL arithmetic in micro-units, never round()
+    # on a double: Spark's round() rounds the double's shortest decimal
+    # representation, DuckDB/others the exact binary — a quotient whose
+    # shortest form lands on the 5-boundary splits between engines (the
+    # r9 sf1 sweep caught 2 such rows). floor((2S+n)/(2n)) in exact
+    # decimal = round-half-up(S/n); the subtraction-of-pmod quotient is
+    # exactly divisible, so the decimal division is exact.
+    s_u = (F.sum(F.col("value").cast("decimal(28,6)")) * F.lit(1_000_000)).cast(
+        "decimal(38,0)"
+    )
+    n = F.count(F.lit(1))
+    a = s_u * 2 + n
+    b = n * 2
+    avg_u = (a - F.pmod(a, b)) / b
     return (
         src.groupBy(win.alias("w"), *keys)
         .agg(
             F.count("*").alias("n_events"),
             _dec_sum("value").alias("sum_value"),
-            F.round(_dec_sum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
+            (avg_u.cast("double") / F.lit(1_000_000.0)).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

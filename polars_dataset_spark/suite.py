@@ -650,12 +650,18 @@ def q23(spark, sf_dir):
 @query(
     "q24_windowed_agg",
     f"""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
-           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_value
-    FROM events GROUP BY 1, 2
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(28,6))) AS s
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT ws, event_type, n, s,
+             2 * CAST(s * 1000000 AS HUGEINT) + n AS a, 2 * n AS b
+      FROM w)
+    SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start, event_type,
+           n AS n_events, CAST(s AS DOUBLE) AS sum_value,
+           CAST((a - ((a % b + b) % b)) // b AS DOUBLE) / 1000000.0 AS avg_value
+    FROM m
     """,
 )
 def q24(spark, sf_dir):
