@@ -125,19 +125,45 @@ def _probe_mp3(data: bytes) -> "dict | None":
         if fr and fr["frame_size"] >= 4:
             nxt = i + fr["frame_size"]
             if nxt >= n - 4 or _mp3_frame(data, nxt):
-                audio_bytes = n - i
+                mpeg1 = fr["version"] == 3
+                spf = (
+                    384 if fr["layer"] == 1
+                    else 576 if (fr["layer"] == 3 and not mpeg1)
+                    else 1152
+                )
+                mode = f"{_MP3_VERSION_NAME[fr['version']]}_layer{fr['layer']}"
+                # VBR headers carry the EXACT frame count — most crawled
+                # MP3s are LAME VBR, where a CBR byte estimate is off by
+                # the bitrate spread. Xing/Info sits after the first
+                # frame's side info; VBRI at a fixed +32 (r9 polish).
+                frames = None
+                side = (32 if fr["channels"] == 2 else 17) if mpeg1 else (
+                    17 if fr["channels"] == 2 else 9
+                )
+                x = i + 4 + side
+                if data[x : x + 4] in (b"Xing", b"Info") and n >= x + 12:
+                    if _be(data, x + 4, 4) & 1:  # frames-present flag
+                        frames = _be(data, x + 8, 4)
+                    if data[x : x + 4] == b"Xing":
+                        mode += "_vbr"
+                elif data[i + 36 : i + 40] == b"VBRI" and n >= i + 54:
+                    frames = _be(data, i + 50, 4)
+                    mode += "_vbr"
+                if frames:
+                    duration = frames * spf / fr["rate"]
+                else:
+                    # CBR estimate from byte count and first-frame
+                    # bitrate — exact for true CBR streams
+                    duration = (n - i) * 8.0 / fr["bitrate"]
                 return {
                     "fmt": "mp3",
                     "width": None,
                     "height": None,
-                    "mode": f"{_MP3_VERSION_NAME[fr['version']]}_layer{fr['layer']}",
+                    "mode": mode,
                     "gated": True,
                     "sample_rate": fr["rate"],
                     "channels": fr["channels"],
-                    # CBR estimate: exact for CBR, first-frame-rate
-                    # approximation for VBR (a VBR-exact number needs a
-                    # full frame walk — wrong cost model for a prober)
-                    "duration_s": audio_bytes * 8.0 / fr["bitrate"],
+                    "duration_s": duration,
                 }
         i += 1
     if has_id3:
@@ -211,6 +237,14 @@ def _probe_ogg(data: bytes) -> "dict | None":
             "channels": data[p + 9],
             "duration_s": dur,
         }
+    if data[p : p + 7] == b"\x80theora" and n >= p + 30:
+        # Theora spec §6.2: PICW/PICH are 24-bit at +14/+17. Granule-
+        # position durations need KFGSHIFT-aware decoding — left None
+        # rather than guessed.
+        return {"fmt": "ogg", "width": _be(data, p + 14, 3),
+                "height": _be(data, p + 17, 3), "mode": "theora",
+                "gated": True, "sample_rate": None, "channels": None,
+                "duration_s": None}
     return {"fmt": "ogg", "width": None, "height": None, "mode": None,
             "gated": True, "sample_rate": None, "channels": None,
             "duration_s": None}

@@ -362,3 +362,50 @@ def test_mp4_truncated_sample_entry_no_garbage_dims():
     m = probe_av_header(blob)
     assert m["fmt"] == "mp4" and m["mode"] == "avc1"
     assert m["width"] is None and m["height"] is None
+
+
+def test_mp3_xing_exact_vbr_duration():
+    # Xing frame count overrides the CBR byte estimate: MPEG1 L3 stereo,
+    # side info 32 -> tag at frame+36; flags bit0 set, 77 frames
+    first = bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 413)
+    first[36:40] = b"Xing"
+    first[40:44] = (1).to_bytes(4, "big")
+    first[44:48] = (77).to_bytes(4, "big")
+    blob = bytes(first) + (b"\xff\xfb\x90\x00" + b"\x00" * 413) * 3
+    m = probe_av_header(blob)
+    assert m["mode"] == "mpeg1_layer3_vbr"
+    assert m["duration_s"] == pytest.approx(77 * 1152 / 44100)
+
+
+def test_mp3_info_tag_stays_cbr_mode():
+    first = bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 413)
+    first[36:40] = b"Info"
+    first[40:44] = (1).to_bytes(4, "big")
+    first[44:48] = (38).to_bytes(4, "big")
+    m = probe_av_header(bytes(first) + (b"\xff\xfb\x90\x00" + b"\x00" * 413) * 2)
+    assert m["mode"] == "mpeg1_layer3"  # Info = LAME CBR marker
+    assert m["duration_s"] == pytest.approx(38 * 1152 / 44100)
+
+
+def test_mp3_vbri_frame_count():
+    first = bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 413)
+    first[36:40] = b"VBRI"
+    first[40:42] = (1).to_bytes(2, "big")   # version
+    first[46:50] = (99999).to_bytes(4, "big")  # byte count
+    first[50:54] = (50).to_bytes(4, "big")     # frames
+    m = probe_av_header(bytes(first) + (b"\xff\xfb\x90\x00" + b"\x00" * 413) * 2)
+    assert m["mode"] == "mpeg1_layer3_vbr"
+    assert m["duration_s"] == pytest.approx(50 * 1152 / 44100)
+
+
+def test_ogg_theora_dims():
+    ident = (
+        b"\x80theora" + bytes([3, 2, 1])
+        + (40).to_bytes(2, "big") + (30).to_bytes(2, "big")  # FMBW/FMBH
+        + (640).to_bytes(3, "big") + (480).to_bytes(3, "big")  # PICW/PICH
+        + bytes([0, 0])
+        + (25).to_bytes(4, "big") + (1).to_bytes(4, "big")  # FRN/FRD
+    )
+    m = probe_av_header(ogg_page(2, 0, 0, ident))
+    assert m["fmt"] == "ogg" and m["mode"] == "theora"
+    assert (m["width"], m["height"]) == (640, 480)
