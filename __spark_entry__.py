@@ -59,10 +59,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Datafile.load gained the no-throw existence precheck (q163/q164),
 # detrend gained the exact-moments deterministic fit (q120) and
 # windowed_agg integral micro-unit avg rounding (q24) — both divergences
-# found by the r9 sf1 sweep.
+# found by the r9 sf1 sweep. The sf10 sweep then caught the 2-dp
+# money-sum class (double random-walk error ~0.04 at 60 M rows exceeds
+# the rounding unit): q01/q03/q06/q59/q65/q99/q126 now sum as exact
+# DECIMAL and round in decimal on both sides.
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
+    "q01_pricing_summary": 8,
+    "q03_join_agg": 8,
+    "q06_star_join": 8,
     "q24_windowed_agg": 8,
     "q60_clean_corpus": 8,
     "q63_connected_components": 8,
@@ -72,6 +78,10 @@ _REFACTOR_TOUCHED: dict[str, int] = {
     "q162_quality_keep_dedup": 8,
     "q163_datafile_csv": 8,
     "q164_create_dataset_manifest": 8,
+    "q59_group_by_dynamic": 8,
+    "q65_salted_join": 8,
+    "q99_outer_join": 8,
+    "q126_winsorize": 8,
     "q176_leakage_safe_split": 8,
     "q201_media_probe": 8,
 }

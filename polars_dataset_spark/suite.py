@@ -96,14 +96,19 @@ def _lineitem_ds(spark: SparkSession, sf_dir: str) -> Dataset:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)       AS avg_qty,
-           round(avg(l_extendedprice), 4)  AS avg_price,
-           round(avg(l_discount), 4)       AS avg_disc,
-           count(*)                        AS count_order
+           round(sum(l_quantity), 2)  AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS sum_charge,
+           round(avg(l_quantity), 4)  AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+             AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+             AS avg_disc,
+           count(*)                   AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -116,17 +121,27 @@ def q01(spark, sf_dir):
     _prep(spark)
     ds = _lineitem_ds(spark, sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # 2-dp money sums accumulate as EXACT DECIMAL and round in decimal:
+    # a double sum's order-dependent random-walk error reaches ~0.04 at
+    # 60 M rows, past the 2-dp rounding unit (caught by the r9 sf10
+    # sweep on q03; quantity sums are integer-valued and already exact
+    # in double at any order, so they stay plain)
+    price_d = F.col("l_extendedprice").cast("decimal(28,6)")
+    disc_price_d = disc_price.cast("decimal(28,6)")
+    charge_d = (disc_price * (1 + F.col("l_tax"))).cast("decimal(28,6)")
+    disc_d = F.col("l_discount").cast("decimal(28,6)")
+    n = F.count(F.lit(1))
     return (
         ds.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .group_by("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price_d), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge_d), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(price_d).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc_d).cast("double") / n, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -163,7 +178,7 @@ def q02(spark, sf_dir):
     "q03_join_agg",
     """
     SELECT o.o_orderstatus,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
            count(DISTINCT l.l_orderkey) AS n_orders
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
@@ -175,8 +190,9 @@ def q03(spark, sf_dir):
     li = _lineitem_ds(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     joined = li.join(orders, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+    rev_d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
     return joined.group_by("o_orderstatus").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(rev_d), 2).cast("double").alias("revenue"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -219,7 +235,7 @@ def q05(spark, sf_dir):
     "q06_star_join",
     """
     SELECT r.r_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -247,7 +263,9 @@ def q06(spark, sf_dir):
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")), 2
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -1789,7 +1807,8 @@ def q58(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            floor(l_quantity / 10) * 10 AS index_start,
-           count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+           count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY 1, 2, 3
     """,
@@ -1802,7 +1821,12 @@ def q59(spark, sf_dir):
     ds = Dataset(li, index="l_quantity", id_vars=["l_returnflag", "l_linestatus"])
     return (
         ds.group_by_dynamic(10.0)
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
         .withColumn("index_start", F.col("index_start").cast("double"))
     )
 
@@ -2026,7 +2050,7 @@ def q64(spark, sf_dir):
     "q65_salted_join",
     """
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
     """,
@@ -2046,7 +2070,9 @@ def q65(spark, sf_dir):
     joined = salted_join(li, od, on="o_orderkey", how="inner", salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")), 2
+        ).cast("double").alias(
             "revenue"
         ),
     )
@@ -3203,7 +3229,8 @@ def q98(spark, sf_dir):
     "q99_outer_join",
     """
     WITH ship AS (
-      SELECT CAST(l_shipdate AS DATE) AS d, round(sum(l_extendedprice), 2) AS revenue
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
       FROM lineitem GROUP BY 1),
     ord AS (
       SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
@@ -3225,7 +3252,9 @@ def q99(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     ship = Dataset(
         li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("revenue")
         ),
         index="d",
     )
@@ -4169,8 +4198,8 @@ def q125(spark, sf_dir):
              quantile_cont(o_totalprice, 0.95) AS hi
       FROM orders)
     SELECT count(*) AS n,
-           round(sum(least(greatest(o_totalprice, lo), hi)), 2) AS total,
-           round(avg(least(greatest(o_totalprice, lo), hi)), 4) AS mean,
+           CAST(round(sum(CAST(least(greatest(o_totalprice, lo), hi) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total,
+           round(CAST(sum(CAST(least(greatest(o_totalprice, lo), hi) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS mean,
            round(min(least(greatest(o_totalprice, lo), hi)), 2) AS mn,
            round(max(least(greatest(o_totalprice, lo), hi)), 2) AS mx
     FROM orders, b
@@ -4184,10 +4213,11 @@ def q126(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ds = Dataset(o, index="o_orderkey")
     w = ds.winsorize("o_totalprice", p=0.05, out_col="wz")
+    wz_d = F.col("wz").cast("decimal(28,6)")
     return w.df.agg(
         F.count("*").alias("n"),
-        F.round(F.sum("wz"), 2).alias("total"),
-        F.round(F.avg("wz"), 4).alias("mean"),
+        F.round(F.sum(wz_d), 2).cast("double").alias("total"),
+        F.round(F.sum(wz_d).cast("double") / F.count(F.lit(1)), 4).alias("mean"),
         F.round(F.min("wz"), 2).alias("mn"),
         F.round(F.max("wz"), 2).alias("mx"),
     )
