@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # windowed_agg integral micro-unit avg rounding (q24) — both divergences
 # found by the r9 sf1 sweep. The sf10 sweep then caught the 2-dp
 # money-sum class (double random-walk error ~0.04 at 60 M rows exceeds
-# the rounding unit): q01/q03/q06/q59/q65/q99/q126 now sum as exact
+# the rounding unit): q01/q03/q06/q59/q65/q99/q113/q126 now sum as exact
 # DECIMAL and round in decimal on both sides.
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
@@ -81,6 +81,7 @@ _REFACTOR_TOUCHED: dict[str, int] = {
     "q59_group_by_dynamic": 8,
     "q65_salted_join": 8,
     "q99_outer_join": 8,
+    "q113_merge_upsert": 8,
     "q126_winsorize": 8,
     "q176_leakage_safe_split": 8,
     "q201_media_probe": 8,

@@ -3681,7 +3681,8 @@ def q112(spark, sf_dir):
     "q113_merge_upsert",
     """
     WITH updates AS (
-      SELECT o_orderkey, 'MERGED' AS o_orderpriority, round(o_totalprice * 1.1, 2) AS o_totalprice
+      SELECT o_orderkey, 'MERGED' AS o_orderpriority,
+             CAST(round(CAST(o_totalprice AS DECIMAL(28,2)) * CAST(1.10 AS DECIMAL(3,2)), 2) AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 100 = 0),
     inserts AS (
       SELECT -1 AS o_orderkey, 'NEW' AS o_orderpriority, 0.0 AS o_totalprice),
@@ -3690,7 +3691,8 @@ def q112(spark, sf_dir):
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
       UNION ALL SELECT * FROM updates
       UNION ALL SELECT * FROM inserts)
-    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
     FROM merged GROUP BY o_orderpriority
     """,
 )
@@ -3710,7 +3712,15 @@ def q113(spark, sf_dir):
         .select(
             "o_orderkey",
             F.lit("MERGED").alias("o_orderpriority"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            # 2-dp money arithmetic in DECIMAL end-to-end: double
+            # round(x*1.1, 2) lands on true .xx5 halves whose
+            # shortest-vs-binary rounding splits between engines at
+            # sf10 row counts (r9 sweep class)
+            F.round(
+                F.col("o_totalprice").cast("decimal(28,2)")
+                * F.lit(__import__("decimal").Decimal("1.10")),
+                2,
+            ).cast("double").alias("o_totalprice"),
         )
     )
     inserts = o.sparkSession.createDataFrame(
@@ -3719,7 +3729,9 @@ def q113(spark, sf_dir):
     merged = merge_upsert(o, updates.unionByName(inserts), on="o_orderkey")
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 
