@@ -83,6 +83,7 @@ _REFACTOR_TOUCHED: dict[str, int] = {
     "q99_outer_join": 8,
     "q113_merge_upsert": 8,
     "q126_winsorize": 8,
+    "q175_dsir_weights": 8,
     "q176_leakage_safe_split": 8,
     "q201_media_probe": 8,
 }

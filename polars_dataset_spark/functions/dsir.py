@@ -166,17 +166,25 @@ def dsir_score(
     # sum lands on an exact .xxxx5 half-boundary ~1/1000 of the time,
     # where double-rounding (Java shortest-repr HALF_UP vs DuckDB's
     # ·1e4 trick) disagrees — decimal rounding is exact half-away on
-    # both engines. The per-gram mean divides in double AFTER the sum
-    # is exact; its quotient has ~16 significant digits, never an exact
-    # half at the 4th decimal.
+    # both engines. The per-gram MEAN is likewise rounded integrally:
+    # floor((2S+1000n)/(2000n)) over the exact 1e-7-unit sum — the r9
+    # sf10 sweep found 1 row in 500k whose double quotient's SHORTEST
+    # representation sat on the 4-dp 5-boundary, splitting Spark's
+    # shortest-decimal round from DuckDB's exact-binary round even with
+    # bit-identical inputs (the subtraction-of-pmod quotient is exactly
+    # divisible, so the decimal division below is exact; half-up toward
+    # +inf on both engines).
+    s7 = (F.sum("__c") * F.lit(10_000_000)).cast("decimal(38,0)")
+    ngr = F.sum("cnt").cast("decimal(38,0)")
+    a = s7 * 2 + ngr * 1000
+    b = ngr * 2000
     return scored.groupBy(id_col).agg(
         F.first("__is_target").alias("is_target"),
         F.sum("cnt").alias("n_grams"),
         F.round(F.sum("__c"), 4).cast("double").alias("dsir_logw"),
-        (
-            F.round(F.sum("__c").cast("double") / F.sum("cnt").cast("double"), 4)
-            + F.lit(0.0)  # -0.0 + 0.0 = +0.0: negative zero stringifies differently per engine
-        ).alias("dsir_logw_per_gram"),
+        (((a - F.pmod(a, b)) / b).cast("double") / F.lit(10000.0)).alias(
+            "dsir_logw_per_gram"
+        ),
     )
 
 

@@ -6782,14 +6782,20 @@ def q174(spark, sf_dir):
              CAST(round(ln((t_b + 1.0) / (tt + 1024.0))
                         - ln((r_b + 1.0) / (rr + 1024.0)), 7)
                   AS DECIMAL(20,7)) AS lr
-      FROM marg, tot)
-    SELECT f.doc_id, any_value(f.is_target) AS is_target,
-           CAST(sum(f.cnt) AS BIGINT) AS n_grams,
-           CAST(round(sum(f.cnt * r.lr), 4) AS DOUBLE) AS dsir_logw,
-           round(CAST(sum(f.cnt * r.lr) AS DOUBLE) / CAST(sum(f.cnt) AS DOUBLE), 4)
-               + 0.0 AS dsir_logw_per_gram
-    FROM feats f JOIN ratios r USING (bucket)
-    GROUP BY f.doc_id
+      FROM marg, tot),
+    agg AS (
+      SELECT f.doc_id, any_value(f.is_target) AS is_target,
+             CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+             CAST(round(sum(f.cnt * r.lr), 4) AS DOUBLE) AS dsir_logw,
+             2 * CAST(sum(f.cnt * r.lr) * 10000000 AS HUGEINT)
+               + 1000 * CAST(sum(f.cnt) AS HUGEINT) AS a,
+             2000 * CAST(sum(f.cnt) AS HUGEINT) AS b
+      FROM feats f JOIN ratios r USING (bucket)
+      GROUP BY f.doc_id)
+    SELECT doc_id, is_target, n_grams, dsir_logw,
+           CAST((a - ((a % b + b) % b)) // b AS DOUBLE) / 10000.0
+             AS dsir_logw_per_gram
+    FROM agg
     """,
 )
 def q175(spark, sf_dir):
