@@ -521,30 +521,38 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     return ensure_parallelism(df).withColumn(out_col, _simhash_of_text(F.col(text_col)))
 
 
-def simhash_dedup(
+def hamming_band_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    sig_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup removal by SimHash: candidates from Hamming-band blocking
-    (pigeonhole: two hashes within Hamming distance k must agree exactly on
-    at least one of k+1 bit-chunks), verified with exact
-    ``bit_count(a XOR b) <= k``. Drops the larger id of each pair."""
+    """All pairs within Hamming distance ``max_hamming`` over ANY 64-bit
+    signature column (SimHash of text, dHash of images, ...), as
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Pigeonhole banding: the signature is split into ``max_hamming + 1``
+    disjoint bit-chunks; two signatures within distance k differ in at
+    most k chunks, so they AGREE exactly on at least one — the band
+    equi-join has recall exactly 1 (not probabilistic), and candidates
+    are verified with ``bit_count(a XOR b)``. Shuffle is one keyed join
+    over ~ N * (k+1) banded rows, never all-pairs; everything is JVM-side
+    codegen (shift/mask/bit_count). Callers whose signature is expensive
+    to compute should persist ``df`` first — the band self-join scans it
+    twice."""
     chunks = max_hamming + 1
+    if 64 % chunks:
+        raise ValueError("max_hamming + 1 must divide 64")
     width = 64 // chunks
-    # persist: the banded self-join references this frame twice and the
-    # simhash UDF would otherwise run once per branch
-    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash").persist()
-    banded = sh.select(
+    banded = df.select(
         id_col,
-        "simhash",
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        F.shiftrightunsigned(F.col(sig_col), c * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
@@ -552,16 +560,33 @@ def simhash_dedup(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.chunk", "bk.key")
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "key")
-    pairs = (
+    ).select(id_col, sig_col, "bk.chunk", "bk.key")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("h_a"), "chunk", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("h_b"), "chunk", "key")
+    return (
         a.join(b, on=["chunk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming)
-        .select("id_a", "id_b")
-        .dropDuplicates()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup removal by SimHash: candidates from Hamming-band blocking
+    (:func:`hamming_band_pairs` — pigeonhole, recall exactly 1), verified
+    with exact ``bit_count(a XOR b) <= k``. Drops the larger id of each
+    pair."""
+    # persist: the banded self-join references this frame twice and the
+    # simhash UDF would otherwise run once per branch
+    sh = simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash").persist()
+    pairs = hamming_band_pairs(sh, id_col=id_col, sig_col="simhash", max_hamming=max_hamming)
     losers = _swap_cache(pairs.select(F.col("id_b").alias(id_col)).distinct(), sh)
     return df.join(losers, on=id_col, how="left_anti")
 

@@ -1,0 +1,155 @@
+"""Perceptual image hashing (dHash) + Hamming-banded near-dup pairing.
+
+A 100-TB multimodal crawl dedupes images the way it dedupes text: a
+cheap per-blob signature computed in one map-only pass, then a banded
+candidate join that never goes all-pairs. Text has SimHash
+(``functions/dedup.py``); this module is the image analogue:
+
+- :func:`image_dhash` — a 64-bit *difference hash* (row-wise
+  brightness-gradient signs over an 8x9 grayscale thumbnail; the classic
+  dHash of Krawetz's "Kind of Like That" post, pHash.org family). It is
+  invariant to uniform brightness/contrast shifts (monotone per-pixel
+  maps preserve every left<right comparison) and to recompression noise
+  smaller than the local gradient — exactly the perturbations that
+  make byte-level (exact) image dedup miss re-encoded copies.
+- :func:`hamming_band_pairs` (re-exported from ``dedup``) — pigeonhole
+  banding over ANY 64-bit signature column, shared with SimHash: split
+  the signature into ``max_hamming + 1`` chunks; two signatures within
+  Hamming distance ``max_hamming`` MUST agree on at least one whole
+  chunk, so the band join has recall exactly 1 (not probabilistic) and
+  shuffle volume ~ N * chunks, never N^2.
+
+Decoding reuses the in-repo pure-python codecs (reference capability
+envelope: `/root/reference/polars_dataset.py` has no media surface; this
+is the driver-mandated multimodal extension). Dispatch is by magic
+bytes; blobs that fail to parse (or gated formats: lossy WebP,
+arithmetic JPEG) hash to null and are excluded from pairing — the same
+inventory-vs-decode split ``media_probe`` draws.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _decode_image_auto(data: bytes) -> "np.ndarray | None":
+    """Magic-byte dispatch to the in-repo grayscale decoders.
+
+    TGA is deliberately absent: the format has no magic signature, so
+    auto-dispatch would misfire on arbitrary blobs — route TGA columns
+    through ``decode_media(decoder='tga')`` explicitly instead.
+    """
+    if len(data) < 8:
+        return None
+    from polars_dataset_spark.functions.gif import decode_gif_gray
+    from polars_dataset_spark.functions.ico import decode_ico_gray
+    from polars_dataset_spark.functions.jpeg import decode_jpeg_gray
+    from polars_dataset_spark.functions.multimodal import _decode_bmp, _decode_ppm
+    from polars_dataset_spark.functions.png import decode_png_gray
+    from polars_dataset_spark.functions.qoi import decode_qoi_gray
+    from polars_dataset_spark.functions.tiff import decode_tiff_gray
+    from polars_dataset_spark.functions.webp import decode_webp_gray
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_gray(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_gray(data)
+    if data[:3] == b"\xff\xd8\xff":
+        return decode_jpeg_gray(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return decode_webp_gray(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_gray(data)
+    if data[:4] == b"qoif":
+        return decode_qoi_gray(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
+        return _decode_ppm(data)
+    if data[:4] == b"\x00\x00\x01\x00":
+        return decode_ico_gray(data)
+    return None
+
+
+def dhash64(gray: "np.ndarray") -> int:
+    """64-bit dHash of a 2-D grayscale image (values on any monotone
+    scale). Deterministic: nearest-neighbor resample to 8 rows x 9
+    columns (``multimodal._thumbnail``), bit = (right pixel > left
+    pixel) per adjacent column pair, packed row-major MSB-first.
+    Returned as a SIGNED int64 (two's complement) so the value round-
+    trips through Spark ``LongType`` exactly."""
+    from polars_dataset_spark.functions.multimodal import _thumbnail
+
+    t = _thumbnail(gray, 8, 9).reshape(8, 9)
+    bits = (t[:, 1:] > t[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Attach a 64-bit perceptual dHash (nullable long) to every binary
+    blob — one map-only Arrow pass, magic-byte codec dispatch, fixed
+    (8x9) work per image after decode. Undecodable/gated blobs get
+    null."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals: "list[int | None]" = []
+            for blob in pdf[content_col]:
+                if blob is None:
+                    vals.append(None)
+                    continue
+                img = _decode_image_auto(bytes(blob))
+                vals.append(None if img is None or img.size < 2 else dhash64(img))
+            out = pdf.copy()
+            out[out_col] = pd.array(vals, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(hash_batches, schema=out_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash + pigeonhole Hamming banding.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming``. Recall is exactly 1 for the threshold
+    (pigeonhole over ``max_hamming + 1`` signature chunks); shuffle is
+    one band join ~ N * chunks rows — the same scale shape as the
+    SimHash text path, never all-pairs.
+
+    The (id, dhash) projection is persisted across the band self-join:
+    without it each join branch re-decodes every image — the decode IS
+    the dominant cost at crawl scale (same persist contract as
+    ``simhash_dedup``; the cache is swapped onto the output-sized pair
+    frame before returning)."""
+    from polars_dataset_spark.functions.dedup import _swap_cache, hamming_band_pairs
+
+    hashed = (
+        image_dhash(df.select(id_col, content_col), content_col=content_col)
+        .filter("dhash IS NOT NULL")
+        .select(id_col, "dhash")
+        .persist()
+    )
+    pairs = hamming_band_pairs(
+        hashed, id_col=id_col, sig_col="dhash", max_hamming=max_hamming
+    )
+    return _swap_cache(pairs, hashed)

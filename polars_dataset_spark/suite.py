@@ -8328,6 +8328,160 @@ def q202(spark, sf_dir):
     )
 
 
+@query(
+    "q203_image_neardup",
+    """
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM (VALUES
+      (0, 1, 0), (0, 2, 0), (0, 3, 1),
+      (1, 2, 0), (1, 3, 1), (2, 3, 1)
+    ) AS t(id_a, id_b, hamming)
+    """,
+)
+def q203(spark, sf_dir):
+    """Perceptual image near-dup pairs (functions/imagehash): 64-bit
+    dHash (8x9 thumbnail gradient signs — invariant to uniform
+    brightness shifts and lossless re-encoding) + the SAME pigeonhole
+    Hamming banding the SimHash text path uses (dedup.hamming_band_pairs
+    — recall exactly 1 for hamming <= k, shuffle ~ N*(k+1), never
+    all-pairs). Fixtures: one 32x24 gradient encoded THREE ways
+    (PNG/GIF/TIFF — byte-level dedup misses these, dHash pairs them at
+    hamming 0), a one-cell perturbation (hamming 1), a checkerboard
+    (hamming 44 — correctly absent), and a junk blob (null hash,
+    excluded). Contract oracle: the literal expected pair set (q201
+    style). The 100 TB story: one map-only Arrow decode pass + one
+    banded equi-join."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import image_neardup_pairs
+    from polars_dataset_spark.functions.gif import encode_gif_gray
+    from polars_dataset_spark.functions.png import encode_png_gray
+    from polars_dataset_spark.functions.tiff import encode_tiff_gray
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = ((xx * 5 + yy * 13 + (xx * yy) % 7) % 256) / 255.0
+    pert = base.copy()
+    pert[6, 10] = 1.0  # a sampled 8x9-thumbnail cell: flips exactly one bit
+    checker = ((xx + yy) % 2).astype(np.float64)
+    rows = [
+        (0, bytearray(encode_png_gray(base))),
+        (1, bytearray(encode_gif_gray(base))),
+        (2, bytearray(encode_tiff_gray(base))),
+        (3, bytearray(encode_png_gray(pert))),
+        (4, bytearray(encode_png_gray(checker))),
+        (5, bytearray(b"junk, not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return image_neardup_pairs(df, id_col="media_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _exif_jpeg_fixture(little: bool, gps: bool = True) -> bytes:
+    """A spec-exact JPEG+Exif blob: SOI + APP1(Exif TIFF) + EOI. Both
+    byte orders; IFD0 (Make/Model/Orientation/DateTime) + Exif IFD
+    (DateTimeOriginal) + optional GPS IFD (N/W rationals)."""
+    import struct
+
+    e = "<" if little else ">"
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val4
+
+    def off4(v):
+        return struct.pack(e + "I", v)
+
+    make, model = b"ACME\x00", b"Cam9000\x00"
+    dt = b"2023:05:17 10:20:30\x00"
+    n0 = 6 if gps else 5
+    ifd0_end = 8 + 2 + n0 * 12 + 4
+    off_make = ifd0_end
+    off_model = off_make + len(make)
+    exif_ifd = off_model + len(model)
+    off_dt = exif_ifd + 2 + 12 + 4
+    gps_ifd = off_dt + len(dt)
+    off_lat = gps_ifd + 2 + 4 * 12 + 4
+    off_lon = off_lat + 24
+
+    def rat3(d, m, s):
+        return struct.pack(e + "IIIIII", d, 1, m, 1, int(s * 100), 100)
+
+    orient = struct.pack(e + "H", 6) + b"\x00\x00"
+    ifd0 = struct.pack(e + "H", n0)
+    ifd0 += entry(0x010F, 2, len(make), off4(off_make))
+    ifd0 += entry(0x0110, 2, len(model), off4(off_model))
+    ifd0 += entry(0x0112, 3, 1, orient)
+    ifd0 += entry(0x0132, 2, len(dt), off4(off_dt))
+    ifd0 += entry(0x8769, 4, 1, off4(exif_ifd))
+    if gps:
+        ifd0 += entry(0x8825, 4, 1, off4(gps_ifd))
+    ifd0 += off4(0)
+    exif = (
+        struct.pack(e + "H", 1)
+        + entry(0x9003, 2, len(dt), off4(off_dt))
+        + off4(0)
+    )
+    tiff = (b"II*\x00" if little else b"MM\x00*") + off4(8) + ifd0 + make + model + exif + dt
+    if gps:
+        gpsd = struct.pack(e + "H", 4)
+        gpsd += entry(1, 2, 2, b"N\x00\x00\x00")
+        gpsd += entry(2, 5, 3, off4(off_lat))
+        gpsd += entry(3, 2, 2, b"W\x00\x00\x00")
+        gpsd += entry(4, 5, 3, off4(off_lon))
+        gpsd += off4(0)
+        tiff += gpsd + rat3(37, 46, 30.0) + rat3(122, 25, 9.0)
+    app1 = b"Exif\x00\x00" + tiff
+    return b"\xff\xd8\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1 + b"\xff\xd9"
+
+
+@query(
+    "q204_exif_probe",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id, make, model,
+           CAST(orientation AS INTEGER) AS orientation, datetime_original,
+           CAST(gps_lat AS DOUBLE) AS gps_lat,
+           CAST(gps_lon AS DOUBLE) AS gps_lon
+    FROM (VALUES
+      (0, 'ACME', 'Cam9000', 6, '2023:05:17 10:20:30', 37.775, -122.419167),
+      (1, 'ACME', 'Cam9000', 6, '2023:05:17 10:20:30', 37.775, -122.419167),
+      (2, 'ACME', 'Cam9000', 6, '2023:05:17 10:20:30', NULL, NULL),
+      (3, NULL, NULL, NULL, NULL, NULL, NULL),
+      (4, NULL, NULL, NULL, NULL, NULL, NULL)
+    ) AS t(media_id, make, model, orientation, datetime_original,
+           gps_lat, gps_lon)
+    """,
+)
+def q204(spark, sf_dir):
+    """Exif inventory over binary blobs (functions/exif.exif_probe):
+    camera make/model, orientation (normalize before perceptual
+    hashing), DateTimeOriginal, GPS decimal degrees — the PII a
+    redaction pipeline must FIND before it can strip. Pure TIFF-IFD
+    byte arithmetic inside JPEG APP1 (both byte orders), fixed bytes
+    read per blob, no entropy decode — one map-only Arrow pass.
+    Fixtures: little-endian + big-endian Exif JPEGs (identical logical
+    content — the endian round-trip is the test), a GPS-less variant,
+    an Exif-less JPEG, junk. Contract oracle: literal expected table
+    (q201 style)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import exif_probe
+
+    rows = [
+        (0, bytearray(_exif_jpeg_fixture(little=True))),
+        (1, bytearray(_exif_jpeg_fixture(little=False))),
+        (2, bytearray(_exif_jpeg_fixture(little=True, gps=False))),
+        (3, bytearray(b"\xff\xd8\xff\xd9")),
+        (4, bytearray(b"not a jpeg")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return exif_probe(df).select(
+        "media_id", "make", "model", "orientation", "datetime_original",
+        F.round("gps_lat", 6).alias("gps_lat"),
+        F.round("gps_lon", 6).alias("gps_lon"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

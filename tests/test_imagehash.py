@@ -1,0 +1,142 @@
+"""Perceptual image hashing (functions/imagehash) + the generalized
+Hamming banding (dedup.hamming_band_pairs). Properties pinned:
+
+- dHash invariances the operator exists for: uniform brightness shift,
+  lossless re-encode across formats (PNG/GIF/TIFF/QOI/WebP-lossless).
+- pigeonhole recall: banding finds EVERY pair within the threshold
+  (verified against brute force on random signatures).
+- null/junk blobs hash to null and never pair.
+"""
+
+import numpy as np
+import pytest
+
+from polars_dataset_spark.functions.imagehash import (
+    _decode_image_auto,
+    dhash64,
+    image_dhash,
+    image_neardup_pairs,
+)
+
+
+def _base(h=24, w=32):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((xx * 5 + yy * 13 + (xx * yy) % 7) % 256) / 255.0
+
+
+def _ham(a, b):
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_dhash_brightness_invariant():
+    img = _base()
+    shifted = np.clip(img + 2 / 255.0, 0.0, 1.0)
+    assert dhash64(img) == dhash64(shifted)
+
+
+def test_dhash_cross_format_identical():
+    from polars_dataset_spark.functions.gif import encode_gif_gray
+    from polars_dataset_spark.functions.png import encode_png_gray
+    from polars_dataset_spark.functions.qoi import encode_qoi
+    from polars_dataset_spark.functions.tiff import encode_tiff_gray
+    from polars_dataset_spark.functions.webp import encode_webp_lossless
+
+    img = _base()
+    rgb = np.stack([img] * 3, axis=-1)
+    blobs = [
+        encode_png_gray(img),
+        encode_gif_gray(img),
+        encode_tiff_gray(img),
+        encode_qoi(rgb),  # float [0, 1] convention
+        encode_webp_lossless(np.round(rgb * 255.0).astype(np.uint8)),
+    ]
+    hashes = []
+    for blob in blobs:
+        gray = _decode_image_auto(bytes(blob))
+        assert gray is not None
+        hashes.append(dhash64(gray))
+    # same pixels, five containers -> identical or near-identical hash
+    # (QOI/WebP go through an RGB->luma round-trip; allow <=2 bits)
+    for h in hashes[1:]:
+        assert _ham(hashes[0], h) <= 2, hashes
+
+
+def test_dhash_distinct_images_far():
+    yy, xx = np.mgrid[0:24, 0:32]
+    checker = ((xx + yy) % 2).astype(np.float64)
+    assert _ham(dhash64(_base()), dhash64(checker)) > 16
+
+
+def test_decode_auto_junk_and_tiny():
+    assert _decode_image_auto(b"junk, definitely not an image") is None
+    assert _decode_image_auto(b"") is None
+    assert _decode_image_auto(b"\x89PNG\r\n\x1a\n") is None  # truncated
+
+
+def test_dhash_signed_int64_roundtrip():
+    # all-ones hash must come back as -1 (two's complement), not 2^64-1
+    ramp = np.tile(np.arange(9, dtype=np.float64) / 8.0, (8, 1))
+    assert dhash64(ramp) == -1
+
+
+def test_hamming_band_pairs_recall_exact(spark):
+    """Brute-force parity on random 64-bit signatures: banding must find
+    EXACTLY the pairs with hamming <= k (pigeonhole recall is 1, and the
+    verify step kills false candidates)."""
+    from polars_dataset_spark.functions.dedup import hamming_band_pairs
+
+    rng = np.random.default_rng(7)
+    sigs = [int(s) for s in rng.integers(-(1 << 63), 1 << 63, size=40, dtype=np.int64)]
+
+    def xor64(a: int, mask: int) -> int:
+        v = (a ^ mask) & 0xFFFFFFFFFFFFFFFF
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    # plant near pairs: a copy, a 1-bit flip, a 3-bit flip, a 4-bit flip
+    sigs[1] = sigs[0]
+    sigs[2] = xor64(sigs[0], 1 << 17)
+    sigs[3] = xor64(sigs[0], (1 << 3) | (1 << 40) | (1 << 63))
+    sigs[4] = xor64(sigs[0], (1 << 3) | (1 << 22) | (1 << 40) | (1 << 63))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_band_pairs(df, "id", "sig", max_hamming=3).collect()
+    }
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            d = _ham(int(sigs[i]), int(sigs[j]))
+            if d <= 3:
+                want.add((i, j, d))
+    assert got == want
+    assert (0, 1, 0) in want and (0, 2, 1) in want and (0, 3, 3) in want
+    assert not any(p[:2] == (0, 4) for p in want)  # 4 bits: out of reach
+
+
+def test_hamming_band_pairs_bad_k():
+    from polars_dataset_spark.functions.dedup import hamming_band_pairs
+
+    with pytest.raises(ValueError):
+        hamming_band_pairs(None, "id", "sig", max_hamming=4)  # 5 !| 64
+
+
+def test_image_dhash_and_pairs_end_to_end(spark):
+    from polars_dataset_spark.functions.png import encode_png_gray
+
+    img = _base()
+    pert = img.copy()
+    pert[6, 10] = 1.0
+    rows = [
+        (0, bytearray(encode_png_gray(img))),
+        (1, bytearray(encode_png_gray(pert))),
+        (2, bytearray(b"junk")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashed = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert hashed[0] is not None and hashed[1] is not None
+    assert hashed[2] is None and hashed[3] is None
+    pairs = image_neardup_pairs(df, id_col="media_id", max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 1, 1)]

@@ -16,7 +16,12 @@ one stuck query must not discard hours of green results. This driver:
 
 Usage:
     python tools/oracle_sweep_chunked.py /tmp/sf1 CORRECTNESS_SF1_r09.json \
-        [--chunk 12] [--timeout 560] [--skip qNNN_a,qNNN_b]
+        [--chunk 12] [--timeout 560] [--skip qNNN_a,qNNN_b] [--resume]
+
+``--resume`` seeds already-green entries from an existing artifact at the
+output path and re-runs only the rest (pending / timeout / crash /
+mismatch) — an interrupted multi-hour sweep continues instead of
+restarting, and a post-fix re-sweep touches only the previously-red rows.
 """
 
 from __future__ import annotations
@@ -76,6 +81,9 @@ def _run_chunk(
 def main() -> int:
     args = sys.argv[1:]
     chunk, timeout, skip = 12, 560, set()
+    resume = "--resume" in args
+    if resume:
+        args.remove("--resume")
     for flag, cast in (("--chunk", int), ("--timeout", int), ("--skip", str)):
         if flag in args:
             i = args.index(flag)
@@ -98,13 +106,26 @@ def main() -> int:
     results: "dict[str, dict]" = {
         n: {"status": "skipped", "err": "excluded via --skip"} for n in skip
     }
-    todo = [n for n in names if n not in skip]
+    def ok(r):
+        return r.get("match") is True or r.get("rows_only") is True
+
+    prior: "dict[str, dict]" = {}
+    if resume:
+        try:
+            with open(os.path.join(_REPO, out_json)) as fh:
+                prior = {
+                    n: r
+                    for n, r in json.load(fh)["queries"].items()
+                    if ok(r) and n not in skip
+                }
+            print(f"resume: keeping {len(prior)} green rows", flush=True)
+        except (OSError, ValueError, KeyError):
+            print("resume: no usable prior artifact; full sweep", flush=True)
+    results.update(prior)
+    todo = [n for n in names if n not in skip and n not in prior]
     for n in todo:
         results[n] = {"status": "pending", "err": "sweep not reached"}
     t0 = time.time()
-
-    def ok(r):
-        return r.get("match") is True or r.get("rows_only") is True
 
     def write_artifact():
         greens = sum(1 for r in results.values() if ok(r))
