@@ -90,15 +90,43 @@ def dhash64(gray: "np.ndarray") -> int:
     return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
 
 
+# Exif orientation tag -> the transform that restores display orientation
+# (the PIL exif_transpose table; np.rot90 rotates CCW)
+_ORIENT_FIX = {
+    2: np.fliplr,
+    3: lambda g: np.rot90(g, 2),
+    4: np.flipud,
+    5: lambda g: g.T,
+    6: lambda g: np.rot90(g, -1),
+    7: lambda g: np.rot90(g.T, 2),
+    8: lambda g: np.rot90(g, 1),
+}
+
+
+def normalize_orientation(gray: "np.ndarray", orientation: "int | None") -> "np.ndarray":
+    """Apply the Exif orientation fix-up (tags 2-8) to a decoded gray
+    array; unknown/absent tags are the identity."""
+    fix = _ORIENT_FIX.get(orientation or 1)
+    return fix(gray) if fix is not None else gray
+
+
 def image_dhash(
     df: DataFrame,
     content_col: str = "content",
     out_col: str = "dhash",
+    orientation_normalize: bool = False,
 ) -> DataFrame:
     """Attach a 64-bit perceptual dHash (nullable long) to every binary
     blob — one map-only Arrow pass, magic-byte codec dispatch, fixed
     (8x9) work per image after decode. Undecodable/gated blobs get
-    null."""
+    null.
+
+    ``orientation_normalize=True`` reads the Exif orientation tag
+    (JPEG APP1 / bare TIFF — :func:`...exif.parse_exif`, a bounded
+    header walk) and un-rotates the decoded pixels before hashing:
+    dHash is NOT rotation-invariant, so without this a camera's
+    orientation-tagged copy of the same photo never pairs with its
+    upright original."""
     from polars_dataset_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -107,14 +135,25 @@ def image_dhash(
     )
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from polars_dataset_spark.functions.exif import parse_exif
+
         for pdf in batches:
             vals: "list[int | None]" = []
             for blob in pdf[content_col]:
                 if blob is None:
                     vals.append(None)
                     continue
-                img = _decode_image_auto(bytes(blob))
-                vals.append(None if img is None or img.size < 2 else dhash64(img))
+                data = bytes(blob)
+                img = _decode_image_auto(data)
+                if img is None or img.size < 2:
+                    vals.append(None)
+                    continue
+                if orientation_normalize:
+                    info = parse_exif(data)
+                    img = normalize_orientation(
+                        img, info.get("orientation") if info else None
+                    )
+                vals.append(dhash64(img))
             out = pdf.copy()
             out[out_col] = pd.array(vals, dtype="Int64")
             yield out
@@ -127,6 +166,7 @@ def image_neardup_pairs(
     id_col: str = "media_id",
     content_col: str = "content",
     max_hamming: int = 3,
+    orientation_normalize: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash + pigeonhole Hamming banding.
 
@@ -144,7 +184,11 @@ def image_neardup_pairs(
     from polars_dataset_spark.functions.dedup import _swap_cache, hamming_band_pairs
 
     hashed = (
-        image_dhash(df.select(id_col, content_col), content_col=content_col)
+        image_dhash(
+            df.select(id_col, content_col),
+            content_col=content_col,
+            orientation_normalize=orientation_normalize,
+        )
         .filter("dhash IS NOT NULL")
         .select(id_col, "dhash")
         .persist()

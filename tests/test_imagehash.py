@@ -115,6 +115,73 @@ def test_hamming_band_pairs_recall_exact(spark):
     assert not any(p[:2] == (0, 4) for p in want)  # 4 bits: out of reach
 
 
+def _orientation_app1(orientation: int) -> bytes:
+    """Minimal JPEG APP1: an Exif TIFF with only the orientation tag."""
+    import struct
+
+    e = "<"
+    ifd0 = (
+        struct.pack(e + "H", 1)
+        + struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "HH", orientation, 0)
+        + struct.pack(e + "I", 0)
+    )
+    tiff = b"II*\x00" + struct.pack(e + "I", 8) + ifd0
+    app1 = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+
+
+def test_orientation_normalized_dhash_pairs_rotated_copy(spark):
+    """A camera stores pixels rotated 90° CW and tags orientation=8
+    (display: rotate 90° CCW). Raw dHash is NOT rotation-invariant —
+    only the normalized hash pairs the copy with its upright original."""
+    from polars_dataset_spark.functions.jpeg import encode_jpeg_gray
+
+    img = _base()
+    jpg_up = encode_jpeg_gray(img)
+    jpg_rot = encode_jpeg_gray(np.rot90(img, -1).copy())
+    spliced = jpg_rot[:2] + _orientation_app1(8) + jpg_rot[2:]
+
+    g_up = _decode_image_auto(bytes(jpg_up))
+    g_rot = _decode_image_auto(bytes(spliced))
+    from polars_dataset_spark.functions.imagehash import normalize_orientation
+
+    assert _ham(dhash64(g_up), dhash64(g_rot)) > 16  # raw: far apart
+    assert _ham(dhash64(g_up), dhash64(normalize_orientation(g_rot, 8))) <= 3
+
+    df = spark.createDataFrame(
+        [(0, bytearray(jpg_up)), (1, bytearray(spliced))],
+        "media_id long, content binary",
+    )
+    assert image_neardup_pairs(df, id_col="media_id").count() == 0
+    pairs = image_neardup_pairs(
+        df, id_col="media_id", orientation_normalize=True
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_normalize_orientation_all_tags_invertible():
+    """Each fix-up composed with the camera transform it undoes is the
+    identity (tags 2-8; numpy conventions are easy to get backwards)."""
+    from polars_dataset_spark.functions.imagehash import normalize_orientation
+
+    img = _base()
+    stored = {
+        1: img,
+        2: np.fliplr(img),          # mirrored
+        3: np.rot90(img, 2),        # upside down
+        4: np.flipud(img),
+        5: img.T,
+        6: np.rot90(img, 1),        # stored = display rotated 90 CCW -> tag 6
+        7: np.rot90(img.T, 2),
+        8: np.rot90(img, -1),       # stored = display rotated 90 CW -> tag 8
+    }
+    for tag, s in stored.items():
+        assert np.array_equal(normalize_orientation(s, tag), img), tag
+    assert np.array_equal(normalize_orientation(img, None), img)
+    assert np.array_equal(normalize_orientation(img, 9), img)  # unknown
+
+
 def test_hamming_band_pairs_bad_k():
     from polars_dataset_spark.functions.dedup import hamming_band_pairs
 
