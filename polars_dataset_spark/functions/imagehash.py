@@ -110,25 +110,58 @@ def normalize_orientation(gray: "np.ndarray", orientation: "int | None") -> "np.
     return fix(gray) if fix is not None else gray
 
 
-def image_dhash(
-    df: DataFrame,
-    content_col: str = "content",
-    out_col: str = "dhash",
-    orientation_normalize: bool = False,
-) -> DataFrame:
-    """Attach a 64-bit perceptual dHash (nullable long) to every binary
-    blob — one map-only Arrow pass, magic-byte codec dispatch, fixed
-    (8x9) work per image after decode. Undecodable/gated blobs get
-    null.
+_DCT32 = None
 
-    ``orientation_normalize=True`` reads the Exif orientation tag
-    (JPEG APP1 / bare TIFF — :func:`...exif.parse_exif`, a bounded
-    header walk) and un-rotates the decoded pixels before hashing:
-    dHash is NOT rotation-invariant, so without this a camera's
-    orientation-tagged copy of the same photo never pairs with its
-    upright original."""
+
+def _dct32_matrix() -> "np.ndarray":
+    """Orthonormal 32-point DCT-II basis (cached)."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(gray: "np.ndarray") -> int:
+    """64-bit pHash: 32x32 thumbnail -> 2-D DCT-II -> top-left 8x8
+    low-frequency block -> bit = coefficient > median of the 63 AC
+    coefficients (DC participates in the comparison, not the median —
+    the classic pHash.org construction). Robust to rescaling and mild
+    blur (both live in the high frequencies the hash discards); a
+    uniform brightness shift moves only the DC coefficient, so it costs
+    at most 1 bit. Signed int64, same convention as :func:`dhash64`."""
+    from polars_dataset_spark.functions.multimodal import _thumbnail
+
+    t = _thumbnail(gray, 32, 32).reshape(32, 32).astype(np.float64)
+    m = _dct32_matrix()
+    # round away matmul float noise (~1e-8): smooth images have many AC
+    # coefficients that are mathematically 0, and the median sits inside
+    # that noise cloud — unrounded, those bits are coin flips and a pure
+    # brightness shift (which mathematically moves ONLY the DC term)
+    # would scramble the hash
+    coefs = np.round((m @ t @ m.T)[:8, :8].ravel(), 6)
+    med = np.median(coefs[1:])
+    bits = coefs > med
+    return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
+
+
+_HASH_FNS = {"dhash": dhash64, "phash": phash64}
+
+
+def _image_hash(
+    df: DataFrame,
+    content_col: str,
+    out_col: str,
+    orientation_normalize: bool,
+    algo: str,
+) -> DataFrame:
     from polars_dataset_spark.session import ensure_parallelism
 
+    hash_fn = _HASH_FNS[algo]
     df = ensure_parallelism(df)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.LongType())]
@@ -153,12 +186,45 @@ def image_dhash(
                     img = normalize_orientation(
                         img, info.get("orientation") if info else None
                     )
-                vals.append(dhash64(img))
+                vals.append(hash_fn(img))
             out = pdf.copy()
             out[out_col] = pd.array(vals, dtype="Int64")
             yield out
 
     return df.mapInPandas(hash_batches, schema=out_schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "dhash",
+    orientation_normalize: bool = False,
+) -> DataFrame:
+    """Attach a 64-bit perceptual dHash (nullable long) to every binary
+    blob — one map-only Arrow pass, magic-byte codec dispatch, fixed
+    (8x9) work per image after decode. Undecodable/gated blobs get
+    null.
+
+    ``orientation_normalize=True`` reads the Exif orientation tag
+    (JPEG APP1 / bare TIFF — :func:`...exif.parse_exif`, a bounded
+    header walk) and un-rotates the decoded pixels before hashing:
+    dHash is NOT rotation-invariant, so without this a camera's
+    orientation-tagged copy of the same photo never pairs with its
+    upright original."""
+    return _image_hash(df, content_col, out_col, orientation_normalize, "dhash")
+
+
+def image_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "phash",
+    orientation_normalize: bool = False,
+) -> DataFrame:
+    """Attach a 64-bit DCT pHash (see :func:`phash64`) — same plumbing
+    as :func:`image_dhash`; prefer pHash when copies differ by RESIZE
+    or mild blur (frequency-domain signature), dHash when they differ
+    by brightness/re-encode (gradient-sign signature)."""
+    return _image_hash(df, content_col, out_col, orientation_normalize, "phash")
 
 
 def image_neardup_pairs(
@@ -167,6 +233,7 @@ def image_neardup_pairs(
     content_col: str = "content",
     max_hamming: int = 3,
     orientation_normalize: bool = False,
+    algo: str = "dhash",
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash + pigeonhole Hamming banding.
 
@@ -183,17 +250,21 @@ def image_neardup_pairs(
     frame before returning)."""
     from polars_dataset_spark.functions.dedup import _swap_cache, hamming_band_pairs
 
+    if algo not in _HASH_FNS:
+        raise ValueError(f"algo must be one of {sorted(_HASH_FNS)}, got {algo!r}")
     hashed = (
-        image_dhash(
+        _image_hash(
             df.select(id_col, content_col),
             content_col=content_col,
+            out_col="__sig",
             orientation_normalize=orientation_normalize,
+            algo=algo,
         )
-        .filter("dhash IS NOT NULL")
-        .select(id_col, "dhash")
+        .filter("__sig IS NOT NULL")
+        .select(id_col, "__sig")
         .persist()
     )
     pairs = hamming_band_pairs(
-        hashed, id_col=id_col, sig_col="dhash", max_hamming=max_hamming
+        hashed, id_col=id_col, sig_col="__sig", max_hamming=max_hamming
     )
     return _swap_cache(pairs, hashed)

@@ -115,6 +115,62 @@ def test_hamming_band_pairs_recall_exact(spark):
     assert not any(p[:2] == (0, 4) for p in want)  # 4 bits: out of reach
 
 
+def _resize_nn(img, h, w):
+    H, W = img.shape
+    ys = np.minimum((np.arange(h) * H) // h, H - 1)
+    xs = np.minimum((np.arange(w) * W) // w, W - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def test_phash_resize_and_brightness_invariant():
+    """pHash lives in the low-frequency DCT block: a resized or
+    uniformly brightened copy hashes identically, while an unrelated
+    image is far — the copy class dHash is weakest on."""
+    from polars_dataset_spark.functions.imagehash import phash64
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = ((np.sin(xx / 9.0) + np.cos(yy / 7.0)) * 60 + 100) / 255.0
+    h = phash64(base)
+    assert phash64(_resize_nn(base, 96, 128)) == h   # 2x upscale
+    assert phash64(_resize_nn(base, 24, 32)) == h    # 0.5x downscale
+    assert phash64(base + 5 / 255.0) == h            # brightness shift
+    other = ((xx * 7 + yy * 13) % 256) / 255.0
+    assert _ham(h, phash64(other)) > 16
+
+
+def test_phash_smooth_image_stable():
+    """Smooth images have mathematically-zero AC coefficients; the
+    matmul noise there must not flip bits (the round-to-6dp guard):
+    hashing the same pixels twice through different-but-equal arrays
+    is identical."""
+    from polars_dataset_spark.functions.imagehash import phash64
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    img = (xx + yy) / 80.0
+    assert phash64(img.copy()) == phash64(np.ascontiguousarray(img[:, :]))
+    # a constant image must hash deterministically too (all ties)
+    assert phash64(np.full((24, 24), 0.5)) == phash64(np.full((48, 48), 0.5))
+
+
+def test_image_neardup_pairs_phash_algo(spark):
+    from polars_dataset_spark.functions.png import encode_png_gray
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = ((np.sin(xx / 9.0) + np.cos(yy / 7.0)) * 60 + 100) / 255.0
+    rows = [
+        (0, bytearray(encode_png_gray(base))),
+        (1, bytearray(encode_png_gray(_resize_nn(base, 96, 128)))),  # 2x copy
+        (2, bytearray(encode_png_gray(((xx * 7 + yy * 13) % 256) / 255.0))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = image_neardup_pairs(df, id_col="media_id", algo="phash").collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        image_neardup_pairs(df, algo="md5")
+
+
 def _orientation_app1(orientation: int) -> bytes:
     """Minimal JPEG APP1: an Exif TIFF with only the orientation tag."""
     import struct
