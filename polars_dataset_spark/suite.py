@@ -8482,6 +8482,91 @@ def q204(spark, sf_dir):
     )
 
 
+def _pdf_fixture(
+    pages: int = 3,
+    encrypted: bool = False,
+    linearized: bool = False,
+    hidden_tree: bool = False,
+    version: str = "1.4",
+) -> bytes:
+    """A spec-shaped classic PDF: %PDF header, catalog + page tree (or
+    an ObjStm stand-in hiding it, the PDF 1.5+ compressed-xref case),
+    trailer with optional /Encrypt, optional Annex-F /Linearized first
+    object."""
+    head = f"%PDF-{version}".encode() + b"\n%\xe2\xe3\xcf\xd3\n"
+    objs = []
+    if linearized:
+        objs.append(b"<< /Linearized 1 /L 5000 /N %d >>" % pages)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    if hidden_tree:
+        objs.append(
+            b"<< /Type /ObjStm /N 4 /First 20 >>\nstream\n"
+            b"(compressed bytes here)\nendstream"
+        )
+    else:
+        kids = b" ".join(b"%d 0 R" % (3 + i) for i in range(pages))
+        objs.append(b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % pages)
+        for _ in range(pages):
+            objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    body = b""
+    for i, o in enumerate(objs, start=1):
+        body += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    trailer = b"trailer\n<< /Size %d /Root 1 0 R" % (len(objs) + 1)
+    if encrypted:
+        trailer += b" /Encrypt 9 0 R"
+    trailer += b" >>\nstartxref\n0\n%%EOF\n"
+    return head + body + trailer
+
+
+@query(
+    "q205_pdf_probe",
+    """
+    SELECT CAST(doc_blob_id AS BIGINT) AS doc_blob_id, version,
+           CAST(page_count AS INTEGER) AS page_count,
+           CAST(encrypted AS BOOLEAN) AS encrypted,
+           CAST(linearized AS BOOLEAN) AS linearized,
+           CAST(n_objects AS INTEGER) AS n_objects
+    FROM (VALUES
+      (0, '1.4', 3,    false, false, 5),
+      (1, '1.4', 12,   false, false, 14),
+      (2, '1.4', 3,    true,  false, 5),
+      (3, '1.4', 3,    false, true,  6),
+      (4, '1.6', NULL, false, false, 2),
+      (5, NULL,  NULL, NULL,  NULL,  NULL)
+    ) AS t(doc_blob_id, version, page_count, encrypted, linearized, n_objects)
+    """,
+)
+def q205(spark, sf_dir):
+    """PDF inventory (functions/pdf.pdf_probe): version, byte-visible
+    page count (the root /Type /Pages node's /Count — exact for
+    classically-written files, honestly NULL when the page tree hides
+    inside PDF 1.5+ compressed object streams, the same gate-not-guess
+    contract as the VP8 decode gate), /Encrypt, Annex-F linearization,
+    and visible object count. PDFs dominate a crawl's DOCUMENT bytes
+    the way MP3/MP4 dominate its media bytes; routing (text-extract vs
+    OCR vs drop-encrypted) needs this inventory before any parser runs.
+    Bounded byte scans, one map-only Arrow pass. Fixtures: classic
+    3-page + 12-page trees, an encrypted trailer, a linearized file, a
+    hidden-tree (ObjStm) file, junk. Contract oracle: literal expected
+    table (q201 style)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pdf_probe
+
+    rows = [
+        (0, bytearray(_pdf_fixture())),
+        (1, bytearray(_pdf_fixture(pages=12))),
+        (2, bytearray(_pdf_fixture(encrypted=True))),
+        (3, bytearray(_pdf_fixture(linearized=True))),
+        (4, bytearray(_pdf_fixture(hidden_tree=True, version="1.6"))),
+        (5, bytearray(b"%PDX not a pdf at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_blob_id long, content binary")
+    return pdf_probe(df).select(
+        "doc_blob_id", "version", "page_count", "encrypted", "linearized",
+        "n_objects",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
