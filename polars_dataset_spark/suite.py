@@ -8482,6 +8482,92 @@ def q204(spark, sf_dir):
     )
 
 
+def _warc_record(wtype: str, uri: "str | None", payload: bytes, extra: str = "") -> bytes:
+    """One spec-shaped WARC/1.0 record (CRLF headers, Content-Length
+    framing, two-CRLF terminator)."""
+    h = (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{wtype}-1>\r\n"
+        f"WARC-Date: 2024-03-01T12:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + extra
+        + f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return h + payload + b"\r\n\r\n"
+
+
+@query(
+    "q206_warc_ingest",
+    """
+    SELECT CAST(blob_id AS BIGINT) AS blob_id, CAST(rec_idx AS INTEGER) AS rec_idx,
+           warc_type, target_uri, CAST(http_status AS INTEGER) AS http_status,
+           http_content_type, CAST(payload_len AS BIGINT) AS payload_len,
+           payload_md5
+    FROM (VALUES
+      (0, 0, 'warcinfo', NULL, NULL, NULL,
+       28, '5af81cb8a34d5d3f3ce416a3d3b69603'),
+      (0, 1, 'request',  'http://example.com/', NULL, NULL,
+       37, 'a18e8b8145ebd974846203dd6c9d582b'),
+      (0, 2, 'response', 'http://example.com/', 200, 'text/html; charset=utf-8',
+       37, '5c18937dc1e4863fdc98855bdf97b360'),
+      (1, 0, 'response', 'http://example.com/missing', 404, 'text/html',
+       35, '8785dea4d8cf7e8fe0f9324f9e0db0a2'),
+      (1, 1, 'response', 'http://example.com/img', 200, 'image/jpeg',
+       64, 'b2d3f56bc197fd985d5965079b5e7148')
+    ) AS t(blob_id, rec_idx, warc_type, target_uri, http_status,
+           http_content_type, payload_len, payload_md5)
+    """,
+)
+def q206(spark, sf_dir):
+    """WARC ingestion (sources/warc.warc_records): the Common Crawl
+    container -> one row per record, carry columns preserved, HTTP
+    message split for response records (status, Content-Type, BODY as
+    the payload — the bytes the text pipeline wants). Blob 0 is a plain
+    WARC (warcinfo + request + response); blob 1 is PER-RECORD GZIP
+    MEMBERS (the real Common Crawl layout: two concatenated gzip
+    streams) with a 404 and a binary image response; blob 2 is junk
+    contributing zero rows. Contract oracle: literal expected table
+    with payload length + md5 standing in for the binary column (the
+    driver canonicalizer cannot hash binary). One map-only Arrow pass,
+    bounded header scans, malformed tails dropped not raised."""
+    _prep(spark)
+    import gzip
+
+    from polars_dataset_spark.sources import warc_records
+
+    html1 = b"<html><body>hello crawl</body></html>"
+    html2 = b"<html><body>not found</body></html>"
+    img = bytes(range(64))
+    plain = (
+        _warc_record("warcinfo", None, b"software: test-crawler/1.0\r\n",
+                     "Content-Type: application/warc-fields\r\n")
+        + _warc_record("request", "http://example.com/",
+                       b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n")
+        + _warc_record("response", "http://example.com/",
+                       b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html1,
+                       "Content-Type: application/http; msgtype=response\r\n")
+    )
+    gz = b"".join(
+        gzip.compress(r, mtime=0)
+        for r in (
+            _warc_record("response", "http://example.com/missing",
+                         b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" + html2,
+                         "Content-Type: application/http; msgtype=response\r\n"),
+            _warc_record("response", "http://example.com/img",
+                         b"HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n" + img,
+                         "Content-Type: application/http; msgtype=response\r\n"),
+        )
+    )
+    blobs = [(0, bytearray(plain)), (1, bytearray(gz)), (2, bytearray(b"not a warc"))]
+    df = spark.createDataFrame(blobs, "blob_id long, content binary")
+    return warc_records(df).select(
+        "blob_id", "rec_idx", "warc_type", "target_uri", "http_status",
+        "http_content_type",
+        F.length("payload").cast("bigint").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def _pdf_fixture(
     pages: int = 3,
     encrypted: bool = False,
