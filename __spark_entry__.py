@@ -86,6 +86,9 @@ _REFACTOR_TOUCHED: dict[str, int] = {
     "q175_dsir_weights": 8,
     "q176_leakage_safe_split": 8,
     "q201_media_probe": 8,
+    # r9 session 2: simhash_dedup rebased onto the generalized
+    # hamming_band_pairs (values unchanged, code path touched)
+    "q38_simhash_dedup": 9,
 }
 
 
