@@ -36,6 +36,9 @@ def get_spark(app_name: str = "polars_dataset_spark", shuffle_partitions: int | 
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # keep stderr clean for harness-captured artifacts (bench tails):
+        # the [Stage N:==>] console progress writer is stderr-only noise
+        .config("spark.ui.showConsoleProgress", "false")
         # Python-worker stability (r3 bench showed a worker BrokenPipeError
         # absorbed by a task retry): pin the daemon/worker knobs explicitly
         # instead of inheriting defaults, and turn on the worker
