@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MULTIPART_SUFFIXES",
+    "TRACKING_PARAM_RE",
+    "canonical_url_col",
+    "canonicalize_url",
     "with_url_parts",
     "registered_domain_col",
     "filter_url_blocklist",
@@ -142,3 +145,67 @@ def filter_url_blocklist(
         "scheme", "host", "port", "path", "query",
         "n_path_segments", "n_query_params", "domain",
     )
+
+
+# Query parameters that carry click/campaign tracking, not content
+# identity — the canonical dedup-prep drop set (utm_* per Google
+# Analytics docs; fbclid/gclid/msclkid per the platforms' public docs)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
+
+_FRAGMENT_RE = r"#.*$"
+_QUERY_RE2 = r"\?([^#]*)"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """The canonical form of ``url`` as a pure codegen'd expression —
+    no UDF, and every step has an exact ANSI-SQL twin (the q207 oracle
+    replays it value-for-value in DuckDB):
+
+    1. scheme + host lowercased;
+    2. default ports stripped (http:80, https:443) — others kept;
+    3. fragment dropped (never sent to the server);
+    4. query params: empties and tracking params
+       (:data:`TRACKING_PARAM_RE`) dropped, the rest BYTE-SORTED and
+       re-joined — ``?b=2&a=1`` and ``?a=1&b=2`` are the same resource;
+    5. path: runs of slashes collapsed, empty path becomes ``/``;
+    6. null when scheme or host is missing (not a fetchable URL).
+
+    URL-level dedup is the cheapest dedup a crawl pipeline has — it
+    runs BEFORE fetch/content dedup, on strings alone, map-only.
+    Deliberately NOT done (each loses information some pipelines need):
+    percent-decoding (changes equivalence class under encoded
+    delimiters), www-stripping and trailing-slash removal (different
+    resources on some origins)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    port = F.regexp_extract(url, _PORT_RE, 1)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE2, 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    pathc = F.regexp_replace(path, "/{2,}", "/")
+    pathc = F.when(pathc == "", F.lit("/")).otherwise(pathc)
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        pathc,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+    return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(out)
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canon"
+) -> DataFrame:
+    """Attach the canonical URL (see :func:`canonical_url_col`) —
+    map-only, zero exchanges, whole-stage codegen."""
+    return df.withColumn(out_col, canonical_url_col(F.col(url_col)))

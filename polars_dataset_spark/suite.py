@@ -8653,6 +8653,77 @@ def q205(spark, sf_dir):
     )
 
 
+# Messy-URL synthesis for q207 — ANSI SQL shared VERBATIM by the Spark
+# side (F.expr) and the DuckDB oracle, so both engines canonicalize the
+# exact same strings
+_Q207_URL_EXPR = """
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
+               || '.Example:443/a//b/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'http://' || source || '.org:8080//p?fbclid=abc'
+      WHEN 2 THEN 'https://' || source || '.example'
+      WHEN 3 THEN 'http://' || source || '.example:80/x?a=1&a=0&gclid=z'
+      ELSE 'not-a-url-' || CAST(doc_id AS VARCHAR(32))
+    END
+"""
+
+
+@query(
+    "q207_url_canonicalize",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q207_URL_EXPR} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+        regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM src),
+    canon AS (
+      SELECT doc_id, url, scheme, host, port, path,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))), '&')
+          AS qcanon,
+        CASE WHEN regexp_replace(path, '/{{2,}}', '/', 'g') = '' THEN '/'
+             ELSE regexp_replace(path, '/{{2,}}', '/', 'g') END AS pathc
+      FROM parts)
+    SELECT doc_id, url,
+      CASE WHEN scheme = '' OR host = '' THEN NULL
+           ELSE scheme || '://' || host
+             || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443'))
+                     THEN ':' || port ELSE '' END
+             || pathc
+             || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END
+      END AS url_canon
+    FROM canon
+    """,
+)
+def q207(spark, sf_dir):
+    """URL canonicalization (functions/urls.canonicalize_url): the
+    cheapest dedup a crawl pipeline has — BEFORE fetch/content dedup,
+    on strings alone. Lowercase scheme+host, strip default ports, drop
+    fragments, drop tracking params (utm_*/fbclid/gclid/...), byte-sort
+    the surviving query params, collapse slash runs, null for
+    non-fetchable strings. Pure codegen'd Column expressions (no UDF,
+    zero exchanges); the oracle replays every step in ANSI SQL over the
+    SAME synthesized messy URLs (the CASE expression is shared
+    verbatim), so this is a FULL value oracle at every SF."""
+    _prep(spark)
+    from polars_dataset_spark.functions import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q207_URL_EXPR).alias("url")
+    )
+    return canonicalize_url(docs).select("doc_id", "url", "url_canon")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
