@@ -268,3 +268,116 @@ def image_neardup_pairs(
         hashed, id_col=id_col, sig_col="__sig", max_hamming=max_hamming
     )
     return _swap_cache(pairs, hashed)
+
+
+class ImageNeardupIndex:
+    """Precomputed signature index of a STATIC image corpus — the
+    continuous-ingestion half of image dedup (the analogue of the text
+    path's ``NeardupIndex``): the corpus is decoded and hashed ONCE;
+    every arriving batch pays only its own decode plus one band
+    equi-join against the index.
+
+    ``banded`` is |corpus| * (max_hamming + 1) rows of
+    ``(chunk int, key long, __csig long)`` — at crawl scale write it to
+    parquet bucketed by ``(chunk, key)`` and the per-batch probe join
+    is exchange-free on the corpus side."""
+
+    def __init__(self, banded: DataFrame, max_hamming: int, algo: str):
+        self.banded = banded
+        self.max_hamming = max_hamming
+        self.algo = algo
+
+    def unpersist(self) -> None:
+        self.banded.unpersist(blocking=False)
+
+
+def _band_key_cols(sig_col: str, max_hamming: int):
+    from pyspark.sql import functions as F
+
+    chunks = max_hamming + 1
+    if 64 % chunks:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // chunks
+    return [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col(sig_col), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for c in range(chunks)
+    ]
+
+
+def build_image_index(
+    corpus: DataFrame,
+    content_col: str = "content",
+    max_hamming: int = 3,
+    algo: str = "dhash",
+    orientation_normalize: bool = False,
+) -> ImageNeardupIndex:
+    """Hash + band a static image corpus once (decode is the dominant
+    cost — it runs exactly one time here), persisted for repeated
+    probes."""
+    from pyspark.sql import functions as F
+
+    if algo not in _HASH_FNS:
+        raise ValueError(f"algo must be one of {sorted(_HASH_FNS)}, got {algo!r}")
+    hashed = (
+        _image_hash(
+            corpus.select(content_col),
+            content_col=content_col,
+            out_col="__csig",
+            orientation_normalize=orientation_normalize,
+            algo=algo,
+        )
+        .filter("__csig IS NOT NULL")
+        .select("__csig")
+        .distinct()
+    )
+    banded = (
+        hashed.select(
+            "__csig",
+            F.explode(F.array(*_band_key_cols("__csig", max_hamming))).alias("bk"),
+        )
+        .select("bk.chunk", "bk.key", "__csig")
+        .persist()
+    )
+    banded.count()
+    return ImageNeardupIndex(banded, max_hamming, algo)
+
+
+def image_filter_against(
+    batch: DataFrame,
+    index: ImageNeardupIndex,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Drop every batch image within ``index.max_hamming`` bits of ANY
+    corpus image (pigeonhole recall 1, same guarantee as the pair path).
+    Batch rows that fail to decode are KEPT — an undecodable blob is not
+    evidence of duplication; route gated formats through ``media_probe``
+    instead. Cost per batch: one map-only decode pass + one band
+    equi-join against the persisted index."""
+    from pyspark.sql import functions as F
+
+    hashed = _image_hash(
+        batch.select(id_col, content_col),
+        content_col=content_col,
+        out_col="__sig",
+        orientation_normalize=False,
+        algo=index.algo,
+    ).select(id_col, "__sig")
+    probes = hashed.filter("__sig IS NOT NULL").select(
+        id_col,
+        "__sig",
+        F.explode(F.array(*_band_key_cols("__sig", index.max_hamming))).alias("bk"),
+    ).select(id_col, "__sig", "bk.chunk", "bk.key")
+    ham = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__csig")))
+    dupes = (
+        probes.join(index.banded, on=["chunk", "key"])
+        .filter(ham <= index.max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(dupes, on=id_col, how="left_anti")

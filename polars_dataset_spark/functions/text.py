@@ -33,6 +33,8 @@ __all__ = [
     "DEFAULT_QUALITY_WEIGHTS",
     "STOPWORDS",
     "BPE_TOKEN_PATTERN",
+    "with_code_score",
+    "CODE_KEYWORD_RE",
 ]
 
 # Small, fixed stopword lists: enough signal for a coarse n-gram/stopword
@@ -637,3 +639,75 @@ def with_encoding_anomalies(
             f"{p}encoding_clean": (n_rep == 0) & (n_ctl == 0) & (n_moj == 0),
         }
     )
+
+
+# Programming-language markers that are rare in prose: keywords that
+# almost never appear as English words plus operator digraphs. Kept
+# deliberately prose-safe (no 'if'/'for'/'class' — common in text).
+CODE_KEYWORD_RE = (
+    r"\b(def|import|return|function|const|var|void|printf|lambda|"
+    r"struct|typedef|nullptr|elif|async|await)\b|=>|::|!=|==|\+\+|&&|\|\|"
+)
+_CODE_SYMBOLS_RE = r"[{}();=<>\[\]]"
+_INDENT_RE = r"^(\t| {2,})"
+
+
+def with_code_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``code_score`` (0..1) and ``is_code`` — a deterministic
+    code-vs-prose signal for routing a pretraining mix (code to a code
+    pipeline, prose to quality scoring; the wrong route wastes both).
+    Three structural densities, every one a codegen'd expression with
+    an exact ANSI-SQL twin (q208 replays it in DuckDB value-for-value):
+
+    - symbol density: ``{}();=<>[]`` characters per char — code is
+      full of them, prose isn't;
+    - keyword density: :data:`CODE_KEYWORD_RE` hits per whitespace
+      token (prose-safe keyword set — no 'if'/'for');
+    - indent fraction: lines opening with a tab or 2+ spaces.
+
+    Numerics are BIT-exact across engines at every SF (the q120/q133
+    lesson: never hand an order- or repr-sensitive double to the
+    oracle): each density is an INTEGER parts-per-million via integer
+    division, the weighted sum (5/3/2 of the clamped ppms) stays
+    integral, and ``code_score`` is that integer divided by 1e7 — one
+    IEEE division of exactly-representable operands, identical in any
+    engine. ``is_code`` compares the integer against 3_500_000 (0.35).
+    Thresholds are heuristic by design — this is a ROUTER; swap in the
+    ridge scorer over the same features when labels exist. Map-only,
+    no UDF."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    # stage 1: the raw counts as named columns (staged projection — the
+    # regexes land once; stage 2 references them as aliases)
+    staged = df.withColumns(
+        {
+            "__n_chars": F.greatest(F.length(t), F.lit(1)).cast("long"),
+            "__sym_cnt": (
+                F.length(t) - F.length(F.regexp_replace(t, _CODE_SYMBOLS_RE, ""))
+            ).cast("long"),
+            "__n_toks": F.greatest(
+                F.size(F.filter(F.split(t, r"\s+"), lambda x: x != "")), F.lit(1)
+            ).cast("long"),
+            "__kw_cnt": F.size(
+                F.regexp_extract_all(t, F.lit(CODE_KEYWORD_RE), 0)
+            ).cast("long"),
+            "__n_lines": F.greatest(F.size(lines), F.lit(1)).cast("long"),
+            "__ind_cnt": F.size(
+                F.filter(lines, lambda l: l.rlike(_INDENT_RE))
+            ).cast("long"),
+        }
+    )
+    # stage 2: INTEGER division (SQL `div`, exact — a double `/` + cast
+    # can floor one off at quotients like k - 1e-18) and the integral
+    # weighted sum; only the final /1e7 is floating point
+    score_i = F.expr(
+        "least(1000000L, (__sym_cnt * 1000000L div __n_chars) * 6) * 5"
+        " + least(1000000L, (__kw_cnt * 1000000L div __n_toks) * 5) * 3"
+        " + (__ind_cnt * 1000000L div __n_lines) * 2"
+    )
+    return staged.withColumns(
+        {
+            "code_score": score_i / F.lit(10_000_000.0),
+            "is_code": score_i >= F.lit(3_500_000),
+        }
+    ).drop("__n_chars", "__sym_cnt", "__n_toks", "__kw_cnt", "__n_lines", "__ind_cnt")

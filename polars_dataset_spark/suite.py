@@ -8724,6 +8724,68 @@ def q207(spark, sf_dir):
     return canonicalize_url(docs).select("doc_id", "url", "url_canon")
 
 
+# q208: every third document REPLACED by a code snippet — shared
+# verbatim between the Spark side (F.expr) and the DuckDB oracle;
+# newlines spelled chr(10) so neither engine's string-escape rules bite
+_Q208_TEXT_EXPR = """
+    CASE WHEN doc_id % 3 = 0 THEN
+      'def transform(rows):' || chr(10) ||
+      '  out = [];' || chr(10) ||
+      '  for (r) in rows: out += [r * 2];' || chr(10) ||
+      '  return (out != []) && (len(out) == len(rows));'
+    ELSE text END
+"""
+
+
+@query(
+    "q208_code_detection",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q208_TEXT_EXPR} AS t FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id,
+        CAST(greatest(length(t), 1) AS BIGINT) AS n_chars,
+        CAST(length(t) - length(regexp_replace(t, '[{{}}();=<>\\[\\]]', '', 'g'))
+             AS BIGINT) AS sym_cnt,
+        CAST(greatest(len(list_filter(string_split_regex(t, '\\s+'),
+             x -> x <> '')), 1) AS BIGINT) AS n_toks,
+        CAST(len(regexp_extract_all(t,
+             '\\b(def|import|return|function|const|var|void|printf|lambda|struct|typedef|nullptr|elif|async|await)\\b|=>|::|!=|==|\\+\\+|&&|\\|\\|'))
+             AS BIGINT) AS kw_cnt,
+        CAST(greatest(len(string_split(t, chr(10))), 1) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(string_split(t, chr(10)),
+             l -> regexp_matches(l, '^(\\t| {{2,}})'))) AS BIGINT) AS ind_cnt
+      FROM src),
+    sc AS (
+      SELECT doc_id,
+        least(CAST(1000000 AS BIGINT), (sym_cnt * CAST(1000000 AS BIGINT) // n_chars) * 6) * 5
+        + least(CAST(1000000 AS BIGINT), (kw_cnt * CAST(1000000 AS BIGINT) // n_toks) * 5) * 3
+        + (ind_cnt * CAST(1000000 AS BIGINT) // n_lines) * 2 AS s
+      FROM cnt)
+    SELECT doc_id, CAST(s AS DOUBLE) / 10000000.0 AS code_score,
+           s >= 3500000 AS is_code
+    FROM sc
+    """,
+)
+def q208(spark, sf_dir):
+    """Code-vs-prose routing signal (functions/text.with_code_score):
+    symbol density + prose-safe keyword density + indent fraction,
+    computed in INTEGER ppm arithmetic with one final IEEE division —
+    bit-exact across engines at every SF by construction (the
+    q120/q133 rounding lesson applied up front instead of caught by a
+    sweep). Every third document is replaced by a code snippet (shared
+    verbatim CASE), so both classes are exercised; FULL value oracle.
+    Map-only, no UDF, staged projections."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_code_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q208_TEXT_EXPR).alias("text")
+    )
+    return with_code_score(docs).select("doc_id", "code_score", "is_code")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -977,3 +977,31 @@ def test_strip_markup_semantics(spark):
     assert out[6] == "lots of space"
     assert out[7] == ""
     assert out[8] is None
+
+
+def test_with_code_score_routes_code_vs_prose(spark):
+    """Code snippets score high, prose scores low, and the score is a
+    deterministic integer-ppm construction (same text twice -> same
+    bits)."""
+    from polars_dataset_spark.functions import with_code_score
+
+    code = (
+        "def transform(rows):\n"
+        "  out = [];\n"
+        "  for (r) in rows: out += [r * 2];\n"
+        "  return (out != []) && (len(out) == len(rows));"
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet fields until the evening settles in"
+    )
+    df = spark.createDataFrame(
+        [(0, code), (1, prose), (2, code), (3, "")], "i long, text string"
+    )
+    rows = {r.i: r for r in with_code_score(df).collect()}
+    assert rows[0].is_code and not rows[1].is_code
+    assert rows[0].code_score > 0.35 > rows[1].code_score
+    assert rows[0].code_score == rows[2].code_score  # deterministic
+    assert rows[3].code_score == 0.0 and not rows[3].is_code
+    # helper columns must not leak
+    assert set(with_code_score(df).columns) == {"i", "text", "code_score", "is_code"}

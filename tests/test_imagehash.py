@@ -263,3 +263,36 @@ def test_image_dhash_and_pairs_end_to_end(spark):
     assert hashed[2] is None and hashed[3] is None
     pairs = image_neardup_pairs(df, id_col="media_id", max_hamming=3).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 1, 1)]
+
+
+def test_image_index_filter_against(spark):
+    """Static-corpus image dedup: an arriving batch is filtered against
+    a prebuilt signature index — copies (even re-encoded/brightened)
+    drop, novel images and undecodable blobs are KEPT."""
+    from polars_dataset_spark.functions.gif import encode_gif_gray
+    from polars_dataset_spark.functions.imagehash import (
+        build_image_index,
+        image_filter_against,
+    )
+    from polars_dataset_spark.functions.png import encode_png_gray
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    a = _base()
+    b = ((xx * 7 + yy * 13) % 256) / 255.0
+    corpus = spark.createDataFrame(
+        [(0, bytearray(encode_png_gray(a))), (1, bytearray(encode_png_gray(b)))],
+        "media_id long, content binary",
+    )
+    idx = build_image_index(corpus)
+    novel = ((xx + yy) % 2).astype(np.float64)
+    batch = spark.createDataFrame(
+        [
+            (10, bytearray(encode_gif_gray(np.clip(a + 2 / 255.0, 0, 1)))),  # re-encoded+brightened copy of a
+            (11, bytearray(encode_png_gray(novel))),
+            (12, bytearray(b"junk blob")),
+        ],
+        "media_id long, content binary",
+    )
+    kept = sorted(r.media_id for r in image_filter_against(batch, idx).collect())
+    assert kept == [11, 12]
+    idx.unpersist()
