@@ -8786,6 +8786,55 @@ def q208(spark, sf_dir):
     return with_code_score(docs).select("doc_id", "code_score", "is_code")
 
 
+@query(
+    "q209_image_index_filter",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind FROM (VALUES
+      (11, 'novel'), (12, 'junk')
+    ) AS t(media_id, kind)
+    """,
+)
+def q209(spark, sf_dir):
+    """Static-corpus image dedup (functions/imagehash.build_image_index
+    + image_filter_against — the continuous-ingestion half, mirroring
+    the text path's NeardupIndex): the corpus is decoded + hashed ONCE
+    into a persisted banded-signature frame; each arriving batch pays
+    one map-only decode pass and one band equi-join. Fixtures: a
+    2-image corpus; a batch holding a RE-ENCODED + BRIGHTENED copy of a
+    corpus image (GIF of a PNG original, +2/255 — dropped), a novel
+    image (kept), and a junk blob (kept: an undecodable blob is not
+    evidence of duplication). Contract oracle: the literal survivor
+    set."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import (
+        build_image_index,
+        image_filter_against,
+    )
+    from polars_dataset_spark.functions.gif import encode_gif_gray
+    from polars_dataset_spark.functions.png import encode_png_gray
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    a = ((xx * 5 + yy * 13 + (xx * yy) % 7) % 256) / 255.0
+    b = ((xx * 7 + yy * 13) % 256) / 255.0
+    corpus = spark.createDataFrame(
+        [(0, bytearray(encode_png_gray(a))), (1, bytearray(encode_png_gray(b)))],
+        "media_id long, content binary",
+    )
+    idx = build_image_index(corpus)
+    novel = ((xx + yy) % 2).astype(np.float64)
+    batch = spark.createDataFrame(
+        [
+            (10, "copy", bytearray(encode_gif_gray(np.clip(a + 2 / 255.0, 0, 1)))),
+            (11, "novel", bytearray(encode_png_gray(novel))),
+            (12, "junk", bytearray(b"not an image")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    return image_filter_against(batch, idx).select("media_id", "kind")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
