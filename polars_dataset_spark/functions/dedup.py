@@ -521,6 +521,27 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> 
     return ensure_parallelism(df).withColumn(out_col, _simhash_of_text(F.col(text_col)))
 
 
+def band_key_structs(sig_col: str, max_hamming: int) -> "list":
+    """The ``max_hamming + 1`` pigeonhole band keys of a 64-bit signature
+    column, as ``struct(chunk int, key long)`` expressions. Chunks are
+    disjoint and cover ALL 64 bits: width = 64 // (k+1), with the
+    remainder bits folded into the LAST chunk (its key is the plain
+    unsigned right-shift — zero-fill makes a mask redundant). For k+1
+    dividing 64 the keys are bit-identical to the historical fixed-width
+    banding, so persisted indexes remain valid."""
+    chunks = max_hamming + 1
+    if not 1 <= chunks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    width = 64 // chunks
+    keys = []
+    for c in range(chunks):
+        shifted = F.shiftrightunsigned(F.col(sig_col), c * width)
+        if c < chunks - 1:
+            shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
+        keys.append(F.struct(F.lit(c).alias("chunk"), shifted.alias("key")))
+    return keys
+
+
 def hamming_band_pairs(
     df: DataFrame,
     id_col: str,
@@ -532,34 +553,21 @@ def hamming_band_pairs(
     ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
 
     Pigeonhole banding: the signature is split into ``max_hamming + 1``
-    disjoint bit-chunks; two signatures within distance k differ in at
-    most k chunks, so they AGREE exactly on at least one — the band
-    equi-join has recall exactly 1 (not probabilistic), and candidates
-    are verified with ``bit_count(a XOR b)``. Shuffle is one keyed join
-    over ~ N * (k+1) banded rows, never all-pairs; everything is JVM-side
-    codegen (shift/mask/bit_count). Callers whose signature is expensive
-    to compute should persist ``df`` first — the band self-join scans it
+    disjoint bit-chunks covering all 64 bits (when 64 is not an even
+    multiple, the remainder bits fold into the last chunk); two
+    signatures within distance k differ in at most k chunks, so they
+    AGREE exactly on at least one — the band equi-join has recall
+    exactly 1 (not probabilistic), and candidates are verified with
+    ``bit_count(a XOR b)``. Shuffle is one keyed join over ~ N * (k+1)
+    banded rows, never all-pairs; everything is JVM-side codegen
+    (shift/mask/bit_count). Callers whose signature is expensive to
+    compute should persist ``df`` first — the band self-join scans it
     twice."""
-    chunks = max_hamming + 1
-    if 64 % chunks:
-        raise ValueError("max_hamming + 1 must divide 64")
-    width = 64 // chunks
+    keys = band_key_structs(sig_col, max_hamming)  # validates k eagerly
     banded = df.select(
         id_col,
         sig_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col(sig_col), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*keys)).alias("bk"),
     ).select(id_col, sig_col, "bk.chunk", "bk.key")
     a = banded.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("h_a"), "chunk", "key")
     b = banded.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("h_b"), "chunk", "key")

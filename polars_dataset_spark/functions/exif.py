@@ -100,6 +100,11 @@ def parse_exif(data: bytes) -> "dict | None":
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 return None
+            if data[pos + 1] == 0xFF:
+                # ISO 10918-1 B.1.1.2: any run of 0xFF fill bytes may
+                # precede a marker — consume one and re-test (ADVICE r9)
+                pos += 1
+                continue
             marker = data[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2

@@ -282,31 +282,28 @@ class ImageNeardupIndex:
     parquet bucketed by ``(chunk, key)`` and the per-batch probe join
     is exchange-free on the corpus side."""
 
-    def __init__(self, banded: DataFrame, max_hamming: int, algo: str):
+    def __init__(
+        self,
+        banded: DataFrame,
+        max_hamming: int,
+        algo: str,
+        orientation_normalize: bool = False,
+    ):
         self.banded = banded
         self.max_hamming = max_hamming
         self.algo = algo
+        # probes must hash with the SAME normalization the index was
+        # built with, or rotated duplicates silently miss (ADVICE r9)
+        self.orientation_normalize = orientation_normalize
 
     def unpersist(self) -> None:
         self.banded.unpersist(blocking=False)
 
 
 def _band_key_cols(sig_col: str, max_hamming: int):
-    from pyspark.sql import functions as F
+    from polars_dataset_spark.functions.dedup import band_key_structs
 
-    chunks = max_hamming + 1
-    if 64 % chunks:
-        raise ValueError("max_hamming + 1 must divide 64")
-    width = 64 // chunks
-    return [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col(sig_col), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("key"),
-        )
-        for c in range(chunks)
-    ]
+    return band_key_structs(sig_col, max_hamming)
 
 
 def build_image_index(
@@ -344,7 +341,7 @@ def build_image_index(
         .persist()
     )
     banded.count()
-    return ImageNeardupIndex(banded, max_hamming, algo)
+    return ImageNeardupIndex(banded, max_hamming, algo, orientation_normalize)
 
 
 def image_filter_against(
@@ -365,7 +362,7 @@ def image_filter_against(
         batch.select(id_col, content_col),
         content_col=content_col,
         out_col="__sig",
-        orientation_normalize=False,
+        orientation_normalize=index.orientation_normalize,
         algo=index.algo,
     ).select(id_col, "__sig")
     probes = hashed.filter("__sig IS NOT NULL").select(

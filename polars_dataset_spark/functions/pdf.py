@@ -48,9 +48,41 @@ _PAGES_RE = re.compile(
     rb"|/Count\s+(?P<count2>\d+)(?P<body2>[^>]{0,512}?)/Type\s*/Pages\b"
 )
 _OBJ_RE = re.compile(rb"\b\d+\s+\d+\s+obj\b")
-_TRAILER_RE = re.compile(rb"trailer\b|/Prev\b|startxref\b")
+# /Encrypt is only meaningful inside a trailer dict or the XRef-stream
+# dict that plays one (PDF 1.5+) — anchor the search there so the token
+# inside an ordinary content stream can't false-positive (ADVICE r9)
+_TRAILER_RE = re.compile(rb"\btrailer\b|/Type\s*/XRef\b")
 
 _SCAN_CAP = 8 << 20  # bound the regex scans on adversarial blobs (8 MiB)
+
+
+def _is_encrypted(body: bytes) -> bool:
+    """True when an ``/Encrypt`` key is byte-visible inside a trailer
+    dict or an XRef-stream dict (the two places the spec puts it). The
+    ``trailer`` keyword's dict FOLLOWS it; a ``/Type /XRef`` dict may
+    open before the token, so that anchor also looks back — bounded at
+    the previous object/stream end. Both windows stop at the first
+    ``stream``/``startxref`` so a content-stream body painted with the
+    literal token can't false-positive."""
+    for m in _TRAILER_RE.finditer(body):
+        if body.startswith(b"trailer", m.start()):
+            lo = m.end()
+        else:
+            lo = max(0, m.start() - 1024)
+            prev_end = max(
+                body.rfind(b"endobj", lo, m.start()),
+                body.rfind(b"endstream", lo, m.start()),
+            )
+            if prev_end >= 0:
+                lo = prev_end
+        window = body[lo : m.end() + 2048]
+        rel = m.end() - lo
+        stops = [i for i in (window.find(b"stream", rel), window.find(b"startxref", rel)) if i >= 0]
+        if stops:
+            window = window[: min(stops)]
+        if b"/Encrypt" in window:
+            return True
+    return False
 
 
 def probe_pdf(data: bytes) -> "dict | None":
@@ -67,9 +99,7 @@ def probe_pdf(data: bytes) -> "dict | None":
         int(g.group("count") or g.group("count2"))
         for g in _PAGES_RE.finditer(body)
     ]
-    # /Encrypt lives in the trailer dict (or the XRef-stream dict that
-    # plays one, PDF 1.5+); the literal key is byte-visible in both
-    encrypted = b"/Encrypt" in body
+    encrypted = _is_encrypted(body)
     linearized = b"/Linearized" in data[:1024]
     return {
         "version": m.group(1).decode("ascii"),

@@ -239,10 +239,14 @@ def test_normalize_orientation_all_tags_invertible():
 
 
 def test_hamming_band_pairs_bad_k():
+    # non-divisor k is legal since r10 (remainder folds into the last
+    # chunk); only out-of-range k raises
     from polars_dataset_spark.functions.dedup import hamming_band_pairs
 
     with pytest.raises(ValueError):
-        hamming_band_pairs(None, "id", "sig", max_hamming=4)  # 5 !| 64
+        hamming_band_pairs(None, "id", "sig", max_hamming=-1)
+    with pytest.raises(ValueError):
+        hamming_band_pairs(None, "id", "sig", max_hamming=64)
 
 
 def test_image_dhash_and_pairs_end_to_end(spark):
