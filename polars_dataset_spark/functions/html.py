@@ -1,0 +1,335 @@
+"""HTML -> text extraction: the stage that turns crawl response bodies
+into the ``text`` column every downstream operator consumes.
+
+A WARC crawl (sources/warc.warc_records) yields HTTP response BODIES —
+overwhelmingly HTML bytes. Language id (text.detect_language), quality
+scoring, dedup, and clean_corpus all operate on plain text, so the
+pipeline needs exactly three things between them:
+
+1. **Charset resolution** (WHATWG-ish precedence, `resolve_charset`):
+   BOM sniff (UTF-8 / UTF-16LE / UTF-16BE) > the HTTP ``Content-Type``
+   ``charset=`` parameter > an ASCII prescan of the first 1024 bytes
+   for ``<meta charset=...>`` / ``<meta http-equiv=Content-Type ...>``
+   > UTF-8. Unknown labels fall through to the next source; the
+   ``iso-8859-1`` / ``latin1`` / ``ascii`` label family is decoded as
+   windows-1252 (the WHATWG encoding standard maps those labels there —
+   real pages declare Latin-1 and emit 0x80-0x9F smart quotes).
+   Decoding always uses ``errors='replace'`` — one mojibake byte must
+   not kill a partition.
+
+2. **Markup stripping** (`extract_text`, stdlib ``html.parser``):
+   script/style/noscript/template/iframe/svg subtrees dropped whole,
+   comments dropped, character references resolved, block-level tags
+   (p/div/li/h1-6/br/tr/...) segmenting the output into blocks, inline
+   tags transparent. ``html.parser`` is a tolerant non-validating
+   tokenizer — unclosed tags and attribute soup degrade, never raise.
+
+3. **Boilerplate pruning** (jusText-flavoured local rules, applied
+   per block when ``drop_boilerplate=True``): a block is chrome, not
+   content, when its *link density* (fraction of characters inside
+   ``<a>``) is >= 0.5 — nav bars, footers, "related links" — or when
+   it is a <=2-word fragment that contains a link. Rules are local to
+   the block (no neighbour context), so extraction stays a pure
+   per-row map and the same page always yields the same text at any
+   partitioning.
+
+Spark surface: :func:`html_to_text` — one map-only Arrow pass
+(`mapInPandas`), appending ``text`` / ``title`` / ``charset`` columns;
+no shuffle, scales linearly with input bytes. Compose as::
+
+    recs = warc_records(blobs)
+    pages = recs.filter("warc_type = 'response' AND http_status = 200"
+                        " AND http_content_type LIKE 'text/html%'")
+    corpus = html_to_text(pages, body_col="payload",
+                          content_type_col="http_content_type")
+
+Reference envelope: `/root/reference/polars_dataset.py` has no text or
+web surface; this is the driver-mandated LLM-pipeline extension family
+(SURVEY §2.4) — the VERDICT r9 top-next item closing the WARC ->
+clean_corpus gap.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_PRESCAN = 1024  # WHATWG: meta-charset prescan window
+
+_HTTP_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-:.]+)", re.I)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-:.]+)", re.I
+)
+
+# WHATWG encoding standard label aliases that differ from Python's
+# codec registry: the Latin-1 family means windows-1252 on the web
+_LABEL_ALIASES = {
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+}
+
+
+def _valid_label(label: "str | None") -> "str | None":
+    if not label:
+        return None
+    label = _LABEL_ALIASES.get(label.strip().lower(), label.strip().lower())
+    try:
+        codecs.lookup(label)
+    except LookupError:
+        return None
+    return label
+
+
+def resolve_charset(body: bytes, http_content_type: "str | None" = None) -> str:
+    """The charset a browser would pick: BOM > HTTP header > meta
+    prescan > utf-8. Always returns a label Python can decode."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if body[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    if http_content_type:
+        m = _HTTP_CHARSET_RE.search(http_content_type)
+        if m:
+            label = _valid_label(m.group(1))
+            if label:
+                return label
+    m = _META_CHARSET_RE.search(body[:_PRESCAN])
+    if m:
+        label = _valid_label(m.group(1).decode("ascii", "replace"))
+        if label:
+            return label
+    return "utf-8"
+
+
+def decode_html(
+    body: bytes, http_content_type: "str | None" = None
+) -> "tuple[str, str]":
+    """(decoded text, charset used). BOM-aware, replace-on-error."""
+    charset = resolve_charset(body, http_content_type)
+    if charset == "utf-16-le" or charset == "utf-16-be":
+        text = body[2:].decode(charset, "replace")  # strip the BOM
+    else:
+        text = body.decode(charset, "replace")
+    return text, charset
+
+
+# tags whose entire subtree is never content
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "iframe", "svg", "object"}
+)
+# void or container tags that terminate the current text block
+_BLOCK_TAGS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "br", "caption", "dd",
+        "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+        "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "li",
+        "main", "nav", "ol", "option", "p", "pre", "section", "select",
+        "table", "tbody", "td", "th", "thead", "tr", "ul",
+    }
+)
+
+_WS_RE = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("chars", "link_chars", "parts")
+
+    def __init__(self) -> None:
+        self.parts: "list[str]" = []
+        self.chars = 0
+        self.link_chars = 0
+
+    def add(self, data: str, in_link: bool) -> None:
+        self.parts.append(data)
+        n = len(_WS_RE.sub("", data))
+        self.chars += n
+        if in_link:
+            self.link_chars += n
+
+    def text(self) -> str:
+        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+
+
+class _TextExtractor(HTMLParser):
+    """Tolerant block-segmenting text collector (convert_charrefs on:
+    entities arrive already decoded in handle_data)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: "list[_Block]" = [_Block()]
+        self.title_parts: "list[str]" = []
+        self._skip = 0
+        self._links = 0
+        self._in_title = False
+
+    def _flush(self) -> None:
+        if self.blocks[-1].parts:
+            self.blocks.append(_Block())
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "a":
+            self._links += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "title":
+            self._in_title = False
+        elif tag == "a":
+            self._links = max(0, self._links - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip or not data:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if data.isspace():
+            # keep a word break between inline siblings ("a</b> <i>b")
+            if self.blocks[-1].parts:
+                self.blocks[-1].parts.append(" ")
+            return
+        self.blocks[-1].add(data, self._links > 0)
+
+
+def _is_boilerplate(block: _Block, text: str) -> bool:
+    if block.chars == 0:
+        return True
+    density = block.link_chars / block.chars
+    if density >= 0.5:
+        return True
+    n_words = len(text.split())
+    return n_words <= 2 and block.link_chars > 0
+
+
+def extract_text(html: str, drop_boilerplate: bool = True) -> "dict":
+    """Markup-stripped text of one HTML document.
+
+    Returns ``{text, title, n_blocks, n_dropped}``: ``text`` is kept
+    blocks joined by newlines, ``title`` the <title> content (None when
+    absent), ``n_blocks`` the non-empty block count before pruning,
+    ``n_dropped`` how many of those the boilerplate rules removed."""
+    parser = _TextExtractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:  # noqa: BLE001 — tokenizer blew up mid-document:
+        pass  # keep whatever was collected before the bad byte run
+    kept: "list[str]" = []
+    n_blocks = n_dropped = 0
+    for block in parser.blocks:
+        text = block.text()
+        if not text:
+            continue
+        n_blocks += 1
+        if drop_boilerplate and _is_boilerplate(block, text):
+            n_dropped += 1
+            continue
+        kept.append(text)
+    title = _WS_RE.sub(" ", "".join(parser.title_parts)).strip() or None
+    return {
+        "text": "\n".join(kept),
+        "title": title,
+        "n_blocks": n_blocks,
+        "n_dropped": n_dropped,
+    }
+
+
+_HTML_FIELDS = [
+    T.StructField("text", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("charset", T.StringType()),
+]
+
+
+def html_to_text(
+    df: DataFrame,
+    body_col: str = "payload",
+    content_type_col: "str | None" = None,
+    drop_boilerplate: bool = True,
+) -> DataFrame:
+    """Append ``text`` / ``title`` / ``charset`` columns extracted from
+    a binary HTML body column — one map-only Arrow pass (no shuffle;
+    linear in input bytes; safe under any partitioning because every
+    rule is local to the row). Null bodies yield null fields. Filter to
+    HTML rows upstream (``http_content_type LIKE 'text/html%'``) — the
+    extractor decodes whatever it is fed."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + _HTML_FIELDS)
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, titles, charsets = [], [], []
+            ctypes = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            for blob, ctype in zip(pdf[body_col], ctypes):
+                if blob is None:
+                    texts.append(None)
+                    titles.append(None)
+                    charsets.append(None)
+                    continue
+                raw, charset = decode_html(
+                    bytes(blob), None if ctype is None else str(ctype)
+                )
+                info = extract_text(raw, drop_boilerplate=drop_boilerplate)
+                texts.append(info["text"])
+                titles.append(info["title"])
+                charsets.append(charset)
+            out = pdf.copy()
+            out["text"] = pd.array(texts, dtype="object")
+            out["title"] = pd.array(titles, dtype="object")
+            out["charset"] = pd.array(charsets, dtype="object")
+            yield out
+
+    return df.mapInPandas(extract_batches, schema=out_schema)
+
+
+def warc_text_corpus(
+    df: DataFrame,
+    content_col: str = "content",
+    drop_boilerplate: bool = True,
+) -> DataFrame:
+    """WARC blobs -> text corpus in one composition: explode records,
+    keep 200-status ``text/html`` responses, extract. Output columns:
+    ``target_uri, warc_date, charset, title, text`` — feed straight
+    into clean_corpus / language id / dedup."""
+    from pyspark.sql import functions as F
+
+    from polars_dataset_spark.sources.warc import warc_records
+
+    pages = warc_records(df, content_col=content_col).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    )
+    return html_to_text(
+        pages,
+        body_col="payload",
+        content_type_col="http_content_type",
+        drop_boilerplate=drop_boilerplate,
+    ).select("target_uri", "warc_date", "charset", "title", "text")

@@ -8835,6 +8835,91 @@ def q209(spark, sf_dir):
     return image_filter_against(batch, idx).select("media_id", "kind")
 
 
+def _html_page_fixtures() -> "list[tuple[str, bytes, str]]":
+    """(uri, body bytes, HTTP Content-Type) HTML pages covering the
+    charset + markup hazards the extractor exists for: entity refs,
+    script/style/comment stripping, nav boilerplate, cp1252 under an
+    iso-8859-1 label, meta-prescan cp1251, UTF-16LE BOM, unclosed
+    tags."""
+    utf8 = (
+        b'<html><head><title>Alpha &amp; Beta</title><style>p{color:red}</style>'
+        b'<script>var s="<p>no</p>";</script></head><body><!--c-->'
+        b'<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        b"<p>Tom &amp; Jerry &#8212; the classic duo.</p>"
+        b"<h2>hello crawl</h2></body></html>"
+    )
+    cp1252 = b"<p>caf\xe9 \x97 50\xa2</p>"  # e-acute, em-dash, cent sign
+    cp1251 = '<meta charset="windows-1251"><p>Привет мир</p>'.encode("cp1251")
+    utf16 = "<html><title>Seize</title><body><p>sixteen bits wide</p></body></html>".encode(
+        "utf-16"  # LE with BOM
+    )
+    unclosed = b"<div><p>first part <b>bold run<ul><li>item one<li>item two"
+    return [
+        ("http://ex.com/utf8", utf8, "text/html; charset=utf-8"),
+        ("http://ex.com/cp1252", cp1252, "text/html; charset=iso-8859-1"),
+        ("http://ex.com/meta", cp1251, "text/html"),
+        ("http://ex.org/utf16", utf16, "text/html"),
+        ("http://ex.org/unclosed", unclosed, "text/html"),
+    ]
+
+
+@query(
+    "q210_html_to_text",
+    """
+    SELECT target_uri, charset, title, text
+    FROM (VALUES
+      ('http://ex.com/utf8', 'utf-8', 'Alpha & Beta',
+       'Tom & Jerry — the classic duo.' || chr(10) || 'hello crawl'),
+      ('http://ex.com/cp1252', 'windows-1252', NULL, 'café — 50¢'),
+      ('http://ex.com/meta', 'windows-1251', NULL, 'Привет мир'),
+      ('http://ex.org/utf16', 'utf-16-le', 'Seize', 'sixteen bits wide'),
+      ('http://ex.org/unclosed', 'utf-8', NULL,
+       'first part bold run' || chr(10) || 'item one' || chr(10) || 'item two')
+    ) AS t(target_uri, charset, title, text)
+    """,
+)
+def q210(spark, sf_dir):
+    """HTML -> text extraction (functions/html.warc_text_corpus): the
+    stage that closed the last gap in the WARC -> training-shards
+    pipeline (VERDICT r9 #1). End-to-end from CONTAINER bytes: two WARC
+    blobs (one plain, one per-record-gzip) holding five HTML pages plus
+    a 404 and an image/jpeg response that must never reach extraction.
+    Covers the charset ladder (HTTP-header cp1252 under its iso-8859-1
+    alias label, meta-prescan cp1251, UTF-16LE BOM, utf-8 default),
+    entity decoding, script/style/comment stripping, nav-boilerplate
+    pruning, block segmentation, and unclosed-tag tolerance — all
+    stdlib, one map-only Arrow pass after the record explode (zero
+    exchanges; linear in crawl bytes at any SF). Contract oracle:
+    literal expected table validated value-exact in-session."""
+    _prep(spark)
+    import gzip
+
+    from polars_dataset_spark.functions import warc_text_corpus
+
+    def resp(uri: str, body: bytes, ctype: str, status: str = "200 OK") -> bytes:
+        http = f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n\r\n".encode() + body
+        return _warc_record(
+            "response", uri, http,
+            "Content-Type: application/http; msgtype=response\r\n",
+        )
+
+    pages = _html_page_fixtures()
+    plain = b"".join(resp(u, b, c) for u, b, c in pages[:3]) + resp(
+        "http://ex.com/404", b"<p>gone</p>", "text/html", status="404 Not Found"
+    )
+    gz = b"".join(
+        gzip.compress(r, mtime=0)
+        for r in (
+            resp(*pages[3]),
+            resp(*pages[4]),
+            resp("http://ex.org/img", bytes(range(48)), "image/jpeg"),
+        )
+    )
+    blobs = [(0, bytearray(plain)), (1, bytearray(gz))]
+    df = spark.createDataFrame(blobs, "blob_id long, content binary")
+    return warc_text_corpus(df).select("target_uri", "charset", "title", "text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
