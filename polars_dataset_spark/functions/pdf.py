@@ -36,6 +36,7 @@ inventory family (q201/q202/q204).
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -147,3 +148,333 @@ def pdf_probe(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield out
 
     return df.mapInPandas(probe_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Text extraction for CLASSIC files (r10, VERDICT r9 #3)
+#
+# The prober above answers "what is this file"; this section extracts
+# the text of files written the classic way — uncompressed xref, page
+# tree and content streams as plain objects, streams raw or
+# FlateDecode. That covers the long tail of generator output a crawl
+# actually sees (TeX, word processors, report engines). Files that
+# need more (encrypted, compressed-xref/ObjStm page trees, exotic
+# filters, CID font cmaps) keep the probe's honest NULL gate — a gate,
+# not a guess, same rule as page_count above and the VP8 decode gate.
+#
+# Everything is stdlib: zlib for FlateDecode (spec §7.4.4), a bounded
+# regex walk for objects, and a byte scanner for the content-stream
+# text operators (spec §9.4): Tj / ' / " show a string, TJ shows an
+# array of strings with kerning numbers, BT/ET bracket text objects,
+# Td/TD/T*/' start new lines. String syntax per §7.3.4: literal
+# (...) with \-escapes and balanced parens, hex <...>.
+
+_OBJ_SPLIT_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
+_STREAM_RE = re.compile(rb"\bstream\r?\n")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[([^\]]{0,4096})\])")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]{0,8192})\]")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
+_FILTER_RE = re.compile(rb"/Filter\b")
+
+_MAX_OBJECTS = 50_000
+_MAX_STREAM = 8 << 20  # decompressed content-stream cap per page
+
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
+    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def _split_objects(data: bytes) -> "dict[int, bytes]":
+    """obj number -> object body bytes (dict through endobj). Later
+    definitions of the same number win (incremental updates append)."""
+    objs: "dict[int, bytes]" = {}
+    matches = list(_OBJ_SPLIT_RE.finditer(data[:_SCAN_CAP]))[:_MAX_OBJECTS]
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(data)
+        body = data[m.end() : end]
+        cut = body.find(b"endobj")
+        objs[int(m.group(1))] = body[:cut] if cut >= 0 else body
+    return objs
+
+
+def _stream_bytes(obj: bytes) -> "bytes | None":
+    """The (decoded) stream payload of an object, or None when absent,
+    non-Flate-filtered, or corrupt."""
+    m = _STREAM_RE.search(obj)
+    if m is None:
+        return None
+    end = obj.find(b"endstream", m.end())
+    raw = obj[m.end() : end if end >= 0 else len(obj)]
+    # trailing EOL before endstream is not stream data (spec §7.3.8.1)
+    raw = raw[: _MAX_STREAM + 1024]
+    if raw.endswith(b"\r\n"):
+        raw = raw[:-2]
+    elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+        raw = raw[:-1]
+    head = obj[: m.start()]
+    if _FLATE_RE.search(head):
+        try:
+            out = zlib.decompress(raw)
+        except zlib.error:
+            return None
+        return out[:_MAX_STREAM]
+    if _FILTER_RE.search(head):
+        return None  # some other filter: gated, not guessed
+    return raw[:_MAX_STREAM]
+
+
+def _page_order(objs: "dict[int, bytes]", data: bytes) -> "list[int]":
+    """Page object numbers in document order: walk /Root -> /Pages ->
+    /Kids recursively; fall back to file order of /Type /Page objects
+    when the tree is not walkable (damaged refs, missing trailer)."""
+    root_m = _ROOT_RE.search(data[-2048:]) or _ROOT_RE.search(data[:_SCAN_CAP])
+    start = None
+    if root_m:
+        cat = objs.get(int(root_m.group(1)))
+        if cat is not None:
+            pm = _PAGES_REF_RE.search(cat)
+            if pm:
+                start = int(pm.group(1))
+    pages: "list[int]" = []
+    seen: "set[int]" = set()
+
+    def walk(num: int) -> None:
+        if num in seen or len(seen) > _MAX_OBJECTS:
+            return
+        seen.add(num)
+        obj = objs.get(num)
+        if obj is None:
+            return
+        if _TYPE_PAGES_RE.search(obj):
+            km = _KIDS_RE.search(obj)
+            if km:
+                for r in _REF_RE.finditer(km.group(1)):
+                    walk(int(r.group(1)))
+        elif _TYPE_PAGE_RE.search(obj):
+            pages.append(num)
+
+    if start is not None:
+        walk(start)
+    if not pages:  # fallback: file order
+        pages = [n for n, o in objs.items() if _TYPE_PAGE_RE.search(o)]
+    return pages
+
+
+def _decode_pdf_string(body: bytes, i: int) -> "tuple[str, int]":
+    """Literal string starting at body[i] == '(' -> (text, next index).
+    Balanced parens, \\-escapes, octal codes (spec §7.3.4.2)."""
+    depth, out = 1, []
+    i += 1
+    n = len(body)
+    while i < n and depth:
+        c = body[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nxt = body[i + 1]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal \d{1,3}
+                j = i + 1
+                code = 0
+                while j < n and j < i + 4 and 0x30 <= body[j] <= 0x37:
+                    code = code * 8 + (body[j] - 0x30)
+                    j += 1
+                out.append(chr(code & 0xFF))
+                i = j
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and body[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(chr(nxt))
+                i += 2
+        elif c == 0x28:
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i
+
+
+def _decode_hex_string(body: bytes, i: int) -> "tuple[str, int]":
+    """Hex string at body[i] == '<' (not '<<') -> (text, next index)."""
+    end = body.find(b">", i)
+    if end < 0:
+        return "", len(body)
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", body[i + 1 : end])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"  # odd count: trailing 0 implied (§7.3.4.3)
+    return bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1"), end + 1
+
+
+_SHOW_AFTER = re.compile(rb"\s*(Tj|TJ|'|\")")
+_NUM_RE = re.compile(rb"-?\d+(?:\.\d+)?")
+
+
+def _scan_content_text(content: bytes) -> str:
+    """Text shown by a content stream: a bounded forward scan for
+    string tokens followed by a show operator (Tj / ' / \") and for
+    [ ... ] TJ arrays; ' and \" and Td/TD/T* break lines, large
+    negative TJ kerning becomes a space. Raw byte strings decode as
+    latin-1 — classic generators write StandardEncoding/WinAnsi text
+    whose printable ASCII range this preserves exactly; CID/Identity-H
+    fonts need cmap decoding and are out of scope (gated upstream by
+    extract_pdf_text's simple-font check being absent — text from such
+    pages degrades to byte soup the quality filters downstream will
+    drop, it does not crash)."""
+    parts: "list[str]" = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            s, i = _decode_pdf_string(content, i)
+            m = _SHOW_AFTER.match(content, i)
+            if m:
+                if m.group(1) in (b"'", b'"'):
+                    parts.append("\n")
+                parts.append(s)
+                i = m.end()
+        elif c == 0x3C and not content.startswith(b"<<", i):  # < hex string
+            s, i = _decode_hex_string(content, i)
+            m = _SHOW_AFTER.match(content, i)
+            if m:
+                if m.group(1) in (b"'", b'"'):
+                    parts.append("\n")
+                parts.append(s)
+                i = m.end()
+        elif c == 0x5B:  # [ ... ] TJ
+            close = content.find(b"]", i)
+            if close < 0:
+                i += 1
+                continue
+            after = _SHOW_AFTER.match(content, close + 1)
+            if after and after.group(1) == b"TJ":
+                j = i + 1
+                while j < close:
+                    cj = content[j]
+                    if cj == 0x28:
+                        s, j = _decode_pdf_string(content, j)
+                        parts.append(s)
+                    elif cj == 0x3C:
+                        s, j = _decode_hex_string(content, j)
+                        parts.append(s)
+                    else:
+                        nm = _NUM_RE.match(content, j)
+                        if nm:
+                            # kerning more negative than -180/1000 em is
+                            # a word gap in practice
+                            if float(nm.group(0)) < -180:
+                                parts.append(" ")
+                            j = nm.end()
+                        else:
+                            j += 1
+                i = after.end()
+            else:
+                i += 1
+        elif (
+            content.startswith(b"Td", i)
+            or content.startswith(b"TD", i)
+            or content.startswith(b"T*", i)
+            or (
+                content.startswith(b"ET", i)  # text-object end = block end
+                and (i == 0 or content[i - 1] in b" \t\r\n")
+                and (i + 2 >= n or content[i + 2] in b" \t\r\n")
+            )
+        ):
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+            i += 2
+        else:
+            i += 1
+    text = "".join(parts)
+    # collapse artifacts: strip trailing spaces per line, drop empties
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_pdf_text(data: bytes) -> "list[str] | None":
+    """Per-page text of a CLASSIC pdf blob, or None at the honest gate:
+    not a PDF, encrypted, or no byte-visible page tree (compressed-xref
+    / ObjStm files — exactly where probe_pdf reports page_count None).
+    Pages whose content stream is missing or non-Flate-filtered yield
+    '' rather than poisoning their siblings."""
+    info = probe_pdf(data)
+    if info is None or info["encrypted"]:
+        return None
+    objs = _split_objects(data)
+    pages = _page_order(objs, data)
+    if not pages:
+        return None
+    out: "list[str]" = []
+    for pnum in pages:
+        obj = objs.get(pnum, b"")
+        cm = _CONTENTS_RE.search(obj)
+        refs: "list[int]" = []
+        if cm:
+            if cm.group(1) is not None:
+                refs = [int(cm.group(1))]
+            else:
+                refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))]
+        # a /Contents ARRAY is one logical stream (spec §7.8.2: tokens
+        # never span members) — concatenate with whitespace, scan once
+        chunks = []
+        for ref in refs:
+            target = objs.get(ref)
+            if target is not None:
+                content = _stream_bytes(target)
+                if content:
+                    chunks.append(content)
+        out.append(_scan_content_text(b"\n".join(chunks)) if chunks else "")
+    return out
+
+
+_PDF_TEXT_FIELDS = [
+    T.StructField("page_idx", T.IntegerType()),
+    T.StructField("page_text", T.StringType()),
+]
+
+
+def pdf_text(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Explode each classic-PDF blob into (page_idx, page_text) rows —
+    one map-only Arrow pass, linear in blob bytes, no shuffle. Gated
+    blobs (non-PDF, encrypted, object-stream page trees) contribute ONE
+    row with null page_idx/page_text so callers can count them; route
+    those to an OCR/extraction service tier instead."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    carry = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = T.StructType(carry + _PDF_TEXT_FIELDS)
+
+    def text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for _, r in pdf_batch.iterrows():
+                blob = r[content_col]
+                pages = extract_pdf_text(bytes(blob)) if blob is not None else None
+                base = {f.name: r[f.name] for f in carry}
+                if pages is None:
+                    rows.append({**base, "page_idx": None, "page_text": None})
+                else:
+                    for idx, ptext in enumerate(pages):
+                        rows.append({**base, "page_idx": idx, "page_text": ptext})
+            out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            out["page_idx"] = pd.array(
+                out["page_idx"] if len(rows) else [], dtype="Int32"
+            )
+            yield out
+
+    return df.mapInPandas(text_batches, schema=out_schema)

@@ -8835,6 +8835,120 @@ def q209(spark, sf_dir):
     return image_filter_against(batch, idx).select("media_id", "kind")
 
 
+def _pdf_text_fixture(
+    page_streams: "list[bytes]",
+    flate: bool = False,
+    version: str = "1.4",
+    contents_array: bool = False,
+) -> bytes:
+    """A classic PDF with REAL content streams: catalog -> page tree ->
+    per-page /Contents objects, raw or FlateDecode. ``contents_array``
+    splits the FIRST page's stream in half across two content objects
+    referenced as ``/Contents [a 0 R b 0 R]`` (spec-legal and common)."""
+    import zlib as _zlib
+
+    n = len(page_streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs: "list[tuple[int, bytes]]" = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ]
+    next_num = 3 + 2 * n
+
+    def stream_obj(data: bytes) -> bytes:
+        enc = _zlib.compress(data) if flate else data
+        filt = b" /Filter /FlateDecode" if flate else b""
+        return (
+            b"<< /Length " + str(len(enc)).encode() + filt + b" >>\nstream\n"
+            + enc + b"\nendstream"
+        )
+
+    for i, s in enumerate(page_streams):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        if i == 0 and contents_array:
+            # split at a token boundary (spec §7.8.2: lexical tokens
+            # never span content-stream members): the first newline
+            cut = s.find(b"\n") + 1
+            if cut <= 0:
+                cut = len(s) // 2
+            objs.append((
+                page_num,
+                f"<< /Type /Page /Parent 2 0 R /Contents [{content_num} 0 R {next_num} 0 R] >>".encode(),
+            ))
+            objs.append((content_num, stream_obj(s[:cut])))
+            objs.append((next_num, stream_obj(s[cut:])))
+            next_num += 1
+        else:
+            objs.append((
+                page_num,
+                f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R >>".encode(),
+            ))
+            objs.append((content_num, stream_obj(s)))
+    out = b"%PDF-" + version.encode() + b"\n%\xe2\xe3\xcf\xd3\n"
+    for num, o in objs:
+        out += f"{num} 0 obj\n".encode() + o + b"\nendobj\n"
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        "startxref\n0\n%%EOF\n"
+    ).encode()
+    return out
+
+
+@query(
+    "q211_pdf_text",
+    """
+    SELECT CAST(doc_blob_id AS BIGINT) AS doc_blob_id,
+           CAST(page_idx AS INTEGER) AS page_idx, page_text
+    FROM (VALUES
+      (0, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (0, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (1, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (1, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (2, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (3, NULL, NULL),
+      (4, NULL, NULL),
+      (5, NULL, NULL)
+    ) AS t(doc_blob_id, page_idx, page_text)
+    """,
+)
+def q211(spark, sf_dir):
+    """PDF text extraction for CLASSIC files (functions/pdf.pdf_text,
+    VERDICT r9 #3): page-tree walk (/Root -> /Pages -> /Kids), raw +
+    FlateDecode content streams via stdlib zlib, bounded text-operator
+    scan (Tj / ' / " / TJ arrays with kerning word-gaps, Td/TD/T*/ET
+    line breaks, literal-string escapes + octal + hex strings).
+    Fixtures: the same two-page document written raw (doc 0) and
+    Flate-compressed (doc 1) — byte-identical text proves the codec
+    path; a /Contents ARRAY page split at a token boundary (doc 2,
+    spec §7.8.2 one-logical-stream rule); then the honest NULL gates —
+    encrypted (doc 3), ObjStm-hidden page tree (doc 4), junk (doc 5) —
+    one null row each so a router can count them (q205's gate rule).
+    One map-only Arrow pass, linear in blob bytes, no shuffle; the
+    explode is per-page within the row. Contract oracle: literal
+    expected table validated value-exact in-session."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pdf_text
+
+    s1 = (
+        b"BT /F1 12 Tf 72 720 Td (Hello World) Tj 0 -14 TD (second line) Tj ET\n"
+        b"BT 72 600 Td [(A) -400 (B) 10 (C)] TJ ET\n"
+    )
+    s2 = (
+        b"BT 72 720 Td (paren \\(x\\) and \\\\ slash \\100) Tj ET\n"
+        b"BT 72 700 Td <48454C4C4F> Tj (cont)' ET\n"
+    )
+    rows = [
+        (0, bytearray(_pdf_text_fixture([s1, s2], flate=False))),
+        (1, bytearray(_pdf_text_fixture([s1, s2], flate=True))),
+        (2, bytearray(_pdf_text_fixture([s1], contents_array=True))),
+        (3, bytearray(_pdf_fixture(encrypted=True))),
+        (4, bytearray(_pdf_fixture(hidden_tree=True, version="1.6"))),
+        (5, bytearray(b"not a pdf")),
+    ]
+    df = spark.createDataFrame(rows, "doc_blob_id long, content binary")
+    return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")
+
+
 def _html_page_fixtures() -> "list[tuple[str, bytes, str]]":
     """(uri, body bytes, HTTP Content-Type) HTML pages covering the
     charset + markup hazards the extractor exists for: entity refs,
