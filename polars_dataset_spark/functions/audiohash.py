@@ -1,0 +1,169 @@
+"""Perceptual audio fingerprinting: a 64-bit signature that survives
+re-encoding (WAV/FLAC/AIFF/AU of the same recording) and resampling,
+feeding the SAME Hamming-band machinery as text SimHash and image
+dHash (``dedup.hamming_band_pairs`` — pigeonhole banding, recall
+exactly 1, ``bit_count`` verify).
+
+Why: the decoders in :mod:`multimodal`/:mod:`flac`/:mod:`aiff` make
+byte-identical PCM comparable, but a crawl's duplicate audio is almost
+never byte-identical — the same recording arrives as a 44.1 kHz WAV
+here and a 22.05 kHz FLAC there. Exact dedup is blind to that; this
+fingerprint is the audio twin of the image dHash (r9 q203/q209).
+
+Algorithm (sign-of-band-energy-difference, the public Haitsma–Kalker
+"robust audio fingerprint" construction [ISMIR 2002], pooled to one
+64-bit word per blob):
+
+1. decode -> mono (channel mean), linear-resample to 8 kHz — the rate
+   normalization IS the resample invariance;
+2. Hann STFT (frame 256 = 32 ms, hop 128);
+3. 8 log-spaced frequency bands between 200 and 3200 Hz (9 edges) —
+   inside any sensible source Nyquist, so band energies survive both
+   up- and down-sampled copies;
+4. 8 equal TIME segments over the frames (duration-relative — a copy
+   is a copy at any length unit), per-segment per-band mean energy;
+5. bit(t, b) = log E[t, b] > log E[t, b+1] — 8 x 8 = 64 sign bits.
+   Log-domain DIFFERENCES make the signature exactly invariant to
+   global gain (log cE1 - log cE2 = log E1 - log E2).
+
+Too-short (< 0.15 s) or undecodable blobs fingerprint as null — not
+evidence of anything, never paired. Everything is one map-only Arrow
+pass; the pair step is the shared banded equi-join, never all-pairs.
+
+Reference envelope: `/root/reference/polars_dataset.py` has no audio
+surface; this is the driver-mandated multimodal dedup family
+(VERDICT r9 #4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TARGET_RATE = 8000
+_FRAME = 256
+_HOP = 128
+_N_BANDS = 8
+_N_SEGS = 8
+_BAND_EDGES = np.geomspace(200.0, 3200.0, _N_BANDS + 1)
+# 8 time segments of STFT frames: need at least 8 frames of signal
+_MIN_SAMPLES = (_N_SEGS - 1) * _HOP + _FRAME  # = 1152 ≈ 0.144 s at 8 kHz
+_WINDOW = np.hanning(_FRAME)
+_EPS = 1e-12
+
+
+def audiohash64(rate: int, frames: np.ndarray) -> "int | None":
+    """64-bit perceptual hash of decoded PCM ``(n, ch)`` float frames,
+    as a SIGNED int64 (Spark long, same convention as dhash64).
+    None when shorter than ~0.15 s after resampling to 8 kHz."""
+    if rate <= 0 or frames.size == 0:
+        return None
+    mono = np.asarray(frames, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n_out = int(round(mono.size * _TARGET_RATE / rate))
+    if n_out < _MIN_SAMPLES:
+        return None
+    if rate != _TARGET_RATE:
+        # linear interpolation on the shared time axis — cheap, and the
+        # 200–3200 Hz bands sit far below every practical Nyquist
+        src_t = np.arange(mono.size) / rate
+        dst_t = np.arange(n_out) / _TARGET_RATE
+        mono = np.interp(dst_t, src_t, mono)
+    n_frames = 1 + (mono.size - _FRAME) // _HOP
+    starts = np.arange(n_frames) * _HOP
+    mat = np.stack([mono[s : s + _FRAME] for s in starts])
+    mags2 = np.abs(np.fft.rfft(mat * _WINDOW[None, :], axis=1)) ** 2
+    freqs = np.fft.rfftfreq(_FRAME, d=1.0 / _TARGET_RATE)
+    band_idx = np.searchsorted(_BAND_EDGES, freqs, side="right") - 1
+    # per-frame band energies (bands outside [0, _N_BANDS) masked off)
+    energies = np.zeros((n_frames, _N_BANDS + 1))
+    valid = (band_idx >= 0) & (band_idx <= _N_BANDS)
+    np.add.at(
+        energies,
+        (np.arange(n_frames)[:, None].repeat(valid.sum(), 1), band_idx[valid][None, :]),
+        mags2[:, valid],
+    )
+    energies = energies[:, : _N_BANDS + 1]
+    # 8 equal time segments (duration-relative), mean energy per band
+    seg_of = np.minimum((np.arange(n_frames) * _N_SEGS) // n_frames, _N_SEGS - 1)
+    seg_energy = np.zeros((_N_SEGS, _N_BANDS + 1))
+    counts = np.bincount(seg_of, minlength=_N_SEGS)[:, None]
+    np.add.at(seg_energy, seg_of, energies)
+    seg_energy = seg_energy / np.maximum(counts, 1)
+    # relative floor (-30 dB of the global band mean): bands that hold
+    # only window-leakage / interpolation distortion compare floor-vs-
+    # floor instead of flipping on sub-audible noise — this is what
+    # keeps RESAMPLED copies of tonal material within a few bits
+    floor = 1e-3 * max(seg_energy.mean(), _EPS)
+    seg_energy = np.log(np.maximum(seg_energy, floor))
+    bits = seg_energy[:, : _N_BANDS] > seg_energy[:, 1 : _N_BANDS + 1]
+    word = np.uint64(0)
+    for bit in bits.reshape(-1):
+        word = np.uint64(word << np.uint64(1)) | np.uint64(bool(bit))
+    return int(np.int64(word))
+
+
+def _hash_blob(blob: "bytes | None") -> "int | None":
+    from polars_dataset_spark.functions.multimodal import _decode_audio_blob
+
+    if blob is None:
+        return None
+    parsed = _decode_audio_blob(bytes(blob))
+    if parsed is None:
+        return None
+    rate, _nch, frames = parsed
+    return audiohash64(rate, frames)
+
+
+def audio_fingerprint(
+    df: DataFrame, content_col: str = "content", out_col: str = "audiohash"
+) -> DataFrame:
+    """Attach the 64-bit perceptual hash to every audio blob — one
+    map-only Arrow pass (decode dominates; no shuffle). Undecodable or
+    too-short blobs get null."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = pd.array(
+                [_hash_blob(b) for b in pdf[content_col]], dtype="Int64"
+            )
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All audio pairs within ``max_hamming`` signature bits, as
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b`` — re-encoded /
+    resampled / gain-shifted copies of the same recording land at
+    distance ~0. Decode runs ONCE per blob (hashed frame persisted);
+    the pair step is the shared pigeonhole band join, shuffle
+    ∝ N·(k+1) banded rows, never all-pairs."""
+    from polars_dataset_spark.functions.dedup import _swap_cache, hamming_band_pairs
+
+    hashed = (
+        audio_fingerprint(df.select(id_col, content_col), content_col=content_col)
+        .filter(F.col("audiohash").isNotNull())
+        .select(id_col, "audiohash")
+        .persist()
+    )
+    pairs = hamming_band_pairs(
+        hashed, id_col=id_col, sig_col="audiohash", max_hamming=max_hamming
+    )
+    return _swap_cache(pairs, hashed)

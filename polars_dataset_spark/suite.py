@@ -8949,6 +8949,83 @@ def q211(spark, sf_dir):
     return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")
 
 
+def _audio_rich_fixture(rate: int, base: float = 330.0, secs: float = 0.6):
+    """Harmonic-rich AM-modulated float frames (n, 1) — the broadband
+    signal class the perceptual hash targets (pure tones are the
+    pathological near-tie case and are covered by the relative-floor
+    rule instead)."""
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    env = 0.5 * (1 + np.sin(2 * np.pi * 2.0 * t))
+    sig = 0.4 * env * (
+        np.sin(2 * np.pi * base * t)
+        + 0.5 * np.sin(2 * np.pi * 2.3 * base * t)
+        + 0.25 * np.sin(2 * np.pi * 4.1 * base * t)
+    )
+    return sig[:, None]
+
+
+def _pcm_wav_fixture(frames, rate: int) -> bytes:
+    """16-bit PCM RIFF/WAVE of float frames in [-1, 1]."""
+    import struct
+
+    raw = (frames * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+    nch = frames.shape[1]
+    block = nch * 2
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * block, block, 16)
+    data = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+
+
+@query(
+    "q212_audio_neardup",
+    """
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INTEGER) AS hamming
+    FROM (VALUES
+      (0, 1, 0), (0, 2, 0), (0, 3, 0),
+      (1, 2, 0), (1, 3, 0), (2, 3, 0)
+    ) AS t(id_a, id_b, hamming)
+    """,
+)
+def q212(spark, sf_dir):
+    """Perceptual audio near-dup (functions/audiohash): the audio twin
+    of image dHash (q203) — a crawl's duplicate recordings are never
+    byte-identical (same master arrives as 8 kHz WAV here, FLAC there,
+    44.1 kHz somewhere else), so exact dedup is blind to them. 64-bit
+    Haitsma–Kalker-style sign-of-band-energy hash (8 log bands
+    200–3200 Hz x 8 duration-relative time segments over a Hann STFT at
+    a normalized 8 kHz), then the SAME pigeonhole Hamming banding as
+    SimHash/dHash (recall exactly 1, bit_count verify, shuffle
+    ∝ N·(k+1), never all-pairs). Fixtures: one recording through three
+    lossless containers (WAV/FLAC/AIFF — identical PCM must hash
+    IDENTICALLY) plus a 44.1 kHz copy (resample invariance, hamming 0
+    by the relative-floor tie rule); a different recording (550 Hz
+    base, 32 bits away) and undecodable/null blobs must pair with
+    nothing. Decode runs once per blob; map-only except the banded
+    equi-join. Contract oracle: the exact expected pair table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import audio_neardup_pairs
+    from polars_dataset_spark.functions.aiff import encode_aiff
+    from polars_dataset_spark.functions.flac import encode_flac
+
+    sig = _audio_rich_fixture(8000)
+    ints = (sig * 32768.0).clip(-32768, 32767).astype("int64")
+    rows = [
+        (0, bytearray(_pcm_wav_fixture(sig, 8000))),
+        (1, bytearray(encode_flac(ints, rate=8000))),
+        (2, bytearray(encode_aiff(ints, 8000))),
+        (3, bytearray(_pcm_wav_fixture(_audio_rich_fixture(44100), 44100))),
+        (4, bytearray(_pcm_wav_fixture(_audio_rich_fixture(8000, base=550.0), 8000))),
+        (5, bytearray(b"not audio")),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return audio_neardup_pairs(df, max_hamming=3).select("id_a", "id_b", "hamming")
+
+
 def _html_page_fixtures() -> "list[tuple[str, bytes, str]]":
     """(uri, body bytes, HTTP Content-Type) HTML pages covering the
     charset + markup hazards the extractor exists for: entity refs,
