@@ -344,6 +344,41 @@ def build_image_index(
     return ImageNeardupIndex(banded, max_hamming, algo, orientation_normalize)
 
 
+def _hash_for_index(
+    batch: DataFrame, index: ImageNeardupIndex, id_col: str, content_col: str
+) -> DataFrame:
+    """(id, __sig) rows hashed EXACTLY the way the index was built
+    (same algo, same orientation normalization)."""
+    return _image_hash(
+        batch.select(id_col, content_col),
+        content_col=content_col,
+        out_col="__sig",
+        orientation_normalize=index.orientation_normalize,
+        algo=index.algo,
+    ).select(id_col, "__sig")
+
+
+def _dup_probe_ids(
+    hashed: DataFrame, index: ImageNeardupIndex, id_col: str
+) -> DataFrame:
+    """Ids of probe rows within ``index.max_hamming`` bits of ANY corpus
+    signature — one band equi-join against the persisted index."""
+    from pyspark.sql import functions as F
+
+    probes = hashed.filter("__sig IS NOT NULL").select(
+        id_col,
+        "__sig",
+        F.explode(F.array(*_band_key_cols("__sig", index.max_hamming))).alias("bk"),
+    ).select(id_col, "__sig", "bk.chunk", "bk.key")
+    ham = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__csig")))
+    return (
+        probes.join(index.banded, on=["chunk", "key"])
+        .filter(ham <= index.max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+
+
 def image_filter_against(
     batch: DataFrame,
     index: ImageNeardupIndex,
@@ -356,25 +391,36 @@ def image_filter_against(
     evidence of duplication; route gated formats through ``media_probe``
     instead. Cost per batch: one map-only decode pass + one band
     equi-join against the persisted index."""
+    hashed = _hash_for_index(batch, index, id_col, content_col)
+    dupes = _dup_probe_ids(hashed, index, id_col)
+    return batch.join(dupes, on=id_col, how="left_anti")
+
+
+def append_to_image_index(index: ImageNeardupIndex, sigs: DataFrame, sig_col: str = "__sig") -> None:
+    """Union new signatures into the persisted banded index IN PLACE —
+    the incremental half of continuous ingestion (stream batch N+1 must
+    dedup against batch N's survivors, not just the original corpus).
+
+    Cache-swap contract (same as ``simhash_dedup``/``_swap_cache``):
+    the merged frame is materialized via eager ``localCheckpoint``
+    (truncating lineage, so a year of appends doesn't accumulate a
+    union tree) BEFORE the old blocks release; only the new batch's
+    banded rows are deduplicated (batch-sized shuffle — the standing
+    index is never re-shuffled). At crawl scale prefer the parquet
+    layout documented on :class:`ImageNeardupIndex` and compact
+    appended band files offline."""
     from pyspark.sql import functions as F
 
-    hashed = _image_hash(
-        batch.select(id_col, content_col),
-        content_col=content_col,
-        out_col="__sig",
-        orientation_normalize=index.orientation_normalize,
-        algo=index.algo,
-    ).select(id_col, "__sig")
-    probes = hashed.filter("__sig IS NOT NULL").select(
-        id_col,
-        "__sig",
-        F.explode(F.array(*_band_key_cols("__sig", index.max_hamming))).alias("bk"),
-    ).select(id_col, "__sig", "bk.chunk", "bk.key")
-    ham = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__csig")))
-    dupes = (
-        probes.join(index.banded, on=["chunk", "key"])
-        .filter(ham <= index.max_hamming)
-        .select(id_col)
+    new_banded = (
+        sigs.filter(F.col(sig_col).isNotNull())
+        .select(F.col(sig_col).alias("__csig"))
         .distinct()
+        .select(
+            "__csig",
+            F.explode(F.array(*_band_key_cols("__csig", index.max_hamming))).alias("bk"),
+        )
+        .select("bk.chunk", "bk.key", "__csig")
     )
-    return batch.join(dupes, on=id_col, how="left_anti")
+    merged = index.banded.union(new_banded).localCheckpoint(eager=True)
+    index.banded.unpersist(blocking=False)
+    index.banded = merged

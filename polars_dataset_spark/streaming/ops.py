@@ -34,6 +34,7 @@ __all__ = [
     "run_stream_to_memory",
     "stream_merge_upsert",
     "stream_neardup_filter",
+    "stream_image_filter",
     "stream_heavy_hitters",
 ]
 
@@ -425,6 +426,59 @@ def stream_neardup_filter(
     # makes the caller's defensive stop() a no-op instead of a job-group
     # cancellation (which races the Python-worker fork handshake under
     # concurrent load — the bench's BrokenPipeError source).
+    writer = stream_df.writeStream.trigger(availableNow=True).foreachBatch(apply_batch)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
+def stream_image_filter(
+    stream_df: DataFrame,
+    index: "object",  # functions.imagehash.ImageNeardupIndex
+    sink_path: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    checkpoint_path: str | None = None,
+    update_index: bool = True,
+) -> "object":
+    """Continuous-ingestion image dedup: every micro-batch of arriving
+    image blobs is perceptually hashed ONCE (decode is the dominant
+    cost), band-probed against the persisted signature index
+    (:func:`functions.imagehash.build_image_index`), and only images
+    with no corpus near-duplicate are appended to the parquet sink —
+    then (``update_index=True``) the SURVIVORS' signatures are unioned
+    into the index, so batch N+1 dedups against batch N's survivors,
+    not just the original corpus (the incremental twin of
+    :func:`stream_neardup_filter`, VERDICT r9 #6). Undecodable blobs
+    are KEPT and never indexed (not evidence of duplication).
+
+    ``foreachBatch`` for the same reason as the text twin: the
+    per-image verdict collapses exploded band candidates back to one
+    row per image, and the batch body IS the batch-tested
+    :func:`image_filter_against` probe — stream ≡ sequential-batch by
+    construction. Per-batch cost: one map-only decode pass, one band
+    equi-join, and (append) one batch-sized band build + eager
+    localCheckpoint of the union — the standing index is never
+    re-shuffled. Intra-batch duplicates both survive (filter-against
+    semantics; run :func:`image_neardup_pairs` inside the batch if you
+    need intra-batch dedup too). Returns the started StreamingQuery."""
+    from polars_dataset_spark.functions.imagehash import (
+        _dup_probe_ids,
+        _hash_for_index,
+        append_to_image_index,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = _hash_for_index(batch_df, index, id_col, content_col).persist()
+        dupes = _dup_probe_ids(hashed, index, id_col)
+        batch_df.join(dupes, on=id_col, how="left_anti").write.mode(
+            "append"
+        ).parquet(sink_path)
+        if update_index:
+            surviving = hashed.join(dupes, on=id_col, how="left_anti")
+            append_to_image_index(index, surviving)
+        hashed.unpersist(blocking=False)
+
     writer = stream_df.writeStream.trigger(availableNow=True).foreachBatch(apply_batch)
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)

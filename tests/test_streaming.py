@@ -533,3 +533,81 @@ def test_url_filter_streamable(spark, sf_dir):
     run_stream_to_memory(out, "t_url_stream", output_mode="append")
     stream_ids = {r["doc_id"] for r in spark.sql("select doc_id from t_url_stream").collect()}
     assert batch_ids == stream_ids and batch_ids
+
+
+def test_stream_image_filter_matches_batch_and_appends(spark, tmp_path):
+    """Continuous image ingestion (r10): two micro-batches streamed
+    against a static index must keep exactly what the SEQUENTIAL batch
+    path (image_filter_against + append_to_image_index per batch)
+    keeps — including dropping a batch-2 re-encode of a batch-1
+    SURVIVOR, which only passes if the index append really happened."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_dataset_spark.functions.gif import encode_gif_gray
+    from polars_dataset_spark.functions.imagehash import (
+        _hash_for_index,
+        append_to_image_index,
+        build_image_index,
+        image_filter_against,
+    )
+    from polars_dataset_spark.functions.png import encode_png_gray
+    from polars_dataset_spark.streaming.ops import stream_image_filter
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img_a = ((xx * 5 + yy * 13 + (xx * yy) % 7) % 256) / 255.0
+    img_b = ((xx * 7 + yy * 13) % 256) / 255.0
+    img_c = ((xx * 11 + yy * 3) % 256) / 255.0
+    img_d = ((xx + yy) % 2).astype(np.float64)
+
+    corpus = spark.createDataFrame(
+        [(0, bytearray(encode_png_gray(img_a))), (1, bytearray(encode_png_gray(img_b)))],
+        "media_id long, content binary",
+    )
+    batch1 = [
+        (10, encode_png_gray(np.clip(img_a + 1 / 255.0, 0, 1))),  # corpus dup: drop
+        (11, encode_png_gray(img_c)),                             # novel: keep+index
+        (12, b"junk blob"),                                       # undecodable: keep
+    ]
+    batch2 = [
+        (20, encode_gif_gray(img_c)),                             # re-encode of batch-1 SURVIVOR: drop
+        (21, encode_png_gray(img_d)),                             # novel: keep
+        (22, encode_gif_gray(np.clip(img_b + 2 / 255.0, 0, 1))),  # corpus dup: drop
+    ]
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        pd.DataFrame(
+            {"media_id": [r[0] for r in rows], "content": [bytes(r[1]) for r in rows]}
+        ).to_parquet(src / f"batch{i}.parquet")
+
+    # sequential-batch reference
+    idx_b = build_image_index(corpus)
+    expect = []
+    for i in range(2):
+        bdf = spark.read.parquet(str(src / f"batch{i}.parquet"))
+        kept = image_filter_against(bdf, idx_b)
+        expect += [r.media_id for r in kept.collect()]
+        append_to_image_index(
+            idx_b, _hash_for_index(kept, idx_b, "media_id", "content")
+        )
+    idx_b.unpersist()
+    assert sorted(expect) == [11, 12, 21]  # the fixture's designed verdicts
+
+    idx_s = build_image_index(corpus)
+    st = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "survivors")
+    q = stream_image_filter(
+        st, idx_s, sink, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.media_id for r in spark.read.parquet(sink).collect())
+    assert got == sorted(expect)
+    idx_s.unpersist()
