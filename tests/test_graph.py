@@ -149,3 +149,36 @@ def test_dedup_by_components_quality_keep(spark):
     # default rule unchanged: min id per cluster
     kept_min = {r["doc_id"] for r in dedup_by_components(docs, pairs).collect()}
     assert kept_min == {1, 4, 6, 8}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, i + 1) for i in range(30)],            # path
+        [(0, i) for i in range(1, 20)],             # hub/star (the pre_contract target)
+        [(i, (i + 1) % 17) for i in range(17)],     # cycle
+        [(5, 5), (1, 2), (2, 1), (2, 3)],           # self-loops + dups
+    ],
+    ids=["path", "hub", "cycle", "loops-dups"],
+)
+def test_cc_pre_contract_same_answer(spark, edges):
+    """pre_contract=True (salted two-level-min + join large-star first
+    round, the raw-edge skew escape hatch) must be answer-identical."""
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    pre = {
+        r["id"]: r["component"]
+        for r in connected_components(df, pre_contract=True).collect()
+    }
+    assert pre == base
+
+
+def test_cc_pre_contract_hub_converges_in_one_probe(spark):
+    """A raw hub graph is a star after ONE salted large-star round: the
+    loop must not be entered at all (max_iter=0 still converges)."""
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    out = connected_components(df, max_iter=0, pre_contract=True)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(40)}
