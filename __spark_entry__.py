@@ -52,43 +52,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # expires the entry on its own (ADVICE r6: the previous unconditional
 # list never expired and permanently ate ~17 rotation slots).
 #
-# Round 9 touched: connected_components rewrote both star contractions
-# as window-mins and gained the star-shape early exit (q63/q64/q138/
-# q162/q176), clean_corpus gained clean_corpus_scope (q60), media_probe
-# gained the sample_rate/channels/duration_s columns (q201), and
-# Datafile.load gained the no-throw existence precheck (q163/q164),
-# detrend gained the exact-moments deterministic fit (q120) and
-# windowed_agg integral micro-unit avg rounding (q24) — both divergences
-# found by the r9 sf1 sweep. The sf10 sweep then caught the 2-dp
-# money-sum class (double random-walk error ~0.04 at 60 M rows exceeds
-# the rounding unit): q01/q03/q06/q59/q65/q99/q113/q126 now sum as exact
-# DECIMAL and round in decimal on both sides.
+# Round 10 touched (all r8-era entries expired on their r9 green rows):
+# hamming_band_pairs generalized to any k via fold-remainder banding
+# (q38; keys bit-identical for divisor k), imagehash banding delegated
+# to the shared helper + image_filter_against split into hash/probe
+# halves + the index records orientation_normalize (q203/q209),
+# parse_exif tolerates 0xFF fill bytes (q204), probe_pdf scopes
+# /Encrypt to trailer/XRef dict windows (q205), and the graph family's
+# per-round fingerprint now folds the exact star test via
+# inclusion-exclusion + the pre_contract option landed
+# (q63/q64/q138/q162/q176 + q60's transitive path).
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
-    "q01_pricing_summary": 8,
-    "q03_join_agg": 8,
-    "q06_star_join": 8,
-    "q24_windowed_agg": 8,
-    "q60_clean_corpus": 8,
-    "q63_connected_components": 8,
-    "q64_dedup_components": 8,
-    "q120_detrend": 8,
-    "q138_cc_small_clusters": 8,
-    "q162_quality_keep_dedup": 8,
-    "q163_datafile_csv": 8,
-    "q164_create_dataset_manifest": 8,
-    "q59_group_by_dynamic": 8,
-    "q65_salted_join": 8,
-    "q99_outer_join": 8,
-    "q113_merge_upsert": 8,
-    "q126_winsorize": 8,
-    "q175_dsir_weights": 8,
-    "q176_leakage_safe_split": 8,
-    "q201_media_probe": 8,
-    # r9 session 2: simhash_dedup rebased onto the generalized
-    # hamming_band_pairs (values unchanged, code path touched)
     "q38_simhash_dedup": 9,
+    "q60_clean_corpus": 9,
+    "q63_connected_components": 9,
+    "q64_dedup_components": 9,
+    "q138_cc_small_clusters": 9,
+    "q162_quality_keep_dedup": 9,
+    "q176_leakage_safe_split": 9,
+    "q203_image_neardup": 9,
+    "q204_exif_probe": 9,
+    "q205_pdf_probe": 9,
+    "q209_image_index_filter": 9,
 }
 
 

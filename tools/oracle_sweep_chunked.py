@@ -17,6 +17,7 @@ one stuck query must not discard hours of green results. This driver:
 Usage:
     python tools/oracle_sweep_chunked.py /tmp/sf1 CORRECTNESS_SF1_r09.json \
         [--chunk 12] [--timeout 560] [--skip qNNN_a,qNNN_b] [--resume]
+        [--only qNNN_a,qNNN_b]   # restrict the sweep to these queries
 
 ``--resume`` seeds already-green entries from an existing artifact at the
 output path and re-runs only the rest (pending / timeout / crash /
@@ -80,11 +81,16 @@ def _run_chunk(
 
 def main() -> int:
     args = sys.argv[1:]
-    chunk, timeout, skip = 12, 560, set()
+    chunk, timeout, skip, only = 12, 560, set(), set()
     resume = "--resume" in args
     if resume:
         args.remove("--resume")
-    for flag, cast in (("--chunk", int), ("--timeout", int), ("--skip", str)):
+    for flag, cast in (
+        ("--chunk", int),
+        ("--timeout", int),
+        ("--skip", str),
+        ("--only", str),
+    ):
         if flag in args:
             i = args.index(flag)
             val = cast(args[i + 1])
@@ -93,8 +99,10 @@ def main() -> int:
                 chunk = val
             elif flag == "--timeout":
                 timeout = val
-            else:
+            elif flag == "--skip":
                 skip = {s for s in val.split(",") if s}
+            else:
+                only = {s for s in val.split(",") if s}
     if len(args) != 2:
         print(__doc__)
         return 2
@@ -103,6 +111,12 @@ def main() -> int:
     from polars_dataset_spark import suite
 
     names = sorted(suite.QUERIES)
+    if only:
+        missing = only - set(names)
+        if missing:
+            print(f"--only names not in suite: {sorted(missing)}")
+            return 2
+        names = [n for n in names if n in only]
     results: "dict[str, dict]" = {
         n: {"status": "skipped", "err": "excluded via --skip"} for n in skip
     }
