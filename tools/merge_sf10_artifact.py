@@ -1,0 +1,135 @@
+"""Merge the r9 full-sf10 sweep with the r10 SAMPLED sweep into
+CORRECTNESS_SF10_r10.json (VERDICT r9 #2).
+
+Row provenance is explicit per query:
+- ``match`` (fixture /tmp/sf10, 60 M lineitem) — carried from the r9
+  full sweep, code-change-aware: any query whose implementation was
+  touched in r10 is NOT carried (it must re-earn its row in the
+  sampled sweep or the next full sweep).
+- ``match_sampled`` (fixture /tmp/sf10s — whole partitions, md5-keyed
+  key subsets, lineitem keeps one complete ~10 M-row window group) —
+  from the r10 sampled sweep of the 36 former cost-exclusions.
+- ``skipped`` — the quadratic-ORACLE family, each individually
+  adjudicated (the oracle side is all-pairs by construction; every one
+  is value-green at sf0.1 in CORRECTNESS_SF01_r08.json).
+
+Usage: python tools/merge_sf10_artifact.py \
+    CORRECTNESS_SF10_r09.json CORRECTNESS_SF10S_r10.json \
+    CORRECTNESS_SF10_r10.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# r10 touched these implementations AFTER the r9 full sweep ran — their
+# r9 rows are stale evidence and must not be carried forward
+R10_TOUCHED = {
+    "q38_simhash_dedup",
+    "q60_clean_corpus",
+    "q63_connected_components",
+    "q64_dedup_components",
+    "q138_cc_small_clusters",
+    "q162_quality_keep_dedup",
+    "q176_leakage_safe_split",
+    "q203_image_neardup",
+    "q204_exif_probe",
+    "q205_pdf_probe",
+    "q209_image_index_filter",
+}
+
+QUADRATIC_ORACLE = {
+    "q35_embedding_neardup": "exact all-pairs cosine oracle: C(200k,2) list-dot-products in SQL",
+    "q37_minhash_pairs": "AllPairs prefix-filter pair CTE superlinear at 500k docs",
+    "q60_clean_corpus": "same pair CTE inside the composition oracle",
+    "q64_dedup_components": "recursive-CTE closure over the all-pairs near-dup graph",
+    "q130_fuzzy_join": "AllPairs pair CTE cross-table",
+    "q141_neardup_vs_corpus": "exact all-pairs cross-Jaccard anti-filter oracle",
+    "q161_repeated_substrings": "suffix-span self-join replay in SQL",
+    "q162_quality_keep_dedup": "recursive-CTE closure oracle",
+    "q176_leakage_safe_split": "recursive-CTE closure oracle",
+    "q193_edit_distance_join": "full pairwise Levenshtein verification CTE",
+    # not a quadratic ORACLE but a declared-quadratic SPARK side: the
+    # intentionally-exact theta-join baseline that proves the banded
+    # paths' recall — O(n^2) by design at any fixture
+    "q61_join_where": "declared-quadratic exact baseline (BENCH_OFFSCALE); value-green at sf1 r9",
+}
+
+
+def main() -> int:
+    if len(sys.argv) != 4:
+        print(__doc__)
+        return 2
+    full_path, sampled_path, out_path = sys.argv[1:]
+    full = json.load(open(full_path))["queries"]
+    sampled = json.load(open(sampled_path))["queries"]
+
+    merged: "dict[str, dict]" = {}
+    for name, row in full.items():
+        if row.get("status") == "match" and name not in R10_TOUCHED:
+            merged[name] = {**row, "fixture": "/tmp/sf10 (full, r9 sweep)"}
+    for name, row in sampled.items():
+        if row.get("match") is True or row.get("status") == "match":
+            merged[name] = {
+                "status": "match_sampled",
+                "fixture": "/tmp/sf10s (keyed subset, r10)",
+                "spark_rows": row.get("spark_rows"),
+            }
+    # new r10 queries checked at sf1-scale fixtures elsewhere get their
+    # rows from the sampled sweep too if present; otherwise absent rows
+    # stay absent (never silently green)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "suite", "polars_dataset_spark/suite.py"
+    )
+    all_names = None
+    try:
+        sys.path.insert(0, ".")
+        from polars_dataset_spark import suite
+
+        all_names = sorted(suite.QUERIES)
+    except Exception:
+        pass
+    excluded = {}
+    if all_names:
+        for name in all_names:
+            if name in merged:
+                continue
+            if name in QUADRATIC_ORACLE:
+                excluded[name] = {
+                    "status": "skipped",
+                    "adjudication": QUADRATIC_ORACLE[name],
+                    "value_green_at": "sf0.1 (CORRECTNESS_SF01_r08.json)",
+                }
+            else:
+                excluded[name] = {"status": "pending", "err": "no sf10 evidence yet"}
+        merged.update(excluded)
+    n_value = sum(
+        1 for r in merged.values() if r.get("status") in ("match", "match_sampled")
+    ) + sum(1 for r in merged.values() if r.get("match") is True)
+    artifact = {
+        "round": 10,
+        "n_queries": len(merged),
+        "n_value_checked": n_value,
+        "n_excluded": sum(
+            1 for r in merged.values() if r.get("status") in ("skipped", "pending")
+        ),
+        "protocol": (
+            "full-sf10 rows carried from r9 where the implementation is "
+            "unchanged; r10-touched + former cost-exclusions value-checked "
+            "on the /tmp/sf10s keyed-subset fixture (whole partitions, "
+            "lineitem keeps one complete 10M-row window group); quadratic-"
+            "oracle names individually adjudicated"
+        ),
+        "queries": dict(sorted(merged.items())),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=False)
+    print(f"value-checked {n_value} / {len(merged)}; wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
