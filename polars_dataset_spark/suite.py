@@ -9026,6 +9026,50 @@ def q212(spark, sf_dir):
     return audio_neardup_pairs(df, max_hamming=3).select("id_a", "id_b", "hamming")
 
 
+# q213: every document wrapped in an HTML page template — the escape
+# chain and template are ANSI SQL shared VERBATIM by the Spark side
+# (F.expr) and the DuckDB oracle, so the extractor's inverse (strip
+# markup, decode entities, drop nav/footer boilerplate, collapse
+# whitespace) has a FULL value oracle at EVERY SF, not just fixtures
+_Q213_HTML_EXPR = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR(32))
+    || '</title></head><body><nav><a href="/">Home</a> <a href="/a">About</a></nav><p>'
+    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+    || '</p><footer><a href="/terms">Terms</a></footer></body></html>'
+"""
+
+
+@query(
+    "q213_html_corpus_scaled",
+    f"""
+    SELECT doc_id, 'utf-8' AS charset,
+           'Doc ' || CAST(doc_id AS VARCHAR(32)) AS title,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+    FROM documents
+    """,
+)
+def q213(spark, sf_dir):
+    """SF-scaled HTML extraction (functions/html.html_to_text): q210
+    proves the corners on spec-built fixtures; this proves the VOLUME
+    path — every document of the corpus wrapped in a page template
+    (title, nav + footer link boilerplate, entity-escaped body) whose
+    SQL is shared verbatim with the oracle, so extraction must invert
+    the template EXACTLY at any SF: strip tags, decode entities back,
+    drop the two link-dense blocks, collapse whitespace. One map-only
+    Arrow pass over utf-8 bytes; the oracle is just the original text
+    whitespace-normalized. Catches Arrow-batch/fragmentation bugs a
+    6-row fixture never would."""
+    _prep(spark)
+    from polars_dataset_spark.functions import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.expr(_Q213_HTML_EXPR), "utf-8").alias("payload")
+    )
+    return html_to_text(docs, body_col="payload").select(
+        "doc_id", "charset", "title", "text"
+    )
+
+
 def _html_page_fixtures() -> "list[tuple[str, bytes, str]]":
     """(uri, body bytes, HTTP Content-Type) HTML pages covering the
     charset + markup hazards the extractor exists for: entity refs,
