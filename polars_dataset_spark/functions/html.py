@@ -325,7 +325,8 @@ def warc_text_corpus(
     pages = warc_records(df, content_col=content_col).filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
+        # servers emit Text/HTML, TEXT/HTML, ... — match case-blind
+        & F.lower(F.col("http_content_type")).startswith("text/html")
     )
     return html_to_text(
         pages,
