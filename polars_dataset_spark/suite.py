@@ -2242,10 +2242,10 @@ def q71(spark, sf_dir):
     "q72_rolling_range",
     """
     SELECT l_returnflag, l_linestatus, l_quantity,
-           round(sum(l_extendedprice) OVER (
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))) OVER (
                PARTITION BY l_returnflag, l_linestatus
                ORDER BY l_quantity
-               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS roll_sum
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll_sum
     FROM lineitem
     """,
 )
@@ -2254,7 +2254,11 @@ def q72(spark, sf_dir):
     all rows whose l_quantity lies within 5 UNITS (not 5 rows) of the
     current row's, per trace — ``rangeBetween``, the frame kind q11's
     row-based rolling cannot express; ties share one frame, so the
-    result is deterministic in both engines."""
+    result is deterministic in both engines. Money sums accumulate as
+    exact DECIMAL and round in decimal on BOTH sides (the r9 money-sum
+    lesson) — the r10 sampled sf10 sweep caught this query's double
+    random-walk error crossing the 2-dp rounding unit at a 10 M-row
+    window partition (0.04 at ~6.4e10)."""
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
     w = (
@@ -2266,7 +2270,9 @@ def q72(spark, sf_dir):
         "l_returnflag",
         "l_linestatus",
         "l_quantity",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("roll_sum"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).over(w), 2)
+        .cast("double")
+        .alias("roll_sum"),
     )
 
 
