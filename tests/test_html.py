@@ -218,3 +218,53 @@ def test_html_to_text_plan_is_map_only(spark):
     plan = html_to_text(df, content_type_col="http_content_type")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_template_inversion_property():
+    """The q213 contract as a property: for ANY text, wrapping in the
+    page template (entity-escaped body, nav/footer link boilerplate)
+    and extracting must return the whitespace-normalized original."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ws = re.compile(r"\s+")
+
+    def template(text):
+        esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        return (
+            "<html><head><title>T</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            f"<p>{esc}</p>"
+            '<footer><a href="/terms">Terms</a></footer></body></html>'
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), exclude_characters="\x00"
+            ),
+            max_size=400,
+        )
+    )
+    def check(text):
+        got = extract_text(template(text))["text"]
+        assert got == ws.sub(" ", text).strip()
+
+    check()
+
+
+def test_hostile_markup_never_raises():
+    # deep nesting, unterminated everything, binary soup
+    cases = [
+        "<div>" * 5000 + "x" + "</div>" * 5000,
+        "<p" + "a" * 100000,
+        "<!--" + "x" * 50000,
+        "&#xFFFFFFF;&bogus;&;<>" * 100,
+        "\x00\x01\x02<script>" + "y" * 10000,  # unterminated script
+    ]
+    for html in cases:
+        info = extract_text(html)
+        assert isinstance(info["text"], str)
