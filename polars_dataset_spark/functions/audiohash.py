@@ -167,3 +167,85 @@ def audio_neardup_pairs(
         hashed, id_col=id_col, sig_col="audiohash", max_hamming=max_hamming
     )
     return _swap_cache(pairs, hashed)
+
+
+class AudioNeardupIndex:
+    """Persisted banded signature index of a STATIC audio corpus — the
+    audio member of the arriving-vs-corpus dedup family (text:
+    ``NeardupIndex``, image: ``ImageNeardupIndex``). ``banded`` is
+    |corpus| * (max_hamming + 1) rows of ``(chunk int, key long,
+    __csig long)``; at crawl scale write it to parquet bucketed by
+    ``(chunk, key)`` and the per-batch probe join is exchange-free on
+    the corpus side."""
+
+    def __init__(self, banded: DataFrame, max_hamming: int):
+        self.banded = banded
+        self.max_hamming = max_hamming
+
+    def unpersist(self) -> None:
+        self.banded.unpersist(blocking=False)
+
+
+def build_audio_index(
+    corpus: DataFrame, content_col: str = "content", max_hamming: int = 3
+) -> AudioNeardupIndex:
+    """Fingerprint + band a static audio corpus ONCE (decode is the
+    dominant cost — it runs exactly one time here), persisted for
+    repeated probes."""
+    from polars_dataset_spark.functions.dedup import band_key_structs
+
+    hashed = (
+        audio_fingerprint(corpus.select(content_col), content_col=content_col)
+        .filter(F.col("audiohash").isNotNull())
+        .select(F.col("audiohash").alias("__csig"))
+        .distinct()
+    )
+    banded = (
+        hashed.select(
+            "__csig",
+            F.explode(F.array(*band_key_structs("__csig", max_hamming))).alias("bk"),
+        )
+        .select("bk.chunk", "bk.key", "__csig")
+        .persist()
+    )
+    banded.count()
+    return AudioNeardupIndex(banded, max_hamming)
+
+
+def audio_filter_against(
+    batch: DataFrame,
+    index: AudioNeardupIndex,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Drop every batch recording within ``index.max_hamming`` bits of
+    ANY corpus recording (pigeonhole recall 1): re-encoded / resampled /
+    gain-shifted copies of corpus audio never reach the sink. Batch
+    rows that fail to decode (or are shorter than the fingerprint
+    minimum) are KEPT — not evidence of duplication. Cost per batch:
+    one map-only decode pass + one band equi-join against the
+    persisted index."""
+    from polars_dataset_spark.functions.dedup import band_key_structs
+
+    hashed = audio_fingerprint(
+        batch.select(id_col, content_col), content_col=content_col, out_col="__sig"
+    ).select(id_col, "__sig")
+    probes = (
+        hashed.filter("__sig IS NOT NULL")
+        .select(
+            id_col,
+            "__sig",
+            F.explode(
+                F.array(*band_key_structs("__sig", index.max_hamming))
+            ).alias("bk"),
+        )
+        .select(id_col, "__sig", "bk.chunk", "bk.key")
+    )
+    ham = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__csig")))
+    dupes = (
+        probes.join(index.banded, on=["chunk", "key"])
+        .filter(ham <= index.max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(dupes, on=id_col, how="left_anti")

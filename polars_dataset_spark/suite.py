@@ -9032,6 +9032,54 @@ def q212(spark, sf_dir):
     return audio_neardup_pairs(df, max_hamming=3).select("id_a", "id_b", "hamming")
 
 
+@query(
+    "q214_audio_index_filter",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind
+    FROM (VALUES
+      (12, 'novel'), (13, 'tooshort'), (14, 'junk')
+    ) AS t(media_id, kind)
+    """,
+)
+def q214(spark, sf_dir):
+    """Arriving-vs-corpus audio dedup (audiohash.build_audio_index /
+    audio_filter_against) — completes the static-index family across
+    modalities (text q141, image q209, audio here): the corpus is
+    decoded + fingerprinted ONCE into a persisted banded index; each
+    arriving batch pays one map-only decode pass and one band
+    equi-join. Fixtures: a FLAC re-encode of corpus recording A and a
+    44.1 kHz copy of corpus recording B must DROP (re-encode exact,
+    resample via the relative-floor rule); a novel recording, a
+    too-short-to-fingerprint clip, and an undecodable blob are KEPT
+    (absence of evidence is not duplication). Contract oracle: the
+    exact surviving-id table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import audio_filter_against, build_audio_index
+    from polars_dataset_spark.functions.aiff import encode_aiff
+    from polars_dataset_spark.functions.flac import encode_flac
+
+    sig_a = _audio_rich_fixture(8000)
+    sig_b = _audio_rich_fixture(8000, base=550.0)
+    ints_a = (sig_a * 32768.0).clip(-32768, 32767).astype("int64")
+    corpus = spark.createDataFrame(
+        [(0, bytearray(_pcm_wav_fixture(sig_a, 8000))),
+         (1, bytearray(_pcm_wav_fixture(sig_b, 8000)))],
+        "media_id long, content binary",
+    )
+    idx = build_audio_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, "reencode", bytearray(encode_flac(ints_a, rate=8000))),
+            (11, "resample", bytearray(_pcm_wav_fixture(_audio_rich_fixture(44100, base=550.0), 44100))),
+            (12, "novel", bytearray(_pcm_wav_fixture(_audio_rich_fixture(8000, base=770.0), 8000))),
+            (13, "tooshort", bytearray(encode_aiff(ints_a[:400], 8000))),
+            (14, "junk", bytearray(b"not audio")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    return audio_filter_against(batch, idx).select("media_id", "kind")
+
+
 # q213: every document wrapped in an HTML page template — the escape
 # chain and template are ANSI SQL shared VERBATIM by the Spark side
 # (F.expr) and the DuckDB oracle, so the extractor's inverse (strip

@@ -122,3 +122,36 @@ def test_audio_fingerprint_nulls(spark):
     )
     out = {r.media_id: r.audiohash for r in audio_fingerprint(df).collect()}
     assert out[0] is None and out[1] is None
+
+
+def test_audio_index_filter_against(spark):
+    """Arriving-vs-corpus audio dedup: re-encoded and resampled copies
+    of corpus recordings drop; novel recordings, undecodable blobs, and
+    too-short clips are KEPT."""
+    from polars_dataset_spark.functions.aiff import encode_aiff
+    from polars_dataset_spark.functions.audiohash import (
+        audio_filter_against,
+        build_audio_index,
+    )
+    from polars_dataset_spark.functions.flac import encode_flac
+
+    sig_a = _rich(8000)
+    sig_b = _rich(8000, base=550.0)
+    corpus = spark.createDataFrame(
+        [(0, bytearray(_wav(sig_a, 8000))), (1, bytearray(_wav(sig_b, 8000)))],
+        "media_id long, content binary",
+    )
+    idx = build_audio_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, bytearray(encode_flac(_ints(sig_a), rate=8000))),   # re-encode of corpus a: drop
+            (11, bytearray(_wav(_rich(44100, base=550.0), 44100))),  # 44.1k copy of corpus b: drop
+            (12, bytearray(_wav(_rich(8000, base=770.0), 8000))),    # novel recording: keep
+            (13, bytearray(encode_aiff(_ints(sig_a[:400]), 8000))),  # too short to hash: keep
+            (14, bytearray(b"junk")),                                # undecodable: keep
+        ],
+        "media_id long, content binary",
+    )
+    kept = sorted(r.media_id for r in audio_filter_against(batch, idx).collect())
+    idx.unpersist()
+    assert kept == [12, 13, 14]
