@@ -334,3 +334,124 @@ def warc_text_corpus(
         content_type_col="http_content_type",
         drop_boilerplate=drop_boilerplate,
     ).select("target_uri", "warc_date", "charset", "title", "text")
+
+
+class _LinkExtractor(HTMLParser):
+    """href collector: <a href> in document order, <base href> honored,
+    links inside script/template subtrees ignored (same skip set as
+    text extraction)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: "list[str]" = []
+        self.base: "str | None" = None
+        self._skip = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "base" and self.base is None:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.base = v.strip()
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v.strip())
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+
+
+_FETCHABLE_SCHEMES = ("http", "https")
+
+
+def extract_links(html: str, base_url: "str | None" = None) -> "list[str]":
+    """Outgoing fetchable links of one HTML document, resolved and in
+    document order (duplicates preserved — frontier dedup is
+    :func:`urls.canonicalize_url`'s job downstream). Resolution per
+    RFC 3986 via stdlib ``urljoin`` against the <base href> if present,
+    else ``base_url`` (the page's own URI). Non-fetchable schemes
+    (javascript:, mailto:, data:, tel:, ...) and unresolvable relatives
+    (no base at all) are dropped; fragments are stripped (a fragment
+    names a position, not a resource)."""
+    from urllib.parse import urldefrag, urljoin, urlsplit
+
+    parser = _LinkExtractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:  # noqa: BLE001 — tokenizer choked: keep what we have
+        pass
+    base = parser.base or base_url
+    if parser.base and base_url:
+        # a RELATIVE <base href> resolves against the page URI first
+        base = urljoin(base_url, parser.base)
+    out: "list[str]" = []
+    for href in parser.hrefs:
+        if not href or href.startswith("#"):
+            continue  # fragment-only: a position on THIS page, never a resource
+        scheme = urlsplit(href).scheme.lower()
+        if scheme and scheme not in _FETCHABLE_SCHEMES:
+            continue  # javascript:/mailto:/data:/tel:/...
+        resolved = urljoin(base, href) if base else href
+        resolved = urldefrag(resolved).url
+        if urlsplit(resolved).scheme.lower() in _FETCHABLE_SCHEMES and resolved:
+            out.append(resolved)
+    return out
+
+
+_LINK_FIELDS = [
+    T.StructField("link_idx", T.IntegerType()),
+    T.StructField("link_url", T.StringType()),
+]
+
+
+def html_links(
+    df: DataFrame,
+    body_col: str = "payload",
+    url_col: "str | None" = None,
+    content_type_col: "str | None" = None,
+) -> DataFrame:
+    """Explode each HTML body into its outgoing links — the crawl
+    FRONTIER stage: WARC pages in, (page columns, link_idx, link_url)
+    rows out, ready for ``canonicalize_url`` + frontier dedup. One
+    map-only Arrow pass (decode + parse per row, no shuffle); pages
+    with no links contribute zero rows; null bodies contribute zero
+    rows."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    carry = [f for f in df.schema.fields if f.name != body_col]
+    out_schema = T.StructType(carry + _LINK_FIELDS)
+
+    def link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = r[body_col]
+                if blob is None:
+                    continue
+                raw, _cs = decode_html(
+                    bytes(blob),
+                    None
+                    if content_type_col is None or r[content_type_col] is None
+                    else str(r[content_type_col]),
+                )
+                base = str(r[url_col]) if url_col and r[url_col] is not None else None
+                for i, link in enumerate(extract_links(raw, base)):
+                    base_row = {f.name: r[f.name] for f in carry}
+                    base_row["link_idx"] = i
+                    base_row["link_url"] = link
+                    rows.append(base_row)
+            out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            out["link_idx"] = pd.array(
+                out["link_idx"] if len(rows) else [], dtype="Int32"
+            )
+            yield out
+
+    return df.mapInPandas(link_batches, schema=out_schema)

@@ -9033,6 +9033,63 @@ def q212(spark, sf_dir):
 
 
 @query(
+    "q215_outlink_frontier",
+    """
+    SELECT CAST(page_id AS BIGINT) AS page_id,
+           CAST(link_idx AS INTEGER) AS link_idx, link_url, url_canon
+    FROM (VALUES
+      (0, 0, 'http://ex.com/sub/page.html', 'http://ex.com/sub/page.html'),
+      (0, 1, 'http://ex.com/abs',           'http://ex.com/abs'),
+      (0, 2, 'http://other.example/x',      'http://other.example/x'),
+      (0, 3, 'https://full.example/y',      'https://full.example/y'),
+      (1, 0, 'http://site.example/one',     'http://site.example/one'),
+      (1, 1, 'https://Site.Example:443/two//x/?utm_source=s&b=2&a=1',
+             'https://site.example/two/x/?a=1&b=2')
+    ) AS t(page_id, link_idx, link_url, url_canon)
+    """,
+)
+def q215(spark, sf_dir):
+    """Crawl-frontier stage (html.html_links -> urls.canonicalize_url):
+    outgoing links of each fetched page, RFC 3986-resolved (<base href>
+    honored, relative <base> against the page URI, protocol-relative
+    inherits scheme, fragments stripped, javascript:/mailto:/fragment-
+    only and script-subtree anchors dropped), then canonicalized by the
+    q207 operator for frontier dedup. Both stages map-only (the q207
+    half is pure codegen); the explode is per-page within the row.
+    Fixtures: a <base>-bearing page exercising every resolution rule
+    and a page whose messy absolute link must canonicalize (case,
+    default port, slash runs, utm strip, param sort). Contract oracle:
+    literal expected table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import canonicalize_url, html_links
+
+    p0 = (
+        '<html><head><base href="/sub/"></head><body>'
+        '<a href="page.html">rel</a><a href="/abs">abs</a>'
+        '<a href="//other.example/x">pr</a>'
+        '<a href="https://full.example/y#frag">full</a>'
+        '<a href="javascript:void(0)">js</a><a href="#top">frag</a>'
+        '<script>document.write(\'<a href="/ghost">skip</a>\')</script>'
+        "</body></html>"
+    ).encode()
+    p1 = (
+        '<a href="/one">1</a>'
+        '<a href="HTTPS://Site.Example:443/two//x/?utm_source=s&amp;b=2&amp;a=1#f">2</a>'
+        '<a href="mailto:x@y.z">m</a>'
+    ).encode()
+    rows = [
+        (0, "http://ex.com/dir/p.html", bytearray(p0)),
+        (1, "http://site.example/a/b.html", bytearray(p1)),
+        (2, "http://empty.example/", bytearray(b"<p>no links</p>")),
+    ]
+    df = spark.createDataFrame(rows, "page_id long, url string, payload binary")
+    links = html_links(df, url_col="url")
+    return canonicalize_url(links, url_col="link_url").select(
+        "page_id", "link_idx", "link_url", "url_canon"
+    )
+
+
+@query(
     "q214_audio_index_filter",
     """
     SELECT CAST(media_id AS BIGINT) AS media_id, kind

@@ -268,3 +268,64 @@ def test_hostile_markup_never_raises():
     for html in cases:
         info = extract_text(html)
         assert isinstance(info["text"], str)
+
+
+# ------------------------------------------------------ outlinks
+
+
+def test_extract_links_resolution_and_filtering():
+    from polars_dataset_spark.functions.html import extract_links
+
+    h = (
+        '<html><head><base href="/sub/"></head><body>'
+        '<a href="page.html">rel</a>'
+        '<a href="/abs">abs</a>'
+        '<a href="//other.example/x">proto-rel</a>'
+        '<a href="https://full.example/y#frag">full</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a href="#top">frag-only</a>'
+        '<script>document.write(\'<a href="/ghost">skip</a>\')</script>'
+        "</body></html>"
+    )
+    got = extract_links(h, "http://ex.com/dir/p.html")
+    assert got == [
+        "http://ex.com/sub/page.html",   # relative resolves against <base>
+        "http://ex.com/abs",
+        "http://other.example/x",        # protocol-relative inherits scheme
+        "https://full.example/y",        # fragment stripped
+    ]
+    # no base at all: relatives are unresolvable and dropped
+    assert extract_links('<a href="rel">x</a>', None) == []
+    assert extract_links('<a href="http://a.example/">x</a>', None) == [
+        "http://a.example/"
+    ]
+    # relative <base> resolves against the page URI first
+    got = extract_links(
+        '<head><base href="deep/"></head><a href="q">x</a>',
+        "http://ex.com/dir/p.html",
+    )
+    assert got == ["http://ex.com/dir/deep/q"]
+
+
+def test_html_links_operator_explodes(spark):
+    from polars_dataset_spark.functions.html import html_links
+
+    page = (
+        b'<a href="/one">1</a><a href="two.html">2</a>'
+        b'<a href="mailto:x@y.z">m</a>'
+    )
+    rows = [
+        (0, "http://site.example/a/b.html", bytearray(page)),
+        (1, "http://other.example/", bytearray(b"<p>no links</p>")),
+        (2, None, None),
+    ]
+    df = spark.createDataFrame(rows, "page_id long, url string, payload binary")
+    got = [
+        (r.page_id, r.link_idx, r.link_url)
+        for r in html_links(df, url_col="url").orderBy("page_id", "link_idx").collect()
+    ]
+    assert got == [
+        (0, 0, "http://site.example/one"),
+        (0, 1, "http://site.example/a/two.html"),
+    ]
