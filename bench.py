@@ -186,6 +186,30 @@ def _timed_loop() -> float:
     return (time.perf_counter() - t0) * 1000.0
 
 
+def _mc_task(_: int) -> float:
+    return _timed_loop()
+
+
+def _mc_calib(n: int = 16, reps: int = 3) -> float:
+    """Median per-task ms when ``n`` copies of the single-core loop run
+    SIMULTANEOUSLY in separate processes — the whole-VM multicore speed
+    probe. The r10 round proved the single-threaded calibration blind to
+    exactly the host state that matters: calib_py_loop_ms sat at ~50 ms
+    while 16-way suite wall swung 144 s -> 83 s between windows (whole-VM
+    throughput ~3x down with per-core speed unchanged). Separate
+    *processes*, not threads: a threaded python loop serializes on the
+    GIL and would measure nothing. min-of-reps of the per-rep median:
+    robust to a single straggler core and to transient noise."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    best = float("inf")
+    with ProcessPoolExecutor(max_workers=n) as pool:
+        for _ in range(reps):
+            res = sorted(pool.map(_mc_task, range(n)))
+            best = min(best, res[len(res) // 2])
+    return best
+
+
 def main() -> None:
     # Route the package's Python-side logs (e.g. Datafile.load's
     # deliberate missing-file warning in q163) to a file: with no
@@ -209,6 +233,10 @@ def main() -> None:
     calib_ms = min(
         _timed_loop() for _ in range(5)
     )  # min-of-5: best-case single-core ms, robust to host noise
+    # multicore probe BEFORE the JVM exists (cheap fork): per-task ms of
+    # the same loop run 16-way in separate processes. Healthy host =>
+    # ratio ~1 vs solo; the r10 degraded window would have shown ~3x.
+    calib_mc_ms = _mc_calib()
     # Concurrency: deep overlap. The r4-round VM's host speed
     # OSCILLATES (47-390 ms on the loop), the phase SHIFTS WITHIN a
     # run, and start-of-run calibration does not predict it (a 47 ms
@@ -323,6 +351,7 @@ def main() -> None:
     # mid-run (r4: 47-390 ms within one afternoon); min(start, end) is the
     # best-case speed seen around this run and the least-noisy divisor
     calib_end_ms = min(_timed_loop() for _ in range(5))
+    calib_mc_end_ms = _mc_calib()
     calib_ratio = min(calib_ms, calib_end_ms) / _CALIB_REF_MS
     summary = {
         "metric": "suite_total_wall_sec",
@@ -342,6 +371,19 @@ def main() -> None:
         # against runs from the r3-era fast boxes
         "calib_py_loop_ms": round(calib_ms, 1),
         "calib_py_loop_ms_end": round(calib_end_ms, 1),
+        # WHOLE-VM multicore speed: per-task ms of the same loop run
+        # 16-way in separate processes, probed at start AND end, and the
+        # WORST probe's ratio to the solo loop — a run is only a usable
+        # round-over-round signal when calib_mc_ratio is within ~10% of
+        # the comparison round's (healthy host ~1.0-1.3). The r10
+        # degraded-host window had solo calib UNCHANGED while whole-VM
+        # throughput was ~3x down (VERDICT r10 #1); the first r11 run
+        # caught the host degrading MID-RUN (start 61 ms, end 194 ms).
+        "calib_mc_per_task_ms": round(calib_mc_ms, 1),
+        "calib_mc_per_task_ms_end": round(calib_mc_end_ms, 1),
+        "calib_mc_ratio": round(
+            max(calib_mc_ms, calib_mc_end_ms) / min(calib_ms, calib_end_ms), 2
+        ),
         # wall scaled to the 90 ms reference box: the round-over-round
         # comparable number when the host speed differs between rounds
         "normalized_wall_sec": round(wall / calib_ratio, 3),

@@ -17,14 +17,19 @@ Algorithm (sign-of-band-energy-difference, the public Haitsma–Kalker
 1. decode -> mono (channel mean), linear-resample to 8 kHz — the rate
    normalization IS the resample invariance;
 2. Hann STFT (frame 256 = 32 ms, hop 128);
-3. 8 log-spaced frequency bands between 200 and 3200 Hz (9 edges) —
+3. 9 log-spaced frequency bands between 200 and 3200 Hz (10 edges) —
    inside any sensible source Nyquist, so band energies survive both
-   up- and down-sampled copies;
+   up- and down-sampled copies. ALL bits derive from inside this
+   design band: energy at/above 3200 Hz is masked off entirely, since
+   with plain linear-interp resampling that region differs between
+   low-rate and high-rate copies of the same recording and would erode
+   the Hamming budget for resampled duplicates (ADVICE r10);
 4. 8 equal TIME segments over the frames (duration-relative — a copy
    is a copy at any length unit), per-segment per-band mean energy;
-5. bit(t, b) = log E[t, b] > log E[t, b+1] — 8 x 8 = 64 sign bits.
-   Log-domain DIFFERENCES make the signature exactly invariant to
-   global gain (log cE1 - log cE2 = log E1 - log E2).
+5. bit(t, b) = log E[t, b] > log E[t, b+1] over the 8 ADJACENT
+   in-band diffs — 8 x 8 = 64 sign bits. Log-domain DIFFERENCES make
+   the signature exactly invariant to global gain
+   (log cE1 - log cE2 = log E1 - log E2).
 
 Too-short (< 0.15 s) or undecodable blobs fingerprint as null — not
 evidence of anything, never paired. Everything is one map-only Arrow
@@ -48,7 +53,7 @@ from pyspark.sql import types as T
 _TARGET_RATE = 8000
 _FRAME = 256
 _HOP = 128
-_N_BANDS = 8
+_N_BANDS = 9  # bands inside [200, 3200) Hz -> 8 adjacent diffs per segment
 _N_SEGS = 8
 _BAND_EDGES = np.geomspace(200.0, 3200.0, _N_BANDS + 1)
 # 8 time segments of STFT frames: need at least 8 frames of signal
@@ -81,18 +86,19 @@ def audiohash64(rate: int, frames: np.ndarray) -> "int | None":
     mags2 = np.abs(np.fft.rfft(mat * _WINDOW[None, :], axis=1)) ** 2
     freqs = np.fft.rfftfreq(_FRAME, d=1.0 / _TARGET_RATE)
     band_idx = np.searchsorted(_BAND_EDGES, freqs, side="right") - 1
-    # per-frame band energies (bands outside [0, _N_BANDS) masked off)
-    energies = np.zeros((n_frames, _N_BANDS + 1))
-    valid = (band_idx >= 0) & (band_idx <= _N_BANDS)
+    # per-frame band energies — ONLY the 9 in-band buckets accumulate;
+    # energy at/above 3200 Hz is masked off (ADVICE r10: the residual
+    # region differs between resampled copies under linear interp)
+    energies = np.zeros((n_frames, _N_BANDS))
+    valid = (band_idx >= 0) & (band_idx < _N_BANDS)
     np.add.at(
         energies,
         (np.arange(n_frames)[:, None].repeat(valid.sum(), 1), band_idx[valid][None, :]),
         mags2[:, valid],
     )
-    energies = energies[:, : _N_BANDS + 1]
     # 8 equal time segments (duration-relative), mean energy per band
     seg_of = np.minimum((np.arange(n_frames) * _N_SEGS) // n_frames, _N_SEGS - 1)
-    seg_energy = np.zeros((_N_SEGS, _N_BANDS + 1))
+    seg_energy = np.zeros((_N_SEGS, _N_BANDS))
     counts = np.bincount(seg_of, minlength=_N_SEGS)[:, None]
     np.add.at(seg_energy, seg_of, energies)
     seg_energy = seg_energy / np.maximum(counts, 1)
@@ -102,7 +108,7 @@ def audiohash64(rate: int, frames: np.ndarray) -> "int | None":
     # keeps RESAMPLED copies of tonal material within a few bits
     floor = 1e-3 * max(seg_energy.mean(), _EPS)
     seg_energy = np.log(np.maximum(seg_energy, floor))
-    bits = seg_energy[:, : _N_BANDS] > seg_energy[:, 1 : _N_BANDS + 1]
+    bits = seg_energy[:, :-1] > seg_energy[:, 1:]  # 8 adjacent in-band diffs
     word = np.uint64(0)
     for bit in bits.reshape(-1):
         word = np.uint64(word << np.uint64(1)) | np.uint64(bool(bit))

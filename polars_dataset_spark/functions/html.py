@@ -118,9 +118,14 @@ def decode_html(
 ) -> "tuple[str, str]":
     """(decoded text, charset used). BOM-aware, replace-on-error."""
     charset = resolve_charset(body, http_content_type)
-    if charset == "utf-16-le" or charset == "utf-16-be":
-        text = body[2:].decode(charset, "replace")  # strip the BOM
+    if charset == "utf-16-le" and body[:2] == b"\xff\xfe":
+        text = body[2:].decode(charset, "replace")  # strip the sniffed BOM
+    elif charset == "utf-16-be" and body[:2] == b"\xfe\xff":
+        text = body[2:].decode(charset, "replace")
     else:
+        # a utf-16 label can also arrive via the HTTP header / meta
+        # prescan with NO BOM present — stripping 2 bytes there would
+        # silently drop the first real character (ADVICE r10)
         text = body.decode(charset, "replace")
     return text, charset
 

