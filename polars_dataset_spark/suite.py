@@ -9124,6 +9124,143 @@ def q216(spark, sf_dir):
     return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")
 
 
+def _y4m_fixture(frames, colorspace: bytes = b"C420", fps: str = "25:1") -> bytes:
+    """YUV4MPEG2 bytes from (h, w) uint8 luma planes; chroma planes are
+    zeroed (the perceptual hash is luma-only by design)."""
+    import numpy as _np
+
+    h, w = frames[0].shape
+    head = b"YUV4MPEG2 W%d H%d F%s Ip A1:1 %s\n" % (
+        w, h, fps.encode(), colorspace,
+    )
+    chroma = {b"C420": (w // 2) * (h // 2) * 2, b"C444": 2 * w * h, b"Cmono": 0}[
+        colorspace
+    ]
+    out = [head]
+    for y in frames:
+        out.append(b"FRAME\n")
+        out.append(_np.asarray(y, dtype=_np.uint8).tobytes())
+        out.append(bytes(chroma))
+    return b"".join(out)
+
+
+def _video_clip_fixture(phase: float = 0.0, w: int = 64, h: int = 48, n: int = 16):
+    """A horizontally panning sine scene — continuous motion, the
+    hardest honest case for duration-relative time segmentation (a
+    static scene would make every temporal invariance trivially 0)."""
+    import numpy as _np
+
+    xx = _np.arange(w)[None, :]
+    frames = []
+    for t in range(n):
+        f = 128.0 + 100.0 * _np.sin(2 * _np.pi * (xx / w + t / n + phase))
+        frames.append(_np.clip(f + _np.zeros((h, 1)), 0, 255).astype(_np.uint8))
+    return frames
+
+
+@query(
+    "q217_video_neardup",
+    """
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INTEGER) AS hamming
+    FROM (VALUES
+      (0, 1, 0), (0, 2, 1), (0, 3, 4), (0, 4, 0),
+      (1, 2, 1), (1, 3, 4), (1, 4, 0),
+      (2, 3, 3), (2, 4, 1),
+      (3, 4, 4)
+    ) AS t(id_a, id_b, hamming)
+    """,
+)
+def q217(spark, sf_dir):
+    """Perceptual video near-dup (functions/videohash) — completes the
+    modality matrix (text q141/image q203/audio q212, VERDICT r10 #3):
+    a crawl's duplicate video is never byte-identical (the same clip
+    arrives at different resolutions, frame rates and chroma layouts),
+    so exact dedup is blind to it. 64-bit temporal signature: per-frame
+    8x9 luma thumbnails, 8 duration-relative time segments (the audio
+    hash's time axis), 8 adjacent-column sign diffs of each segment's
+    mean thumbnail (the image dHash's spatial bit rule) — then the SAME
+    pigeonhole Hamming banding (recall exactly 1, bit_count verify,
+    shuffle ∝ N·(k+1), never all-pairs). Fixtures: one panning clip
+    through a C444 chroma re-encode (hamming 0 — luma-only by
+    construction), a half-resolution rescale (1), a 2x frame-drop
+    retime (4 — the segment-boundary phase cost that motivates the
+    video family's max_hamming=4 budget), a +12 brightness shift (0);
+    a different clip sits 48+ bits away, and too-short (7 frames) /
+    undecodable blobs hash null and pair with nothing. Decode runs once
+    per blob; map-only except the banded equi-join. Contract oracle:
+    the exact expected pair table."""
+    _prep(spark)
+    import numpy as np
+
+    from polars_dataset_spark.functions import video_neardup_pairs
+
+    A = _video_clip_fixture()
+    B = _video_clip_fixture(phase=0.37)
+    rows = [
+        (0, bytearray(_y4m_fixture(A))),
+        (1, bytearray(_y4m_fixture(A, colorspace=b"C444"))),
+        (2, bytearray(_y4m_fixture([f[::2, ::2] for f in A]))),
+        (3, bytearray(_y4m_fixture(A[::2], fps="25:2"))),
+        (4, bytearray(_y4m_fixture(
+            [np.clip(f.astype(int) + 12, 0, 255).astype(np.uint8) for f in A]
+        ))),
+        (5, bytearray(_y4m_fixture(B))),
+        (6, bytearray(_y4m_fixture(A[:7]))),
+        (7, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return video_neardup_pairs(df).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("int"),
+    )
+
+
+@query(
+    "q219_video_index_filter",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind
+    FROM (VALUES
+      (12, 'novel'), (13, 'tooshort'), (14, 'junk')
+    ) AS t(media_id, kind)
+    """,
+)
+def q219(spark, sf_dir):
+    """Arriving-vs-corpus video dedup (videohash.build_video_index /
+    video_filter_against) — closes the static-index family across ALL
+    four modalities (text q141, image q209, audio q214, video here):
+    the corpus is decoded + fingerprinted ONCE into a persisted banded
+    index; each arriving batch pays one map-only decode pass and one
+    band equi-join. Fixtures: a half-resolution rescale of corpus clip
+    A and a 2x frame-drop retime of corpus clip B must DROP (inside
+    the max_hamming=4 budget); a novel clip, a too-short-to-fingerprint
+    clip, and an undecodable blob are KEPT (absence of evidence is not
+    duplication). Contract oracle: the exact surviving-id table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import build_video_index, video_filter_against
+
+    A = _video_clip_fixture()
+    B = _video_clip_fixture(phase=0.61)
+    corpus = spark.createDataFrame(
+        [(0, bytearray(_y4m_fixture(A))), (1, bytearray(_y4m_fixture(B)))],
+        "media_id long, content binary",
+    )
+    idx = build_video_index(corpus)
+    novel = _video_clip_fixture(phase=0.23)
+    batch = spark.createDataFrame(
+        [
+            (10, "rescale", bytearray(_y4m_fixture([f[::2, ::2] for f in A]))),
+            (11, "retime", bytearray(_y4m_fixture(B[::2], fps="25:2"))),
+            (12, "novel", bytearray(_y4m_fixture(novel))),
+            (13, "tooshort", bytearray(_y4m_fixture(A[:7]))),
+            (14, "junk", bytearray(b"not a video")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    return video_filter_against(batch, idx).select("media_id", "kind")
+
+
 def _audio_rich_fixture(rate: int, base: float = 330.0, secs: float = 0.6):
     """Harmonic-rich AM-modulated float frames (n, 1) — the broadband
     signal class the perceptual hash targets (pure tones are the
@@ -9170,9 +9307,10 @@ def q212(spark, sf_dir):
     of image dHash (q203) — a crawl's duplicate recordings are never
     byte-identical (same master arrives as 8 kHz WAV here, FLAC there,
     44.1 kHz somewhere else), so exact dedup is blind to them. 64-bit
-    Haitsma–Kalker-style sign-of-band-energy hash (8 log bands
-    200–3200 Hz x 8 duration-relative time segments over a Hann STFT at
-    a normalized 8 kHz), then the SAME pigeonhole Hamming banding as
+    Haitsma–Kalker-style sign-of-band-energy hash (9 log bands inside
+    200–3200 Hz -> 8 adjacent diffs x 8 duration-relative time segments
+    over a Hann STFT at a normalized 8 kHz — all bits in-band, ADVICE
+    r10), then the SAME pigeonhole Hamming banding as
     SimHash/dHash (recall exactly 1, bit_count verify, shuffle
     ∝ N·(k+1), never all-pairs). Fixtures: one recording through three
     lossless containers (WAV/FLAC/AIFF — identical PCM must hash
