@@ -9217,6 +9217,132 @@ def q217(spark, sf_dir):
     )
 
 
+# q218: synthesized frontier — host and path CASE expressions shared
+# VERBATIM between the Spark side (F.expr) and the DuckDB oracle; the
+# oracle replays RFC 9309 longest-match precedence over a literal rule
+# table (rule_len*2 + allow-bit makes max() implement "longest wins,
+# Allow wins ties" in pure SQL)
+_Q218_HOST_EXPR = """
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'a.example' WHEN 1 THEN 'b.example' ELSE 'c.example' END
+"""
+_Q218_PATH_EXPR = """
+    CASE CAST(doc_id % 9 AS INT)
+      WHEN 0 THEN '/private/page'
+      WHEN 1 THEN '/private/public/x'
+      WHEN 2 THEN '/data/feed.json'
+      WHEN 3 THEN '/graft/secret'
+      WHEN 4 THEN '/gr/ok'
+      WHEN 5 THEN '/tmp/x'
+      WHEN 6 THEN '/tmp/ok/y'
+      WHEN 7 THEN '/search'
+      ELSE '/data/feed.jsonl'
+    END
+"""
+
+_Q218_ROBOTS_A = b"""\
+# site-wide politeness
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Disallow: /*.json$
+Crawl-delay: 2
+
+User-agent: graftbot
+Disallow: /graft/
+Allow: /gr
+Crawl-delay: 5
+"""
+_Q218_ROBOTS_B = b"""\
+User-agent: otherbot
+Disallow: /
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /search$
+Allow: /tmp/ok
+Disallow: /*.json$
+Crawl-delay: 1.5
+"""
+
+
+@query(
+    "q218_robots_frontier",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q218_HOST_EXPR} AS host, {_Q218_PATH_EXPR} AS path
+      FROM documents
+    ),
+    rules(rhost, rx, rule_len, allow, delay) AS (VALUES
+      ('a.example', '^/graft/',    7, false, 5.0),
+      ('a.example', '^/gr',        3, true,  5.0),
+      ('b.example', '^/tmp/',      5, false, 1.5),
+      ('b.example', '^/search$',   8, false, 1.5),
+      ('b.example', '^/tmp/ok',    7, true,  1.5),
+      ('b.example', '^/.*\\.json$', 8, false, 1.5)
+    ),
+    m AS (
+      SELECT s.doc_id, s.host, s.path,
+             CASE WHEN regexp_matches(s.path, r.rx)
+                  THEN r.rule_len * 2 + CAST(r.allow AS INT) END AS matchkey,
+             r.delay, r.rhost IS NOT NULL AS has_robots
+      FROM src s LEFT JOIN rules r ON s.host = r.rhost
+    ),
+    agg AS (
+      SELECT doc_id, host, path,
+             max(matchkey) AS bestkey,
+             max(delay) AS delay,
+             bool_or(has_robots) AS has_robots
+      FROM m GROUP BY doc_id, host, path
+    )
+    SELECT doc_id, 'http://' || host || path AS url,
+           CAST(CASE WHEN bestkey IS NULL THEN true
+                     ELSE bestkey % 2 = 1 END AS BOOLEAN) AS allowed,
+           CAST(CASE WHEN has_robots THEN delay END AS DOUBLE) AS crawl_delay
+    FROM agg
+    """,
+)
+def q218(spark, sf_dir):
+    """robots.txt politeness filter (functions/robots — RFC 9309,
+    VERDICT r10 #4): the stage every crawler runs between the outlink
+    frontier (q215) and fetch. The Spark side parses two REAL robots
+    files with the stdlib parser — group selection picks the
+    'graftbot' group on a.example (NOT the * group: groups don't
+    merge) and falls back to * on b.example past the otherbot group;
+    rules compile to portable regexes ONCE per host (map-only Arrow
+    pass), collapse to per-host rule arrays, broadcast, and
+    longest-match precedence (Allow wins ties) evaluates per link row
+    with higher-order array functions — ZERO exchanges on the frontier
+    side. c.example has no robots file: allowed, NULL crawl_delay.
+    Paths exercise wildcard+anchor (/*.json$ hits .json, misses
+    .jsonl), nested allow-under-disallow (/tmp/ok under /tmp/), exact
+    $ anchoring (/search), and prefix overlap (/gr allows, /graft/
+    disallows — longer wins). FULL value oracle: the host/path CASEs
+    are shared verbatim and the oracle replays precedence over the
+    literal rule table, so every row is value-checked at every SF."""
+    _prep(spark)
+    from polars_dataset_spark.functions import frontier_filter, robots_rules
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.expr(_Q218_HOST_EXPR), F.expr(_Q218_PATH_EXPR)
+        ).alias("url"),
+    )
+    robots_df = spark.createDataFrame(
+        [
+            ("a.example", bytearray(_Q218_ROBOTS_A)),
+            ("b.example", bytearray(_Q218_ROBOTS_B)),
+        ],
+        "host string, robots_txt binary",
+    )
+    rules = robots_rules(robots_df, user_agent="graftbot")
+    out = frontier_filter(docs, rules, url_col="url", keep_disallowed=True)
+    return out.select(
+        "doc_id", "url", "allowed", F.col("crawl_delay").cast("double")
+    )
+
+
 @query(
     "q219_video_index_filter",
     """
