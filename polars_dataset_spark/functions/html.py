@@ -24,14 +24,24 @@ pipeline needs exactly three things between them:
    tags transparent. ``html.parser`` is a tolerant non-validating
    tokenizer — unclosed tags and attribute soup degrade, never raise.
 
-3. **Boilerplate pruning** (jusText-flavoured local rules, applied
-   per block when ``drop_boilerplate=True``): a block is chrome, not
-   content, when its *link density* (fraction of characters inside
-   ``<a>``) is >= 0.5 — nav bars, footers, "related links" — or when
-   it is a <=2-word fragment that contains a link. Rules are local to
-   the block (no neighbour context), so extraction stays a pure
-   per-row map and the same page always yields the same text at any
-   partitioning.
+3. **Boilerplate pruning**, two classifiers behind ``mode=`` (r11,
+   VERDICT r10 #5):
+
+   - ``"link"`` (default, jusText-flavoured local rules): a block is
+     chrome when its *link density* (fraction of characters inside
+     ``<a>``) is >= 0.5 — nav bars, footers, "related links" — or it
+     is a <=2-word fragment that contains a link. Local to the block,
+     never drops link-free text.
+   - ``"density"``: Boilerpipe's published NumWordsRules decision
+     tree (Kohlschütter et al., WSDM 2010) over (prev, curr, next)
+     block word counts + link densities — catches link-FREE chrome
+     (breadcrumbs, taglines, copyright fragments) the link rules
+     structurally cannot, at the documented cost of also dropping
+     genuine content shorter than ~17 words between sparse blocks.
+
+   Both stay local to the DOCUMENT (neighbour context only within the
+   row), so extraction is a pure per-row map and the same page always
+   yields the same text at any partitioning.
 
 Spark surface: :func:`html_to_text` — one map-only Arrow pass
 (`mapInPandas`), appending ``text`` / ``title`` / ``charset`` columns;
@@ -227,36 +237,95 @@ def _is_boilerplate(block: _Block, text: str) -> bool:
     return n_words <= 2 and block.link_chars > 0
 
 
-def extract_text(html: str, drop_boilerplate: bool = True) -> "dict":
+class _Feat:
+    """Per-block features for the sequence classifier."""
+
+    __slots__ = ("n_words", "link_density")
+
+    def __init__(self, n_words: int = 0, link_density: float = 0.0) -> None:
+        self.n_words = n_words
+        self.link_density = link_density
+
+
+_EMPTY_FEAT = _Feat()
+
+
+def _numwords_boilerplate(prev: _Feat, curr: _Feat, nxt: _Feat) -> bool:
+    """Boilerpipe's NumWordsRules classifier (Kohlschütter, Fankhauser,
+    Nejdl — "Boilerplate Detection using Shallow Text Features", WSDM
+    2010; the decision tree published in the boilerpipe OSS): True =
+    boilerplate. Unlike the local link-ratio rules it uses the
+    NEIGHBOR blocks' word counts, so link-FREE fragments (breadcrumbs,
+    taglines, copyright lines) sitting between other sparse blocks are
+    caught — the class the link rules structurally cannot see."""
+    if curr.link_density > 0.333333:
+        return True
+    if prev.link_density <= 0.555556:
+        if curr.n_words <= 16:
+            if nxt.n_words <= 15:
+                return prev.n_words <= 4
+            return False
+        return False
+    if curr.n_words <= 40:
+        return nxt.n_words <= 17
+    return False
+
+
+def extract_text(
+    html: str, drop_boilerplate: bool = True, mode: str = "link"
+) -> "dict":
     """Markup-stripped text of one HTML document.
 
     Returns ``{text, title, n_blocks, n_dropped}``: ``text`` is kept
     blocks joined by newlines, ``title`` the <title> content (None when
     absent), ``n_blocks`` the non-empty block count before pruning,
-    ``n_dropped`` how many of those the boilerplate rules removed."""
+    ``n_dropped`` how many of those the boilerplate rules removed.
+
+    ``mode`` picks the boilerplate classifier (ignored when
+    ``drop_boilerplate=False``):
+
+    - ``"link"`` (default): local link-density rules — a block is
+      chrome when >= 50% of its characters sit inside <a>, or it is a
+      <= 2-word fragment containing a link. Local to the block, keeps
+      every link-free fragment: the safe choice when short genuine
+      content must survive (the q213 template contract).
+    - ``"density"``: the Boilerpipe NumWordsRules sequence classifier
+      (WSDM 2010) over (prev, curr, next) word counts + link
+      densities. Catches link-FREE boilerplate fragments the link
+      rules keep (breadcrumbs, taglines); its published tree also
+      drops genuine content shorter than ~17 words between sparse
+      neighbors — use for prose-page corpora, not snippet pages."""
+    if mode not in ("link", "density"):
+        raise ValueError(f"extract_text: unknown mode {mode!r}")
     parser = _TextExtractor()
     try:
         parser.feed(html)
         parser.close()
     except Exception:  # noqa: BLE001 — tokenizer blew up mid-document:
         pass  # keep whatever was collected before the bad byte run
-    kept: "list[str]" = []
-    n_blocks = n_dropped = 0
-    for block in parser.blocks:
-        text = block.text()
-        if not text:
-            continue
-        n_blocks += 1
-        if drop_boilerplate and _is_boilerplate(block, text):
-            n_dropped += 1
-            continue
-        kept.append(text)
+    blocks: "list[tuple[_Block, str]]" = [
+        (b, t) for b in parser.blocks if (t := b.text())
+    ]
+    n_blocks = len(blocks)
+    drop = [False] * n_blocks
+    if drop_boilerplate and mode == "link":
+        drop = [_is_boilerplate(b, t) for b, t in blocks]
+    elif drop_boilerplate:
+        feats = [
+            _Feat(len(t.split()), (b.link_chars / b.chars) if b.chars else 0.0)
+            for b, t in blocks
+        ]
+        for i in range(n_blocks):
+            prev = feats[i - 1] if i > 0 else _EMPTY_FEAT
+            nxt = feats[i + 1] if i + 1 < n_blocks else _EMPTY_FEAT
+            drop[i] = _numwords_boilerplate(prev, feats[i], nxt)
+    kept = [t for (b, t), d in zip(blocks, drop) if not d]
     title = _WS_RE.sub(" ", "".join(parser.title_parts)).strip() or None
     return {
         "text": "\n".join(kept),
         "title": title,
         "n_blocks": n_blocks,
-        "n_dropped": n_dropped,
+        "n_dropped": sum(drop),
     }
 
 
@@ -272,13 +341,17 @@ def html_to_text(
     body_col: str = "payload",
     content_type_col: "str | None" = None,
     drop_boilerplate: bool = True,
+    boilerplate_mode: str = "link",
 ) -> DataFrame:
     """Append ``text`` / ``title`` / ``charset`` columns extracted from
     a binary HTML body column — one map-only Arrow pass (no shuffle;
     linear in input bytes; safe under any partitioning because every
     rule is local to the row). Null bodies yield null fields. Filter to
     HTML rows upstream (``http_content_type LIKE 'text/html%'``) — the
-    extractor decodes whatever it is fed."""
+    extractor decodes whatever it is fed. ``boilerplate_mode`` selects
+    the classifier (see :func:`extract_text`): ``"link"`` (local
+    link-density rules, the safe default) or ``"density"`` (Boilerpipe
+    NumWordsRules — catches link-free chrome, for prose corpora)."""
     from polars_dataset_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -301,7 +374,9 @@ def html_to_text(
                 raw, charset = decode_html(
                     bytes(blob), None if ctype is None else str(ctype)
                 )
-                info = extract_text(raw, drop_boilerplate=drop_boilerplate)
+                info = extract_text(
+                    raw, drop_boilerplate=drop_boilerplate, mode=boilerplate_mode
+                )
                 texts.append(info["text"])
                 titles.append(info["title"])
                 charsets.append(charset)
@@ -318,6 +393,7 @@ def warc_text_corpus(
     df: DataFrame,
     content_col: str = "content",
     drop_boilerplate: bool = True,
+    boilerplate_mode: str = "link",
 ) -> DataFrame:
     """WARC blobs -> text corpus in one composition: explode records,
     keep 200-status ``text/html`` responses, extract. Output columns:
@@ -338,6 +414,7 @@ def warc_text_corpus(
         body_col="payload",
         content_type_col="http_content_type",
         drop_boilerplate=drop_boilerplate,
+        boilerplate_mode=boilerplate_mode,
     ).select("target_uri", "warc_date", "charset", "title", "text")
 
 

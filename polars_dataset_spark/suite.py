@@ -9699,6 +9699,80 @@ def q210(spark, sf_dir):
     return warc_text_corpus(df).select("target_uri", "charset", "title", "text")
 
 
+@query(
+    "q220_density_boilerplate",
+    """
+    SELECT CAST(page_id AS BIGINT) AS page_id, mode, text
+    FROM (VALUES
+      (0, 'link', 'Home » Products' || chr(10) || 'Your trusted source'
+          || chr(10) || 'Sign up now today'
+          || chr(10) || 'Seventeen sturdy words of genuine article prose '
+          || 'stretch this paragraph well past every word threshold the '
+          || 'published tree checks against.'),
+      (0, 'density', 'Sign up now today'
+          || chr(10) || 'Seventeen sturdy words of genuine article prose '
+          || 'stretch this paragraph well past every word threshold the '
+          || 'published tree checks against.'),
+      (1, 'link', 'Forty plus words of body prose follow here so the '
+          || 'second page article survives both classifiers: the published '
+          || 'tree keeps any block longer than forty words even when it '
+          || 'directly follows link dense navigation chrome and nothing at '
+          || 'all comes after it.'),
+      (1, 'density', 'Forty plus words of body prose follow here so the '
+          || 'second page article survives both classifiers: the published '
+          || 'tree keeps any block longer than forty words even when it '
+          || 'directly follows link dense navigation chrome and nothing at '
+          || 'all comes after it.')
+    ) AS t(page_id, mode, text)
+    """,
+)
+def q220(spark, sf_dir):
+    """Boilerplate classifier comparison (html.extract_text mode=, r11
+    — VERDICT r10 #5): the SAME pages through both classifiers. Page 0
+    carries link-FREE chrome (breadcrumb, tagline) that the local
+    link-ratio rules keep by construction and Boilerpipe's published
+    NumWordsRules tree (WSDM 2010) drops via neighbor word counts; the
+    short CTA fragment directly before long content is KEPT by the
+    tree (its next-block branch) — pinned so the published tree's
+    exact behavior, including its known boundary case, is the
+    contract. Page 1 is a >40-word article after link-dense nav: the
+    nav drops in both modes, and the long block survives the tree's
+    prev-link-dense branch unconditionally.
+    One map-only Arrow pass per mode. Contract oracle: literal
+    expected text per (page, mode)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import html_to_text
+
+    p0 = (
+        "<html><body>"
+        "<div>Home » Products</div>"
+        "<div>Your trusted source</div>"
+        "<div>Sign up now today</div>"
+        "<p>Seventeen sturdy words of genuine article prose stretch this "
+        "paragraph well past every word threshold the published tree "
+        "checks against.</p>"
+        "</body></html>"
+    ).encode()
+    p1 = (
+        '<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<p>Forty plus words of body prose follow here so the second "
+        "page article survives both classifiers: the published tree keeps "
+        "any block longer than forty words even when it directly follows "
+        "link dense navigation chrome and nothing at all comes after "
+        "it.</p></body>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [(0, bytearray(p0)), (1, bytearray(p1))], "page_id long, payload binary"
+    )
+    both = None
+    for mode in ("link", "density"):
+        got = html_to_text(pages, boilerplate_mode=mode).select(
+            "page_id", F.lit(mode).alias("mode"), "text"
+        )
+        both = got if both is None else both.unionByName(got)
+    return both
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

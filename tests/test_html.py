@@ -256,6 +256,90 @@ def test_template_inversion_property():
     check()
 
 
+def test_density_mode_catches_linkfree_chrome_link_mode_misses():
+    """The page class that motivates the density mode (VERDICT r10 #5):
+    link-FREE fragments (breadcrumb, tagline) that the link-ratio rules
+    keep by construction, dropped by the NumWordsRules tree."""
+    content = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "further words of genuine article prose keep this single "
+        "paragraph comfortably above the sixteen word threshold."
+    )
+    html = (
+        "<html><body>"
+        "<div>Home » Products</div>"  # breadcrumb: link-free chrome
+        "<div>Your trusted source</div>"  # tagline: link-free chrome
+        "<div>Sign up for updates</div>"  # cta fragment (kept: the tree
+        # keeps any short block whose NEXT is long content — documented)
+        f"<p>{content}</p>"
+        "</body></html>"
+    )
+    link = extract_text(html, mode="link")
+    dens = extract_text(html, mode="density")
+    assert "Home » Products" in link["text"]  # link rules can't see it
+    assert "Home » Products" not in dens["text"]
+    assert "Your trusted source" not in dens["text"]
+    assert content in link["text"] and content in dens["text"]
+    assert dens["n_dropped"] == 2 and link["n_dropped"] == 0
+
+
+def test_density_mode_still_drops_link_dense_nav():
+    html = (
+        '<body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<p>" + "word " * 45 + "</p></body>"
+    )
+    dens = extract_text(html, mode="density")
+    assert "Home" not in dens["text"] and "word" in dens["text"]
+
+
+def test_extract_text_unknown_mode_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        extract_text("<p>x</p>", mode="bogus")
+
+
+def test_template_inversion_property_density_mode():
+    """Template inversion for the density classifier: content above
+    the published tree's 40-word threshold survives between link-dense
+    nav/footer blocks regardless of its characters (the tree's
+    prev-link-dense branch keeps curr > 40 words unconditionally)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ws = re.compile(r"\s+")
+
+    def template(text):
+        esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        return (
+            "<html><head><title>T</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            f"<p>{esc}</p>"
+            '<footer><a href="/terms">Terms</a></footer></body></html>'
+        )
+
+    word = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+            exclude_characters="\x00",
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(word, min_size=41, max_size=80))
+    def check(words):
+        text = " ".join(words)
+        got = extract_text(template(text), mode="density")["text"]
+        assert got == ws.sub(" ", text).strip()
+
+    check()
+
+
 def test_hostile_markup_never_raises():
     # deep nesting, unterminated everything, binary soup
     cases = [
