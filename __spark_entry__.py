@@ -52,30 +52,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # expires the entry on its own (ADVICE r6: the previous unconditional
 # list never expired and permanently ate ~17 rotation slots).
 #
-# Round 10 touched (all r8-era entries expired on their r9 green rows):
-# hamming_band_pairs generalized to any k via fold-remainder banding
-# (q38; keys bit-identical for divisor k), imagehash banding delegated
-# to the shared helper + image_filter_against split into hash/probe
-# halves + the index records orientation_normalize (q203/q209),
-# parse_exif tolerates 0xFF fill bytes (q204), probe_pdf scopes
-# /Encrypt to trailer/XRef dict windows (q205), and the graph family's
-# per-round fingerprint now folds the exact star test via
-# inclusion-exclusion + the pre_contract option landed
-# (q63/q64/q138/q162/q176 + q60's transitive path).
+# Round 11 touched (all r10-era entries expired on their r10 green
+# rows): pdf.py gained xref-stream + ObjStm inflation and the
+# dict-close /Encrypt window (q205/q211); html.decode_html only strips
+# a utf-16 BOM that is actually present (q210/q213/q215 share the
+# decode path); audiohash rederived all 64 bits from inside the
+# 200-3200 Hz band — signature VALUES changed (q212/q214); extract_text
+# grew the mode= parameter (q210/q213 default path re-exercised).
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
-    "q38_simhash_dedup": 9,
-    "q60_clean_corpus": 9,
-    "q63_connected_components": 9,
-    "q64_dedup_components": 9,
-    "q138_cc_small_clusters": 9,
-    "q162_quality_keep_dedup": 9,
-    "q176_leakage_safe_split": 9,
-    "q203_image_neardup": 9,
-    "q204_exif_probe": 9,
-    "q205_pdf_probe": 9,
-    "q209_image_index_filter": 9,
+    "q205_pdf_probe": 10,
+    "q210_html_to_text": 10,
+    "q211_pdf_text": 10,
+    "q212_audio_neardup": 10,
+    "q213_html_corpus_scaled": 10,
+    "q214_audio_index_filter": 10,
+    "q215_outlink_frontier": 10,
 }
 
 
