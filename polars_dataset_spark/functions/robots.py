@@ -85,8 +85,10 @@ def parse_robots(text: str, user_agent: str = "*") -> "dict":
     (RFC 9309 §2.2.1: longest user-agent token that is a
     case-insensitive substring of the crawler's UA; ``*`` fallback).
     Returns ``{"rules": [(pattern, allow), ...], "crawl_delay":
-    float | None, "matched_ua": str | None}`` — rules in file order,
-    empty patterns dropped. Lines that parse as nothing are ignored
+    float | None, "matched_ua": str | None, "sitemaps": [url, ...]}``
+    — rules in file order, empty patterns dropped. ``Sitemap:`` lines
+    are GLOBAL (the sitemaps protocol: they apply to every crawler,
+    independent of group selection), collected in file order. Lines that parse as nothing are ignored
     (comments, unknown directives, blank lines), per the RFC's
     tolerance requirements."""
     ua = user_agent.lower()
@@ -96,6 +98,7 @@ def parse_robots(text: str, user_agent: str = "*") -> "dict":
     cur_rules: "list[tuple[str, bool]]" = []
     cur_delay: "float | None" = None
     in_group_body = False
+    sitemaps: "list[str]" = []
 
     def close() -> None:
         nonlocal cur_uas, cur_rules, cur_delay, in_group_body
@@ -119,6 +122,10 @@ def parse_robots(text: str, user_agent: str = "*") -> "dict":
             if value:
                 cur_rules.append((value, field == "allow"))
             # empty Disallow/Allow = no rule (explicit allow-all idiom)
+        elif field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue  # global line: does not open/belong to a group
         elif field == "crawl-delay":
             in_group_body = True
             try:
@@ -140,8 +147,14 @@ def parse_robots(text: str, user_agent: str = "*") -> "dict":
             elif tok and tok in ua and len(tok) > best_len:
                 best_len, best = len(tok), (rules, delay, tok)
     if best is None:
-        return {"rules": [], "crawl_delay": None, "matched_ua": None}
-    return {"rules": best[0], "crawl_delay": best[1], "matched_ua": best[2]}
+        return {
+            "rules": [], "crawl_delay": None, "matched_ua": None,
+            "sitemaps": sitemaps,
+        }
+    return {
+        "rules": best[0], "crawl_delay": best[1], "matched_ua": best[2],
+        "sitemaps": sitemaps,
+    }
 
 
 _RULE_FIELDS = [

@@ -9857,6 +9857,80 @@ def q221(spark, sf_dir):
     )
 
 
+@query(
+    "q222_sitemap_entries",
+    """
+    SELECT CAST(site_id AS BIGINT) AS site_id, kind,
+           CAST(entry_idx AS INTEGER) AS entry_idx, loc, lastmod,
+           changefreq, CAST(priority AS DOUBLE) AS priority
+    FROM (VALUES
+      (0, 'urlset', 0, 'https://a.example/',        '2026-08-01', 'daily',  0.9),
+      (0, 'urlset', 1, 'https://a.example/about',   NULL,         NULL,     NULL),
+      (0, 'urlset', 2, 'https://a.example/news',    '2026-08-15', 'hourly', 1.0),
+      (1, 'sitemapindex', 0, 'https://b.example/sm1.xml.gz', '2026-07-01', NULL, NULL),
+      (1, 'sitemapindex', 1, 'https://b.example/sm2.xml',    NULL,         NULL, NULL),
+      (2, 'urlset', 0, 'https://c.example/only',   NULL, NULL, 0.5),
+      (3, 'urlset', NULL, NULL, NULL, NULL, NULL),
+      (4, NULL, NULL, NULL, NULL, NULL, NULL)
+    ) AS t(site_id, kind, entry_idx, loc, lastmod, changefreq, priority)
+    """,
+)
+def q222(spark, sf_dir):
+    """Sitemap parsing (functions/sitemap — sitemaps.org protocol):
+    the crawl-SEEDING stage pairing with robots politeness (q218) and
+    the outlink frontier (q215) — robots.txt's global ``Sitemap:``
+    lines (parse_robots now returns them) point here. Handles
+    ``<urlset>`` seed pages with lastmod/changefreq/priority
+    scheduling hints, ``<sitemapindex>`` children, gzipped blobs
+    (sniffed), namespace tolerance (the c.example fixture omits the
+    xmlns entirely — local tag names decide), entries missing the
+    required ``<loc>`` skipped, an EMPTY urlset yielding one
+    null-entry row, and junk yielding a null-kind row (the q205 gate
+    rule). One map-only Arrow pass, stdlib gzip + ElementTree (no
+    external entity resolution), 50 MB protocol cap. Contract oracle:
+    literal expected table."""
+    _prep(spark)
+    import gzip as _gzip
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (
+        f"<?xml version='1.0' encoding='UTF-8'?><urlset {ns}>"
+        "<url><loc>https://a.example/</loc><lastmod>2026-08-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.9</priority></url>"
+        "<url><loc> https://a.example/about </loc></url>"
+        "<url><loc>https://a.example/news</loc><lastmod>2026-08-15</lastmod>"
+        "<changefreq>hourly</changefreq><priority>1.0</priority></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no <loc>: skipped
+        "</urlset>"
+    ).encode()
+    index = (
+        f"<sitemapindex {ns}>"
+        "<sitemap><loc>https://b.example/sm1.xml.gz</loc>"
+        "<lastmod>2026-07-01</lastmod></sitemap>"
+        "<sitemap><loc>https://b.example/sm2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    ).encode()
+    # no namespace at all + gzipped: both must still parse
+    bare = (
+        "<urlset><url><loc>https://c.example/only</loc>"
+        "<priority>0.5</priority></url></urlset>"
+    ).encode()
+    rows = [
+        (0, bytearray(urlset)),
+        (1, bytearray(index)),
+        (2, bytearray(_gzip.compress(bare, mtime=0))),
+        (3, bytearray(f"<urlset {ns}></urlset>".encode())),
+        (4, bytearray(b"not xml at all")),
+    ]
+    from polars_dataset_spark.functions import sitemap_entries
+
+    df = spark.createDataFrame(rows, "site_id long, content binary")
+    return sitemap_entries(df).select(
+        "site_id", "kind", "entry_idx", "loc", "lastmod", "changefreq",
+        F.col("priority").cast("double"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
