@@ -53,8 +53,21 @@ ADJUDICATED = {
     "q61_join_where": (
         "declared-quadratic exact SPARK baseline (the operator IS a "
         "theta join, same asymptotics as the reference's join_where; "
-        "BENCH_OFFSCALE rows); value-green at sf1 (r9 sweep) and at "
-        "/tmp/sf10q (r11) where the pair space is checker-sized"
+        "BENCH_OFFSCALE rows) — times out on the sf10q leg too (the "
+        "pair space itself is the cost); value-green at sf1 (r9 sweep)"
+    ),
+    "q130_fuzzy_join": (
+        "quadratic-ORACLE: the AllPairs prefix-filter pair CTE timed "
+        "out solo (560 s) even on the 1/8 sf10q subset; implementation "
+        "unchanged since its green sf0.1 row "
+        "(CORRECTNESS_SF01_r08.json)"
+    ),
+    "q141_neardup_vs_corpus": (
+        "quadratic-ORACLE: the exact cross-Jaccard anti-filter replay "
+        "timed out solo (560 s) on the 1/8 sf10q subset; "
+        "implementation unchanged since its green sf0.1 row "
+        "(CORRECTNESS_SF01_r08.json); the SPARK side's banded index is "
+        "additionally exercised at sf10s by q209/q214's family tests"
     ),
 }
 
