@@ -240,11 +240,19 @@ PHONE_RE = r"\b\d{3}-\d{4}\b"
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
 ) -> DataFrame:
-    """Regex PII scrub: emails → ``<EMAIL>``, IPv4 → ``<IP>``, short
-    phone forms → ``<PHONE>``, applied in that order (emails first so an
-    address's digits can't half-match the later patterns). Match counts
-    (``n_emails, n_ips, n_phones``) are taken on the ORIGINAL text.
-    Pure map-only codegen'd expressions — scan-speed at any scale."""
+    """Lightweight regex PII scrub (the q96 contract): emails →
+    ``<EMAIL>``, IPv4 → ``<IP>``, short phone forms → ``<PHONE>``,
+    applied in that order (emails first so an address's digits can't
+    half-match the later patterns). Match counts (``n_emails, n_ips,
+    n_phones``) are taken on the ORIGINAL text. Pure map-only
+    codegen'd expressions — scan-speed at any scale.
+
+    For production scrubbing prefer :mod:`functions.pii`
+    (``scrub_pii``/``with_pii_counts``, r11): five families with
+    octet-guarded IPv4, SSN invalid-prefix exclusion, card shapes,
+    international phones, and sequential attribution counts. This
+    simpler form is kept for the q96 oracle contract and as the
+    cheap screen when only the three classic families matter."""
     t = F.col(text_col)
     red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     red = F.regexp_replace(red, IPV4_RE, "<IP>")

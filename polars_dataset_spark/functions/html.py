@@ -419,15 +419,27 @@ def warc_text_corpus(
 
 
 class _LinkExtractor(HTMLParser):
-    """href collector: <a href> in document order, <base href> honored,
-    links inside script/template subtrees ignored (same skip set as
-    text extraction)."""
+    """href + anchor-text collector: <a href> in document order,
+    <base href> honored, links inside script/template subtrees ignored
+    (same skip set as text extraction). Anchor text is the character
+    data between the <a> and its </a> (inline children transparent),
+    whitespace-collapsed — the label the LINKING page gives the target,
+    the classic crawl-ranking / query-independent relevance signal."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.hrefs: "list[str]" = []
+        self.texts: "list[str]" = []
         self.base: "str | None" = None
         self._skip = 0
+        self._open: "int | None" = None  # index of the <a> being read
+        self._parts: "list[str]" = []
+
+    def _close_anchor(self) -> None:
+        if self._open is not None:
+            self.texts[self._open] = _WS_RE.sub(" ", "".join(self._parts)).strip()
+        self._open = None
+        self._parts = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
@@ -440,27 +452,45 @@ class _LinkExtractor(HTMLParser):
                 if k == "href" and v:
                     self.base = v.strip()
         elif tag == "a":
+            self._close_anchor()  # tolerate an unclosed previous <a>
             for k, v in attrs:
                 if k == "href" and v is not None:
                     self.hrefs.append(v.strip())
+                    self.texts.append("")
+                    self._open = len(self.hrefs) - 1
+                    break
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
+        elif tag == "a":
+            self._close_anchor()
+
+    def handle_data(self, data: str) -> None:
+        if self._open is not None and not self._skip and data:
+            self._parts.append(data)
+
+    def close(self) -> None:  # flush a trailing unclosed <a>
+        super().close()
+        self._close_anchor()
 
 
 _FETCHABLE_SCHEMES = ("http", "https")
 
 
-def extract_links(html: str, base_url: "str | None" = None) -> "list[str]":
-    """Outgoing fetchable links of one HTML document, resolved and in
-    document order (duplicates preserved — frontier dedup is
-    :func:`urls.canonicalize_url`'s job downstream). Resolution per
-    RFC 3986 via stdlib ``urljoin`` against the <base href> if present,
-    else ``base_url`` (the page's own URI). Non-fetchable schemes
-    (javascript:, mailto:, data:, tel:, ...) and unresolvable relatives
-    (no base at all) are dropped; fragments are stripped (a fragment
-    names a position, not a resource)."""
+def extract_links_with_text(
+    html: str, base_url: "str | None" = None
+) -> "list[tuple[str, str]]":
+    """Outgoing fetchable links of one HTML document as ``(url,
+    anchor_text)`` pairs, resolved and in document order (duplicates
+    preserved — frontier dedup is :func:`urls.canonicalize_url`'s job
+    downstream). Resolution per RFC 3986 via stdlib ``urljoin``
+    against the <base href> if present, else ``base_url`` (the page's
+    own URI). Non-fetchable schemes (javascript:, mailto:, data:,
+    tel:, ...) and unresolvable relatives (no base at all) are
+    dropped; fragments are stripped (a fragment names a position, not
+    a resource). Anchor text is whitespace-collapsed, '' when the
+    anchor wraps no text (image links)."""
     from urllib.parse import urldefrag, urljoin, urlsplit
 
     parser = _LinkExtractor()
@@ -468,13 +498,13 @@ def extract_links(html: str, base_url: "str | None" = None) -> "list[str]":
         parser.feed(html)
         parser.close()
     except Exception:  # noqa: BLE001 — tokenizer choked: keep what we have
-        pass
+        parser._close_anchor()
     base = parser.base or base_url
     if parser.base and base_url:
         # a RELATIVE <base href> resolves against the page URI first
         base = urljoin(base_url, parser.base)
-    out: "list[str]" = []
-    for href in parser.hrefs:
+    out: "list[tuple[str, str]]" = []
+    for href, text in zip(parser.hrefs, parser.texts):
         if not href or href.startswith("#"):
             continue  # fragment-only: a position on THIS page, never a resource
         scheme = urlsplit(href).scheme.lower()
@@ -483,14 +513,21 @@ def extract_links(html: str, base_url: "str | None" = None) -> "list[str]":
         resolved = urljoin(base, href) if base else href
         resolved = urldefrag(resolved).url
         if urlsplit(resolved).scheme.lower() in _FETCHABLE_SCHEMES and resolved:
-            out.append(resolved)
+            out.append((resolved, text))
     return out
+
+
+def extract_links(html: str, base_url: "str | None" = None) -> "list[str]":
+    """URL-only view of :func:`extract_links_with_text` (the q215
+    frontier contract)."""
+    return [u for u, _t in extract_links_with_text(html, base_url)]
 
 
 _LINK_FIELDS = [
     T.StructField("link_idx", T.IntegerType()),
     T.StructField("link_url", T.StringType()),
 ]
+_ANCHOR_FIELD = T.StructField("anchor_text", T.StringType())
 
 
 def html_links(
@@ -498,18 +535,23 @@ def html_links(
     body_col: str = "payload",
     url_col: "str | None" = None,
     content_type_col: "str | None" = None,
+    with_text: bool = False,
 ) -> DataFrame:
     """Explode each HTML body into its outgoing links — the crawl
-    FRONTIER stage: WARC pages in, (page columns, link_idx, link_url)
-    rows out, ready for ``canonicalize_url`` + frontier dedup. One
-    map-only Arrow pass (decode + parse per row, no shuffle); pages
-    with no links contribute zero rows; null bodies contribute zero
-    rows."""
+    FRONTIER stage: WARC pages in, (page columns, link_idx, link_url
+    [, anchor_text]) rows out, ready for ``canonicalize_url`` +
+    frontier dedup. ``with_text=True`` adds the whitespace-collapsed
+    anchor text (what the linking page calls the target — aggregate it
+    per canonical URL for the classic inlink/anchor relevance signal).
+    One map-only Arrow pass (decode + parse per row, no shuffle);
+    pages with no links contribute zero rows; null bodies contribute
+    zero rows."""
     from polars_dataset_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
     carry = [f for f in df.schema.fields if f.name != body_col]
-    out_schema = T.StructType(carry + _LINK_FIELDS)
+    fields = _LINK_FIELDS + ([_ANCHOR_FIELD] if with_text else [])
+    out_schema = T.StructType(carry + fields)
 
     def link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -525,10 +567,12 @@ def html_links(
                     else str(r[content_type_col]),
                 )
                 base = str(r[url_col]) if url_col and r[url_col] is not None else None
-                for i, link in enumerate(extract_links(raw, base)):
+                for i, (link, text) in enumerate(extract_links_with_text(raw, base)):
                     base_row = {f.name: r[f.name] for f in carry}
                     base_row["link_idx"] = i
                     base_row["link_url"] = link
+                    if with_text:
+                        base_row["anchor_text"] = text
                     rows.append(base_row)
             out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
             out["link_idx"] = pd.array(

@@ -36,6 +36,11 @@ contract. The same order must be used in any replay.
 Everything is pure codegen'd Column expressions over the scan — no
 UDF, no shuffle, linear in corpus bytes at any SF.
 
+Relationship to :func:`corpus.redact_pii` (q96): that is the
+lightweight 3-family screen kept for its oracle contract; THIS module
+is the production scrubber — richer families, validity guards, and
+sequential attribution so counts equal placeholders inserted.
+
 Reference envelope: `/root/reference/polars_dataset.py` has no text
 surface; this is the driver-mandated LLM-pipeline extension family
 (SURVEY §2.4).

@@ -9931,6 +9931,76 @@ def q222(spark, sf_dir):
     )
 
 
+@query(
+    "q223_anchor_inlinks",
+    """
+    SELECT url, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+           CAST(n_pages AS BIGINT) AS n_pages, anchors
+    FROM (VALUES
+      ('http://s.example/a',     2, 2, 'Article A|the A page'),
+      ('http://s.example/b',     3, 2, 'B|see B'),
+      ('http://other.example/x', 1, 1, ''),
+      ('http://s.example/img',   1, 1, '')
+    ) AS t(url, n_inlinks, n_pages, anchors)
+    """,
+)
+def q223(spark, sf_dir):
+    """Anchor-text + inlink aggregation (html.html_links with_text=True
+    -> urls.canonicalize_url -> one keyed aggregate): what the REST of
+    the web calls each page — the classic query-independent relevance
+    / crawl-prioritization signal (inlink counts drive frontier
+    priority; anchor terms describe targets better than their own
+    pages do). Per canonical URL: total inlinks, distinct referring
+    pages, and the sorted distinct non-empty anchor texts (pipe-joined
+    — deterministic at any partitioning). Anchor text is the
+    character data inside <a>...</a> (inline children transparent,
+    image-only links yield ''), whitespace-collapsed. Plan: map-only
+    extract + canonicalize, then ONE hash aggregate on the canonical
+    URL — the natural link-inversion job at any scale. Fixtures: two
+    pages cross-linking with differing anchors (dup links on one page
+    count twice in n_inlinks, once in n_pages), an image-only link,
+    an external link. Contract oracle: literal expected table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import canonicalize_url, html_links
+
+    p0 = (
+        '<p><a href="/a">Article A</a> and <a href="/b"><b>see</b> B</a>'
+        ' and <a href="/b">see B</a>'
+        ' and <a href="http://other.example/x"><img src="i.png"></a></p>'
+    ).encode()
+    p1 = (
+        '<a href="/a">the A page</a> <a href="/b#frag">B</a>'
+        ' <a href="/img"><img src="t.gif"></a>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [
+            (0, "http://s.example/p0", bytearray(p0)),
+            (1, "http://s.example/p1", bytearray(p1)),
+        ],
+        "page_id long, url string, payload binary",
+    )
+    links = canonicalize_url(
+        html_links(pages, url_col="url", with_text=True), url_col="link_url"
+    )
+    return (
+        links.groupBy(F.col("url_canon").alias("url"))
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.countDistinct("page_id").alias("n_pages"),
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.collect_list(
+                            F.when(F.col("anchor_text") != "", F.col("anchor_text"))
+                        )
+                    )
+                ),
+                "|",
+            ).alias("anchors"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -340,6 +340,46 @@ def test_template_inversion_property_density_mode():
     check()
 
 
+def test_extract_links_with_text_anchors():
+    from polars_dataset_spark.functions.html import (
+        extract_links,
+        extract_links_with_text,
+    )
+
+    html = (
+        '<a href="/a">plain</a>'
+        '<a href="/b"><b>bold</b> run</a>'
+        '<a href="/c"><img src="x.png"></a>'
+        '<a href="/d">first <a href="/e">second</a>'  # unclosed first <a>
+        '<script><a href="/ghost">skip</a></script>'
+        '<a href="/f">  spaced   out  </a>'
+    )
+    got = extract_links_with_text(html, "http://h.example/")
+    assert got == [
+        ("http://h.example/a", "plain"),
+        ("http://h.example/b", "bold run"),
+        ("http://h.example/c", ""),
+        ("http://h.example/d", "first"),
+        ("http://h.example/e", "second"),
+        ("http://h.example/f", "spaced out"),
+    ]
+    # URL-only view unchanged (the q215 contract)
+    assert extract_links(html, "http://h.example/") == [u for u, _ in got]
+
+
+def test_html_links_with_text_operator(spark):
+    from polars_dataset_spark.functions import html_links
+
+    df = spark.createDataFrame(
+        [(0, "http://h/", bytearray(b'<a href="/x">Label Here</a>'))],
+        "page_id long, url string, payload binary",
+    )
+    r = html_links(df, url_col="url", with_text=True).first()
+    assert r.link_url == "http://h/x" and r.anchor_text == "Label Here"
+    # default stays text-free (schema-compatible with q215)
+    assert "anchor_text" not in html_links(df, url_col="url").columns
+
+
 def test_hostile_markup_never_raises():
     # deep nesting, unterminated everything, binary soup
     cases = [
