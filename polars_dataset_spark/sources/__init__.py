@@ -3,11 +3,21 @@ from polars_dataset_spark.sources.compact import CompactionStats, compact_files
 from polars_dataset_spark.sources.datafile import Datafile, create_dataset
 from polars_dataset_spark.sources.partitioned import read_partitioned, write_partitioned
 from polars_dataset_spark.sources.tables import TABLES, load_table, register_views
+from polars_dataset_spark.sources.jsonl import (
+    read_jsonl,
+    read_jsonl_split,
+    split_corrupt,
+    write_jsonl,
+)
 from polars_dataset_spark.sources.warc import parse_warc, warc_records
 
 __all__ = [
     "parse_warc",
     "warc_records",
+    "read_jsonl",
+    "read_jsonl_split",
+    "split_corrupt",
+    "write_jsonl",
     "Datafile",
     "create_dataset",
     "TABLES",

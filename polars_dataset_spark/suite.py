@@ -10001,6 +10001,63 @@ def q223(spark, sf_dir):
     )
 
 
+@query(
+    "q224_jsonl_roundtrip",
+    """
+    SELECT doc_id, source, CAST(n_corrupt AS BIGINT) AS n_corrupt,
+           length(text) AS text_len
+    FROM documents CROSS JOIN (SELECT CAST(2 AS BIGINT) AS n_corrupt) c
+    """,
+)
+def q224(spark, sf_dir):
+    """JSONL source/sink (sources/jsonl — THE LLM training-data
+    interchange format): documents round-trip through ``write_jsonl``
+    -> ``read_jsonl`` with an EXPLICIT schema (no inference pre-scan:
+    at corpus scale inference is a full extra read of every byte),
+    PERMISSIVE corrupt-record handling proven by appending a file with
+    two malformed lines and one good line — ``split_corrupt`` routes
+    exactly those two to quarantine while every good row (including
+    the appended one, filtered back out by id) survives value-intact;
+    the job never dies on a bad line. multiLine=false keeps the input
+    SPLITTABLE (one task per block, not per file). FULL value oracle:
+    the round-tripped frame must equal the source table exactly, with
+    the measured quarantine count carried on every row."""
+    _prep(spark)
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from polars_dataset_spark.sources import read_jsonl_split, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="q224_jsonl_")
+    try:
+        write_jsonl(docs, f"{work}/docs", partitions=4)
+        # adversarial member: two malformed lines + one good extra row
+        with open(f"{work}/docs/part-extra.json", "w") as fh:
+            fh.write('{"doc_id": broken!!\n')
+            fh.write("not json at all\n")
+            fh.write(
+                _json.dumps({"doc_id": -1, "source": "x", "text": "extra"}) + "\n"
+            )
+        good, bad = read_jsonl_split(
+            spark, f"{work}/docs", schema="doc_id long, source string, text string"
+        )
+        n_corrupt = bad.count()
+        rows = good.filter(F.col("doc_id") >= 0).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    return out.select(
+        "doc_id", "source",
+        F.lit(n_corrupt).cast("long").alias("n_corrupt"),
+        F.length("text").alias("text_len"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
