@@ -66,6 +66,7 @@ __all__ = [
     "drop_frequent_lines",
     "edit_distance_join",
     "cdc_chunks",
+    "append_to_banded_index",
 ]
 
 
@@ -540,6 +541,38 @@ def band_key_structs(sig_col: str, max_hamming: int) -> "list":
             shifted = shifted.bitwiseAND(F.lit((1 << width) - 1))
         keys.append(F.struct(F.lit(c).alias("chunk"), shifted.alias("key")))
     return keys
+
+
+def append_to_banded_index(index, sigs: DataFrame, sig_col: str = "__sig") -> None:
+    """Union new 64-bit signatures into ANY persisted banded index IN
+    PLACE — the incremental half of continuous ingestion for every
+    modality (Image/Audio/VideoNeardupIndex all share the
+    ``(chunk int, key long, __csig long)`` layout and a
+    ``max_hamming`` attribute; stream batch N+1 must dedup against
+    batch N's survivors, not just the original corpus).
+
+    Cache-swap contract (same as ``_swap_cache``): the merged frame is
+    materialized via eager ``localCheckpoint`` (truncating lineage, so
+    a year of appends doesn't accumulate a union tree) BEFORE the old
+    blocks release; only the new batch's banded rows are deduplicated
+    (batch-sized shuffle — the standing index is never re-shuffled).
+    At crawl scale prefer a parquet layout bucketed by (chunk, key)
+    and compact appended band files offline."""
+    new_banded = (
+        sigs.filter(F.col(sig_col).isNotNull())
+        .select(F.col(sig_col).alias("__csig"))
+        .distinct()
+        .select(
+            "__csig",
+            F.explode(
+                F.array(*band_key_structs("__csig", index.max_hamming))
+            ).alias("bk"),
+        )
+        .select("bk.chunk", "bk.key", "__csig")
+    )
+    merged = index.banded.union(new_banded).localCheckpoint(eager=True)
+    index.banded.unpersist(blocking=False)
+    index.banded = merged
 
 
 def hamming_band_pairs(

@@ -409,18 +409,6 @@ def append_to_image_index(index: ImageNeardupIndex, sigs: DataFrame, sig_col: st
     index is never re-shuffled). At crawl scale prefer the parquet
     layout documented on :class:`ImageNeardupIndex` and compact
     appended band files offline."""
-    from pyspark.sql import functions as F
+    from polars_dataset_spark.functions.dedup import append_to_banded_index
 
-    new_banded = (
-        sigs.filter(F.col(sig_col).isNotNull())
-        .select(F.col(sig_col).alias("__csig"))
-        .distinct()
-        .select(
-            "__csig",
-            F.explode(F.array(*_band_key_cols("__csig", index.max_hamming))).alias("bk"),
-        )
-        .select("bk.chunk", "bk.key", "__csig")
-    )
-    merged = index.banded.union(new_banded).localCheckpoint(eager=True)
-    index.banded.unpersist(blocking=False)
-    index.banded = merged
+    append_to_banded_index(index, sigs, sig_col=sig_col)

@@ -8,6 +8,9 @@ from polars_dataset_spark.streaming.ops import (
     run_stream_to_memory,
     stream_neardup_filter,
     stream_heavy_hitters,
+    stream_image_filter,
+    stream_audio_filter,
+    stream_video_filter,
 )
 from polars_dataset_spark.streaming.corpus_stream import (
     clean_stream,
@@ -31,5 +34,8 @@ __all__ = [
     "run_stream_to_memory",
     "stream_neardup_filter",
     "stream_heavy_hitters",
+    "stream_image_filter",
+    "stream_audio_filter",
+    "stream_video_filter",
     "running_trace_stats",
 ]

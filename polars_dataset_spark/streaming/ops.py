@@ -35,6 +35,8 @@ __all__ = [
     "stream_merge_upsert",
     "stream_neardup_filter",
     "stream_image_filter",
+    "stream_audio_filter",
+    "stream_video_filter",
     "stream_heavy_hitters",
 ]
 
@@ -483,6 +485,118 @@ def stream_image_filter(
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def _stream_banded_media_filter(
+    stream_df: DataFrame,
+    index: "object",
+    fingerprint_fn,
+    sink_path: str,
+    id_col: str,
+    content_col: str,
+    checkpoint_path: "str | None",
+    update_index: bool,
+) -> "object":
+    """Shared continuous-ingestion dedup loop for any modality whose
+    index uses the banded 64-bit layout (audio/video; the image twin
+    predates this helper and keeps its own hash-config plumbing).
+    Per micro-batch: fingerprint ONCE (decode dominates), band-probe
+    the persisted index, append only no-near-dup survivors to the
+    parquet sink, then (``update_index=True``) union the survivors'
+    signatures into the index via the shared eager-localCheckpoint
+    cache swap — batch N+1 dedups against batch N's survivors, the
+    standing index never re-shuffles, stream ≡ sequential-batch by
+    construction. Undecodable / too-short blobs are KEPT and never
+    indexed (not evidence of duplication)."""
+    from polars_dataset_spark.functions.dedup import (
+        append_to_banded_index,
+        band_key_structs,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = (
+            fingerprint_fn(
+                batch_df.select(id_col, content_col),
+                content_col=content_col,
+                out_col="__sig",
+            )
+            .select(id_col, "__sig")
+            .persist()
+        )
+        probes = (
+            hashed.filter("__sig IS NOT NULL")
+            .select(
+                id_col,
+                "__sig",
+                F.explode(
+                    F.array(*band_key_structs("__sig", index.max_hamming))
+                ).alias("bk"),
+            )
+            .select(id_col, "__sig", "bk.chunk", "bk.key")
+        )
+        ham = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__csig")))
+        dupes = (
+            probes.join(index.banded, on=["chunk", "key"])
+            .filter(ham <= index.max_hamming)
+            .select(id_col)
+            .distinct()
+        )
+        batch_df.join(dupes, on=id_col, how="left_anti").write.mode(
+            "append"
+        ).parquet(sink_path)
+        if update_index:
+            surviving = hashed.join(dupes, on=id_col, how="left_anti")
+            append_to_banded_index(index, surviving)
+        hashed.unpersist(blocking=False)
+
+    writer = stream_df.writeStream.trigger(availableNow=True).foreachBatch(apply_batch)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
+def stream_audio_filter(
+    stream_df: DataFrame,
+    index: "object",  # functions.audiohash.AudioNeardupIndex
+    sink_path: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    checkpoint_path: "str | None" = None,
+    update_index: bool = True,
+) -> "object":
+    """Continuous-ingestion audio dedup against the persisted
+    fingerprint index (:func:`functions.audiohash.build_audio_index`)
+    — the audio twin of :func:`stream_image_filter`; see
+    :func:`_stream_banded_media_filter` for the per-batch contract.
+    Returns the started StreamingQuery."""
+    from polars_dataset_spark.functions.audiohash import audio_fingerprint
+
+    return _stream_banded_media_filter(
+        stream_df, index, audio_fingerprint, sink_path, id_col,
+        content_col, checkpoint_path, update_index,
+    )
+
+
+def stream_video_filter(
+    stream_df: DataFrame,
+    index: "object",  # functions.videohash.VideoNeardupIndex
+    sink_path: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    checkpoint_path: "str | None" = None,
+    update_index: bool = True,
+) -> "object":
+    """Continuous-ingestion video dedup against the persisted temporal-
+    signature index (:func:`functions.videohash.build_video_index`) —
+    the video twin of :func:`stream_image_filter`; see
+    :func:`_stream_banded_media_filter` for the per-batch contract.
+    Returns the started StreamingQuery."""
+    from polars_dataset_spark.functions.videohash import video_fingerprint
+
+    return _stream_banded_media_filter(
+        stream_df, index, video_fingerprint, sink_path, id_col,
+        content_col, checkpoint_path, update_index,
+    )
 
 
 def stream_heavy_hitters(

@@ -611,3 +611,145 @@ def test_stream_image_filter_matches_batch_and_appends(spark, tmp_path):
     got = sorted(r.media_id for r in spark.read.parquet(sink).collect())
     assert got == sorted(expect)
     idx_s.unpersist()
+
+
+def test_stream_video_filter_matches_batch_and_appends(spark, tmp_path):
+    """Continuous video ingestion (r11): the video twin of the image
+    parity test — batch-2 carries a RETIMED copy of a batch-1 SURVIVOR,
+    which only drops if the index append really happened."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_dataset_spark.functions.dedup import append_to_banded_index
+    from polars_dataset_spark.functions.videohash import (
+        build_video_index,
+        video_filter_against,
+        video_fingerprint,
+    )
+    from polars_dataset_spark.streaming.ops import stream_video_filter
+    from polars_dataset_spark.suite import _video_clip_fixture, _y4m_fixture
+
+    A = _video_clip_fixture()
+    C = _video_clip_fixture(phase=0.23)
+    D = _video_clip_fixture(phase=0.61)
+    corpus = spark.createDataFrame(
+        [(0, bytearray(_y4m_fixture(A)))], "media_id long, content binary"
+    )
+    batch1 = [
+        (10, _y4m_fixture([f[::2, ::2] for f in A])),  # corpus rescale: drop
+        (11, _y4m_fixture(C)),                         # novel: keep+index
+        (12, b"junk"),                                 # undecodable: keep
+    ]
+    batch2 = [
+        (20, _y4m_fixture(C[::2], fps="25:2")),        # retime of batch-1 SURVIVOR: drop
+        (21, _y4m_fixture(D)),                         # novel: keep
+    ]
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        pd.DataFrame(
+            {"media_id": [r[0] for r in rows], "content": [bytes(r[1]) for r in rows]}
+        ).to_parquet(src / f"batch{i}.parquet")
+
+    idx_b = build_video_index(corpus)
+    expect = []
+    for i in range(2):
+        bdf = spark.read.parquet(str(src / f"batch{i}.parquet"))
+        kept = video_filter_against(bdf, idx_b)
+        expect += [r.media_id for r in kept.collect()]
+        append_to_banded_index(
+            idx_b,
+            video_fingerprint(
+                kept.select("media_id", "content"), out_col="__sig"
+            ).select("media_id", "__sig"),
+        )
+    idx_b.unpersist()
+    assert sorted(expect) == [11, 12, 21]
+
+    idx_s = build_video_index(corpus)
+    st = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "survivors")
+    q = stream_video_filter(st, idx_s, sink, checkpoint_path=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.media_id for r in spark.read.parquet(sink).collect())
+    assert got == sorted(expect)
+    idx_s.unpersist()
+
+
+def test_stream_audio_filter_matches_batch_and_appends(spark, tmp_path):
+    """Continuous audio ingestion (r11): batch-2 carries a FLAC
+    re-encode of a batch-1 SURVIVOR — drops only if the append
+    happened."""
+    import pandas as pd
+
+    from polars_dataset_spark.functions.audiohash import (
+        audio_fingerprint,
+        build_audio_index,
+        audio_filter_against,
+    )
+    from polars_dataset_spark.functions.dedup import append_to_banded_index
+    from polars_dataset_spark.functions.flac import encode_flac
+    from polars_dataset_spark.streaming.ops import stream_audio_filter
+    from polars_dataset_spark.suite import _audio_rich_fixture, _pcm_wav_fixture
+
+    sig_a = _audio_rich_fixture(8000)
+    sig_c = _audio_rich_fixture(8000, base=550.0)
+    sig_d = _audio_rich_fixture(8000, base=770.0)
+    ints_c = (sig_c * 32768.0).clip(-32768, 32767).astype("int64")
+    corpus = spark.createDataFrame(
+        [(0, bytearray(_pcm_wav_fixture(sig_a, 8000)))],
+        "media_id long, content binary",
+    )
+    batch1 = [
+        (10, _pcm_wav_fixture(_audio_rich_fixture(44100), 44100)),  # corpus resample: drop
+        (11, _pcm_wav_fixture(sig_c, 8000)),                        # novel: keep+index
+        (12, b"junk"),                                              # undecodable: keep
+    ]
+    batch2 = [
+        (20, encode_flac(ints_c, rate=8000)),                       # re-encode of survivor: drop
+        (21, _pcm_wav_fixture(sig_d, 8000)),                        # novel: keep
+    ]
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        pd.DataFrame(
+            {"media_id": [r[0] for r in rows], "content": [bytes(r[1]) for r in rows]}
+        ).to_parquet(src / f"batch{i}.parquet")
+
+    idx_b = build_audio_index(corpus)
+    expect = []
+    for i in range(2):
+        bdf = spark.read.parquet(str(src / f"batch{i}.parquet"))
+        kept = audio_filter_against(bdf, idx_b)
+        expect += [r.media_id for r in kept.collect()]
+        append_to_banded_index(
+            idx_b,
+            audio_fingerprint(
+                kept.select("media_id", "content"), out_col="__sig"
+            ).select("media_id", "__sig"),
+        )
+    idx_b.unpersist()
+    assert sorted(expect) == [11, 12, 21]
+
+    idx_s = build_audio_index(corpus)
+    st = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "survivors")
+    q = stream_audio_filter(st, idx_s, sink, checkpoint_path=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.media_id for r in spark.read.parquet(sink).collect())
+    assert got == sorted(expect)
+    idx_s.unpersist()
