@@ -62,6 +62,7 @@ __all__ = [
     "pattern_to_regex",
     "robots_rules",
     "frontier_filter",
+    "schedule_frontier",
 ]
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
@@ -258,3 +259,39 @@ def frontier_filter(
     if not keep_disallowed:
         out = out.filter(F.col("allowed"))
     return out.drop("__host", "__path", "__rules", "__delay")
+
+
+def schedule_frontier(
+    links: DataFrame,
+    url_col: str = "url_canon",
+    delay_col: str = "crawl_delay",
+    default_delay: float = 1.0,
+    order_cols: "list | None" = None,
+) -> DataFrame:
+    """Politeness scheduling — the stage after :func:`frontier_filter`:
+    a crawler may not hammer one host, so each host's allowed links
+    form a QUEUE spaced by that host's crawl delay. Adds ``fetch_seq``
+    (0-based position in the host's queue) and ``fetch_offset_sec``
+    (``fetch_seq * coalesce(crawl_delay, default_delay)`` — when the
+    worker pool starts a host at t=0, link k may fetch at that
+    offset). ``order_cols`` sets queue priority within a host
+    (e.g. sitemap priority desc); default is the URL itself
+    (deterministic at any partitioning).
+
+    One window over the host key — a single hash-partitioned shuffle,
+    exactly the per-host grouping a distributed fetcher needs anyway
+    (fetch workers consume per-host queues, so this shuffle IS the
+    delivery partitioning, not overhead)."""
+    from pyspark.sql import Window
+
+    from polars_dataset_spark.functions.urls import _HOST_RE
+
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    out = links.withColumn("__host", host)
+    order = order_cols if order_cols else [F.col(url_col)]
+    w = Window.partitionBy("__host").orderBy(*order)
+    out = out.withColumn("fetch_seq", F.row_number().over(w) - F.lit(1))
+    delay = F.coalesce(F.col(delay_col), F.lit(default_delay))
+    return out.withColumn(
+        "fetch_offset_sec", (F.col("fetch_seq") * delay).cast("double")
+    ).drop("__host")

@@ -10058,6 +10058,88 @@ def q224(spark, sf_dir):
     )
 
 
+@query(
+    "q225_fetch_schedule",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q218_HOST_EXPR} AS host, {_Q218_PATH_EXPR} AS path
+      FROM documents
+    ),
+    rules(rhost, rx, rule_len, allow, delay) AS (VALUES
+      ('a.example', '^/graft/',    7, false, 5.0),
+      ('a.example', '^/gr',        3, true,  5.0),
+      ('b.example', '^/tmp/',      5, false, 1.5),
+      ('b.example', '^/search$',   8, false, 1.5),
+      ('b.example', '^/tmp/ok',    7, true,  1.5),
+      ('b.example', '^/.*\\.json$', 8, false, 1.5)
+    ),
+    m AS (
+      SELECT s.doc_id, s.host, s.path,
+             CASE WHEN regexp_matches(s.path, r.rx)
+                  THEN r.rule_len * 2 + CAST(r.allow AS INT) END AS matchkey,
+             r.delay, r.rhost IS NOT NULL AS has_robots
+      FROM src s LEFT JOIN rules r ON s.host = r.rhost
+    ),
+    agg AS (
+      SELECT doc_id, host, path,
+             max(matchkey) AS bestkey, max(delay) AS delay,
+             bool_or(has_robots) AS has_robots
+      FROM m GROUP BY doc_id, host, path
+    ),
+    allowed AS (
+      SELECT doc_id, host, 'http://' || host || path AS url,
+             CASE WHEN has_robots THEN delay END AS crawl_delay
+      FROM agg
+      WHERE bestkey IS NULL OR bestkey % 2 = 1
+    )
+    SELECT doc_id, url,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url, doc_id) - 1
+                AS INTEGER) AS fetch_seq,
+           CAST((row_number() OVER (PARTITION BY host ORDER BY url, doc_id) - 1)
+                * coalesce(crawl_delay, 1.0) AS DOUBLE) AS fetch_offset_sec
+    FROM allowed
+    """,
+)
+def q225(spark, sf_dir):
+    """Politeness fetch scheduling (robots.schedule_frontier — the
+    stage AFTER frontier_filter): a crawler may not hammer one host,
+    so each host's allowed links form a queue spaced by that host's
+    crawl delay — ``fetch_seq`` (0-based per-host position,
+    deterministic order by url,doc_id) and ``fetch_offset_sec``
+    (seq x coalesce(crawl_delay, 1.0)). One window over the host key
+    — the single hash shuffle a distributed fetcher needs anyway,
+    because fetch workers consume per-host queues. FULL value oracle:
+    the whole q218 filter chain replays in SQL and the schedule is a
+    row_number window over the allowed rows — every row value-checked
+    at every SF."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        frontier_filter,
+        robots_rules,
+        schedule_frontier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.expr(_Q218_HOST_EXPR), F.expr(_Q218_PATH_EXPR)
+        ).alias("url"),
+    )
+    robots_df = spark.createDataFrame(
+        [
+            ("a.example", bytearray(_Q218_ROBOTS_A)),
+            ("b.example", bytearray(_Q218_ROBOTS_B)),
+        ],
+        "host string, robots_txt binary",
+    )
+    rules = robots_rules(robots_df, user_agent="graftbot")
+    allowed = frontier_filter(docs, rules, url_col="url")
+    sched = schedule_frontier(
+        allowed, url_col="url", order_cols=[F.col("url"), F.col("doc_id")]
+    )
+    return sched.select("doc_id", "url", "fetch_seq", "fetch_offset_sec")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -163,6 +163,27 @@ def test_frontier_plan_is_broadcast_only(spark, rule_frames):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_schedule_frontier_per_host_queues(spark):
+    from polars_dataset_spark.functions.robots import schedule_frontier
+
+    links = spark.createDataFrame(
+        [
+            (0, "http://a.example/z", 5.0),
+            (1, "http://a.example/a", 5.0),
+            (2, "http://b.example/x", None),
+            (3, "http://b.example/y", None),
+        ],
+        "link_id long, url_canon string, crawl_delay double",
+    )
+    got = {r.link_id: r for r in schedule_frontier(links).collect()}
+    # per-host queue in url order; offsets spaced by the host's delay
+    assert (got[1].fetch_seq, got[0].fetch_seq) == (0, 1)
+    assert got[0].fetch_offset_sec == 5.0 and got[1].fetch_offset_sec == 0.0
+    # no-robots host falls back to the default 1.0 s spacing
+    assert (got[2].fetch_seq, got[3].fetch_seq) == (0, 1)
+    assert got[3].fetch_offset_sec == 1.0
+
+
 def test_hostile_inputs_never_raise():
     for text in ("", "\x00\xff", "User-agent:", "Disallow: /x", ":::\n#", "A" * 10000):
         parse_robots(text, "bot")
