@@ -418,6 +418,87 @@ def warc_text_corpus(
     ).select("target_uri", "warc_date", "charset", "title", "text")
 
 
+class _StructureExtractor(HTMLParser):
+    """Start-tag name collector in document order — the page SKELETON.
+    Two renders of one CMS template differ in text and attribute
+    values but share the tag sequence almost exactly, so a hash of the
+    sequence clusters a crawl by template: template frequency is a
+    corpus-level chrome/boilerplate signal no per-page rule can see
+    (a million pages with one skeleton are one site's template, and
+    their shared blocks are chrome even where a single page looks like
+    content)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tags: "list[str]" = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self.tags.append(tag)
+
+
+def html_structure_tags(html: str) -> "list[str]":
+    """The page's start-tag sequence (lowercased, attributes and text
+    ignored) — feed to a hash for template clustering."""
+    parser = _StructureExtractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:  # noqa: BLE001 — tokenizer choked: keep what we have
+        pass
+    return parser.tags
+
+
+def html_structure(
+    df: DataFrame,
+    body_col: str = "payload",
+    content_type_col: "str | None" = None,
+) -> DataFrame:
+    """Append ``structure_sig`` (md5 hex of the comma-joined start-tag
+    sequence — md5 so the SAME signature is computable in any engine)
+    and ``n_tags`` to every HTML body — one map-only Arrow pass.
+    Group by ``structure_sig`` downstream for template clustering /
+    frequency (the corpus-level boilerplate signal). Null bodies yield
+    null fields."""
+    import hashlib
+
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("structure_sig", T.StringType()),
+            T.StructField("n_tags", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs, counts = [], []
+            ctypes = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            for blob, ctype in zip(pdf[body_col], ctypes):
+                if blob is None:
+                    sigs.append(None)
+                    counts.append(None)
+                    continue
+                raw, _cs = decode_html(
+                    bytes(blob), None if ctype is None else str(ctype)
+                )
+                tags = html_structure_tags(raw)
+                sigs.append(hashlib.md5(",".join(tags).encode()).hexdigest())
+                counts.append(len(tags))
+            out = pdf.copy()
+            out["structure_sig"] = pd.array(sigs, dtype="object")
+            out["n_tags"] = pd.array(counts, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 class _LinkExtractor(HTMLParser):
     """href + anchor-text collector: <a href> in document order,
     <base href> honored, links inside script/template subtrees ignored

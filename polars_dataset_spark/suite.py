@@ -10140,6 +10140,56 @@ def q225(spark, sf_dir):
     return sched.select("doc_id", "url", "fetch_seq", "fetch_offset_sec")
 
 
+@query(
+    "q226_template_clusters",
+    """
+    SELECT CAST(page_id AS BIGINT) AS page_id, CAST(n_tags AS INTEGER) AS n_tags,
+           CAST(template_size AS BIGINT) AS template_size
+    FROM (VALUES
+      (0, 9, 2), (1, 9, 2), (2, 10, 1), (3, NULL, NULL)
+    ) AS t(page_id, n_tags, template_size)
+    """,
+)
+def q226(spark, sf_dir):
+    """Template clustering (html.html_structure): hash of the page's
+    start-tag SKELETON (text and attributes ignored) — two renders of
+    one CMS template share it, so grouping by the signature measures
+    template frequency across the corpus: the corpus-LEVEL boilerplate
+    signal no per-page rule can see (a million pages with one skeleton
+    are one site's template; their shared blocks are chrome even where
+    a single page reads as content). Pages 0/1 render the same
+    template with different text/attributes (same sig, template_size
+    2); page 2 inserts one extra tag (size 1); a null body stays null.
+    Plan: map-only signature pass + ONE count aggregate on the
+    signature + broadcast join back — the natural template-frequency
+    job at any scale. Contract oracle: literal expected table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import html_structure
+
+    tmpl = (
+        '<html><head><title>{t}</title></head><body>'
+        '<nav><a href="{u}">Home</a></nav>'
+        "<p>{body}</p><footer><b>{f}</b></footer></body></html>"
+    )
+    rows = [
+        (0, bytearray(tmpl.format(t="One", u="/a", body="alpha", f="c1").encode())),
+        (1, bytearray(tmpl.format(t="Two", u="/b", body="beta words", f="c2").encode())),
+        (2, bytearray(
+            tmpl.format(t="Three", u="/c", body="gamma<br>delta", f="c3").encode()
+        )),
+        (3, None),
+    ]
+    pages = spark.createDataFrame(rows, "page_id long, payload binary")
+    sigs = html_structure(pages).select("page_id", "structure_sig", "n_tags")
+    freq = sigs.filter(F.col("structure_sig").isNotNull()).groupBy(
+        "structure_sig"
+    ).agg(F.count("*").alias("template_size"))
+    return (
+        sigs.join(F.broadcast(freq), on="structure_sig", how="left")
+        .select("page_id", "n_tags", "template_size")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

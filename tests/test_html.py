@@ -380,6 +380,26 @@ def test_html_links_with_text_operator(spark):
     assert "anchor_text" not in html_links(df, url_col="url").columns
 
 
+def test_html_structure_template_invariance(spark):
+    from polars_dataset_spark.functions import html_structure
+    from polars_dataset_spark.functions.html import html_structure_tags
+
+    a = '<div class="x"><p>hello</p><a href="/1">l</a></div>'
+    b = '<div id="y"><p>completely other words</p><a href="/2">m</a></div>'
+    c = "<div><p>hello</p><span>extra</span><a>l</a></div>"
+    assert html_structure_tags(a) == html_structure_tags(b)
+    assert html_structure_tags(a) != html_structure_tags(c)
+    assert html_structure_tags("") == []
+    df = spark.createDataFrame(
+        [(0, bytearray(a.encode())), (1, bytearray(b.encode())), (2, None)],
+        "page_id long, payload binary",
+    )
+    got = {r.page_id: r for r in html_structure(df).collect()}
+    assert got[0].structure_sig == got[1].structure_sig
+    assert got[0].n_tags == 3
+    assert got[2].structure_sig is None and got[2].n_tags is None
+
+
 def test_hostile_markup_never_raises():
     # deep nesting, unterminated everything, binary soup
     cases = [
