@@ -190,6 +190,38 @@ def _mc_task(_: int) -> float:
     return _timed_loop()
 
 
+class _McSampler:
+    """Background multicore-speed sampler: every ``period`` seconds run
+    a small 4-way process probe and record the median per-task ms. The
+    start/end probes alone missed a mid-run dip (r11: two runs with
+    healthy endpoint probes measured 46 s and 95 s for the same tree —
+    whatever happened, it happened BETWEEN the probes), so the artifact
+    now carries the whole-run series. Cost: 4 cores x ~50 ms per
+    period — ~0.3% perturbation at 60 s."""
+
+    def __init__(self, period: float = 60.0) -> None:
+        import threading
+
+        self.samples: "list[float]" = []
+        self._stop = threading.Event()
+
+        def loop() -> None:
+            while not self._stop.wait(period):
+                try:
+                    # reps=2: the first rep pays pool cold-start (~2x)
+                    self.samples.append(round(_mc_calib(n=4, reps=2), 1))
+                except Exception:  # noqa: BLE001 — sampling must never kill the run
+                    return
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> "list[float]":
+        self._stop.set()
+        self._thread.join(timeout=5)
+        return self.samples
+
+
 def _mc_calib(n: int = 16, reps: int = 3) -> float:
     """Median per-task ms when ``n`` copies of the single-core loop run
     SIMULTANEOUSLY in separate processes — the whole-VM multicore speed
@@ -339,6 +371,7 @@ def main() -> None:
     for slot, name in zip(slots, [t for t in _TRIO if t in queries]):
         ordered[slot] = (name, queries[name])
 
+    sampler = _McSampler()
     t_start = time.perf_counter()
     if workers <= 1:
         for item in ordered:
@@ -350,6 +383,7 @@ def main() -> None:
     # re-probe single-core speed AFTER the run: the host phase can shift
     # mid-run (r4: 47-390 ms within one afternoon); min(start, end) is the
     # best-case speed seen around this run and the least-noisy divisor
+    mc_series = sampler.stop()
     calib_end_ms = min(_timed_loop() for _ in range(5))
     calib_mc_end_ms = _mc_calib()
     calib_ratio = min(calib_ms, calib_end_ms) / _CALIB_REF_MS
@@ -384,6 +418,11 @@ def main() -> None:
         "calib_mc_ratio": round(
             max(calib_mc_ms, calib_mc_end_ms) / min(calib_ms, calib_end_ms), 2
         ),
+        # whole-run 4-way probe series (one sample/min): a healthy run
+        # stays flat near the solo calib; a mid-run host dip — invisible
+        # to the endpoint probes — shows as a bulge here
+        "calib_mc_series_ms": mc_series,
+        "calib_mc_series_worst": max(mc_series) if mc_series else None,
         # wall scaled to the 90 ms reference box: the round-over-round
         # comparable number when the host speed differs between rounds
         "normalized_wall_sec": round(wall / calib_ratio, 3),
