@@ -197,9 +197,10 @@ class _McSampler:
     healthy endpoint probes measured 46 s and 95 s for the same tree —
     whatever happened, it happened BETWEEN the probes), so the artifact
     now carries the whole-run series. Cost: 4 cores x ~50 ms per
-    period — ~0.3% perturbation at 60 s."""
+    period — ~0.1% of a 32-core box at the 20 s default (chosen so even
+    a sub-minute healthy run gets a couple of samples)."""
 
-    def __init__(self, period: float = 60.0) -> None:
+    def __init__(self, period: float = 20.0) -> None:
         import threading
 
         self.samples: "list[float]" = []
