@@ -1227,14 +1227,27 @@ class Dataset:
                     data.append((b, a, v))
         return spark.createDataFrame(data, "col_x string, col_y string, corr double")
 
-    def to_dummies(self, *cols, separator: str = "_", drop_first: bool = False) -> "Dataset":
+    def to_dummies(
+        self,
+        *cols,
+        separator: str = "_",
+        drop_first: bool = False,
+        categories: "dict[str, list] | None" = None,
+    ) -> "Dataset":
         """One-hot encode categorical columns (polars ``to_dummies``):
         each distinct value becomes an indicator column
         ``{col}{separator}{value}`` (sorted by value; nulls get a
         ``{col}{separator}null`` column, as in polars). The distinct
         values are collected — bounded by the category cardinality, not
         the row count — then the encoding itself is a map-only projection
-        that stays in whole-stage codegen."""
+        that stays in whole-stage codegen.
+
+        ``categories`` optionally PINS the category list per column
+        (``{col: [values...]}``, ``None`` in the list = the null
+        indicator): the output schema then depends only on the pin, not
+        on which values happen to be present — required when the frame
+        is a sample/subset and the schema must stay stable (the q101
+        sf10-sweep lesson), and it skips the distinct scan entirely."""
         cols = list(cols) or [
             f.name
             for f in self._df.schema.fields
@@ -1246,7 +1259,10 @@ class Dataset:
         out_cols = [c for c in df.columns if c not in cols]
         new = {}
         for c in cols:
-            values = [r[0] for r in df.select(c).distinct().collect()]
+            if categories is not None and c in categories:
+                values = list(categories[c])
+            else:
+                values = [r[0] for r in df.select(c).distinct().collect()]
             if len(values) > 10_000:
                 raise ValueError(
                     f"to_dummies: column {c!r} has {len(values)} distinct values; "

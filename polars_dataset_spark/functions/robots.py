@@ -89,9 +89,9 @@ def parse_robots(text: str, user_agent: str = "*") -> "dict":
     float | None, "matched_ua": str | None, "sitemaps": [url, ...]}``
     — rules in file order, empty patterns dropped. ``Sitemap:`` lines
     are GLOBAL (the sitemaps protocol: they apply to every crawler,
-    independent of group selection), collected in file order. Lines that parse as nothing are ignored
-    (comments, unknown directives, blank lines), per the RFC's
-    tolerance requirements."""
+    independent of group selection), collected in file order. Lines
+    that parse as nothing are ignored (comments, unknown directives,
+    blank lines), per the RFC's tolerance requirements."""
     ua = user_agent.lower()
     # groups: list of (ua_tokens, rules, crawl_delay)
     groups: "list[tuple[list[str], list[tuple[str, bool]], float | None]]" = []

@@ -534,6 +534,15 @@ def test_to_dummies(spark):
     assert "c" not in out.columns
     dropped = ds.to_dummies("c", drop_first=True).df
     assert "c_blue" not in dropped.columns and "c_red" in dropped.columns
+    # pinned categories: schema independent of the values present — a
+    # category absent from the data still gets its (all-zero) column,
+    # and the distinct scan is skipped (r11, VERDICT r10 #6)
+    pinned = ds.to_dummies(
+        "c", categories={"c": ["blue", "green", "red", None]}
+    ).df.orderBy("x").toPandas()
+    assert list(pinned["c_green"]) == [0, 0, 0, 0]
+    assert list(pinned["c_red"]) == [1, 0, 0, 1]
+    assert list(pinned["c_null"]) == [0, 0, 1, 0]
 
 
 def test_dup_flags_and_gather_every(spark):
