@@ -10190,6 +10190,109 @@ def q226(spark, sf_dir):
     )
 
 
+# q227: CDX-J index lines synthesized from documents — the line CASE
+# is ANSI SQL shared VERBATIM by the Spark side (F.expr) and the
+# DuckDB oracle; the oracle replays the tokenization with the same
+# regexes, the payload with json_extract_string, and the SURT key
+# step-by-step — so parsing AND the key transform are value-checked
+# at every SF
+_Q227_LINE_EXPR = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'com,example)/page/' || CAST(doc_id AS VARCHAR(32))
+        || ' 20260101120000 {"url": "https://example.com/Page/'
+        || CAST(doc_id AS VARCHAR(32))
+        || '", "mime": "text/html", "status": "200", "digest": "sha1:D'
+        || CAST(doc_id AS VARCHAR(32))
+        || '", "length": "' || CAST(1000 + doc_id AS VARCHAR(32))
+        || '", "offset": "' || CAST(doc_id * 17 AS VARCHAR(32))
+        || '", "filename": "crawl-00.warc.gz"}'
+      WHEN 1 THEN 'org,site:8080)/x?a=1 20251231235959 '
+        || '{"url": "http://site.org:8080/X?a=1", "mime": "application/pdf", '
+        || '"status": "404", "digest": "sha1:DX", "length": "17", '
+        || '"offset": "0", "filename": "crawl-01.warc.gz"}'
+      WHEN 2 THEN 'not a cdxj line at all'
+      ELSE 'com,host)/ 20260202020202 {"url": "https://host.com/", "status": "301"}'
+    END
+"""
+
+
+@query(
+    "q227_cdxj_surt",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q227_LINE_EXPR} AS line FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+        nullif(regexp_extract(line, '^(\\S+) \\d{{14}} \\{{', 1), '') AS surt,
+        nullif(regexp_extract(line, '^\\S+ (\\d{{14}}) \\{{', 1), '') AS ts,
+        CASE WHEN regexp_matches(line, '^\\S+ \\d{{14}} \\{{')
+             THEN regexp_extract(line, '^\\S+ \\d{{14}} (.*)$', 1) END AS pj
+      FROM src),
+    parsed AS (
+      SELECT doc_id, surt, ts,
+        json_extract_string(pj, '$.url') AS url,
+        json_extract_string(pj, '$.mime') AS mime,
+        CAST(json_extract_string(pj, '$.status') AS INTEGER) AS http_status,
+        json_extract_string(pj, '$.digest') AS digest,
+        CAST(json_extract_string(pj, '$.length') AS BIGINT) AS warc_length,
+        CAST(json_extract_string(pj, '$.offset') AS BIGINT) AS warc_offset,
+        json_extract_string(pj, '$.filename') AS warc_filename
+      FROM tok),
+    parts AS (
+      SELECT *,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+        regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM parsed)
+    SELECT doc_id, surt, ts, url, mime, http_status, digest,
+           warc_length, warc_offset, warc_filename,
+      CASE WHEN scheme = '' OR host = '' OR scheme IS NULL THEN NULL ELSE
+        array_to_string(list_reverse(string_split(host, '.')), ',')
+        || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443'))
+                THEN ':' || port ELSE '' END
+        || ')'
+        || CASE WHEN rawpath = '' THEN '/' ELSE lower(rawpath) END
+        || CASE WHEN query <> '' THEN '?' || lower(query) ELSE '' END
+      END AS url_surt
+    FROM parts
+    """,
+)
+def q227(spark, sf_dir):
+    """CDX-J index parsing + SURT keys (functions/cdx): the FIRST job
+    of any Common-Crawl-scale pipeline — you select records from the
+    archive's INDEX (surt, timestamp, JSON payload with warc
+    filename/offset/length) and fetch only those byte ranges; scanning
+    the WARCs themselves is the canonical scale mistake. cdxj_lines is
+    one codegen projection (two regex token extracts + from_json; the
+    CC format stores numerics as JSON strings, mirrored in the schema
+    then cast); surt_col rebuilds the sort key from the payload URL
+    (lowercase, host labels reversed comma-joined so a domain is one
+    contiguous key range, default ports dropped, documented simplified
+    form). Malformed lines yield null fields, partial payloads null
+    the missing fields only. FULL value oracle: the line CASE is
+    shared verbatim; the oracle replays tokenization, JSON fields, and
+    every SURT step in SQL — parsing AND the key transform
+    value-checked at every SF."""
+    _prep(spark)
+    from polars_dataset_spark.functions import cdxj_lines, surt_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q227_LINE_EXPR).alias("value")
+    )
+    parsed = cdxj_lines(docs)
+    return parsed.select(
+        "doc_id", "surt", "ts", "url", "mime", "http_status", "digest",
+        "warc_length", "warc_offset", "warc_filename",
+        surt_col(F.col("url")).alias("url_surt"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
