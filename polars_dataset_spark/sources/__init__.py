@@ -9,11 +9,18 @@ from polars_dataset_spark.sources.jsonl import (
     split_corrupt,
     write_jsonl,
 )
-from polars_dataset_spark.sources.warc import parse_warc, warc_records
+from polars_dataset_spark.sources.warc import (
+    fetch_warc_records,
+    parse_warc,
+    warc_record_at,
+    warc_records,
+)
 
 __all__ = [
     "parse_warc",
     "warc_records",
+    "warc_record_at",
+    "fetch_warc_records",
     "read_jsonl",
     "read_jsonl_split",
     "split_corrupt",

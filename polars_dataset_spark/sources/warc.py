@@ -169,3 +169,87 @@ def warc_records(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield out
 
     return df.mapInPandas(explode_batches, schema=out_schema)
+
+
+def warc_record_at(data: bytes, offset: int, length: int) -> "dict | None":
+    """Parse the ONE record at a CDX byte range. Per the Common Crawl
+    index convention, ``offset``/``length`` address the record's
+    per-record GZIP MEMBER inside the .warc.gz (a plain uncompressed
+    range works too — the slice is sniffed). Returns the parse_warc
+    record dict, or None when the range holds no parseable record."""
+    if offset < 0 or length <= 0 or offset + length > len(data):
+        return None
+    recs = parse_warc(data[offset : offset + length])
+    return recs[0] if recs else None
+
+
+def fetch_warc_records(
+    blobs: DataFrame,
+    index: DataFrame,
+    filename_col: str = "warc_filename",
+    offset_col: str = "warc_offset",
+    length_col: str = "warc_length",
+    blob_filename_col: str = "filename",
+    content_col: str = "content",
+) -> DataFrame:
+    """The CDX -> WARC fetch: materialize exactly the records an index
+    selection names, by byte range — the whole point of the index (at
+    archive scale these are ranged GETs; here the blob frame carries
+    the files and the slice is local).
+
+    Plan shape: the index selection collapses to ONE row per file (an
+    array of (offset, length) wants — bounded by records-per-file),
+    BROADCASTS, joins to the blob frame, and a map-only Arrow pass
+    slices + parses each wanted range: blob bytes are never duplicated
+    per record and never shuffle. Ranges that hold no parseable record
+    yield one null-fields row (gate, not guess)."""
+    from pyspark.sql import functions as F
+
+    from polars_dataset_spark.session import ensure_parallelism
+
+    wants = index.groupBy(F.col(filename_col).alias(blob_filename_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col(offset_col).cast("long").alias("o"),
+                F.col(length_col).cast("long").alias("l"),
+            )
+        ).alias("__wants")
+    )
+    joined = ensure_parallelism(
+        blobs.join(F.broadcast(wants), on=blob_filename_col, how="inner")
+    )
+    carry = [
+        f for f in joined.schema.fields if f.name not in (content_col, "__wants")
+    ]
+    out_schema = T.StructType(
+        carry
+        + [
+            T.StructField("warc_offset", T.LongType()),
+            T.StructField("warc_length", T.LongType()),
+        ]
+        + [f for f in _WARC_FIELDS if f.name != "rec_idx"]
+    )
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = {f.name: None for f in _WARC_FIELDS if f.name != "rec_idx"}
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r[content_col]) if r[content_col] is not None else b""
+                base = {f.name: r[f.name] for f in carry}
+                for w in r["__wants"]:
+                    off, ln = int(w["o"]), int(w["l"])
+                    rec = warc_record_at(blob, off, ln)
+                    rows.append({
+                        **base, "warc_offset": off, "warc_length": ln,
+                        **(rec if rec is not None else empty),
+                    })
+            out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            out["http_status"] = pd.array(
+                out["http_status"] if len(rows) else [], dtype="Int32"
+            )
+            for c in ("warc_offset", "warc_length"):
+                out[c] = pd.array(out[c] if len(rows) else [], dtype="Int64")
+            yield out
+
+    return joined.mapInPandas(fetch_batches, schema=out_schema)

@@ -10293,6 +10293,91 @@ def q227(spark, sf_dir):
     )
 
 
+@query(
+    "q228_warc_range_fetch",
+    """
+    SELECT kind, filename, target_uri,
+           CAST(http_status AS INTEGER) AS http_status, payload_text
+    FROM (VALUES
+      ('page_a',   'crawl-00.warc.gz', 'http://ex.com/a', 200, '<p>alpha page</p>'),
+      ('page_c',   'crawl-00.warc.gz', 'http://ex.com/c', 200, '<p>gamma page</p>'),
+      ('bogus',    'crawl-00.warc.gz', NULL, NULL, NULL),
+      ('plain_b',  'crawl-01.warc',    'http://ex.com/b', 404, '<p>beta gone</p>')
+    ) AS t(kind, filename, target_uri, http_status, payload_text)
+    """,
+)
+def q228(spark, sf_dir):
+    """CDX -> WARC ranged fetch (sources/warc.fetch_warc_records — the
+    stage AFTER the q227 index selection): materialize exactly the
+    records the index names, by byte range, per the Common Crawl
+    convention (offset/length address the record's per-record gzip
+    MEMBER inside the .warc.gz; plain ranges sniffed too). The index
+    selection collapses to one array row per file, BROADCASTS, and a
+    map-only Arrow pass slices + parses each wanted range — blob bytes
+    never duplicate per record and never shuffle (at archive scale
+    these are ranged GETs; grepping the WARCs is the canonical scale
+    mistake). Fixtures: a 3-member .warc.gz fetching members 1 and 3
+    plus one BOGUS range (null-fields row — gate, not guess), and a
+    plain uncompressed WARC fetching its middle record. Contract
+    oracle: literal expected table."""
+    _prep(spark)
+    import gzip as _gzip
+
+    from polars_dataset_spark.sources import fetch_warc_records
+
+    def resp(uri: str, body: bytes, status: str = "200 OK") -> bytes:
+        http = (
+            f"HTTP/1.1 {status}\r\nContent-Type: text/html\r\n\r\n".encode() + body
+        )
+        return _warc_record(
+            "response", uri, http,
+            "Content-Type: application/http; msgtype=response\r\n",
+        )
+
+    members = [
+        _gzip.compress(resp("http://ex.com/a", b"<p>alpha page</p>"), mtime=0),
+        _gzip.compress(resp("http://ex.com/junk", b"<p>skip me</p>"), mtime=0),
+        _gzip.compress(resp("http://ex.com/c", b"<p>gamma page</p>"), mtime=0),
+    ]
+    gz_blob = b"".join(members)
+    off = [0, len(members[0]), len(members[0]) + len(members[1])]
+    plain_recs = [
+        resp("http://ex.com/pre", b"<p>before</p>"),
+        resp("http://ex.com/b", b"<p>beta gone</p>", status="404 Not Found"),
+    ]
+    plain_blob = b"".join(plain_recs)
+    blobs = spark.createDataFrame(
+        [
+            ("crawl-00.warc.gz", bytearray(gz_blob)),
+            ("crawl-01.warc", bytearray(plain_blob)),
+        ],
+        "filename string, content binary",
+    )
+    index = spark.createDataFrame(
+        [
+            ("page_a", "crawl-00.warc.gz", off[0], len(members[0])),
+            ("page_c", "crawl-00.warc.gz", off[2], len(members[2])),
+            ("bogus", "crawl-00.warc.gz", 7, 11),
+            ("plain_b", "crawl-01.warc", len(plain_recs[0]), len(plain_recs[1])),
+        ],
+        "kind string, warc_filename string, warc_offset long, warc_length long",
+    )
+    fetched = fetch_warc_records(blobs, index)
+    # re-attach index attributes by (file, range) — broadcast, index-sized
+    labeled = fetched.join(
+        F.broadcast(index),
+        on=(
+            (fetched["filename"] == index["warc_filename"])
+            & (fetched["warc_offset"] == index["warc_offset"])
+            & (fetched["warc_length"] == index["warc_length"])
+        ),
+    )
+    return labeled.select(
+        "kind", "filename", "target_uri", "http_status",
+        F.decode(F.col("payload"), "utf-8").alias("payload_text"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
