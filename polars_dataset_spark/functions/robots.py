@@ -31,8 +31,10 @@ RFC 9309 semantics implemented (and documented deviations):
 
 - group selection: the group(s) whose ``User-agent`` token is the
   LONGEST case-insensitive substring of the crawler's user-agent win;
-  ``*`` is the fallback group. Only the selected group's rules apply
-  (groups do not merge — §2.2.1).
+  ``*`` is the fallback. When MORE THAN ONE group ties the winning
+  specificity (two ``User-agent: *`` blocks, a repeated product token
+  — common in real robots.txt), their rules MERGE in file order, as
+  §2.2.1 requires ("crawlers MUST combine the groups").
 - rule matching: byte-wise path-prefix with ``*`` (any run) and ``$``
   (end anchor); empty patterns are ignored. Precedence = octet length
   of the RAW pattern, Allow wins length ties (§2.2.2).
@@ -82,16 +84,21 @@ def pattern_to_regex(pattern: str) -> str:
 
 
 def parse_robots(text: str, user_agent: str = "*") -> "dict":
-    """Parse one robots.txt and select the group for ``user_agent``
+    """Parse one robots.txt and select the group(s) for ``user_agent``
     (RFC 9309 §2.2.1: longest user-agent token that is a
     case-insensitive substring of the crawler's UA; ``*`` fallback).
-    Returns ``{"rules": [(pattern, allow), ...], "crawl_delay":
-    float | None, "matched_ua": str | None, "sitemaps": [url, ...]}``
-    — rules in file order, empty patterns dropped. ``Sitemap:`` lines
-    are GLOBAL (the sitemaps protocol: they apply to every crawler,
-    independent of group selection), collected in file order. Lines
-    that parse as nothing are ignored (comments, unknown directives,
-    blank lines), per the RFC's tolerance requirements."""
+    When several groups tie the winning specificity — two
+    ``User-agent: *`` blocks, or a product token repeated across
+    groups — their rules are COMBINED in file order, as §2.2.1
+    requires; ``crawl_delay`` is the MAX across the merged groups (the
+    polite choice when directives conflict). Returns ``{"rules":
+    [(pattern, allow), ...], "crawl_delay": float | None,
+    "matched_ua": str | None, "sitemaps": [url, ...]}`` — rules in
+    file order, empty patterns dropped. ``Sitemap:`` lines are GLOBAL
+    (the sitemaps protocol: they apply to every crawler, independent
+    of group selection), collected in file order. Lines that parse as
+    nothing are ignored (comments, unknown directives, blank lines),
+    per the RFC's tolerance requirements."""
     ua = user_agent.lower()
     # groups: list of (ua_tokens, rules, crawl_delay)
     groups: "list[tuple[list[str], list[tuple[str, bool]], float | None]]" = []
@@ -138,23 +145,40 @@ def parse_robots(text: str, user_agent: str = "*") -> "dict":
             in_group_body = True
     close()
 
-    best_len = -1
-    best: "tuple[list[tuple[str, bool]], float | None, str] | None" = None
+    # Per-group specificity = longest matching token in that group
+    # (0 for '*'); all groups tying the winning specificity MERGE
+    # (§2.2.1: "crawlers MUST combine the groups").
+    scored: "list[tuple[int, list[tuple[str, bool]], float | None, str]]" = []
     for uas, rules, delay in groups:
+        glen, gtok = -1, ""
         for tok in uas:
             if tok == "*":
-                if best_len < 0:
-                    best_len, best = 0, (rules, delay, tok)
-            elif tok and tok in ua and len(tok) > best_len:
-                best_len, best = len(tok), (rules, delay, tok)
-    if best is None:
+                if glen < 0:
+                    glen, gtok = 0, tok
+            elif tok and tok in ua and len(tok) > glen:
+                glen, gtok = len(tok), tok
+        if glen >= 0:
+            scored.append((glen, rules, delay, gtok))
+    best_len = max((s[0] for s in scored), default=-1)
+    if best_len < 0:
         return {
             "rules": [], "crawl_delay": None, "matched_ua": None,
             "sitemaps": sitemaps,
         }
+    merged_rules: "list[tuple[str, bool]]" = []
+    merged_delay: "float | None" = None
+    matched_ua: "str | None" = None
+    for glen, rules, delay, gtok in scored:
+        if glen != best_len:
+            continue
+        merged_rules.extend(rules)
+        if delay is not None:
+            merged_delay = delay if merged_delay is None else max(merged_delay, delay)
+        if matched_ua is None:
+            matched_ua = gtok
     return {
-        "rules": best[0], "crawl_delay": best[1], "matched_ua": best[2],
-        "sitemaps": sitemaps,
+        "rules": merged_rules, "crawl_delay": merged_delay,
+        "matched_ua": matched_ua, "sitemaps": sitemaps,
     }
 
 

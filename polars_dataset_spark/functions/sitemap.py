@@ -26,8 +26,8 @@ surface; this extends the crawl-pipeline family (q215/q218).
 
 from __future__ import annotations
 
-import gzip
 import re
+import zlib
 from typing import Iterator
 from xml.etree import ElementTree
 
@@ -56,9 +56,13 @@ def parse_sitemap(data: bytes) -> "dict | None":
     if data is None:
         return None
     if data[:2] == b"\x1f\x8b":  # gzip member
+        # Bounded inflate: cap the UNCOMPRESSED output before it is ever
+        # allocated (a 50 MB gzip bomb inflates to ~50 GB — feeding
+        # gzip.decompress first would OOM the executor). decompressobj
+        # with max_length stops inflating at the protocol's own cap.
         try:
-            data = gzip.decompress(data[: _MAX_BYTES])
-        except (OSError, EOFError):
+            data = zlib.decompressobj(wbits=31).decompress(data, _MAX_BYTES)
+        except zlib.error:
             return None
     data = data[:_MAX_BYTES]
     try:

@@ -52,7 +52,10 @@ _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 _PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# Anchored so only a '?' BEFORE any '#' starts the query — an
+# unanchored \? would match a '?' inside the fragment
+# (http://h/p#a?b must have no query, not query "b").
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -153,7 +156,7 @@ def filter_url_blocklist(
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
 
 _FRAGMENT_RE = r"#.*$"
-_QUERY_RE2 = r"\?([^#]*)"
+_QUERY_RE2 = _QUERY_RE  # same fragment-safe anchoring as the parts regex
 
 
 def canonical_url_col(url: Column) -> Column:

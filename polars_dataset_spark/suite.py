@@ -7015,7 +7015,7 @@ def q178(spark, sf_dir):
              nullif(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)), '') AS host,
              CAST(nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1), '') AS INTEGER) AS port,
              nullif(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS path,
-             nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+             nullif(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '') AS query
       FROM src),
     dom AS (
       SELECT *,
@@ -8701,7 +8701,7 @@ _Q207_URL_EXPR = """
         regexp_extract(url,
           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port,
         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
-        regexp_extract(url, '\\?([^#]*)', 1) AS query
+        regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
       FROM src),
     canon AS (
       SELECT doc_id, url, scheme, host, port, path,
@@ -10024,7 +10024,6 @@ def q224(spark, sf_dir):
     the measured quarantine count carried on every row."""
     _prep(spark)
     import json as _json
-    import os as _os
     import shutil
     import tempfile
 
@@ -10047,10 +10046,14 @@ def q224(spark, sf_dir):
             spark, f"{work}/docs", schema="doc_id long, source string, text string"
         )
         n_corrupt = bad.count()
-        rows = good.filter(F.col("doc_id") >= 0).collect()
+        # Materialize DISTRIBUTED (executor block manager) before the
+        # finally-block deletes the JSONL tempdir the scan reads from —
+        # an eager localCheckpoint severs the lineage without pulling
+        # the corpus through the driver (a collect() here was a
+        # driver-memory hazard at larger SFs).
+        out = good.filter(F.col("doc_id") >= 0).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    out = spark.createDataFrame(rows, "doc_id long, source string, text string")
     return out.select(
         "doc_id", "source",
         F.lit(n_corrupt).cast("long").alias("n_corrupt"),
@@ -10247,7 +10250,7 @@ _Q227_LINE_EXPR = """
         regexp_extract(url,
           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port,
         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS rawpath,
-        regexp_extract(url, '\\?([^#]*)', 1) AS query
+        regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
       FROM parsed)
     SELECT doc_id, surt, ts, url, mime, http_status, digest,
            warc_length, warc_offset, warc_filename,
