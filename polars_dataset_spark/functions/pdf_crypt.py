@@ -121,7 +121,7 @@ def _build_tables():
         x = _gmul(x, 3)
     sbox = [0] * 256
     for a in range(256):
-        inv = 0 if a == 0 else exp[255 - log[a]]
+        inv = 0 if a == 0 else exp[(255 - log[a]) % 255]
         s = inv
         for _ in range(4):  # affine transform (§5.1.1)
             inv = ((inv << 1) | (inv >> 7)) & 0xFF

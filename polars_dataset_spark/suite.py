@@ -10381,6 +10381,163 @@ def q228(spark, sf_dir):
     )
 
 
+def _pdf_encrypted_fixture(
+    page_streams: "list[bytes]",
+    mode: str = "rc4-40",
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"own",
+    flate: bool = False,
+) -> bytes:
+    """A classic PDF encrypted with the STANDARD security handler (ISO
+    32000-1 §7.6.3), built entirely from the spec algorithms in
+    ``functions/pdf_crypt`` — the inverse the q229 oracle needs. Modes:
+    ``rc4-40`` (V=1 R=2), ``rc4-128`` (V=2 R=3), ``aes-128`` (V=4 R=4
+    with /CF /StdCF /CFM /AESV2 crypt filters). Streams are written as
+    Encrypt(Filter(data)) — encryption is applied LAST by a writer
+    (§7.6.2), so readers decrypt FIRST. Deterministic: fixed /ID, fixed
+    per-object AES IVs (MD5 of the object number)."""
+    import hashlib as _hashlib
+    import zlib as _zlib
+
+    from polars_dataset_spark.functions.pdf_crypt import (
+        aes128_cbc_encrypt,
+        compute_encryption_key,
+        compute_o,
+        compute_u,
+        rc4,
+    )
+
+    v, r, bits = {
+        "rc4-40": (1, 2, 40),
+        "rc4-128": (2, 3, 128),
+        "aes-128": (4, 4, 128),
+    }[mode]
+    key_bytes = bits // 8
+    id0 = bytes(range(16))
+    p = -3904  # typical permissions-only mask: no print/copy/modify
+    o = compute_o(owner_pw, user_pw, r, key_bytes)
+    key = compute_encryption_key(user_pw, o, p, id0, r, key_bytes)
+    u = compute_u(key, id0, r)
+
+    def enc_stream(num: int, data: bytes) -> bytes:
+        md = _hashlib.md5(key)
+        md.update(num.to_bytes(3, "little") + (0).to_bytes(2, "little"))
+        if mode == "aes-128":
+            md.update(b"sAlT")
+        objkey = md.digest()[: min(key_bytes + 5, 16)]
+        if mode == "aes-128":
+            iv = _hashlib.md5(b"iv%d" % num).digest()
+            return aes128_cbc_encrypt(objkey, iv, data)
+        return rc4(objkey, data)
+
+    n = len(page_streams)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs: "list[tuple[int, bytes]]" = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ]
+    for i, s in enumerate(page_streams):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        objs.append((
+            page_num,
+            f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R >>".encode(),
+        ))
+        filtered = _zlib.compress(s) if flate else s
+        enc = enc_stream(content_num, filtered)
+        filt = b" /Filter /FlateDecode" if flate else b""
+        objs.append((
+            content_num,
+            b"<< /Length " + str(len(enc)).encode() + filt + b" >>\nstream\n"
+            + enc + b"\nendstream",
+        ))
+    enc_num = 3 + 2 * n
+    cf = (
+        b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        b" /StmF /StdCF /StrF /StdCF"
+        if mode == "aes-128"
+        else b""
+    )
+    objs.append((
+        enc_num,
+        b"<< /Filter /Standard /V " + str(v).encode() + b" /R " + str(r).encode()
+        + b" /Length " + str(bits).encode() + b" /P " + str(p).encode()
+        + b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b">"
+        + cf + b" >>",
+    ))
+    out = b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n"
+    for num, body in objs:
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+        f" /Encrypt {enc_num} 0 R"
+        f" /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+        "startxref\n0\n%%EOF\n"
+    ).encode()
+    return out
+
+
+@query(
+    "q229_pdf_encrypted_text",
+    """
+    SELECT CAST(doc_blob_id AS BIGINT) AS doc_blob_id,
+           CAST(page_idx AS INTEGER) AS page_idx, page_text
+    FROM (VALUES
+      (0, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (0, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (1, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (1, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (2, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (2, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (3, NULL, NULL),
+      (4, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (5, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (6, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC')
+    ) AS t(doc_blob_id, page_idx, page_text)
+    """,
+)
+def q229(spark, sf_dir):
+    """Encrypted-PDF text extraction (functions/pdf_crypt — ISO 32000-1
+    §7.6.3 standard security handler, VERDICT r11 #1): the majority of
+    "encrypted" crawl PDFs are permissions-only — owner password set,
+    USER password EMPTY — and decrypt from public-spec algorithms
+    alone. Fixtures built by the in-repo spec encoder (Algorithm 3 /O,
+    Algorithms 4-5 /U, Algorithm 2 file key, Algorithm 1 per-object
+    keys): RC4-40 V=1 (doc 0), RC4-128 V=2 (doc 1), AES-128-CBC V=4
+    /AESV2 crypt filters (doc 2) — each two pages whose decrypted text
+    must equal the q211 classic-extraction baseline byte-for-byte;
+    AES-128 with a REAL user password (doc 3) must stay behind the
+    honest NULL gate (/U validation fails); RC4-128 and AES-128 over
+    FlateDecode streams (docs 4-5) prove the decrypt-THEN-defilter
+    order (§7.6.2: writers encrypt last); an unencrypted control
+    (doc 6). AES is FIPS-197 vectorized over numpy inside the existing
+    map-only Arrow pass — per-blob work, zero exchanges. FULL value
+    oracle: literal expected table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pdf_text
+
+    s1 = (
+        b"BT /F1 12 Tf 72 720 Td (Hello World) Tj 0 -14 TD (second line) Tj ET\n"
+        b"BT 72 600 Td [(A) -400 (B) 10 (C)] TJ ET\n"
+    )
+    s2 = (
+        b"BT 72 720 Td (paren \\(x\\) and \\\\ slash \\100) Tj ET\n"
+        b"BT 72 700 Td <48454C4C4F> Tj (cont)' ET\n"
+    )
+    rows = [
+        (0, bytearray(_pdf_encrypted_fixture([s1, s2], mode="rc4-40"))),
+        (1, bytearray(_pdf_encrypted_fixture([s1, s2], mode="rc4-128"))),
+        (2, bytearray(_pdf_encrypted_fixture([s1, s2], mode="aes-128"))),
+        (3, bytearray(
+            _pdf_encrypted_fixture([s1], mode="aes-128", user_pw=b"secret")
+        )),
+        (4, bytearray(_pdf_encrypted_fixture([s1], mode="rc4-128", flate=True))),
+        (5, bytearray(_pdf_encrypted_fixture([s1], mode="aes-128", flate=True))),
+        (6, bytearray(_pdf_text_fixture([s1]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_blob_id long, content binary")
+    return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
