@@ -10538,6 +10538,106 @@ def q229(spark, sf_dir):
     return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")
 
 
+# q230 fixture XML (module-level so the oracle can interpolate the
+# members' exact uncompressed sizes)
+_Q230_CT_XML = (
+    b'<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org'
+    b'/package/2006/content-types"><Default Extension="xml" ContentType='
+    b'"application/xml"/></Types>'
+)
+_Q230_DOC_XML = (
+    b'<?xml version="1.0"?>'
+    b'<w:document xmlns:w="http://schemas.openxmlformats.org/'
+    b'wordprocessingml/2006/main"><w:body>'
+    b"<w:p><w:r><w:t>Quarterly report</w:t></w:r></w:p>"
+    b"<w:p><w:r><w:t>alpha</w:t><w:tab/><w:t>beta</w:t></w:r>"
+    b"<w:r><w:br/><w:t>gamma</w:t></w:r></w:p>"
+    b"<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell one</w:t></w:r></w:p>"
+    b"</w:tc></w:tr></w:tbl>"
+    b"</w:body></w:document>"
+)
+_Q230_NOPREFIX_XML = (
+    b'<document xmlns="http://schemas.openxmlformats.org/'
+    b'wordprocessingml/2006/main"><body><p><r><t>no prefix</t></r></p>'
+    b"</body></document>"
+)
+_Q230_TEXT_SQL = (
+    "'Quarterly report' || chr(10) || 'alpha' || chr(9) || 'beta'"
+    " || chr(10) || 'gamma' || chr(10) || 'cell one'"
+)
+
+
+@query(
+    "q230_zip_docx_text",
+    f"""
+    SELECT CAST(blob_id AS BIGINT) AS blob_id,
+           CAST(entry_idx AS INTEGER) AS entry_idx, entry_name,
+           CAST(method AS INTEGER) AS method,
+           CAST(uncompressed_size AS BIGINT) AS uncompressed_size,
+           encrypted, doc_text
+    FROM (VALUES
+      (0, 0, 'a.txt',  0, 5,  false, NULL),
+      (0, 1, 'docs/',  0, 0,  false, NULL),
+      (0, 2, 'b.bin',  0, 10, false, NULL),
+      (1, 0, '[Content_Types].xml', 8, {len(_Q230_CT_XML)}, false,
+         {_Q230_TEXT_SQL}),
+      (1, 1, 'word/document.xml', 8, {len(_Q230_DOC_XML)}, false,
+         {_Q230_TEXT_SQL}),
+      (2, 0, 'word/document.xml', 8, {len(_Q230_NOPREFIX_XML)}, false,
+         'no prefix'),
+      (3, 0, 'word/document.xml', 8, {len(_Q230_DOC_XML)}, true, NULL),
+      (4, NULL, NULL, NULL, NULL, NULL, NULL)
+    ) AS t(blob_id, entry_idx, entry_name, method, uncompressed_size,
+           encrypted, doc_text)
+    """,
+)
+def q230(spark, sf_dir):
+    """ZIP container inventory + OOXML (docx) text extraction
+    (functions/ooxml — VERDICT r11 #2): real crawls are full of
+    ``.docx``/``.pptx``/``.xlsx``, all ZIP+XML. The central directory
+    is parsed from the EOCD tail record (APPNOTE 4.3 — the archive's
+    own index: inventory WITHOUT touching member bytes, the same
+    index-first access pattern as CDX/WARC), members inflate bounded
+    (stored/deflate only, CRC-checked, zip-bomb-guarded), and
+    ``word/document.xml`` yields paragraph text (``w:p``/``w:t`` runs,
+    ``w:tab`` -> tab, ``w:br`` -> newline, table cells included,
+    namespace-tolerant local-name matching). Fixtures from the in-repo
+    spec encoder (``build_zip``): a stored 3-member archive (inventory
+    only), a deflate docx whose text must match the literal expectation
+    byte-for-byte, a default-namespace docx (prefix-free XML), an
+    encrypted-member docx (flag bit 0 — inventory shows it, text
+    gates NULL), and junk (all-null row, the q205 gate rule). One
+    map-only Arrow pass per surface, zero exchanges. FULL value
+    oracle: literal expected table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import build_zip, docx_text, zip_inventory
+
+    blobs = [
+        (0, build_zip(
+            [("a.txt", b"hello"), ("docs/", b""), ("b.bin", bytes(range(10)))],
+            method=0,
+        )),
+        (1, build_zip(
+            [("[Content_Types].xml", _Q230_CT_XML),
+             ("word/document.xml", _Q230_DOC_XML)],
+        )),
+        (2, build_zip([("word/document.xml", _Q230_NOPREFIX_XML)])),
+        (3, build_zip(
+            [("word/document.xml", _Q230_DOC_XML)],
+            encrypted_names={"word/document.xml"},
+        )),
+        (4, b"not a zip at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "blob_id long, content binary"
+    )
+    with_text = docx_text(df)  # per-blob text (None at gates)
+    return zip_inventory(with_text).select(
+        "blob_id", "entry_idx", "entry_name", "method",
+        "uncompressed_size", "encrypted", "doc_text",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
