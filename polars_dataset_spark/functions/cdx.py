@@ -36,7 +36,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["surt_col", "with_surt", "cdxj_lines", "read_cdxj", "CDXJ_PAYLOAD_SCHEMA"]
+__all__ = [
+    "surt_col",
+    "with_surt",
+    "cdxj_lines",
+    "cdxj_line_col",
+    "read_cdxj",
+    "CDXJ_PAYLOAD_SCHEMA",
+]
 
 from polars_dataset_spark.functions.urls import _HOST_RE, _PATH_RE, _PORT_RE, _QUERY_RE, _SCHEME_RE
 
@@ -118,6 +125,42 @@ def cdxj_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
         F.col("__p.length").cast("long").alias("warc_length"),
         F.col("__p.offset").cast("long").alias("warc_offset"),
         F.col("__p.filename").alias("warc_filename"),
+    )
+
+
+def cdxj_line_col(
+    url: Column,
+    ts: Column,
+    mime: Column,
+    status: Column,
+    digest: Column,
+    length: Column,
+    offset: Column,
+    filename: Column,
+) -> Column:
+    """The WRITE side of :func:`cdxj_lines` — one CDX-J index line
+    ``<surt> <ts14> <json>`` from record columns, the exact inverse the
+    round-trip needs (q231): ``cdxj_lines(cdxj_line_col(...))`` hands
+    back the same fields. Numerics are stringified in the JSON payload
+    (the CC convention the parse side's schema mirrors). Pure codegen:
+    :func:`surt_col` + ``to_json(struct(...))`` — map-only, and the
+    output sorts into the SURT key order the archive's index requires.
+    Rows whose URL has no SURT key (unparseable) yield NULL — an index
+    must not contain unkeyed lines."""
+    payload = F.to_json(
+        F.struct(
+            url.alias("url"),
+            mime.alias("mime"),
+            status.cast("string").alias("status"),
+            digest.alias("digest"),
+            length.cast("string").alias("length"),
+            offset.cast("string").alias("offset"),
+            filename.alias("filename"),
+        )
+    )
+    key = surt_col(url)
+    return F.when(
+        key.isNotNull(), F.concat_ws(" ", key, ts, payload)
     )
 
 

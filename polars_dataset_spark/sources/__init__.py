@@ -10,10 +10,12 @@ from polars_dataset_spark.sources.jsonl import (
     write_jsonl,
 )
 from polars_dataset_spark.sources.warc import (
+    build_warc_record,
     fetch_warc_records,
     parse_warc,
     warc_record_at,
     warc_records,
+    write_warc,
 )
 
 __all__ = [
@@ -21,6 +23,8 @@ __all__ = [
     "warc_records",
     "warc_record_at",
     "fetch_warc_records",
+    "build_warc_record",
+    "write_warc",
     "read_jsonl",
     "read_jsonl_split",
     "split_corrupt",

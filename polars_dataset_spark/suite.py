@@ -10638,6 +10638,77 @@ def q230(spark, sf_dir):
     )
 
 
+@query(
+    "q231_warc_roundtrip",
+    """
+    SELECT doc_id,
+           'http://site' || CAST(doc_id % 7 AS VARCHAR(8))
+             || '.example/doc/' || CAST(doc_id AS VARCHAR(16)) AS url,
+           CAST(200 AS INTEGER) AS http_status,
+           '<p>' || text || '</p>' AS payload_text
+    FROM documents
+    """,
+)
+def q231(spark, sf_dir):
+    """WARC write + CDX-J index generation round-trip (sources/warc
+    ``write_warc`` + functions/cdx ``cdxj_line_col`` — VERDICT r11 #3,
+    closing the archive loop WRITE-side): every document is packed
+    into per-record gzip members across 3 archive files (offsets and
+    lengths recorded DURING the write, sha1 payload digests in the CC
+    convention), the index is emitted as CDX-J TEXT LINES via the
+    existing surt_col, parsed BACK through ``cdxj_lines`` (the q227/
+    q228 read path — so the round trip crosses the real serialized
+    format, not an in-memory shortcut), and a q228-style ranged fetch
+    (``fetch_warc_records``) must hand back byte-identical payloads
+    for every record. Plan shape: ONE hash shuffle groups records into
+    their output files (the file-packing partitioning itself); the
+    index collapses to array rows, broadcasts, and the fetch is
+    map-only per file — blob bytes never shuffle. FULL value oracle:
+    the fetched corpus must equal the source documents exactly."""
+    _prep(spark)
+    from polars_dataset_spark.functions import cdxj_line_col, cdxj_lines
+    from polars_dataset_spark.sources import fetch_warc_records, write_warc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")), "utf-8")
+        .alias("payload"),
+        F.concat(
+            F.lit("crawl-"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("warc_filename"),
+    )
+    files = write_warc(docs)
+    blobs = files.select(
+        F.col("warc_filename").alias("filename"), "content"
+    )
+    index_rows = files.select(
+        "warc_filename", F.explode("records").alias("r")
+    ).select("warc_filename", "r.*")
+    # serialize -> parse: the round trip crosses the CDX-J text format
+    lines = index_rows.select(
+        cdxj_line_col(
+            F.col("url"), F.col("ts"), F.col("mime"), F.col("http_status"),
+            F.col("digest"), F.col("warc_length"), F.col("warc_offset"),
+            F.col("warc_filename"),
+        ).alias("value")
+    )
+    parsed = cdxj_lines(lines)
+    fetched = fetch_warc_records(blobs, parsed)
+    return fetched.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "http_status",
+        F.decode(F.col("payload"), "utf-8").alias("payload_text"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -1,0 +1,122 @@
+"""WARC write + CDX-J generation (sources/warc.write_warc,
+functions/cdx.cdxj_line_col): member offsets/lengths recorded during
+the write must address parseable records, the CDX-J text round-trip
+must be lossless, and the writer must be deterministic (no clock/RNG
+per record)."""
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from polars_dataset_spark.functions.cdx import cdxj_line_col, cdxj_lines
+from polars_dataset_spark.sources.warc import (
+    build_warc_record,
+    parse_warc,
+    warc_record_at,
+    write_warc,
+)
+
+
+def test_build_warc_record_parses_back():
+    rec = build_warc_record("response", "http://e.example/a", b"<p>hi</p>")
+    parsed = parse_warc(rec)
+    assert len(parsed) == 1
+    r = parsed[0]
+    assert r["warc_type"] == "response"
+    assert r["target_uri"] == "http://e.example/a"
+    assert r["http_status"] == 200
+    assert r["payload"] == b"<p>hi</p>"
+
+
+def test_build_warc_record_deterministic():
+    a = build_warc_record("response", "http://e.example/a", b"x")
+    b = build_warc_record("response", "http://e.example/a", b"x")
+    assert a == b
+
+
+def _records_df(spark, n=7):
+    rows = [
+        (
+            f"http://h{i % 2}.example/p{i}",
+            bytearray(f"payload-{i}".encode()),
+            f"f{i % 2}.warc.gz",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, payload binary, warc_filename string"
+    )
+
+
+def test_write_warc_offsets_address_members(spark):
+    files = {
+        r["warc_filename"]: r
+        for r in write_warc(_records_df(spark)).collect()
+    }
+    assert set(files) == {"f0.warc.gz", "f1.warc.gz"}
+    for fname, row in files.items():
+        blob = bytes(row["content"])
+        total = 0
+        for rec in row["records"]:
+            off, ln = rec["warc_offset"], rec["warc_length"]
+            member = blob[off : off + ln]
+            assert member[:2] == b"\x1f\x8b"  # its own gzip member
+            # the ranged fetch path must parse exactly this record
+            got = warc_record_at(blob, off, ln)
+            assert got is not None and got["target_uri"] == rec["url"]
+            # member is self-terminating: inflating it yields one record
+            d = zlib.decompressobj(wbits=31)
+            one = d.decompress(member)
+            assert d.eof and parse_warc(one)[0]["target_uri"] == rec["url"]
+            total += ln
+        assert total == len(blob)  # members tile the file exactly
+
+
+def test_write_warc_payloads_roundtrip(spark):
+    files = write_warc(_records_df(spark)).collect()
+    seen = {}
+    for row in files:
+        blob = bytes(row["content"])
+        for rec in row["records"]:
+            got = warc_record_at(blob, rec["warc_offset"], rec["warc_length"])
+            seen[got["target_uri"]] = got["payload"]
+    for i in range(7):
+        assert seen[f"http://h{i % 2}.example/p{i}"] == f"payload-{i}".encode()
+
+
+def test_cdxj_line_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://E.example:80/A?b=1#frag", "20260101000000",
+             "text/html", 200, "sha1:ABC", 123, 456, "f.warc.gz"),
+            ("not a url", "20260101000000",
+             "text/html", 200, "sha1:X", 1, 2, "f.warc.gz"),
+        ],
+        "url string, ts string, mime string, http_status int,"
+        " digest string, warc_length long, warc_offset long,"
+        " warc_filename string",
+    )
+    lines = df.select(
+        cdxj_line_col(
+            F.col("url"), F.col("ts"), F.col("mime"), F.col("http_status"),
+            F.col("digest"), F.col("warc_length"), F.col("warc_offset"),
+            F.col("warc_filename"),
+        ).alias("value")
+    )
+    rows = lines.collect()
+    assert rows[1]["value"] is None  # unkeyed URL -> no index line
+    parsed = cdxj_lines(lines.filter(F.col("value").isNotNull())).collect()
+    assert len(parsed) == 1
+    p = parsed[0]
+    assert p["surt"] == "example,e)/a?b=1"  # lowercased, :80 dropped, fragment dropped
+    assert p["url"] == "http://E.example:80/A?b=1#frag"
+    assert (p["warc_offset"], p["warc_length"]) == (456, 123)
+    assert p["http_status"] == 200 and p["warc_filename"] == "f.warc.gz"
+
+
+def test_write_warc_deterministic_across_runs(spark):
+    a = {r["warc_filename"]: bytes(r["content"])
+         for r in write_warc(_records_df(spark)).collect()}
+    b = {r["warc_filename"]: bytes(r["content"])
+         for r in write_warc(_records_df(spark)).collect()}
+    assert a == b
