@@ -10709,6 +10709,98 @@ def q231(spark, sf_dir):
     )
 
 
+@query(
+    "q232_feed_entries",
+    """
+    SELECT CAST(feed_id AS BIGINT) AS feed_id, kind, feed_title,
+           CAST(entry_idx AS INTEGER) AS entry_idx, title, link,
+           published, entry_id
+    FROM (VALUES
+      (0, 'rss', 'Graft News', 0, 'First post', 'https://a.example/p1',
+         'Mon, 10 Aug 2026 08:00:00 GMT', 'guid-1'),
+      (0, 'rss', 'Graft News', 1, NULL, 'https://a.example/p2',
+         NULL, NULL),
+      (1, 'atom', 'Graft Blog', 0, 'Entry one', 'https://b.example/e1',
+         '2026-08-11T09:00:00Z', 'urn:e1'),
+      (1, 'atom', 'Graft Blog', 1, 'Entry two', 'https://b.example/e2',
+         NULL, NULL),
+      (2, 'rss', 'RDF Channel', 0, 'Old school', 'https://c.example/r1',
+         '2026-08-12', NULL),
+      (3, 'atom', 'Empty Feed', NULL, NULL, NULL, NULL, NULL),
+      (4, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+    ) AS t(feed_id, kind, feed_title, entry_idx, title, link,
+           published, entry_id)
+    """,
+)
+def q232(spark, sf_dir):
+    """RSS/Atom feed parsing (functions/feeds — VERDICT r11 #5): the
+    crawl-seeding channel beside sitemaps (q222); new entry links feed
+    the same canonicalize -> robots -> schedule chain. Fixtures built
+    from the public formats: RSS 2.0 with title/link/pubDate/guid, a
+    minimal item, AND a linkless item that must be skipped (the link
+    is the frontier key); a GZIPPED Atom feed (bounded inflate) whose
+    first entry carries rel="alternate" + enclosure links (alternate
+    must win) and second a bare link; an RDF/RSS-1.0 feed with
+    top-level items and dc:date (namespace-tolerant local-name
+    matching); an EMPTY Atom feed (one null-entry row); junk (one
+    null-kind row — the q205 gate rule). One map-only Arrow pass, zero
+    exchanges. Contract oracle: literal expected table."""
+    _prep(spark)
+    import zlib as _zlib
+
+    from polars_dataset_spark.functions import feed_entries
+
+    rss = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel>'
+        b"<title>Graft News</title><link>https://a.example/</link>"
+        b"<item><title>First post</title><link>https://a.example/p1</link>"
+        b"<pubDate>Mon, 10 Aug 2026 08:00:00 GMT</pubDate>"
+        b"<guid>guid-1</guid></item>"
+        b"<item><link>https://a.example/p2</link></item>"
+        b"<item><title>no link, skipped</title></item>"
+        b"</channel></rss>"
+    )
+    atom = (
+        b'<?xml version="1.0"?>'
+        b'<feed xmlns="http://www.w3.org/2005/Atom">'
+        b"<title>Graft Blog</title>"
+        b"<entry><title>Entry one</title>"
+        b'<link rel="enclosure" href="https://b.example/e1.mp3"/>'
+        b'<link rel="alternate" href="https://b.example/e1"/>'
+        b"<updated>2026-08-11T09:00:00Z</updated><id>urn:e1</id></entry>"
+        b'<entry><title>Entry two</title><link href="https://b.example/e2"/>'
+        b"</entry></feed>"
+    )
+    co = _zlib.compressobj(6, _zlib.DEFLATED, 31)
+    atom_gz = co.compress(atom) + co.flush()
+    rdf = (
+        b'<?xml version="1.0"?>'
+        b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        b' xmlns="http://purl.org/rss/1.0/"'
+        b' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        b"<channel><title>RDF Channel</title></channel>"
+        b"<item><title>Old school</title><link>https://c.example/r1</link>"
+        b"<dc:date>2026-08-12</dc:date></item>"
+        b"</rdf:RDF>"
+    )
+    empty = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom">'
+        b"<title>Empty Feed</title></feed>"
+    )
+    rows = [
+        (0, bytearray(rss)),
+        (1, bytearray(atom_gz)),
+        (2, bytearray(rdf)),
+        (3, bytearray(empty)),
+        (4, bytearray(b"<html>not a feed</html>")),
+    ]
+    df = spark.createDataFrame(rows, "feed_id long, content binary")
+    return feed_entries(df).select(
+        "feed_id", "kind", "feed_title", "entry_idx", "title", "link",
+        "published", "entry_id",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
