@@ -52,23 +52,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # expires the entry on its own (ADVICE r6: the previous unconditional
 # list never expired and permanently ate ~17 rotation slots).
 #
-# Round 11 touched (all r10-era entries expired on their r10 green
-# rows): pdf.py gained xref-stream + ObjStm inflation and the
-# dict-close /Encrypt window (q205/q211); html.decode_html only strips
-# a utf-16 BOM that is actually present (q210/q213/q215 share the
-# decode path); audiohash rederived all 64 bits from inside the
-# 200-3200 Hz band — signature VALUES changed (q212/q214); extract_text
-# grew the mode= parameter (q210/q213 default path re-exercised).
+# Round 12 touched (all r11-era entries expired on their r11 green
+# rows): urls.py's query regex is now fragment-safe (q179/q207/q215/
+# q223/q227 share the parse path, oracles updated in lockstep);
+# robots.py merges same-specificity groups per RFC 9309 §2.2.1
+# (q218/q225); pii.py's SSN area class covers 001-899\{666}
+# (q221); sitemap.py inflates bounded (q222); q224 materializes via
+# localCheckpoint; pdf.py decrypts permissions-only encrypted files
+# before extraction and tracks generation numbers (q205/q211/q216);
+# warc.py gained the writer (q228 shares the module); the q130/q141
+# ORACLES were restated with the cross-side AllPairs prefix filter
+# (same value set, needs a fresh driver row on the new SQL).
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
 _REFACTOR_TOUCHED: dict[str, int] = {
-    "q205_pdf_probe": 10,
-    "q210_html_to_text": 10,
-    "q211_pdf_text": 10,
-    "q212_audio_neardup": 10,
-    "q213_html_corpus_scaled": 10,
-    "q214_audio_index_filter": 10,
-    "q215_outlink_frontier": 10,
+    "q130_fuzzy_join": 11,
+    "q141_neardup_vs_corpus": 11,
+    "q179_url_filter": 11,
+    "q205_pdf_probe": 11,
+    "q207_url_canonicalize": 11,
+    "q211_pdf_text": 11,
+    "q215_outlink_frontier": 11,
+    "q216_pdf15_text": 11,
+    "q218_robots_frontier": 11,
+    "q221_pii_scrub": 11,
+    "q222_sitemap_entries": 11,
+    "q223_anchor_inlinks": 11,
+    "q224_jsonl_roundtrip": 11,
+    "q225_fetch_schedule": 11,
+    "q227_cdxj_surt": 11,
+    "q228_warc_range_fetch": 11,
 }
 
 

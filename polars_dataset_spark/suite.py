@@ -4372,9 +4372,47 @@ def q129(spark, sf_dir):
     )
 
 
+def _cross_jaccard_pair_ctes(threshold: float, with_jaccard: bool = False) -> str:
+    """Cross-side variant of :func:`_jaccard_pair_ctes`: the exact
+    Jaccard pair set BETWEEN two halves of a preceding ``sh(doc_id,
+    is_l, shingles)`` CTE, ending in ``p(id_l, id_r[, jaccard])``.
+    Same AllPairs/PPJoin prefix filter (global-frequency shingle
+    order; a qualifying pair must collide within both prefixes), with
+    the candidate join restricted to L×R — this replaces the
+    brute-force ``l JOIN r ON TRUE`` oracles whose O(|L|·|R|)
+    list-intersects timed out at the sf10 decade (VERDICT r11 #6);
+    the filter is exact, so the restated oracle computes the
+    IDENTICAL pair set at every SF."""
+    jac = (
+        ",\n             round(len(list_intersect(a.shingles, b.shingles))::DOUBLE\n"
+        "                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard"
+        if with_jaccard
+        else ""
+    )
+    return f"""
+    inv AS (SELECT doc_id, is_l, unnest(shingles) AS g FROM sh),
+    gfreq AS (SELECT g, count(*) AS c FROM inv GROUP BY g),
+    ranked AS (
+      SELECT inv.doc_id, inv.is_l, inv.g,
+             row_number() OVER (PARTITION BY inv.doc_id ORDER BY gfreq.c, inv.g) AS rk,
+             count(*) OVER (PARTITION BY inv.doc_id) AS sz
+      FROM inv JOIN gfreq USING (g)),
+    pref AS (SELECT doc_id, is_l, g FROM ranked
+             WHERE rk <= sz - ceil({threshold} * sz) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+             FROM pref a JOIN pref b ON a.g = b.g
+             WHERE a.is_l AND NOT b.is_l),
+    p AS (
+      SELECT cand.id_l, cand.id_r{jac}
+      FROM cand JOIN sh a ON a.doc_id = cand.id_l
+                JOIN sh b ON b.doc_id = cand.id_r
+      WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= {threshold})"""
+
+
 @query(
     "q130_fuzzy_join",
-    r"""
+    rf"""
     WITH d AS (
       SELECT doc_id, source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
       FROM documents),
@@ -4383,19 +4421,13 @@ def q129(spark, sf_dir):
              CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
       FROM d),
     sh AS (
-      SELECT doc_id, source, CASE WHEN len(toks) >= 3
+      SELECT doc_id, source < 'src5' AS is_l, CASE WHEN len(toks) >= 3
         THEN list_distinct(list_transform(range(1, len(toks) - 1),
                                           i -> array_to_string(toks[i:i+2], ' ')))
         ELSE [array_to_string(toks, ' ')] END AS shingles
       FROM tok),
-    l AS (SELECT * FROM sh WHERE source < 'src5'),
-    r AS (SELECT * FROM sh WHERE source >= 'src5')
-    SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
-           round(len(list_intersect(l.shingles, r.shingles))::DOUBLE
-                 / len(list_distinct(list_concat(l.shingles, r.shingles))), 6) AS jaccard
-    FROM l JOIN r ON TRUE
-    WHERE round(len(list_intersect(l.shingles, r.shingles))::DOUBLE
-                / len(list_distinct(list_concat(l.shingles, r.shingles))), 6) >= 0.6
+    {_cross_jaccard_pair_ctes(0.6, with_jaccard=True)}
+    SELECT id_l AS doc_id_l, id_r AS doc_id_r, jaccard FROM p
     """,
 )
 def q130(spark, sf_dir):
@@ -4918,7 +4950,7 @@ def q140(spark, sf_dir):
 
 @query(
     "q141_neardup_vs_corpus",
-    r"""
+    rf"""
     WITH d AS (
       SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
       FROM documents),
@@ -4927,21 +4959,14 @@ def q140(spark, sf_dir):
              CASE WHEN norm = '' THEN [''] ELSE string_split(norm, ' ') END AS toks
       FROM d),
     sh AS (
-      SELECT doc_id, CASE WHEN len(toks) >= 3
+      SELECT doc_id, doc_id % 2 = 1 AS is_l, CASE WHEN len(toks) >= 3
         THEN list_distinct(list_transform(range(1, len(toks) - 1),
                                           i -> array_to_string(toks[i:i+2], ' ')))
         ELSE [array_to_string(toks, ' ')] END AS shingles
       FROM tok),
-    c AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
-    a AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
-    hits AS (
-      SELECT DISTINCT a.doc_id
-      FROM a JOIN c
-        ON round(len(list_intersect(a.shingles, c.shingles))::DOUBLE
-                 / len(list_distinct(list_concat(a.shingles, c.shingles))), 6)
-           >= 0.7)
+    {_cross_jaccard_pair_ctes(0.7)}
     SELECT doc_id, lang, source FROM documents
-    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id_l FROM p)
     """,
 )
 def q141(spark, sf_dir):
