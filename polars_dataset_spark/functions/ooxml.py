@@ -56,8 +56,11 @@ __all__ = [
     "parse_zip_entries",
     "read_zip_entry",
     "extract_docx_text",
+    "extract_xlsx_text",
+    "extract_pptx_text",
     "zip_inventory",
     "docx_text",
+    "office_text",
     "build_zip",
 ]
 
@@ -194,6 +197,150 @@ def extract_docx_text(data: bytes) -> "str | None":
     return "\n".join(paragraphs)
 
 
+def _read_part(data: bytes, entries: "list[dict]", name: str) -> "bytes | None":
+    e = next((x for x in entries if x["name"] == name), None)
+    return read_zip_entry(data, e) if e is not None else None
+
+
+def _parse_part(data: bytes, entries: "list[dict]", name: str):
+    xml = _read_part(data, entries, name)
+    if xml is None:
+        return None
+    try:
+        return ElementTree.fromstring(xml)
+    except ElementTree.ParseError:
+        return None
+
+
+def extract_xlsx_text(data: bytes) -> "str | None":
+    """Cell text of an ``.xlsx`` blob (SpreadsheetML): shared strings
+    resolved from ``xl/sharedStrings.xml`` (``si`` items — ``t`` runs
+    concatenated, rich-text runs included), then every worksheet part
+    (``xl/worksheets/sheet*.xml`` in name order) emits one line per
+    row, cells tab-joined: ``t="s"`` cells via the shared-string index,
+    ``t="str"``/formula and numeric cells from ``<v>``, ``inlineStr``
+    from ``<is><t>``. None at the gate: not a ZIP, no workbook part,
+    unreadable/malformed members."""
+    entries = parse_zip_entries(data)
+    if entries is None or not any(
+        e["name"] == "xl/workbook.xml" for e in entries
+    ):
+        return None
+    shared: "list[str]" = []
+    root = _parse_part(data, entries, "xl/sharedStrings.xml")
+    if root is not None:
+        for si in root:
+            if _local(si.tag) != "si":
+                continue
+            shared.append(
+                "".join(
+                    el.text
+                    for el in si.iter()
+                    if _local(el.tag) == "t" and el.text
+                )
+            )
+    sheet_names = sorted(
+        e["name"]
+        for e in entries
+        if e["name"].startswith("xl/worksheets/sheet")
+        and e["name"].endswith(".xml")
+    )
+    lines: "list[str]" = []
+    for sname in sheet_names:
+        sroot = _parse_part(data, entries, sname)
+        if sroot is None:
+            continue
+        for row in sroot.iter():
+            if _local(row.tag) != "row":
+                continue
+            cells: "list[str]" = []
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    cells.append(
+                        "".join(
+                            el.text
+                            for el in c.iter()
+                            if _local(el.tag) == "t" and el.text
+                        )
+                    )
+                    continue
+                v = next(
+                    (el.text for el in c if _local(el.tag) == "v"), None
+                )
+                if v is None:
+                    cells.append("")
+                elif ctype == "s":
+                    try:
+                        cells.append(shared[int(v)])
+                    except (ValueError, IndexError):
+                        cells.append("")
+                else:
+                    cells.append(v)
+            lines.append("\t".join(cells))
+    return "\n".join(lines)
+
+
+def extract_pptx_text(data: bytes) -> "str | None":
+    """Slide text of a ``.pptx`` blob (PresentationML): every
+    ``ppt/slides/slide*.xml`` part in name order, paragraphs (``a:p``)
+    one per line with their ``a:t`` runs concatenated; slides separated
+    by blank lines. None at the gate: not a ZIP, no presentation part,
+    unreadable/malformed members."""
+    entries = parse_zip_entries(data)
+    if entries is None or not any(
+        e["name"] == "ppt/presentation.xml" for e in entries
+    ):
+        return None
+    slide_names = sorted(
+        e["name"]
+        for e in entries
+        if e["name"].startswith("ppt/slides/slide")
+        and e["name"].endswith(".xml")
+    )
+    slides: "list[str]" = []
+    for sname in slide_names:
+        root = _parse_part(data, entries, sname)
+        if root is None:
+            continue
+        paras: "list[str]" = []
+        for p in root.iter():
+            if _local(p.tag) != "p" or not p.tag.startswith("{"):
+                # PresentationML paragraphs are DrawingML a:p — require
+                # a namespaced tag so stray <p> in embedded HTML-ish
+                # parts can't masquerade
+                continue
+            paras.append(
+                "".join(
+                    el.text
+                    for el in p.iter()
+                    if _local(el.tag) == "t" and el.text
+                )
+            )
+        slides.append("\n".join(paras))
+    return "\n\n".join(slides)
+
+
+_OFFICE_KINDS = (
+    ("word/document.xml", "docx", extract_docx_text),
+    ("xl/workbook.xml", "xlsx", extract_xlsx_text),
+    ("ppt/presentation.xml", "pptx", extract_pptx_text),
+)
+
+
+def _office_kind_and_text(blob: bytes) -> "tuple[str | None, str | None]":
+    entries = parse_zip_entries(blob)
+    if entries is None:
+        return None, None
+    names = {e["name"] for e in entries}
+    for marker, kind, fn in _OFFICE_KINDS:
+        if marker in names:
+            return kind, fn(blob)
+    return "zip", None  # a ZIP, but not an OOXML document
+
+
 _ZIP_FIELDS = [
     T.StructField("entry_idx", T.IntegerType()),
     T.StructField("entry_name", T.StringType()),
@@ -279,6 +426,47 @@ def docx_text(
                 ],
                 dtype="object",
             )
+            yield out
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def office_text(
+    df: DataFrame,
+    content_col: str = "content",
+    kind_col: str = "doc_kind",
+    out_col: str = "doc_text",
+) -> DataFrame:
+    """Route each ZIP blob by its OOXML marker part and extract text:
+    ``doc_kind`` in (docx, xlsx, pptx, zip — a ZIP but no OOXML
+    marker, NULL — not a ZIP) and ``doc_text`` (NULL at every gate).
+    One map-only Arrow pass; the router reads only the central
+    directory, the extractor inflates only the text-bearing parts."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(kind_col, T.StringType()),
+            T.StructField(out_col, T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            kinds, texts = [], []
+            for b in pdf[content_col]:
+                k, t = (
+                    _office_kind_and_text(bytes(b))
+                    if b is not None
+                    else (None, None)
+                )
+                kinds.append(k)
+                texts.append(t)
+            out[kind_col] = pd.array(kinds, dtype="object")
+            out[out_col] = pd.array(texts, dtype="object")
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)

@@ -10929,6 +10929,89 @@ def q233(spark, sf_dir):
     )
 
 
+# q234 fixture XML (module-level so the oracle is one literal table)
+_Q234_SS_XML = (
+    b'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/'
+    b'main"><si><t>alpha</t></si><si><r><t>be</t></r><r><t>ta</t></r>'
+    b"</si></sst>"
+)
+_Q234_SHEET_XML = (
+    b'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml'
+    b'/2006/main"><sheetData>'
+    b'<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>'
+    b'<row r="2"><c r="A2" t="s"><v>1</v></c>'
+    b'<c r="B2" t="inlineStr"><is><t>inline</t></is></c></row>'
+    b"</sheetData></worksheet>"
+)
+_Q234_SLIDE1_XML = (
+    b'<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/'
+    b'2006/main" xmlns:a="http://schemas.openxmlformats.org/drawingml/'
+    b'2006/main"><p:txBody>'
+    b"<a:p><a:r><a:t>Title </a:t></a:r><a:r><a:t>slide</a:t></a:r></a:p>"
+    b"<a:p><a:r><a:t>bullet one</a:t></a:r></a:p></p:txBody></p:sld>"
+)
+_Q234_SLIDE2_XML = (
+    b'<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/'
+    b'2006/main" xmlns:a="http://schemas.openxmlformats.org/drawingml/'
+    b'2006/main"><p:txBody><a:p><a:r><a:t>second</a:t></a:r></a:p>'
+    b"</p:txBody></p:sld>"
+)
+
+
+@query(
+    "q234_office_text",
+    """
+    SELECT CAST(blob_id AS BIGINT) AS blob_id, doc_kind, doc_text
+    FROM (VALUES
+      (0, 'docx', 'Quarterly report' || chr(10) || 'alpha' || chr(9)
+          || 'beta' || chr(10) || 'gamma' || chr(10) || 'cell one'),
+      (1, 'xlsx', 'alpha' || chr(9) || '42' || chr(10) || 'beta'
+          || chr(9) || 'inline'),
+      (2, 'pptx', 'Title slide' || chr(10) || 'bullet one' || chr(10)
+          || chr(10) || 'second'),
+      (3, 'zip',  NULL),
+      (4, NULL,   NULL)
+    ) AS t(blob_id, doc_kind, doc_text)
+    """,
+)
+def q234(spark, sf_dir):
+    """Unified OOXML text routing (functions/ooxml.office_text —
+    completing q230's docx with the xlsx/pptx siblings): the router
+    reads only the ZIP central directory to classify each blob (docx /
+    xlsx / pptx by marker part; plain 'zip'; NULL for non-ZIP), then
+    inflates only the text-bearing parts. SpreadsheetML: shared
+    strings (rich-text runs concatenated) + per-row tab-joined cells
+    (shared, inline, numeric); PresentationML: a:p paragraphs of a:t
+    runs per slide in name order, slides blank-line separated. One
+    map-only Arrow pass, zero exchanges. Contract oracle: literal
+    expected table (fixtures from the in-repo build_zip encoder)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import build_zip, office_text
+
+    blobs = [
+        (0, build_zip(
+            [("[Content_Types].xml", _Q230_CT_XML),
+             ("word/document.xml", _Q230_DOC_XML)],
+        )),
+        (1, build_zip(
+            [("xl/workbook.xml", b"<workbook/>"),
+             ("xl/sharedStrings.xml", _Q234_SS_XML),
+             ("xl/worksheets/sheet1.xml", _Q234_SHEET_XML)],
+        )),
+        (2, build_zip(
+            [("ppt/presentation.xml", b"<presentation/>"),
+             ("ppt/slides/slide1.xml", _Q234_SLIDE1_XML),
+             ("ppt/slides/slide2.xml", _Q234_SLIDE2_XML)],
+        )),
+        (3, build_zip([("plain.txt", b"not office")])),
+        (4, b"not a zip"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "blob_id long, content binary"
+    )
+    return office_text(df).select("blob_id", "doc_kind", "doc_text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

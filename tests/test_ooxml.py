@@ -144,3 +144,74 @@ def test_docx_real_writer_shape():
         zf.writestr("[Content_Types].xml", "<Types/>")
         zf.writestr("word/document.xml", DOC_XML.decode())
     assert extract_docx_text(buf.getvalue()) == "one\na\tb\nc"
+
+
+# ------------------------------------------------------- xlsx/pptx (r12)
+
+def test_xlsx_shared_inline_numeric_cells():
+    ss = (b'<sst xmlns="x"><si><t>alpha</t></si>'
+          b"<si><r><t>be</t></r><r><t>ta</t></r></si></sst>")
+    sheet = (b'<worksheet xmlns="x"><sheetData>'
+             b'<row><c t="s"><v>0</v></c><c><v>42</v></c></row>'
+             b'<row><c t="s"><v>1</v></c>'
+             b'<c t="inlineStr"><is><t>inline</t></is></c>'
+             b'<c t="s"><v>99</v></c><c/></row>'
+             b"</sheetData></worksheet>")
+    from polars_dataset_spark.functions.ooxml import extract_xlsx_text
+
+    blob = build_zip([
+        ("xl/workbook.xml", b"<workbook/>"),
+        ("xl/sharedStrings.xml", ss),
+        ("xl/worksheets/sheet1.xml", sheet),
+    ])
+    # out-of-range shared index and empty cell yield '' not a crash
+    assert extract_xlsx_text(blob) == "alpha\t42\nbeta\tinline\t\t"
+
+
+def test_xlsx_no_shared_strings_part():
+    from polars_dataset_spark.functions.ooxml import extract_xlsx_text
+
+    sheet = b'<worksheet><sheetData><row><c><v>7</v></c></row></sheetData></worksheet>'
+    blob = build_zip([
+        ("xl/workbook.xml", b"<workbook/>"),
+        ("xl/worksheets/sheet1.xml", sheet),
+    ])
+    assert extract_xlsx_text(blob) == "7"
+
+
+def test_pptx_slides_in_name_order():
+    from polars_dataset_spark.functions.ooxml import extract_pptx_text
+
+    def slide(txt):
+        return (b'<p:sld xmlns:p="pp" xmlns:a="aa"><p:txBody><a:p><a:r>'
+                b"<a:t>" + txt + b"</a:t></a:r></a:p></p:txBody></p:sld>")
+
+    blob = build_zip([
+        ("ppt/presentation.xml", b"<presentation/>"),
+        ("ppt/slides/slide2.xml", slide(b"two")),
+        ("ppt/slides/slide1.xml", slide(b"one")),
+    ])
+    assert extract_pptx_text(blob) == "one\n\ntwo"
+
+
+def test_office_router_kinds():
+    from polars_dataset_spark.functions.ooxml import _office_kind_and_text
+
+    assert _office_kind_and_text(build_zip([("a.txt", b"x")])) == ("zip", None)
+    assert _office_kind_and_text(b"junk") == (None, None)
+    k, t = _office_kind_and_text(build_zip([("word/document.xml", DOC_XML)]))
+    assert k == "docx" and t == "one\na\tb\nc"
+
+
+def test_office_malformed_parts_gate_not_raise():
+    from polars_dataset_spark.functions.ooxml import (
+        extract_pptx_text,
+        extract_xlsx_text,
+    )
+
+    bad_x = build_zip([("xl/workbook.xml", b"<workbook/>"),
+                       ("xl/worksheets/sheet1.xml", b"<broken")])
+    assert extract_xlsx_text(bad_x) == ""  # sheet skipped, no crash
+    bad_p = build_zip([("ppt/presentation.xml", b"<presentation/>"),
+                       ("ppt/slides/slide1.xml", b"<broken")])
+    assert extract_pptx_text(bad_p) == ""
