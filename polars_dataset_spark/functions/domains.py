@@ -65,12 +65,21 @@ def domain_quality_profile(
     from polars_dataset_spark.functions.text import with_quality_score
     from polars_dataset_spark.functions.urls import _HOST_RE, registered_domain_col
 
+    # Stage the host regex into its own projection BEFORE deriving the
+    # registered domain: registered_domain_col references its input 8
+    # times, and a single-projection form would inline the regexp at
+    # every mention (the q199-class duplication; with_url_parts has the
+    # same two-stage shape for the same reason).
     host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
-    staged = df.withColumn(
-        "__domain", registered_domain_col(F.nullif(host, F.lit("")))
-    ).withColumn(
-        "__norm", F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    staged = df.withColumns(
+        {
+            "__host": F.nullif(host, F.lit("")),
+            "__norm": F.regexp_replace(
+                F.trim(F.lower(F.col(text_col))), r"\s+", " "
+            ),
+        }
     )
+    staged = staged.withColumn("__domain", registered_domain_col(F.col("__host")))
     staged = with_quality_score(staged, text_col=text_col, out_col="__q")
     staged = with_pii_counts(staged, text_col=text_col, prefix="__n_")
     n_distinct = (

@@ -20,19 +20,24 @@ hashlib + numpy):
   gen_le2 [|| 'sAlT' for AESV2]), truncated to min(n+5, 16).
 - RC4 (the spec's §7.6.2 symmetric cipher for V=1/2 and CFM /V2) in
   pure Python — 40-bit (/V 1) and /Length-bit (/V 2) keys.
-- AES-128-CBC (CFM /AESV2, V=4 crypt filters): FIPS-197 implemented
-  VECTORIZED over numpy uint8 block arrays (S-box via GF(2^8) inverse +
-  affine transform, ShiftRows as a gather permutation, MixColumns via
-  GF multiply tables) — CBC decryption is block-parallel
+- AES-CBC (CFM /AESV2 128-bit, V=4; CFM /AESV3 256-bit, V=5):
+  FIPS-197 implemented VECTORIZED over numpy uint8 block arrays (S-box
+  via GF(2^8) inverse + affine transform, ShiftRows as a gather
+  permutation, MixColumns via GF multiply tables; the key schedule
+  handles Nk=4 and Nk=8) — CBC decryption is block-parallel
   (P_i = D(C_i) XOR C_{i-1}), so a megabyte stream is a handful of
   numpy passes, not a per-byte Python loop. The first 16 ciphertext
   bytes are the IV; PKCS#7 padding is stripped (§7.6.2).
+- AES-256 key derivation (V=5, R=5/6 — ISO 32000-2 §7.6.4): /U
+  validation + /UE file-key unwrap via Algorithm 2.A, with the R=6
+  Algorithm 2.B iterated SHA-256/384/512 + AES-CBC mixing hash (R=5,
+  the deprecated Adobe Extension Level 3 form, is one SHA-256).
+  AES-256 objects use the file key directly — no per-object mix.
 
 Deliberately gated, not guessed:
 
-- V=5 / R=5,6 (AES-256, PDF 2.0 §7.6.4) — different key derivation
-  (SHA-2 family); returns None today.
 - Non-empty user passwords — /U mismatch keeps the NULL gate.
+- Custom (non-/Standard) handlers, unknown crypt filters.
 - /EncryptMetadata false is honored in key derivation (R>=4).
 
 Scale shape: everything here runs INSIDE the existing map-only Arrow
@@ -57,6 +62,8 @@ __all__ = [
     "compute_encryption_key",
     "compute_o",
     "compute_u",
+    "derive_key_r56",
+    "make_u_ue_r6",
     "parse_encrypt_dict",
     "build_decryptor",
     "StandardDecryptor",
@@ -149,17 +156,23 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> np.ndarray:
-    """AES-128 key schedule -> (11, 16) uint8 round keys."""
-    words = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """AES key schedule (FIPS-197 §5.2) -> (Nr+1, 16) uint8 round keys.
+    Handles AES-128 (Nk=4, Nr=10) and AES-256 (Nk=8, Nr=14) — the two
+    sizes PDF uses (AESV2 / AESV3)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
     flat = [b for w in words for b in w]
-    return np.array(flat, dtype=np.uint8).reshape(11, 16)
+    return np.array(flat, dtype=np.uint8).reshape(nr + 1, 16)
 
 
 def _mix_columns(st: np.ndarray) -> np.ndarray:
@@ -187,25 +200,129 @@ def _inv_mix_columns(st: np.ndarray) -> np.ndarray:
 
 
 def _ecb_encrypt_blocks(blocks: np.ndarray, rk: np.ndarray) -> np.ndarray:
+    nr = rk.shape[0] - 1
     st = blocks ^ rk[0]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         st = _SBOX[st][:, _SHIFT]
         st = _mix_columns(st) ^ rk[rnd]
-    return _SBOX[st][:, _SHIFT] ^ rk[10]
+    return _SBOX[st][:, _SHIFT] ^ rk[nr]
 
 
 def _ecb_decrypt_blocks(blocks: np.ndarray, rk: np.ndarray) -> np.ndarray:
-    st = blocks ^ rk[10]
-    for rnd in range(9, 0, -1):
+    nr = rk.shape[0] - 1
+    st = blocks ^ rk[nr]
+    for rnd in range(nr - 1, 0, -1):
         st = _INV_SBOX[st[:, _INV_SHIFT]] ^ rk[rnd]
         st = _inv_mix_columns(st)
     return _INV_SBOX[st[:, _INV_SHIFT]] ^ rk[0]
 
 
+# CBC ENCRYPTION is block-sequential (C_i depends on C_{i-1}) — numpy's
+# per-call overhead at 16 bytes dominates there, so the chained path
+# uses the classic 4-T-table formulation in pure Python ints (~10x the
+# single-block numpy throughput; validated against FIPS-197 C.1 like
+# the vectorized path). Decryption stays numpy: it IS block-parallel.
+
+def _make_ttables():
+    t0 = [0] * 256
+    for x in range(256):
+        s = int(_SBOX[x])
+        t0[x] = (
+            (int(_MUL[2][s]) << 24) | (s << 16) | (s << 8) | int(_MUL[3][s])
+        )
+    rotr = lambda t, n: ((t >> n) | (t << (32 - n))) & 0xFFFFFFFF  # noqa: E731
+    return (
+        t0,
+        [rotr(t, 8) for t in t0],
+        [rotr(t, 16) for t in t0],
+        [rotr(t, 24) for t in t0],
+    )
+
+
+_T0, _T1, _T2, _T3 = _make_ttables()
+_SBOX_L = [int(s) for s in _SBOX]
+
+
+def _expand_key_words(key: bytes) -> "list[tuple[int, int, int, int]]":
+    rk = _expand_key(key)
+    return [
+        tuple(int.from_bytes(bytes(rk[r, 4 * j : 4 * j + 4]), "big") for j in range(4))
+        for r in range(rk.shape[0])
+    ]
+
+
+def _encrypt_block_words(
+    rkw: "list[tuple[int, int, int, int]]", w0: int, w1: int, w2: int, w3: int
+) -> "tuple[int, int, int, int]":
+    k = rkw[0]
+    w0 ^= k[0]
+    w1 ^= k[1]
+    w2 ^= k[2]
+    w3 ^= k[3]
+    nr = len(rkw) - 1
+    T0, T1, T2, T3 = _T0, _T1, _T2, _T3
+    for r in range(1, nr):
+        k = rkw[r]
+        e0 = T0[w0 >> 24] ^ T1[(w1 >> 16) & 255] ^ T2[(w2 >> 8) & 255] ^ T3[w3 & 255] ^ k[0]
+        e1 = T0[w1 >> 24] ^ T1[(w2 >> 16) & 255] ^ T2[(w3 >> 8) & 255] ^ T3[w0 & 255] ^ k[1]
+        e2 = T0[w2 >> 24] ^ T1[(w3 >> 16) & 255] ^ T2[(w0 >> 8) & 255] ^ T3[w1 & 255] ^ k[2]
+        e3 = T0[w3 >> 24] ^ T1[(w0 >> 16) & 255] ^ T2[(w1 >> 8) & 255] ^ T3[w2 & 255] ^ k[3]
+        w0, w1, w2, w3 = e0, e1, e2, e3
+    k = rkw[nr]
+    S = _SBOX_L
+    return (
+        ((S[w0 >> 24] << 24) | (S[(w1 >> 16) & 255] << 16)
+         | (S[(w2 >> 8) & 255] << 8) | S[w3 & 255]) ^ k[0],
+        ((S[w1 >> 24] << 24) | (S[(w2 >> 16) & 255] << 16)
+         | (S[(w3 >> 8) & 255] << 8) | S[w0 & 255]) ^ k[1],
+        ((S[w2 >> 24] << 24) | (S[(w3 >> 16) & 255] << 16)
+         | (S[(w0 >> 8) & 255] << 8) | S[w1 & 255]) ^ k[2],
+        ((S[w3 >> 24] << 24) | (S[(w0 >> 16) & 255] << 16)
+         | (S[(w1 >> 8) & 255] << 8) | S[w2 & 255]) ^ k[3],
+    )
+
+
+def _cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encrypt, NO padding (len(data) must be a multiple of 16)
+    — the Algorithm 2.B mixing step and the /UE//OE key wrap use this
+    form. Key may be 16 or 32 bytes (AES-128 / AES-256)."""
+    rkw = _expand_key_words(key)
+    out = bytearray()
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
+    for i in range(0, len(data), 16):
+        b = data[i : i + 16]
+        p0, p1, p2, p3 = _encrypt_block_words(
+            rkw,
+            p0 ^ int.from_bytes(b[0:4], "big"),
+            p1 ^ int.from_bytes(b[4:8], "big"),
+            p2 ^ int.from_bytes(b[8:12], "big"),
+            p3 ^ int.from_bytes(b[12:16], "big"),
+        )
+        out += p0.to_bytes(4, "big") + p1.to_bytes(4, "big")
+        out += p2.to_bytes(4, "big") + p3.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> "bytes | None":
+    """Raw CBC decrypt, NO padding — the /UE//OE unwrap (§7.6.4.3.3
+    uses a zero IV and no padding for the 32-byte file key)."""
+    if len(data) % 16 or not data:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    rk = _expand_key(key)
+    prevs = np.vstack([np.frombuffer(iv, dtype=np.uint8).reshape(1, 16), buf[:-1]])
+    return (_ecb_decrypt_blocks(buf, rk) ^ prevs).tobytes()
+
+
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> "bytes | None":
-    """AES-128-CBC per PDF §7.6.2: ``data`` = 16-byte IV || ciphertext;
+    """AES-CBC per PDF §7.6.2: ``data`` = 16-byte IV || ciphertext;
     PKCS#7 padding stripped. Block-PARALLEL (P_i = D(C_i) ^ C_{i-1}).
-    None on malformed layout (length, padding)."""
+    The key may be 16 bytes (AESV2) or 32 (AESV3 — AES-256); the name
+    keeps the original AESV2 spelling. None on malformed layout
+    (length, padding)."""
     if len(data) < 32 or len(data) % 16:
         return None
     buf = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
@@ -219,19 +336,12 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> "bytes | None":
 
 
 def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC encrypt with PKCS#7 padding (fixture building — the
+    """AES-CBC encrypt with PKCS#7 padding (fixture building — the
     inverse the q229 oracle's in-repo encrypted fixtures need). CBC
-    chaining is inherently sequential; fixtures are small."""
+    chaining is inherently sequential: uses the T-table block path.
+    Key may be 16 or 32 bytes."""
     pad = 16 - (len(data) % 16)
-    buf = data + bytes([pad]) * pad
-    rk = _expand_key(key)
-    out = bytearray(iv)
-    prev = np.frombuffer(iv, dtype=np.uint8)
-    for i in range(0, len(buf), 16):
-        block = np.frombuffer(buf[i : i + 16], dtype=np.uint8) ^ prev
-        prev = _ecb_encrypt_blocks(block.reshape(1, 16), rk)[0]
-        out += prev.tobytes()
-    return bytes(out)
+    return iv + _cbc_encrypt_nopad(key, iv, data + bytes([pad]) * pad)
 
 
 # ------------------------------------------------- §7.6.3 key algorithms
@@ -291,6 +401,68 @@ def compute_u(key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
+# ----------------------------------------- §7.6.4 AES-256 (R=5 / R=6)
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (ISO 32000-2 §7.6.4.3.4): the R=6 password hash —
+    iterated SHA-256/384/512 selected by an AES-CBC mixing step, at
+    least 64 rounds, stopping when round >= 64 and the last mix byte
+    <= round - 32. For the OWNER branch ``udata`` is the 48-byte /U."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _hash_r5(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """The deprecated R=5 (Adobe Extension Level 3) hash: one SHA-256."""
+    return hashlib.sha256(password + salt + udata).digest()
+
+
+def derive_key_r56(
+    password: bytes, u: bytes, ue: bytes, r: int
+) -> "bytes | None":
+    """Algorithm 2.A, user-password branch: validate ``password``
+    against the 48-byte /U (hash || validation-salt || key-salt) and
+    unwrap the 32-byte file key from /UE (AES-256-CBC, zero IV, no
+    padding). None when validation fails (a real password) or the
+    entries are malformed."""
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    hashed, vsalt, ksalt = u[:32], u[32:40], u[40:48]
+    hfn = _hash_2b if r == 6 else _hash_r5
+    if hfn(password, vsalt) != hashed:
+        return None
+    intermediate = hfn(password, ksalt)
+    return _cbc_decrypt_nopad(intermediate, bytes(16), ue[:32])
+
+
+def make_u_ue_r6(
+    password: bytes,
+    file_key: bytes,
+    vsalt: bytes = b"\x01" * 8,
+    ksalt: bytes = b"\x02" * 8,
+    r: int = 6,
+) -> "tuple[bytes, bytes]":
+    """Fixture-side inverse of :func:`derive_key_r56`: the (/U, /UE)
+    pair wrapping ``file_key`` for ``password`` (deterministic salts —
+    the in-repo encoder must not call an RNG)."""
+    hfn = _hash_2b if r == 6 else _hash_r5
+    u = hfn(password, vsalt) + vsalt + ksalt
+    ue = _cbc_encrypt_nopad(hfn(password, ksalt), bytes(16), file_key)
+    return u, ue
+
+
 # -------------------------------------------------- /Encrypt dict parsing
 
 _NUMKEY = {
@@ -305,35 +477,43 @@ _ENC_INLINE_RE = re.compile(rb"/Encrypt\s*<<")
 _ID_RE = re.compile(rb"/ID\s*\[\s*(?:<([0-9A-Fa-f\s]*)>|\(((?:[^\\)]|\\.)*)\))")
 _EM_FALSE_RE = re.compile(rb"/EncryptMetadata\s+false\b")
 _AESV2_RE = re.compile(rb"/AESV2\b")
+_AESV3_RE = re.compile(rb"/AESV3\b")
 _CFM_V2_RE = re.compile(rb"/CFM\s*/V2\b")
 _IDENTITY_STMF_RE = re.compile(rb"/StmF\s*/Identity\b")
 
 
 def _pdf_string_after(body: bytes, key: bytes) -> "bytes | None":
-    """Raw bytes of the PDF string value following ``key`` — literal
-    ``(...)`` with backslash escapes or hex ``<...>`` (§7.3.4)."""
-    i = body.find(key)
-    if i < 0:
-        return None
-    j = i + len(key)
-    while j < len(body) and body[j] in b" \t\r\n":
-        j += 1
-    if j >= len(body):
-        return None
-    if body[j] == 0x28:  # literal
-        from polars_dataset_spark.functions.pdf import _decode_pdf_string
-
-        s, _ = _decode_pdf_string(body, j)
-        return s.encode("latin-1", "replace")
-    if body[j] == 0x3C:  # hex
-        end = body.find(b">", j)
-        if end < 0:
+    """Raw bytes of the PDF string value following the NAME ``key`` —
+    literal ``(...)`` with backslash escapes or hex ``<...>`` (§7.3.4).
+    Name-boundary-aware: searching ``/U`` must not stop at ``/UE``
+    (AES-256 dicts carry both), and an occurrence not followed by a
+    string keeps scanning."""
+    i = -1
+    while True:
+        i = body.find(key, i + 1)
+        if i < 0:
             return None
-        hx = re.sub(rb"[^0-9A-Fa-f]", b"", body[j + 1 : end])
-        if len(hx) % 2:
-            hx += b"0"
-        return bytes.fromhex(hx.decode("ascii"))
-    return None
+        j = i + len(key)
+        if j < len(body) and (body[j : j + 1].isalnum() or body[j] == 0x5F):
+            continue  # longer name (/UE vs /U): not this key
+        while j < len(body) and body[j] in b" \t\r\n":
+            j += 1
+        if j >= len(body):
+            return None
+        if body[j] == 0x28:  # literal
+            from polars_dataset_spark.functions.pdf import _decode_pdf_string
+
+            s, _ = _decode_pdf_string(body, j)
+            return s.encode("latin-1", "replace")
+        if body[j] == 0x3C:  # hex
+            end = body.find(b">", j)
+            if end < 0:
+                return None
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", body[j + 1 : end])
+            if len(hx) % 2:
+                hx += b"0"
+            return bytes.fromhex(hx.decode("ascii"))
+        # key present but not followed by a string — keep scanning
 
 
 def parse_encrypt_dict(data: bytes, objs: "dict[int, bytes]") -> "dict | None":
@@ -368,6 +548,8 @@ def parse_encrypt_dict(data: bytes, objs: "dict[int, bytes]") -> "dict | None":
     aes = bool(_AESV2_RE.search(body))
     if v == 4 and not aes and not _CFM_V2_RE.search(body):
         return None  # V=4 with an unknown CFM: gate
+    if v == 5 and not _AESV3_RE.search(body):
+        return None  # V=5 must carry /AESV3 crypt filters: gate
     idm = _ID_RE.search(data)
     id0 = b""
     if idm:
@@ -388,6 +570,7 @@ def parse_encrypt_dict(data: bytes, objs: "dict[int, bytes]") -> "dict | None":
         "p": nums["P"],
         "o": o,
         "u": u,
+        "ue": _pdf_string_after(body, b"/UE"),
         "id0": id0,
         "aes": aes,
         "encrypt_metadata": not _EM_FALSE_RE.search(body),
@@ -398,16 +581,26 @@ def parse_encrypt_dict(data: bytes, objs: "dict[int, bytes]") -> "dict | None":
 class StandardDecryptor:
     """Per-object decryption bound to an authenticated file key.
     ``decrypt(objnum, gen, raw)`` applies Algorithm 1: RC4 for V=1/2
-    and CFM /V2, AES-128-CBC for /AESV2."""
+    and CFM /V2, AES-128-CBC for /AESV2. AES-256 (V=5, /AESV3) uses
+    the FILE key directly — §7.6.4 drops the per-object MD5 mix."""
 
-    def __init__(self, key: bytes, aes: bool, identity_stmf: bool = False):
+    def __init__(
+        self,
+        key: bytes,
+        aes: bool,
+        identity_stmf: bool = False,
+        v5: bool = False,
+    ):
         self.key = key
         self.aes = aes
         self.identity_stmf = identity_stmf
+        self.v5 = v5
 
     def decrypt(self, objnum: int, gen: int, raw: bytes) -> "bytes | None":
         if self.identity_stmf:
             return raw
+        if self.v5:
+            return aes128_cbc_decrypt(self.key, raw)  # AES-256 via key size
         md = hashlib.md5(self.key)
         md.update(objnum.to_bytes(3, "little"))
         md.update(gen.to_bytes(2, "little"))
@@ -426,10 +619,23 @@ def build_decryptor(
     the permissions-only case that dominates real crawls) against the
     file's standard security handler and return a bound decryptor, or
     None at the honest gate: no /Encrypt dict, non-Standard handler,
-    V=5/R>=5 (AES-256 — different derivation, out of scope), or /U
-    validation failure (a REAL user password)."""
+    unknown revision, or /U validation failure (a REAL user password).
+    Covers V=1/2 (RC4-40/128), V=4 (/AESV2 or /V2 crypt filters) AND
+    V=5 R=5/6 (AES-256 — Algorithm 2.A/2.B, file key unwrapped from
+    /UE)."""
     enc = parse_encrypt_dict(data, objs)
-    if enc is None or enc["r"] not in (2, 3, 4) or enc["v"] not in (1, 2, 4):
+    if enc is None:
+        return None
+    if enc["v"] == 5 and enc["r"] in (5, 6):
+        if enc["ue"] is None:
+            return None
+        key = derive_key_r56(password, enc["u"], enc["ue"], enc["r"])
+        if key is None:
+            return None  # real user password (or malformed /U//UE)
+        return StandardDecryptor(
+            key, aes=True, identity_stmf=enc["identity_stmf"], v5=True
+        )
+    if enc["r"] not in (2, 3, 4) or enc["v"] not in (1, 2, 4):
         return None
     key_bytes = 5 if enc["r"] == 2 else max(5, min(16, enc["length"] // 8))
     key = compute_encryption_key(

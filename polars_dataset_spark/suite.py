@@ -10414,13 +10414,16 @@ def _pdf_encrypted_fixture(
     flate: bool = False,
 ) -> bytes:
     """A classic PDF encrypted with the STANDARD security handler (ISO
-    32000-1 §7.6.3), built entirely from the spec algorithms in
-    ``functions/pdf_crypt`` — the inverse the q229 oracle needs. Modes:
-    ``rc4-40`` (V=1 R=2), ``rc4-128`` (V=2 R=3), ``aes-128`` (V=4 R=4
-    with /CF /StdCF /CFM /AESV2 crypt filters). Streams are written as
-    Encrypt(Filter(data)) — encryption is applied LAST by a writer
-    (§7.6.2), so readers decrypt FIRST. Deterministic: fixed /ID, fixed
-    per-object AES IVs (MD5 of the object number)."""
+    32000-1 §7.6.3 / 32000-2 §7.6.4), built entirely from the spec
+    algorithms in ``functions/pdf_crypt`` — the inverse the q229 oracle
+    needs. Modes: ``rc4-40`` (V=1 R=2), ``rc4-128`` (V=2 R=3),
+    ``aes-128`` (V=4 R=4, /CF /StdCF /CFM /AESV2), ``aes-256`` (V=5
+    R=6, /AESV3 — /U//UE from Algorithm 2.B, file key used directly per
+    object) and ``aes-256-r5`` (the deprecated single-SHA-256 R=5).
+    Streams are written as Encrypt(Filter(data)) — encryption is
+    applied LAST by a writer (§7.6.2), so readers decrypt FIRST.
+    Deterministic: fixed /ID, salts and file key; per-object AES IVs
+    are MD5 of the object number."""
     import hashlib as _hashlib
     import zlib as _zlib
 
@@ -10429,6 +10432,7 @@ def _pdf_encrypted_fixture(
         compute_encryption_key,
         compute_o,
         compute_u,
+        make_u_ue_r6,
         rc4,
     )
 
@@ -10436,15 +10440,27 @@ def _pdf_encrypted_fixture(
         "rc4-40": (1, 2, 40),
         "rc4-128": (2, 3, 128),
         "aes-128": (4, 4, 128),
+        "aes-256": (5, 6, 256),
+        "aes-256-r5": (5, 5, 256),
     }[mode]
     key_bytes = bits // 8
     id0 = bytes(range(16))
     p = -3904  # typical permissions-only mask: no print/copy/modify
-    o = compute_o(owner_pw, user_pw, r, key_bytes)
-    key = compute_encryption_key(user_pw, o, p, id0, r, key_bytes)
-    u = compute_u(key, id0, r)
+    ue = oe = None
+    if v == 5:
+        key = bytes(range(32))  # fixed file key; wrapped by /U//UE
+        u, ue = make_u_ue_r6(user_pw, key, r=r)
+        o, oe = make_u_ue_r6(owner_pw, key, vsalt=b"\x03" * 8,
+                             ksalt=b"\x04" * 8, r=r)
+    else:
+        o = compute_o(owner_pw, user_pw, r, key_bytes)
+        key = compute_encryption_key(user_pw, o, p, id0, r, key_bytes)
+        u = compute_u(key, id0, r)
 
     def enc_stream(num: int, data: bytes) -> bytes:
+        if v == 5:
+            iv = _hashlib.md5(b"iv%d" % num).digest()
+            return aes128_cbc_encrypt(key, iv, data)  # AES-256 via key size
         md = _hashlib.md5(key)
         md.update(num.to_bytes(3, "little") + (0).to_bytes(2, "little"))
         if mode == "aes-128":
@@ -10476,12 +10492,20 @@ def _pdf_encrypted_fixture(
             + enc + b"\nendstream",
         ))
     enc_num = 3 + 2 * n
-    cf = (
-        b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-        b" /StmF /StdCF /StrF /StdCF"
-        if mode == "aes-128"
-        else b""
-    )
+    if mode == "aes-128":
+        cf = (
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+        )
+    elif v == 5:
+        cf = (
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /UE <" + ue.hex().encode() + b">"
+            b" /OE <" + oe.hex().encode() + b">"
+        )
+    else:
+        cf = b""
     objs.append((
         enc_num,
         b"<< /Filter /Standard /V " + str(v).encode() + b" /R " + str(r).encode()
@@ -10516,7 +10540,11 @@ def _pdf_encrypted_fixture(
       (3, NULL, NULL),
       (4, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
       (5, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
-      (6, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC')
+      (6, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (7, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (7, 1, 'paren (x) and \\ slash @' || chr(10) || 'HELLO' || chr(10) || 'cont'),
+      (8, 0, 'Hello World' || chr(10) || 'second line' || chr(10) || 'A BC'),
+      (9, NULL, NULL)
     ) AS t(doc_blob_id, page_idx, page_text)
     """,
 )
@@ -10534,8 +10562,14 @@ def q229(spark, sf_dir):
     honest NULL gate (/U validation fails); RC4-128 and AES-128 over
     FlateDecode streams (docs 4-5) prove the decrypt-THEN-defilter
     order (§7.6.2: writers encrypt last); an unencrypted control
-    (doc 6). AES is FIPS-197 vectorized over numpy inside the existing
-    map-only Arrow pass — per-blob work, zero exchanges. FULL value
+    (doc 6); AES-256 V=5 R=6 (ISO 32000-2 §7.6.4 — Algorithm 2.B
+    iterated hash, /UE file-key unwrap, file key used directly per
+    object, doc 7), the deprecated R=5 single-SHA-256 form over Flate
+    (doc 8), and AES-256 with a real password gating NULL (doc 9).
+    AES is FIPS-197 — decryption vectorized over numpy block arrays
+    (C.1/C.3 known-answer pinned), the inherently-sequential
+    encrypt/2.B chain on classic T-tables — inside the existing
+    map-only Arrow pass; per-blob work, zero exchanges. FULL value
     oracle: literal expected table."""
     _prep(spark)
     from polars_dataset_spark.functions import pdf_text
@@ -10558,6 +10592,13 @@ def q229(spark, sf_dir):
         (4, bytearray(_pdf_encrypted_fixture([s1], mode="rc4-128", flate=True))),
         (5, bytearray(_pdf_encrypted_fixture([s1], mode="aes-128", flate=True))),
         (6, bytearray(_pdf_text_fixture([s1]))),
+        (7, bytearray(_pdf_encrypted_fixture([s1, s2], mode="aes-256"))),
+        (8, bytearray(
+            _pdf_encrypted_fixture([s1], mode="aes-256-r5", flate=True)
+        )),
+        (9, bytearray(
+            _pdf_encrypted_fixture([s1], mode="aes-256", user_pw=b"secret")
+        )),
     ]
     df = spark.createDataFrame(rows, "doc_blob_id long, content binary")
     return pdf_text(df).select("doc_blob_id", "page_idx", "page_text")

@@ -113,9 +113,11 @@ def test_real_user_password_stays_gated(mode):
     assert extract_pdf_text(pdf) is None
 
 
-def test_v5_r5_aes256_gated():
-    # swap the fixture's /V and /R for the PDF-2.0 values: parseable
-    # dict, unsupported revision -> decryptor must refuse
+def test_v5_without_aesv3_or_ue_gated():
+    # a dict CLAIMING V=5 but carrying AESV2 crypt filters and no /UE
+    # (mislabeled or corrupt) must gate, not misdecrypt: V=5 requires
+    # /AESV3 and the /UE key wrap (r12: genuine AES-256 is supported,
+    # see test_aes256_extracts_and_gates)
     pdf = _pdf_encrypted_fixture([S1], mode="aes-128")
     pdf = pdf.replace(b"/V 4 /R 4", b"/V 5 /R 5")
     from polars_dataset_spark.functions.pdf import _split_objects
@@ -182,3 +184,93 @@ def test_zlib_bomb_inside_encrypted_stream_bounded():
     pdf = _pdf_encrypted_fixture([b"BT (hi) Tj ET"], mode="aes-128", flate=True)
     out = extract_pdf_text(pdf)
     assert out == ["hi"]
+
+
+# --------------------------------------------------- AES-256 (r12, V=5)
+
+def test_aes256_fips197_c3_vector():
+    from polars_dataset_spark.functions.pdf_crypt import _cbc_encrypt_nopad
+
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    # zero-IV single-block CBC == raw ECB: the C.3 known answer
+    assert (
+        _cbc_encrypt_nopad(key, bytes(16), pt).hex()
+        == "8ea2b7ca516745bfeafc49904b496089"
+    )
+    rk = _expand_key(key)
+    back = _ecb_decrypt_blocks(
+        np.frombuffer(bytes.fromhex("8ea2b7ca516745bfeafc49904b496089"),
+                      np.uint8).reshape(1, 16), rk)
+    assert back[0].tobytes() == pt
+
+
+def test_ttable_matches_numpy_encrypt():
+    from polars_dataset_spark.functions.pdf_crypt import _cbc_encrypt_nopad
+
+    for key in (bytes(range(16)), bytes(range(32))):
+        rk = _expand_key(key)
+        blocks = bytes(range(9, 9 + 48))
+        # numpy ECB of each block XOR'd with the chained IVs == CBC
+        want = b""
+        prev = bytes(16)
+        for i in range(0, 48, 16):
+            x = bytes(a ^ b for a, b in zip(blocks[i : i + 16], prev))
+            prev = _ecb_encrypt_blocks(
+                np.frombuffer(x, np.uint8).reshape(1, 16), rk
+            )[0].tobytes()
+            want += prev
+        assert _cbc_encrypt_nopad(key, bytes(16), blocks) == want
+
+
+def test_r6_key_wrap_roundtrip():
+    from polars_dataset_spark.functions.pdf_crypt import (
+        derive_key_r56,
+        make_u_ue_r6,
+    )
+
+    fk = bytes(range(32))
+    for r in (5, 6):
+        u, ue = make_u_ue_r6(b"", fk, r=r)
+        assert derive_key_r56(b"", u, ue, r) == fk
+        assert derive_key_r56(b"wrong", u, ue, r) is None
+
+
+@pytest.mark.parametrize("mode", ["aes-256", "aes-256-r5"])
+def test_aes256_extracts_and_gates(mode):
+    pdf = _pdf_encrypted_fixture([S1, S2], mode=mode)
+    assert probe_pdf(pdf)["encrypted"] is True
+    assert extract_pdf_text(pdf) == [T1, T2]
+    assert extract_pdf_text(
+        _pdf_encrypted_fixture([S1], mode=mode, flate=True)
+    ) == [T1]
+    assert (
+        extract_pdf_text(
+            _pdf_encrypted_fixture([S1], mode=mode, user_pw=b"real")
+        )
+        is None
+    )
+
+
+def test_aes256_missing_ue_gates():
+    import re
+
+    pdf = _pdf_encrypted_fixture([S1], mode="aes-256")
+    stripped = re.sub(rb"/UE <[0-9a-f]*>", b"", pdf)
+    assert extract_pdf_text(stripped) is None
+
+
+def test_aes256_mutation_fuzz_never_raises():
+    import random
+
+    rng = random.Random(1256)
+    base = _pdf_encrypted_fixture([S1], mode="aes-256")
+    for _ in range(25):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        out = extract_pdf_text(bytes(buf))
+        assert out is None or isinstance(out, list)
