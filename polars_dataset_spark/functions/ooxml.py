@@ -58,6 +58,7 @@ __all__ = [
     "extract_docx_text",
     "extract_xlsx_text",
     "extract_pptx_text",
+    "extract_epub_text",
     "zip_inventory",
     "docx_text",
     "office_text",
@@ -323,10 +324,70 @@ def extract_pptx_text(data: bytes) -> "str | None":
     return "\n\n".join(slides)
 
 
+def extract_epub_text(data: bytes) -> "str | None":
+    """Chapter text of an ``.epub`` blob (EPUB OCF + OPF, IDPF/W3C
+    specs): ``META-INF/container.xml`` names the OPF package file, the
+    OPF's ``<manifest>`` maps ids to hrefs and its ``<spine>`` gives
+    reading ORDER; each XHTML chapter part is run through the repo's
+    existing HTML extractor (``functions/html.extract_text`` — decode
+    ladder + block extraction, boilerplate pruning OFF since book
+    chapters are all content). Chapters joined by blank lines. None at
+    the gate: not a ZIP, no container/OPF, no readable chapters."""
+    from polars_dataset_spark.functions.html import decode_html, extract_text
+
+    entries = parse_zip_entries(data)
+    if entries is None:
+        return None
+    container = _parse_part(data, entries, "META-INF/container.xml")
+    if container is None:
+        return None
+    opf_path = next(
+        (
+            el.get("full-path")
+            for el in container.iter()
+            if _local(el.tag) == "rootfile" and el.get("full-path")
+        ),
+        None,
+    )
+    if opf_path is None:
+        return None
+    opf = _parse_part(data, entries, opf_path)
+    if opf is None:
+        return None
+    opf_dir = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    hrefs: "dict[str, str]" = {}
+    for el in opf.iter():
+        if _local(el.tag) == "item" and el.get("id") and el.get("href"):
+            mt = el.get("media-type", "")
+            if "html" in mt or el.get("href", "").endswith((".xhtml", ".html")):
+                hrefs[el.get("id")] = el.get("href")
+    order = [
+        el.get("idref")
+        for el in opf.iter()
+        if _local(el.tag) == "itemref" and el.get("idref")
+    ]
+    chapters: "list[str]" = []
+    for idref in order:
+        href = hrefs.get(idref)
+        if href is None:
+            continue
+        raw = _read_part(data, entries, opf_dir + href)
+        if raw is None:
+            continue
+        html, _charset = decode_html(raw)
+        text = extract_text(html, drop_boilerplate=False)["text"]
+        if text:
+            chapters.append(text)
+    if not chapters:
+        return None
+    return "\n\n".join(chapters)
+
+
 _OFFICE_KINDS = (
     ("word/document.xml", "docx", extract_docx_text),
     ("xl/workbook.xml", "xlsx", extract_xlsx_text),
     ("ppt/presentation.xml", "pptx", extract_pptx_text),
+    ("META-INF/container.xml", "epub", extract_epub_text),
 )
 
 

@@ -11053,6 +11053,77 @@ def q234(spark, sf_dir):
     return office_text(df).select("blob_id", "doc_kind", "doc_text")
 
 
+# q235 EPUB fixture parts (module-level so the oracle is one literal)
+_Q235_CONTAINER_XML = (
+    b'<?xml version="1.0"?>'
+    b'<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container"'
+    b' version="1.0"><rootfiles>'
+    b'<rootfile full-path="OEBPS/content.opf"'
+    b' media-type="application/oebps-package+xml"/></rootfiles></container>'
+)
+_Q235_OPF_XML = (
+    b'<?xml version="1.0"?>'
+    b'<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+    b"<manifest>"
+    b'<item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>'
+    b'<item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>'
+    b'<item id="css" href="style.css" media-type="text/css"/>'
+    b"</manifest>"
+    b'<spine><itemref idref="c1"/><itemref idref="c2"/></spine></package>'
+)
+_Q235_CH1_XHTML = (
+    b"<html><head><title>t</title></head><body><h1>Chapter One</h1>"
+    b"<p>It was a dark night.</p></body></html>"
+)
+_Q235_CH2_XHTML = b"<html><body><p>The second chapter text.</p></body></html>"
+
+
+@query(
+    "q235_epub_text",
+    """
+    SELECT CAST(blob_id AS BIGINT) AS blob_id, doc_kind, doc_text
+    FROM (VALUES
+      (0, 'epub', 'Chapter One' || chr(10) || 'It was a dark night.'
+          || chr(10) || chr(10) || 'The second chapter text.'),
+      (1, 'zip', NULL),
+      (2, NULL, NULL)
+    ) AS t(blob_id, doc_kind, doc_text)
+    """,
+)
+def q235(spark, sf_dir):
+    """EPUB text extraction (functions/ooxml.extract_epub_text — the
+    ebook tail of a crawl, EPUB OCF + OPF public specs): the OCF
+    ``META-INF/container.xml`` names the OPF package, the OPF manifest
+    maps ids to hrefs and the SPINE fixes reading order (the fixture
+    declares chapters out of order in the manifest — spine order must
+    win), and each XHTML chapter runs through the repo's existing HTML
+    extractor (decode ladder + block extraction, boilerplate pruning
+    off — book chapters are all content). Routed by the same
+    central-directory-only classifier as q234 (docx/xlsx/pptx/epub).
+    Composition story: ZIP reader (q230) x HTML extractor (q210) —
+    zero new parsing machinery at the text layer. One map-only Arrow
+    pass, zero exchanges. Contract oracle: literal expected table."""
+    _prep(spark)
+    from polars_dataset_spark.functions import build_zip, office_text
+
+    epub = build_zip([
+        ("mimetype", b"application/epub+zip"),
+        ("META-INF/container.xml", _Q235_CONTAINER_XML),
+        ("OEBPS/content.opf", _Q235_OPF_XML),
+        ("OEBPS/ch1.xhtml", _Q235_CH1_XHTML),
+        ("OEBPS/ch2.xhtml", _Q235_CH2_XHTML),
+    ])
+    blobs = [
+        (0, epub),
+        (1, build_zip([("plain.txt", b"not a book")])),
+        (2, b"junk bytes"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "blob_id long, content binary"
+    )
+    return office_text(df).select("blob_id", "doc_kind", "doc_text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -215,3 +215,72 @@ def test_office_malformed_parts_gate_not_raise():
     bad_p = build_zip([("ppt/presentation.xml", b"<presentation/>"),
                        ("ppt/slides/slide1.xml", b"<broken")])
     assert extract_pptx_text(bad_p) == ""
+
+
+# ------------------------------------------------------------ epub (r12)
+
+CONTAINER_XML = (
+    b'<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+    b'<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles>'
+    b"</container>"
+)
+
+
+def _epub(opf, chapters):
+    members = [("mimetype", b"application/epub+zip"),
+               ("META-INF/container.xml", CONTAINER_XML),
+               ("OEBPS/content.opf", opf)]
+    members += [("OEBPS/" + n, b) for n, b in chapters]
+    return build_zip(members)
+
+
+def test_epub_spine_order_beats_manifest_order():
+    from polars_dataset_spark.functions.ooxml import extract_epub_text
+
+    opf = (b'<package><manifest>'
+           b'<item id="b" href="b.xhtml" media-type="application/xhtml+xml"/>'
+           b'<item id="a" href="a.xhtml" media-type="application/xhtml+xml"/>'
+           b"</manifest>"
+           b'<spine><itemref idref="a"/><itemref idref="b"/></spine></package>')
+    blob = _epub(opf, [
+        ("b.xhtml", b"<html><body><p>second</p></body></html>"),
+        ("a.xhtml", b"<html><body><p>first</p></body></html>"),
+    ])
+    assert extract_epub_text(blob) == "first\n\nsecond"
+
+
+def test_epub_missing_chapter_and_non_html_items_skipped():
+    from polars_dataset_spark.functions.ooxml import extract_epub_text
+
+    opf = (b'<package><manifest>'
+           b'<item id="a" href="a.xhtml" media-type="application/xhtml+xml"/>'
+           b'<item id="gone" href="gone.xhtml" media-type="application/xhtml+xml"/>'
+           b'<item id="css" href="s.css" media-type="text/css"/>'
+           b"</manifest>"
+           b'<spine><itemref idref="a"/><itemref idref="gone"/>'
+           b'<itemref idref="css"/></spine></package>')
+    blob = _epub(opf, [("a.xhtml", b"<html><body><p>only</p></body></html>")])
+    assert extract_epub_text(blob) == "only"
+
+
+def test_epub_gates():
+    from polars_dataset_spark.functions.ooxml import extract_epub_text
+
+    assert extract_epub_text(b"junk") is None
+    assert extract_epub_text(build_zip([("a.txt", b"x")])) is None
+    # container names an OPF that doesn't exist
+    blob = build_zip([("META-INF/container.xml", CONTAINER_XML)])
+    assert extract_epub_text(blob) is None
+    # spine resolves to zero readable chapters
+    opf = b'<package><manifest/><spine/></package>'
+    assert extract_epub_text(_epub(opf, [])) is None
+
+
+def test_epub_router_kind():
+    from polars_dataset_spark.functions.ooxml import _office_kind_and_text
+
+    opf = (b'<package><manifest>'
+           b'<item id="a" href="a.xhtml" media-type="application/xhtml+xml"/>'
+           b"</manifest><spine><itemref idref=\"a\"/></spine></package>")
+    blob = _epub(opf, [("a.xhtml", b"<html><body><p>hi</p></body></html>")])
+    assert _office_kind_and_text(blob) == ("epub", "hi")
