@@ -12,6 +12,7 @@ from polars_dataset_spark.sources.jsonl import (
 from polars_dataset_spark.sources.warc import (
     build_warc_record,
     fetch_warc_records,
+    mark_revisits,
     parse_warc,
     warc_record_at,
     warc_records,
@@ -24,6 +25,7 @@ __all__ = [
     "warc_record_at",
     "fetch_warc_records",
     "build_warc_record",
+    "mark_revisits",
     "write_warc",
     "read_jsonl",
     "read_jsonl_split",

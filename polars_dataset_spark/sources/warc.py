@@ -107,6 +107,9 @@ def parse_warc(data: bytes) -> "list[dict]":
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
             "content_type": headers.get("content-type"),
+            # revisit records (the CC payload-dedup convention) point at
+            # the canonical copy they duplicate
+            "refers_to": headers.get("warc-refers-to-target-uri"),
             "http_status": None,
             "http_content_type": None,
             "payload": payload,
@@ -132,6 +135,7 @@ _WARC_FIELDS = [
     T.StructField("target_uri", T.StringType()),
     T.StructField("warc_date", T.StringType()),
     T.StructField("content_type", T.StringType()),
+    T.StructField("refers_to", T.StringType()),
     T.StructField("http_status", T.IntegerType()),
     T.StructField("http_content_type", T.StringType()),
     T.StructField("payload", T.BinaryType()),
@@ -180,6 +184,7 @@ def build_warc_record(
     content_type: str = "application/http; msgtype=response",
     http_status: "int | None" = 200,
     http_content_type: "str | None" = "text/html",
+    extra_headers: "dict[str, str] | None" = None,
 ) -> bytes:
     """One spec-shaped WARC/1.0 record (ISO 28500 §4): header block +
     Content-Length-framed body + the closing double-CRLF. For
@@ -209,6 +214,8 @@ def build_warc_record(
         lines.append(f"WARC-Target-URI: {target_uri}".encode())
     lines.append(f"WARC-Date: {warc_date}".encode())
     lines.append(f"WARC-Record-ID: {record_id}".encode())
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}".encode())
     lines.append(f"Content-Type: {content_type}".encode())
     lines.append(f"Content-Length: {len(body)}".encode())
     return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
@@ -222,7 +229,48 @@ _MEMBER_FIELDS = [
     T.StructField("mime", T.StringType()),
     T.StructField("http_status", T.IntegerType()),
     T.StructField("digest", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("refers_to", T.StringType()),
 ]
+
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def mark_revisits(
+    df: DataFrame,
+    payload_col: str = "payload",
+    uri_col: str = "url",
+) -> DataFrame:
+    """Payload-dedup marking for the archive writer — the Common Crawl
+    ``revisit`` convention: within each identical-payload group the
+    lexicographically-first URI is CANONICAL (stored in full); every
+    other row gets ``revisit_of`` = that URI and will be written as a
+    tiny ``revisit`` record instead of re-storing the bytes. At
+    archive scale this is where most of the storage win comes from
+    (the same page fetched from mirrors/redirects stores once).
+
+    One window over the payload digest (sha1, JVM-side) — a single
+    hash-partitioned shuffle, and it IS the dedup grouping a writer
+    needs; canonical choice is deterministic at any partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    digest = F.sha1(F.col(payload_col))
+    w = Window.partitionBy("__digest").orderBy(F.col(uri_col))
+    out = (
+        df.withColumn("__digest", digest)
+        .withColumn("__canon", F.first(uri_col).over(w))
+        .withColumn(
+            "revisit_of",
+            F.when(F.col(uri_col) == F.col("__canon"), F.lit(None)).otherwise(
+                F.col("__canon")
+            ),
+        )
+    )
+    return out.drop("__digest", "__canon")
 
 
 def write_warc(
@@ -232,6 +280,7 @@ def write_warc(
     payload_col: str = "payload",
     date_col: "str | None" = None,
     mime_col: "str | None" = None,
+    revisit_col: "str | None" = None,
 ) -> DataFrame:
     """The WRITE side of the archive loop (VERDICT r11 #3): pack
     records into per-file ``.warc.gz`` blobs of PER-RECORD GZIP MEMBERS
@@ -251,7 +300,14 @@ def write_warc(
     grouped by output file no matter what; this shuffle IS the
     delivery, same adjudication as schedule_frontier's) — then one
     Arrow pass per file group. Records within a file are written in
-    (uri, date) order for determinism at any upstream partitioning."""
+    (uri, date) order for determinism at any upstream partitioning.
+
+    ``revisit_col`` (from :func:`mark_revisits`) makes the writer
+    DEDUP-AWARE: rows whose value is non-null emit a tiny ``revisit``
+    record (WARC-Profile identical-payload-digest,
+    WARC-Refers-To-Target-URI = the canonical copy, the payload digest
+    — NO payload bytes) instead of re-storing the body; records carry
+    ``kind``/``refers_to`` so the index distinguishes them."""
     import base64
     import hashlib
     import re as _re
@@ -279,24 +335,38 @@ def write_warc(
         fname = pdf[file_col].iloc[0]
         dates = pdf[date_col] if date_col else ["2026-01-01T00:00:00Z"] * len(pdf)
         mimes = pdf[mime_col] if mime_col else ["text/html"] * len(pdf)
+        revs = pdf[revisit_col] if revisit_col else [None] * len(pdf)
         rows = sorted(
-            zip(pdf[uri_col], pdf[payload_col], dates, mimes),
+            zip(pdf[uri_col], pdf[payload_col], dates, mimes, revs),
             key=lambda t: (str(t[0]), str(t[2])),
         )
         blob = bytearray()
         recs = []
-        for uri, payload, date, mime in rows:
+        for uri, payload, date, mime, rev in rows:
             payload = bytes(payload) if payload is not None else b""
-            rec = build_warc_record(
-                "response", uri, payload, warc_date=str(date),
-                http_content_type=str(mime),
-            )
-            co = zlib.compressobj(6, zlib.DEFLATED, 31)
-            member = co.compress(rec) + co.flush()
             digest = (
                 "sha1:"
                 + base64.b32encode(hashlib.sha1(payload).digest()).decode()
             )
+            if rev is not None and not (isinstance(rev, float) and rev != rev):
+                rec = build_warc_record(
+                    "revisit", uri, b"", warc_date=str(date),
+                    content_type="message/http", http_status=None,
+                    extra_headers={
+                        "WARC-Profile": _REVISIT_PROFILE,
+                        "WARC-Refers-To-Target-URI": str(rev),
+                        "WARC-Payload-Digest": digest,
+                    },
+                )
+                kind, refers_to, status = "revisit", str(rev), None
+            else:
+                rec = build_warc_record(
+                    "response", uri, payload, warc_date=str(date),
+                    http_content_type=str(mime),
+                )
+                kind, refers_to, status = "response", None, 200
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            member = co.compress(rec) + co.flush()
             recs.append(
                 {
                     "warc_offset": len(blob),
@@ -304,8 +374,10 @@ def write_warc(
                     "url": uri,
                     "ts": ts14(str(date)),
                     "mime": str(mime),
-                    "http_status": 200,
+                    "http_status": status,
                     "digest": digest,
+                    "kind": kind,
+                    "refers_to": refers_to,
                 }
             )
             blob += member

@@ -11124,6 +11124,79 @@ def q235(spark, sf_dir):
     return office_text(df).select("blob_id", "doc_kind", "doc_text")
 
 
+# q236 planting expressions — shared VERBATIM with the oracle
+_Q236_URL_EXPR = """
+    'http://m' || CAST(doc_id % 4 AS VARCHAR(8)) || '.example/page/'
+    || CAST(doc_id AS VARCHAR(16))
+"""
+_Q236_TEXT_EXPR = """
+    CASE WHEN CAST(doc_id % 5 AS INT) = 0
+         THEN 'shared mirror body stored once'
+         ELSE text END
+"""
+
+
+@query(
+    "q236_warc_revisit_dedup",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q236_URL_EXPR} AS url,
+             '<p>' || ({_Q236_TEXT_EXPR}) || '</p>' AS payload_text
+      FROM documents),
+    g AS (
+      SELECT *, min(url) OVER (PARTITION BY payload_text) AS canon
+      FROM src)
+    SELECT url,
+           CASE WHEN url = canon THEN 'response' ELSE 'revisit' END AS kind,
+           CASE WHEN url = canon THEN NULL ELSE canon END AS refers_to,
+           CASE WHEN url = canon THEN payload_text ELSE '' END AS payload_text
+    FROM g
+    """,
+)
+def q236(spark, sf_dir):
+    """Dedup-aware WARC writing via ``revisit`` records (sources/warc
+    ``mark_revisits`` + ``write_warc(revisit_col=...)`` — the Common
+    Crawl payload-dedup convention): within each identical-payload
+    group the lexicographically-first URI stores the bytes ONCE; every
+    other copy becomes a tiny ``revisit`` record (WARC-Profile
+    identical-payload-digest, WARC-Refers-To-Target-URI, payload
+    digest, NO body) — at archive scale this is where the storage win
+    lives (every 5th fixture doc shares one planted body; mirrors and
+    redirect aliases in the wild). The check round-trips through the
+    SERIALIZED archive: blobs are re-parsed with ``warc_records``, so
+    kind/refers_to/empty-body all come back from real record bytes,
+    not the writer's bookkeeping. Plan: one sha1-digest window (the
+    dedup grouping itself), the q231 file-packing shuffle, then a
+    map-only parse. FULL value oracle: identical-payload groups
+    replayed with a window over the payload text."""
+    _prep(spark)
+    from polars_dataset_spark.sources import mark_revisits, warc_records, write_warc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_Q236_URL_EXPR).alias("url"),
+        F.encode(
+            F.concat(F.lit("<p>"), F.expr(_Q236_TEXT_EXPR), F.lit("</p>")),
+            "utf-8",
+        ).alias("payload"),
+        F.concat(
+            F.lit("dedup-"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("warc_filename"),
+    )
+    marked = mark_revisits(docs)
+    files = write_warc(marked, revisit_col="revisit_of")
+    parsed = warc_records(
+        files.select("warc_filename", "content")
+    )
+    return parsed.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_type").alias("kind"),
+        "refers_to",
+        F.decode(F.col("payload"), "utf-8").alias("payload_text"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -120,3 +120,83 @@ def test_write_warc_deterministic_across_runs(spark):
     b = {r["warc_filename"]: bytes(r["content"])
          for r in write_warc(_records_df(spark)).collect()}
     assert a == b
+
+
+# --------------------------------------------------- revisit dedup (r12)
+
+def test_mark_revisits_canonical_is_lexicographic_min(spark):
+    rows = [
+        ("http://b.example/x", bytearray(b"same")),
+        ("http://a.example/x", bytearray(b"same")),
+        ("http://c.example/y", bytearray(b"unique")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    from polars_dataset_spark.sources.warc import mark_revisits
+
+    got = {r["url"]: r["revisit_of"] for r in mark_revisits(df).collect()}
+    assert got["http://a.example/x"] is None  # canonical
+    assert got["http://b.example/x"] == "http://a.example/x"
+    assert got["http://c.example/y"] is None
+
+
+def test_revisit_records_roundtrip_through_bytes(spark):
+    from polars_dataset_spark.sources.warc import (
+        mark_revisits,
+        warc_records,
+        write_warc,
+    )
+
+    # realistic page-sized payload: the revisit member must be smaller
+    # than the response it mirrors. Deterministic but INCOMPRESSIBLE
+    # body — a repeated phrase deflates to ~nothing inside the gzip
+    # member and the comparison would measure header sizes instead.
+    import hashlib
+
+    body = b"".join(
+        hashlib.sha256(i.to_bytes(4, "big")).digest() for i in range(64)
+    )
+    rows = [
+        ("http://a.example/1", bytearray(body), "f.warc.gz"),
+        ("http://a.example/2", bytearray(body), "f.warc.gz"),
+        ("http://a.example/3", bytearray(b"other"), "f.warc.gz"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, payload binary, warc_filename string"
+    )
+    files = write_warc(mark_revisits(df), revisit_col="revisit_of")
+    row = files.collect()[0]
+    kinds = {r["url"]: r["kind"] for r in row["records"]}
+    assert kinds == {
+        "http://a.example/1": "response",
+        "http://a.example/2": "revisit",
+        "http://a.example/3": "response",
+    }
+    # the revisit member is much smaller than the response it mirrors
+    sizes = {r["url"]: r["warc_length"] for r in row["records"]}
+    assert sizes["http://a.example/2"] < sizes["http://a.example/1"]
+    # digests equal across the dup pair
+    digs = {r["url"]: r["digest"] for r in row["records"]}
+    assert digs["http://a.example/1"] == digs["http://a.example/2"]
+    # and the SERIALIZED bytes parse back with type/refers_to/empty body
+    parsed = {
+        r["target_uri"]: r
+        for r in warc_records(
+            files.select("warc_filename", "content")
+        ).collect()
+    }
+    rv = parsed["http://a.example/2"]
+    assert rv["warc_type"] == "revisit"
+    assert rv["refers_to"] == "http://a.example/1"
+    assert bytes(rv["payload"]) == b""
+    assert bytes(parsed["http://a.example/1"]["payload"]) == body
+    assert parsed["http://a.example/1"]["refers_to"] is None
+
+
+def test_write_warc_without_revisit_col_unchanged(spark):
+    # the q231 path (no revisit_col): every record is a response
+    from polars_dataset_spark.sources.warc import write_warc
+
+    files = write_warc(_records_df(spark)).collect()
+    for row in files:
+        assert all(r["kind"] == "response" for r in row["records"])
+        assert all(r["refers_to"] is None for r in row["records"])
