@@ -11179,8 +11179,12 @@ def q236(spark, sf_dir):
             F.concat(F.lit("<p>"), F.expr(_Q236_TEXT_EXPR), F.lit("</p>")),
             "utf-8",
         ).alias("payload"),
+        # one archive file per 32 id-buckets: file COUNT scales with the
+        # data (a fixed small count would serialize the writer's gzip
+        # work into that many tasks at big SFs — the real-scale shape is
+        # many ~1 GB files, never 3 giant ones)
         F.concat(
-            F.lit("dedup-"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("dedup-"), (F.col("doc_id") % 32).cast("string"),
             F.lit(".warc.gz"),
         ).alias("warc_filename"),
     )
