@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["domain_quality_profile"]
+__all__ = ["domain_quality_profile", "apply_domain_prior"]
 
 
 def domain_quality_profile(
@@ -108,3 +108,34 @@ def domain_quality_profile(
         & (F.col("pii_rate") <= F.lit(max_pii_rate))
     )
     return out.withColumn("keep", keep).drop("__n_distinct", "__n_pii")
+
+
+def apply_domain_prior(
+    df: DataFrame,
+    profile: DataFrame,
+    url_col: str = "url",
+    keep_unknown: bool = True,
+) -> DataFrame:
+    """The DROP stage the prior exists for: filter documents whose
+    registered domain :func:`domain_quality_profile` banned. The
+    profile is dimension-table sized (one row per registered domain),
+    so it BROADCASTS onto the corpus — the documents themselves never
+    shuffle; the whole op is a map-side hash-join + filter.
+    ``keep_unknown`` decides documents whose domain is absent from the
+    profile (True — let per-doc filters judge them — unless the
+    profile is known-complete for the corpus)."""
+    from pyspark.sql import functions as F
+
+    from polars_dataset_spark.functions.urls import _HOST_RE, registered_domain_col
+
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    staged = df.withColumn("__host", F.nullif(host, F.lit("")))
+    staged = staged.withColumn(
+        "__domain", registered_domain_col(F.col("__host"))
+    )
+    verdicts = profile.select(
+        F.col("domain").alias("__domain"), F.col("keep").alias("__keep")
+    )
+    out = staged.join(F.broadcast(verdicts), on="__domain", how="left")
+    out = out.filter(F.coalesce(F.col("__keep"), F.lit(keep_unknown)))
+    return out.drop("__domain", "__host", "__keep")

@@ -11201,6 +11201,111 @@ def q236(spark, sf_dir):
     )
 
 
+# q237 planting — DOMAIN-DEPENDENT junk so the prior has something to
+# ban: domain = site(doc_id%10), so sites 0/1 are pure boilerplate
+# mirrors (dup_rate ~1) and site 2 is a PII leaker (pii_rate 1);
+# shared VERBATIM with the oracle (q233's one-source-of-truth rule)
+_Q237_TEXT_EXPR = """
+    CASE WHEN CAST(doc_id % 10 AS INT) IN (0, 1)
+         THEN 'duplicate boilerplate body every mirror serves'
+         WHEN CAST(doc_id % 10 AS INT) = 2
+         THEN text || ' mail bob.leak@corp-mail.example now'
+         ELSE text END
+"""
+
+
+@query(
+    "q237_domain_prior_drop",
+    rf"""
+    WITH src AS (
+      SELECT doc_id, {_Q233_URL_EXPR} AS url, {_Q237_TEXT_EXPR} AS t0
+      FROM documents),
+    s1 AS (SELECT *, regexp_replace(t0,
+      '{_PII_RX_SQL["email"]}', '[EMAIL]', 'g') AS t1 FROM src),
+    s2 AS (SELECT *, regexp_replace(t1,
+      '{_PII_RX_SQL["ipv4"]}', '[IP]', 'g') AS t2 FROM s1),
+    s3 AS (SELECT *, regexp_replace(t2,
+      '{_PII_RX_SQL["ssn"]}', '[SSN]', 'g') AS t3 FROM s2),
+    s4 AS (SELECT *, regexp_replace(t3,
+      '{_PII_RX_SQL["phone"]}', '[PHONE]', 'g') AS t4 FROM s3),
+    feat AS (
+      SELECT doc_id, url,
+        array_to_string(string_split(
+          lower(regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+          '.')[-2:], '.') AS domain,
+        regexp_replace(trim(lower(t0)), '\s+', ' ', 'g') AS norm,
+        (regexp_matches(t0, '{_PII_RX_SQL["email"]}')
+         OR regexp_matches(t1, '{_PII_RX_SQL["ipv4"]}')
+         OR regexp_matches(t2, '{_PII_RX_SQL["ssn"]}')
+         OR regexp_matches(t3, '{_PII_RX_SQL["phone"]}')
+         OR regexp_matches(t4, '{_PII_RX_SQL["cc"]}')) AS has_pii,
+        CASE WHEN trim(t0) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(lower(t0)), '\s+')) END AS n_tokens,
+        CASE WHEN trim(t0) = '' THEN 0.0
+             ELSE length(regexp_replace(trim(t0), '\s+', '', 'g'))::DOUBLE
+                  / len(regexp_split_to_array(trim(lower(t0)), '\s+')) END AS mtl,
+        coalesce((length(t0) - length(regexp_replace(t0, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+              / nullif(length(t0), 0), 0.0) AS punct,
+        coalesce((length(t0) - length(regexp_replace(t0, '[0-9]', '', 'g')))::DOUBLE
+              / nullif(length(t0), 0), 0.0) AS digit
+      FROM s4),
+    q AS (
+      SELECT doc_id, url, domain, norm, has_pii,
+             round(0.4 * (CASE WHEN n_tokens <= 0 THEN 0.0 ELSE least(n_tokens / 20.0, 1.0) END)
+                 + 0.3 * (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - least(1.0, punct * 2.0 + digit)), 6) AS quality
+      FROM feat),
+    agg AS (
+      SELECT domain, count(*) AS n_docs,
+             round(avg(quality), 6) AS avg_quality,
+             round(1.0 - count(DISTINCT norm)::DOUBLE / count(*), 6) AS dup_rate,
+             round(sum(has_pii::INT)::DOUBLE / count(*), 6) AS pii_rate
+      FROM q GROUP BY domain),
+    verdict AS (
+      SELECT domain,
+             (n_docs < 3) OR (avg_quality >= 0.5 AND dup_rate <= 0.5
+                              AND pii_rate <= 0.5) AS keep
+      FROM agg)
+    SELECT q.doc_id, q.url, q.domain
+    FROM q JOIN verdict USING (domain)
+    WHERE verdict.keep
+    """,
+)
+def q237(spark, sf_dir):
+    """Domain-prior DROP stage (functions/domains.apply_domain_prior —
+    the composition q233's profile exists for): the per-registered-
+    domain verdict frame is dimension-sized, so it BROADCASTS back
+    onto the corpus and the drop is a map-side hash-join + filter —
+    documents never shuffle. Planting is DOMAIN-dependent (domain =
+    site(doc_id%10)): sites 0/1 are boilerplate mirrors (dup_rate ~1 —
+    banned), site 2 leaks a planted email in every doc (pii_rate 1 —
+    banned), sites 3-9 carry natural text and survive — so the oracle
+    verifies both the aggregate verdicts AND exactly which documents
+    the broadcast drop removes. FULL value oracle: the whole
+    profile+drop chain replayed (planting CASEs shared verbatim, PII
+    patterns interpolated from the module)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import domain_quality_profile
+    from polars_dataset_spark.functions.domains import apply_domain_prior
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_Q233_URL_EXPR).alias("url"),
+        F.expr(_Q237_TEXT_EXPR).alias("text"),
+    )
+    profile = domain_quality_profile(docs)
+    kept = apply_domain_prior(docs, profile)
+    return kept.select(
+        "doc_id", "url",
+        F.expr(
+            "array_join(slice(split(lower(regexp_extract(url,"
+            " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),"
+            " '\\\\.'), -2, 2), '.')"
+        ).alias("domain"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

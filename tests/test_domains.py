@@ -72,3 +72,38 @@ def test_approx_distinct_path_runs(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string, text string")
     out = domain_quality_profile(df, exact_distinct=False).collect()
     assert len(out) == 1 and out[0]["n_docs"] == 5
+
+
+def test_apply_domain_prior_broadcast_drop(spark):
+    from polars_dataset_spark.functions.domains import apply_domain_prior
+
+    rows = (
+        [(i, f"http://m{i % 2}.bad.example/p{i}", "identical junk body")
+         for i in range(6)]
+        + [(10 + i, f"http://ok.example/p{i}", GOOD + str(i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    profile = domain_quality_profile(df, min_quality=0.0)
+    kept = apply_domain_prior(df, profile)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [10, 11, 12, 13]  # every bad.example doc dropped
+    # the drop is a BROADCAST join: corpus side must not shuffle
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_apply_domain_prior_keep_unknown(spark):
+    from polars_dataset_spark.functions.domains import apply_domain_prior
+
+    docs = spark.createDataFrame(
+        [(1, "http://known.example/a", GOOD),
+         (2, "http://stranger.example/b", GOOD)],
+        "doc_id long, url string, text string",
+    )
+    profile = domain_quality_profile(
+        docs.filter("doc_id = 1"), min_docs=1, min_quality=0.99
+    )  # known.example banned by the impossible quality bar
+    kept = apply_domain_prior(docs, profile, keep_unknown=True)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    none_kept = apply_domain_prior(docs, profile, keep_unknown=False)
+    assert none_kept.count() == 0
