@@ -75,7 +75,8 @@ def _parse_headers(block: bytes) -> "dict[str, str]":
 def parse_warc(data: bytes) -> "list[dict]":
     """Split a WARC blob (plain or per-record-gzip) into record dicts:
     ``warc_type, record_id, target_uri, warc_date, content_type,
-    http_status, http_content_type, payload``. Stops at the first
+    http_status, http_content_type, http_location, payload``. Stops at
+    the first
     malformed record, returning everything parsed before it."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
@@ -112,6 +113,7 @@ def parse_warc(data: bytes) -> "list[dict]":
             "refers_to": headers.get("warc-refers-to-target-uri"),
             "http_status": None,
             "http_content_type": None,
+            "http_location": None,
             "payload": payload,
         }
         if rec["warc_type"] == "response" and payload[:5] == b"HTTP/":
@@ -122,6 +124,10 @@ def parse_warc(data: bytes) -> "list[dict]":
                     rec["http_status"] = int(status_line[1])
                 http_headers = _parse_headers(payload[:http_end])
                 rec["http_content_type"] = http_headers.get("content-type")
+                # RFC 9110 §10.2.2: where a 3xx sends the client next —
+                # the raw header value (may be relative; resolution is
+                # the reader's job, see functions/redirects.py)
+                rec["http_location"] = http_headers.get("location")
                 rec["payload"] = payload[http_end + 4 :]
         records.append(rec)
         pos = body_start + length
@@ -138,6 +144,7 @@ _WARC_FIELDS = [
     T.StructField("refers_to", T.StringType()),
     T.StructField("http_status", T.IntegerType()),
     T.StructField("http_content_type", T.StringType()),
+    T.StructField("http_location", T.StringType()),
     T.StructField("payload", T.BinaryType()),
 ]
 
@@ -185,6 +192,7 @@ def build_warc_record(
     http_status: "int | None" = 200,
     http_content_type: "str | None" = "text/html",
     extra_headers: "dict[str, str] | None" = None,
+    http_headers: "dict[str, str] | None" = None,
 ) -> bytes:
     """One spec-shaped WARC/1.0 record (ISO 28500 §4): header block +
     Content-Length-framed body + the closing double-CRLF. For
@@ -203,11 +211,14 @@ def build_warc_record(
         )
     body = payload
     if warc_type == "response" and http_status is not None:
-        body = (
-            f"HTTP/1.1 {http_status} OK\r\n"
-            f"Content-Type: {http_content_type}\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode() + payload
+        http_lines = [f"HTTP/1.1 {http_status} OK"]
+        if http_content_type is not None:
+            http_lines.append(f"Content-Type: {http_content_type}")
+        # e.g. Location for 3xx redirect records (RFC 9110 §10.2.2)
+        for k, v in (http_headers or {}).items():
+            http_lines.append(f"{k}: {v}")
+        http_lines.append(f"Content-Length: {len(payload)}")
+        body = ("\r\n".join(http_lines) + "\r\n\r\n").encode() + payload
     lines = [b"WARC/1.0"]
     lines.append(f"WARC-Type: {warc_type}".encode())
     if target_uri:
@@ -281,6 +292,8 @@ def write_warc(
     date_col: "str | None" = None,
     mime_col: "str | None" = None,
     revisit_col: "str | None" = None,
+    status_col: "str | None" = None,
+    location_col: "str | None" = None,
 ) -> DataFrame:
     """The WRITE side of the archive loop (VERDICT r11 #3): pack
     records into per-file ``.warc.gz`` blobs of PER-RECORD GZIP MEMBERS
@@ -307,7 +320,14 @@ def write_warc(
     record (WARC-Profile identical-payload-digest,
     WARC-Refers-To-Target-URI = the canonical copy, the payload digest
     — NO payload bytes) instead of re-storing the body; records carry
-    ``kind``/``refers_to`` so the index distinguishes them."""
+    ``kind``/``refers_to`` so the index distinguishes them.
+
+    ``status_col`` / ``location_col`` let the writer store what the
+    crawler actually SAW: a non-null status overrides 200, and a
+    non-null location emits the HTTP ``Location`` header (3xx alias
+    edges — the input functions/redirects.py resolves downstream).
+    An archive that silently rewrote redirects as 200s would lose the
+    alias graph."""
     import base64
     import hashlib
     import re as _re
@@ -336,13 +356,15 @@ def write_warc(
         dates = pdf[date_col] if date_col else ["2026-01-01T00:00:00Z"] * len(pdf)
         mimes = pdf[mime_col] if mime_col else ["text/html"] * len(pdf)
         revs = pdf[revisit_col] if revisit_col else [None] * len(pdf)
+        stats = pdf[status_col] if status_col else [None] * len(pdf)
+        locs = pdf[location_col] if location_col else [None] * len(pdf)
         rows = sorted(
-            zip(pdf[uri_col], pdf[payload_col], dates, mimes, revs),
+            zip(pdf[uri_col], pdf[payload_col], dates, mimes, revs, stats, locs),
             key=lambda t: (str(t[0]), str(t[2])),
         )
         blob = bytearray()
         recs = []
-        for uri, payload, date, mime, rev in rows:
+        for uri, payload, date, mime, rev, stat, loc in rows:
             payload = bytes(payload) if payload is not None else b""
             digest = (
                 "sha1:"
@@ -360,11 +382,22 @@ def write_warc(
                 )
                 kind, refers_to, status = "revisit", str(rev), None
             else:
+                status = 200
+                if stat is not None and not (
+                    isinstance(stat, float) and stat != stat
+                ):
+                    status = int(stat)
+                http_headers = None
+                if loc is not None and not (
+                    isinstance(loc, float) and loc != loc
+                ):
+                    http_headers = {"Location": str(loc)}
                 rec = build_warc_record(
                     "response", uri, payload, warc_date=str(date),
-                    http_content_type=str(mime),
+                    http_content_type=str(mime), http_status=status,
+                    http_headers=http_headers,
                 )
-                kind, refers_to, status = "response", None, 200
+                kind, refers_to = "response", None
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             member = co.compress(rec) + co.flush()
             recs.append(

@@ -11306,6 +11306,124 @@ def q237(spark, sf_dir):
     )
 
 
+# q238 planting — a redirect topology whose chains and loops are pure
+# doc_id arithmetic (shared VERBATIM with the oracle): chain root
+# base = doc_id - doc_id%4 fixes the host, so the path-form Locations
+# (absolute-path for %4==2, relative for %4==3) resolve onto the same
+# host; docs with doc_id%100 in (98,99) form a planted 2-cycle; %4==0
+# docs are the 200 terminals. Host is STAGED into its own column first
+# (the q199/q233 inlining rule — the CASE references it five times).
+_Q238_HOST_EXPR = """
+    'site' || CAST((doc_id - doc_id % 4) % 10 AS VARCHAR(8)) || '.example'
+"""
+_Q238_URL_EXPR = """
+    'http://' || host || '/p' || CAST(doc_id AS VARCHAR(16))
+"""
+_Q238_STATUS_EXPR = """
+    CASE WHEN CAST(doc_id % 100 AS INT) IN (98, 99) THEN 301
+         WHEN CAST(doc_id % 4 AS INT) = 1 THEN 301
+         WHEN CAST(doc_id % 4 AS INT) = 2 THEN 302
+         WHEN CAST(doc_id % 4 AS INT) = 3 THEN 307
+         ELSE 200 END
+"""
+_Q238_LOC_EXPR = """
+    CASE WHEN CAST(doc_id % 100 AS INT) = 98
+         THEN 'http://' || host || '/p' || CAST(doc_id + 1 AS VARCHAR(16))
+         WHEN CAST(doc_id % 100 AS INT) = 99
+         THEN 'http://' || host || '/p' || CAST(doc_id - 1 AS VARCHAR(16))
+         WHEN CAST(doc_id % 4 AS INT) = 1
+         THEN 'http://' || host || '/p' || CAST(doc_id - 1 AS VARCHAR(16))
+         WHEN CAST(doc_id % 4 AS INT) = 2
+         THEN '/p' || CAST(doc_id - 1 AS VARCHAR(16))
+         WHEN CAST(doc_id % 4 AS INT) = 3
+         THEN 'p' || CAST(doc_id - 1 AS VARCHAR(16))
+         ELSE NULL END
+"""
+
+
+@query(
+    "q238_redirect_resolution",
+    f"""
+    WITH RECURSIVE h AS (
+      SELECT doc_id, {_Q238_HOST_EXPR} AS host FROM documents),
+    e AS (
+      SELECT {_Q238_URL_EXPR} AS src,
+             'http://' || host || '/p' || CAST(
+               CASE WHEN CAST(doc_id % 100 AS INT) = 98 THEN doc_id + 1
+                    ELSE doc_id - 1 END AS VARCHAR(16)) AS dst
+      FROM h WHERE CAST(doc_id % 4 AS INT) <> 0),
+    m AS (SELECT src, max(dst) AS dst FROM e GROUP BY src),
+    walk AS (
+      SELECT src, dst AS cur, 1 AS hops FROM m
+      UNION ALL
+      SELECT w.src, m.dst AS cur, w.hops + 1
+      FROM walk w JOIN m ON m.src = w.cur
+      WHERE w.hops < 8),
+    term AS (
+      SELECT w.src, w.cur, w.hops FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.src = w.cur))
+    SELECT m.src, t.cur AS final_url, CAST(t.hops AS BIGINT) AS hops,
+           (t.cur IS NOT NULL) AS resolved
+    FROM m LEFT JOIN term t ON t.src = m.src
+    """,
+)
+def q238(spark, sf_dir):
+    """Redirect-chain resolution (functions/redirects + the warc.py
+    ``http_location`` surface): the crawl graph's alias edges. The
+    whole loop runs on REAL archive bytes — the planted topology is
+    written with ``write_warc(status_col=, location_col=)`` (3xx
+    records carrying HTTP ``Location``), re-parsed with
+    ``warc_records``, the edges extracted by resolving each raw
+    Location form (absolute / absolute-path / relative, RFC 9110
+    §10.2.2 + RFC 3986 §5.3 merge) against the record's own URI in
+    pure codegen, then every source pointer-JUMPED to its terminal:
+    log2(max_hops)=3 self-join rounds, each ONE hash shuffle on the
+    url key — never one-job-per-hop, never a driver-side walk. Planted
+    2-cycles come out ``resolved=false`` with null final/hops (gate,
+    not guess). FULL value oracle: planting arithmetic replayed, the
+    chain walk as a bounded recursive CTE, terminals by anti-semijoin
+    on the source domain."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        extract_redirect_edges,
+        resolve_redirects,
+    )
+    from polars_dataset_spark.sources import warc_records, write_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_Q238_HOST_EXPR).alias("host"))
+        .select(
+            "doc_id",
+            F.expr(_Q238_URL_EXPR).alias("url"),
+            F.expr(_Q238_STATUS_EXPR).cast("int").alias("status"),
+            F.expr(_Q238_LOC_EXPR).alias("location"),
+            F.when(
+                F.expr("CAST(doc_id % 4 AS INT) = 0"),
+                F.encode(
+                    F.concat(
+                        F.lit("<p>page "),
+                        F.col("doc_id").cast("string"),
+                        F.lit("</p>"),
+                    ),
+                    "utf-8",
+                ),
+            )
+            .otherwise(F.encode(F.lit(""), "utf-8"))
+            .alias("payload"),
+            # file count scales with the data (the q236 rule)
+            F.concat(
+                F.lit("redir-"), (F.col("doc_id") % 32).cast("string"),
+                F.lit(".warc.gz"),
+            ).alias("warc_filename"),
+        )
+    )
+    files = write_warc(docs, status_col="status", location_col="location")
+    parsed = warc_records(files.select("warc_filename", "content"))
+    edges = extract_redirect_edges(parsed)
+    return resolve_redirects(edges, max_hops=8)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
