@@ -11424,6 +11424,99 @@ def q238(spark, sf_dir):
     return resolve_redirects(edges, max_hops=8)
 
 
+# q239 planting — 50 urls, fetch history = doc_id arithmetic (day
+# number doc_id//50, STAGED as its own column per the inlining rule);
+# url class (url_id % 3): 0 never changes, 1 changes every fetch,
+# 2 changes every 3rd fetch. Shared VERBATIM with the oracle.
+_Q239_URL_EXPR = """
+    'http://r' || CAST(doc_id % 50 AS VARCHAR(8)) || '.example/p'
+"""
+_Q239_DAY_EXPR = """
+    CAST((doc_id - doc_id % 50) / 50 AS BIGINT)
+"""
+_Q239_DIGEST_EXPR = """
+    CASE CAST((doc_id % 50) % 3 AS INT)
+      WHEN 0 THEN 'static'
+      WHEN 1 THEN 'v' || CAST(day AS VARCHAR(16))
+      ELSE 'v' || CAST(CAST((day - day % 3) / 3 AS BIGINT) AS VARCHAR(16))
+    END
+"""
+
+
+@query(
+    "q239_recrawl_schedule",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_Q239_DAY_EXPR} AS day FROM documents),
+    f AS (
+      SELECT {_Q239_URL_EXPR} AS url, day, {_Q239_DIGEST_EXPR} AS digest
+      FROM d),
+    l AS (
+      SELECT url, day, digest,
+             lag(digest) OVER (PARTITION BY url ORDER BY day) AS prev
+      FROM f),
+    a AS (
+      SELECT url, count(*) AS n_fetches,
+             sum(CASE WHEN prev IS NOT NULL AND digest <> prev
+                      THEN 1 ELSE 0 END) AS n_changes,
+             (max(day) - min(day))::DOUBLE AS span
+      FROM l GROUP BY url),
+    r AS (
+      SELECT url, n_fetches, n_changes,
+             CASE WHEN n_fetches > 1
+                  THEN span / (n_fetches - 1) END AS ivl,
+             CASE WHEN n_fetches > 1
+                  THEN ln((n_fetches - 1 + 0.5)
+                          / (n_fetches - 1 - n_changes + 0.5)) END AS rhat
+      FROM a),
+    x AS (
+      SELECT url, n_fetches, n_changes,
+             round(ivl, 6) AS avg_interval_days,
+             round(rhat, 6) AS change_per_interval,
+             round(CASE WHEN rhat IS NULL OR rhat <= 0 OR ivl IS NULL
+                        THEN 365.0
+                        ELSE least(greatest(ivl / rhat, 1.0), 365.0)
+                   END, 6) AS next_fetch_days
+      FROM r)
+    SELECT url, CAST(n_fetches AS BIGINT) AS n_fetches,
+           CAST(n_changes AS BIGINT) AS n_changes,
+           avg_interval_days, change_per_interval, next_fetch_days,
+           CASE WHEN next_fetch_days <= 2.0 THEN 'daily'
+                WHEN next_fetch_days <= 10.0 THEN 'weekly'
+                WHEN next_fetch_days <= 45.0 THEN 'monthly'
+                ELSE 'quarterly' END AS bucket
+    FROM x
+    """,
+)
+def q239(spark, sf_dir):
+    """Recrawl scheduling (functions/recrawl.estimate_change_rate —
+    Cho & Garcia-Molina 2003): per-URL Poisson change-rate estimate
+    from the fetch history the archive already holds (url, ts, payload
+    digest), with the bias-corrected r_hat = ln((n+.5)/(n-X+.5)),
+    next-fetch spacing ivl/r_hat clamped to [1,365] days, and the
+    scheduler tier. ONE shuffle total: the lag window and the
+    aggregate share the url key, so Catalyst reuses the partitioning;
+    output is frontier-sized (one row per url), broadcastable into
+    schedule_frontier. FULL value oracle: planting + lag + estimator
+    replayed (same positive-log form — never -0.0)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import estimate_change_rate
+
+    # 2026-01-01T00:00:00Z epoch; fetch day number scales with SF
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_Q239_DAY_EXPR).alias("day"))
+        .select(
+            F.expr(_Q239_URL_EXPR).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1767225600) + F.col("day") * 86400
+            ).alias("fetch_ts"),
+            F.expr(_Q239_DIGEST_EXPR).alias("digest"),
+        )
+    )
+    return estimate_change_rate(docs)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
