@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "tokenize",
+    "classification_audit",
     "with_text_stats",
     "with_token_count",
     "with_language_id",
@@ -711,3 +712,60 @@ def with_code_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             "is_code": score_i >= F.lit(3_500_000),
         }
     ).drop("__n_chars", "__sym_cnt", "__n_toks", "__kw_cnt", "__n_lines", "__ind_cnt")
+
+
+def classification_audit(
+    df: DataFrame,
+    true_col: str = "label_true",
+    pred_col: str = "label_pred",
+) -> DataFrame:
+    """Per-class audit of any classifier column against held-out truth
+    — built for the language-ID confusion audit (predict on labeled
+    docs, see where 'es' bleeds into 'fr') but label-agnostic: one row
+    per label in the UNION of truth and predictions, with ``n_true``
+    (support), ``n_pred``, ``tp``, and ``precision``/``recall``/``f1``
+    (null where undefined: no predictions → no precision, no support →
+    no recall — never a fake 0-for-0 score; ``f1`` null unless both
+    parts exist and are nonzero-summed). Floats round to 6.
+
+    Scale shape: the ONLY full-data pass is the (true, pred) confusion
+    count — one two-phase hash aggregate; everything after runs on the
+    K×K confusion matrix (label-count-sized, broadcast joins). Auditing
+    a 100 TB corpus costs exactly one aggregate."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    cm = df.groupBy(
+        F.col(true_col).alias("label_true"), F.col(pred_col).alias("label_pred")
+    ).agg(F.count("*").alias("n"))
+    t = cm.groupBy(F.col("label_true").alias("label")).agg(
+        F.sum("n").alias("n_true")
+    )
+    p = cm.groupBy(F.col("label_pred").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = cm.filter(F.col("label_true") == F.col("label_pred")).select(
+        F.col("label_true").alias("label"), F.col("n").alias("tp")
+    )
+    out = (
+        t.join(p, "label", "full")
+        .join(tp, "label", "left")
+        .fillna({"n_true": 0, "n_pred": 0, "tp": 0})
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    )
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return out.select(
+        "label",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

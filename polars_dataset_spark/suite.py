@@ -11517,6 +11517,111 @@ def q239(spark, sf_dir):
     return estimate_change_rate(docs)
 
 
+# q240 planting — a held-out labeled fixture for the language-ID
+# confusion audit: pure-language sentences built from the module's own
+# STOPWORDS lists (one source of truth — the fixture can never drift
+# from the classifier's vocabulary), one planted es→fr bleed class
+# (majority-french tokens under an 'es' label) and one en→und junk
+# class. Shared VERBATIM with the oracle.
+_Q240_SENT = {
+    "en": " ".join(STOPWORDS["en"]),
+    "de": " ".join(STOPWORDS["de"]),
+    "fr": " ".join(STOPWORDS["fr"]),
+    "es": " ".join(STOPWORDS["es"]),
+    "mix": " ".join(STOPWORDS["fr"][:6] + STOPWORDS["es"][:3]),
+}
+_Q240_TRUE_EXPR = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+      WHEN 3 THEN 'es' WHEN 4 THEN 'es' ELSE 'en' END
+"""
+_Q240_TEXT_EXPR = f"""
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN '{_Q240_SENT["en"]}'
+      WHEN 1 THEN '{_Q240_SENT["de"]}'
+      WHEN 2 THEN '{_Q240_SENT["fr"]}'
+      WHEN 3 THEN '{_Q240_SENT["es"]}'
+      WHEN 4 THEN '{_Q240_SENT["mix"]}'
+      ELSE 'zzz qqq xxx'
+    END
+"""
+
+
+def _q240_oracle() -> str:
+    toks = r"regexp_split_to_array(trim(lower(ltext)), '\s+')"
+    hit_cols = ",\n             ".join(
+        f"len(list_filter({toks}, x -> list_contains({words!r}, x))) AS h_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    pred_case = (
+        "CASE WHEN best = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_Q240_TRUE_EXPR} AS label_true,
+             {_Q240_TEXT_EXPR} AS ltext
+      FROM documents),
+    h AS (
+      SELECT label_true,
+             {hit_cols}
+      FROM src),
+    g AS (SELECT *, greatest({", ".join("h_" + l for l in langs)}) AS best
+          FROM h),
+    p AS (SELECT label_true, {pred_case} AS label_pred FROM g),
+    cm AS (SELECT label_true, label_pred, count(*) AS n
+           FROM p GROUP BY 1, 2),
+    t AS (SELECT label_true AS label, sum(n) AS n_true FROM cm GROUP BY 1),
+    pr AS (SELECT label_pred AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+    tp AS (SELECT label_true AS label, sum(n) AS tp FROM cm
+           WHERE label_true = label_pred GROUP BY 1),
+    j AS (SELECT coalesce(t.label, pr.label) AS label,
+                 coalesce(t.n_true, 0) AS n_true,
+                 coalesce(pr.n_pred, 0) AS n_pred
+          FROM t FULL JOIN pr ON t.label = pr.label),
+    k AS (SELECT j.label, j.n_true, j.n_pred, coalesce(tp.tp, 0) AS tp
+          FROM j LEFT JOIN tp ON tp.label = j.label),
+    m AS (SELECT label, n_true, n_pred, tp,
+                 CASE WHEN n_pred > 0 THEN tp::DOUBLE / n_pred END AS p1,
+                 CASE WHEN n_true > 0 THEN tp::DOUBLE / n_true END AS r1
+          FROM k)
+    SELECT label, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+           round(p1, 6) AS precision, round(r1, 6) AS recall,
+           round(CASE WHEN p1 IS NOT NULL AND r1 IS NOT NULL
+                       AND p1 + r1 > 0
+                      THEN 2.0 * p1 * r1 / (p1 + r1) END, 6) AS f1
+    FROM m
+    """
+
+
+@query("q240_langid_confusion_audit", _q240_oracle())
+def q240(spark, sf_dir):
+    """Language-ID confusion audit (functions/text.classification_audit
+    ∘ with_language_id): run the classifier over a held-out LABELED
+    fixture and get the per-class confusion verdict — support,
+    prediction count, true positives, precision/recall/F1 — with nulls
+    where a metric is undefined (never a fake 0/0 score). The fixture
+    sentences are built from the classifier's own STOPWORDS constant
+    (one source of truth), with a planted es→fr bleed class and an
+    en→und junk class, so the audit provably shows off-diagonal mass.
+    ONE full-data pass (the (true,pred) two-phase count); every later
+    join runs on the K×K confusion matrix. FULL value oracle: the
+    stopword-hit classifier AND the metric derivations replayed."""
+    _prep(spark)
+    from polars_dataset_spark.functions import classification_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_Q240_TRUE_EXPR).alias("label_true"),
+        F.expr(_Q240_TEXT_EXPR).alias("text"),
+    )
+    pred = with_language_id(docs, out_col="label_pred")
+    return classification_audit(pred)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
