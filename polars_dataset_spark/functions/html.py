@@ -662,3 +662,170 @@ def html_links(
             yield out
 
     return df.mapInPandas(link_batches, schema=out_schema)
+
+
+class _MetaExtractor(HTMLParser):
+    """Head-metadata collector: OpenGraph <meta property=...>, the
+    plain <meta name=description>, <link rel=canonical>, and the first
+    ``application/ld+json`` script block. First occurrence wins for
+    every field (the wild duplicates are copy-paste repeats)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.og: "dict[str, str]" = {}
+        self.description: "str | None" = None
+        self.canonical: "str | None" = None
+        self.published: "str | None" = None
+        self._in_ldjson = False
+        self.ldjson_parts: "list[str]" = []
+        self._ld_done = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "meta":
+            prop = (a.get("property") or "").lower()
+            content = a.get("content")
+            if content is None:
+                return
+            if prop.startswith("og:") and prop not in self.og:
+                self.og[prop] = content
+            elif prop == "article:published_time" and self.published is None:
+                self.published = content
+            elif (
+                (a.get("name") or "").lower() == "description"
+                and self.description is None
+            ):
+                self.description = content
+        elif tag == "link":
+            if (
+                (a.get("rel") or "").lower() == "canonical"
+                and self.canonical is None
+                and a.get("href")
+            ):
+                self.canonical = a["href"]
+        elif tag == "script":
+            if (
+                (a.get("type") or "").lower() == "application/ld+json"
+                and not self._ld_done
+            ):
+                self._in_ldjson = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "script" and self._in_ldjson:
+            self._in_ldjson = False
+            self._ld_done = True
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ldjson:
+            self.ldjson_parts.append(data)
+
+
+def extract_page_meta(html: str) -> "dict":
+    """Structured page metadata of one HTML document — the fields a
+    curation pipeline filters and dedups on before it ever reads body
+    text: OpenGraph title/description/type, the plain meta
+    description, the canonical link (URL-level dedup hint), the
+    article publish time (date filtering), and the first JSON-LD
+    block's ``@type``/``headline``/``datePublished``.
+
+    JSON-LD is parsed with the stdlib json parser (tolerant: malformed
+    JSON yields nulls, never raises); a top-level array uses its first
+    object, a ``@graph`` wrapper its first node. All fields None when
+    absent."""
+    import json as _json
+
+    parser = _MetaExtractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:  # noqa: BLE001 — tag soup must degrade, not raise
+        pass
+    ld_type = ld_headline = ld_date = None
+    raw = "".join(parser.ldjson_parts).strip()
+    if raw:
+        try:
+            node = _json.loads(raw)
+            if isinstance(node, list):
+                node = next((x for x in node if isinstance(x, dict)), None)
+            if isinstance(node, dict) and isinstance(node.get("@graph"), list):
+                node = next(
+                    (x for x in node["@graph"] if isinstance(x, dict)), None
+                )
+            if isinstance(node, dict):
+                t, h, d = (
+                    node.get("@type"),
+                    node.get("headline"),
+                    node.get("datePublished"),
+                )
+                ld_type = t if isinstance(t, str) else None
+                ld_headline = h if isinstance(h, str) else None
+                ld_date = d if isinstance(d, str) else None
+        except ValueError:
+            pass
+    return {
+        "og_title": parser.og.get("og:title"),
+        "og_description": parser.og.get("og:description"),
+        "og_type": parser.og.get("og:type"),
+        "meta_description": parser.description,
+        "canonical": parser.canonical,
+        "published_time": parser.published,
+        "jsonld_type": ld_type,
+        "jsonld_headline": ld_headline,
+        "jsonld_date": ld_date,
+    }
+
+
+_META_FIELDS = [
+    T.StructField("og_title", T.StringType()),
+    T.StructField("og_description", T.StringType()),
+    T.StructField("og_type", T.StringType()),
+    T.StructField("meta_description", T.StringType()),
+    T.StructField("canonical", T.StringType()),
+    T.StructField("published_time", T.StringType()),
+    T.StructField("jsonld_type", T.StringType()),
+    T.StructField("jsonld_headline", T.StringType()),
+    T.StructField("jsonld_date", T.StringType()),
+]
+
+
+def html_page_meta(
+    df: DataFrame,
+    body_col: str = "payload",
+    content_type_col: "str | None" = None,
+) -> DataFrame:
+    """Append the :func:`extract_page_meta` columns from a binary HTML
+    body column — same shape as :func:`html_to_text`: one map-only
+    Arrow pass, charset resolved per row (BOM > header > meta
+    prescan), null bodies yield null fields, no shuffle at any
+    scale."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + _META_FIELDS)
+    names = [f.name for f in _META_FIELDS]
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: "dict[str, list]" = {n: [] for n in names}
+            ctypes = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            for blob, ctype in zip(pdf[body_col], ctypes):
+                if blob is None:
+                    for n in names:
+                        cols[n].append(None)
+                    continue
+                raw, _charset = decode_html(
+                    bytes(blob), None if ctype is None else str(ctype)
+                )
+                info = extract_page_meta(raw)
+                for n in names:
+                    cols[n].append(info[n])
+            out = pdf.copy()
+            for n in names:
+                out[n] = pd.array(cols[n], dtype="object")
+            yield out
+
+    return df.mapInPandas(meta_batches, schema=out_schema)

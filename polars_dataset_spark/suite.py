@@ -11622,6 +11622,90 @@ def q240(spark, sf_dir):
     return classification_audit(pred)
 
 
+# q241 planting — head-metadata permutations from doc_id arithmetic
+# (canonical on %3==0, OpenGraph pair on %2==0, published_time on
+# %4==1, JSON-LD on %5==0, meta description always); shared VERBATIM
+# with the oracle, which replays the extraction with anchored regexes
+# over the same well-formed synthetic head.
+_Q241_HTML_EXPR = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR(16)) || '</title>'
+    || CASE WHEN CAST(doc_id % 3 AS INT) = 0
+            THEN '<link rel="canonical" href="http://c.example/d'
+                 || CAST(doc_id % 7 AS VARCHAR(8)) || '">'
+            ELSE '' END
+    || CASE WHEN CAST(doc_id % 2 AS INT) = 0
+            THEN '<meta property="og:title" content="OG '
+                 || CAST(doc_id % 5 AS VARCHAR(8)) || '">'
+                 || '<meta property="og:description" content="od '
+                 || CAST(doc_id % 3 AS VARCHAR(8)) || '">'
+                 || '<meta property="og:type" content="article">'
+            ELSE '' END
+    || '<meta name="description" content="desc '
+    || CAST(doc_id % 4 AS VARCHAR(8)) || '">'
+    || CASE WHEN CAST(doc_id % 4 AS INT) = 1
+            THEN '<meta property="article:published_time" content="2026-0'
+                 || CAST(1 + doc_id % 9 AS VARCHAR(8)) || '-01T00:00:00Z">'
+            ELSE '' END
+    || CASE WHEN CAST(doc_id % 5 AS INT) = 0
+            THEN '<script type="application/ld+json">{"@type":"Article","headline":"H '
+                 || CAST(doc_id % 6 AS VARCHAR(8)) || '","datePublished":"2026-01-0'
+                 || CAST(1 + doc_id % 9 AS VARCHAR(8)) || '"}</script>'
+            ELSE '' END
+    || '</head><body><p>body text here</p></body></html>'
+"""
+
+
+@query(
+    "q241_page_metadata",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q241_HTML_EXPR} AS html FROM documents)
+    SELECT doc_id,
+      nullif(regexp_extract(html,
+        'property="og:title" content="([^"]*)"', 1), '') AS og_title,
+      nullif(regexp_extract(html,
+        'property="og:description" content="([^"]*)"', 1), '') AS og_description,
+      nullif(regexp_extract(html,
+        'property="og:type" content="([^"]*)"', 1), '') AS og_type,
+      nullif(regexp_extract(html,
+        'name="description" content="([^"]*)"', 1), '') AS meta_description,
+      nullif(regexp_extract(html,
+        'rel="canonical" href="([^"]*)"', 1), '') AS canonical,
+      nullif(regexp_extract(html,
+        'property="article:published_time" content="([^"]*)"', 1), '')
+        AS published_time,
+      nullif(regexp_extract(html, '"@type":"([^"]*)"', 1), '') AS jsonld_type,
+      nullif(regexp_extract(html, '"headline":"([^"]*)"', 1), '')
+        AS jsonld_headline,
+      nullif(regexp_extract(html, '"datePublished":"([^"]*)"', 1), '')
+        AS jsonld_date
+    FROM src
+    """,
+)
+def q241(spark, sf_dir):
+    """Page-metadata extraction (functions/html.html_page_meta): the
+    head fields a curation pipeline filters/dedups on BEFORE reading
+    body text — OpenGraph title/description/type, plain meta
+    description, canonical link (URL-dedup hint), article publish
+    time, and the first JSON-LD block's @type/headline/datePublished
+    (stdlib json, tolerant). Same scale shape as html_to_text: ONE
+    map-only Arrow pass over the binary bodies, charset ladder per
+    row, zero exchanges at any SF. FULL value oracle: the planted
+    head permutations re-extracted with anchored regexes in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import html_page_meta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.expr(_Q241_HTML_EXPR), "utf-8").alias("payload")
+    )
+    out = html_page_meta(docs)
+    return out.select(
+        "doc_id", "og_title", "og_description", "og_type",
+        "meta_description", "canonical", "published_time",
+        "jsonld_type", "jsonld_headline", "jsonld_date",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
