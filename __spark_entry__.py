@@ -65,7 +65,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (same value set, needs a fresh driver row on the new SQL).
 # Fronted for a fresh driver row; entries self-expire on their next
 # green row.
+# Round 12 session 3: warc.py parse/write gained the http_location
+# surface (q206/q210/q228/q231/q236 share the module; outputs verified
+# unchanged at sf0.01, fresh driver rows wanted anyway).
 _REFACTOR_TOUCHED: dict[str, int] = {
+    "q206_warc_ingest": 11,
+    "q210_html_to_text": 11,
+    "q231_warc_roundtrip": 11,
+    "q236_warc_revisit_dedup": 11,
     "q130_fuzzy_join": 11,
     "q141_neardup_vs_corpus": 11,
     "q179_url_filter": 11,

@@ -21,6 +21,8 @@ from pyspark.sql import types as T
 __all__ = [
     "tokenize",
     "classification_audit",
+    "normalize_unicode",
+    "ZERO_WIDTH_CODEPOINTS",
     "with_text_stats",
     "with_token_count",
     "with_language_id",
@@ -769,3 +771,55 @@ def classification_audit(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+#: zero-width / invisible formatting codepoints stripped by
+#: :func:`normalize_unicode`: ZWSP, ZWNJ, ZWJ, BOM/ZWNBSP, soft hyphen.
+#: NFKC leaves every one of these in place — they are the classic
+#: dedup-poisoners (two visually identical pages, two fingerprints).
+ZERO_WIDTH_CODEPOINTS = (0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFKC",
+    strip_zero_width: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Unicode normalization for web text — the step BEFORE any hash,
+    fingerprint, or token count: ligatures (ﬁ→fi), fullwidth forms
+    (ｈｅｌｌｏ→hello), circled/compatibility digits, NFD combining
+    sequences (cafe+◌́→café) all collapse under ``form`` (NFKC default —
+    what dedup wants; pass NFC to keep compatibility distinctions),
+    then :data:`ZERO_WIDTH_CODEPOINTS` are stripped (NFKC does NOT) and
+    whitespace runs collapse to single spaces with outer trim.
+
+    Normalization tables live in Python's unicodedata, so this is the
+    honest Arrow-batched pandas-UDF path (~the only text operator in
+    the family that cannot be pure codegen); still map-only, zero
+    exchanges, linear in bytes. Null in → null out."""
+    import re as _re
+    import unicodedata as _ud
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    zw_table = dict.fromkeys(ZERO_WIDTH_CODEPOINTS) if strip_zero_width else None
+    ws_re = _re.compile(r"\s+") if collapse_whitespace else None
+
+    @F.pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series
+        def one(x):
+            if x is None:
+                return None
+            y = _ud.normalize(form, x)
+            if zw_table is not None:
+                y = y.translate(zw_table)
+            if ws_re is not None:
+                y = ws_re.sub(" ", y).strip()
+            return y
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

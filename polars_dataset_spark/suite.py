@@ -11706,6 +11706,77 @@ def q241(spark, sf_dir):
     )
 
 
+# q242 planting — the classic normalization hazards, one per class
+# (ligatures, circled digits, fullwidth + ideographic space, an NFD
+# combining sequence, zero-width sandwich, vulgar fractions, whitespace
+# runs, and one already-clean ASCII class). Shared VERBATIM with the
+# oracle; the oracle's EXPECTED strings are hand-derived from the
+# public NFKC tables (not computed by the library under test).
+_Q242_TEXT_EXPR = (
+    """
+    CASE CAST(doc_id % 8 AS INT)
+      WHEN 0 THEN 'ﬁle ﬂow ' || CAST(doc_id % 9 AS VARCHAR(8))
+      WHEN 1 THEN '①②③ items'
+      WHEN 2 THEN 'ｈｅｌｌｏ　ｗｏｒｌｄ'
+      WHEN 3 THEN 'café menu'
+      WHEN 4 THEN 'a​b‌c‍d­e'
+      WHEN 5 THEN '½ + ¼'
+      WHEN 6 THEN '  spaced   out' || chr(9) || 'text'
+      ELSE 'plain ascii text'
+    END
+"""
+)
+_Q242_EXPECTED_EXPR = (
+    """
+    CASE CAST(doc_id % 8 AS INT)
+      WHEN 0 THEN 'file flow ' || CAST(doc_id % 9 AS VARCHAR(8))
+      WHEN 1 THEN '123 items'
+      WHEN 2 THEN 'hello world'
+      WHEN 3 THEN 'café menu'
+      WHEN 4 THEN 'abcde'
+      WHEN 5 THEN '1⁄2 + 1⁄4'
+      WHEN 6 THEN 'spaced out text'
+      ELSE 'plain ascii text'
+    END
+"""
+)
+
+
+@query(
+    "q242_unicode_normalize",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q242_TEXT_EXPR} AS t FROM documents),
+    e AS (
+      SELECT doc_id, t, {_Q242_EXPECTED_EXPR} AS text_norm FROM src)
+    SELECT doc_id, text_norm, (text_norm <> t) AS changed FROM e
+    """,
+)
+def q242(spark, sf_dir):
+    """Unicode normalization (functions/text.normalize_unicode): NFKC
+    + zero-width strip + whitespace collapse — the step BEFORE any
+    fingerprint/hash/token count (two visually identical pages with a
+    ligature or a ZWSP otherwise dedup to two clusters). The
+    normalization tables live in unicodedata, so this is the family's
+    one honest Arrow-batched pandas-UDF operator: still map-only, zero
+    exchanges, linear in bytes. FULL value oracle: planted hazard
+    classes vs HAND-DERIVED expected strings from the public NFKC
+    tables (ﬁ→fi, ①→1, fullwidth→ASCII, NFD→NFC, ½→1⁄2) — the
+    library's own normalizer never computes the oracle side."""
+    _prep(spark)
+    from polars_dataset_spark.functions import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q242_TEXT_EXPR).alias("text")
+    )
+    out = normalize_unicode(docs)
+    return out.select(
+        "doc_id",
+        "text_norm",
+        (F.col("text_norm") != F.col("text")).alias("changed"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
