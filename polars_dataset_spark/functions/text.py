@@ -22,6 +22,8 @@ __all__ = [
     "tokenize",
     "classification_audit",
     "normalize_unicode",
+    "with_script_profile",
+    "SCRIPT_RANGES",
     "ZERO_WIDTH_CODEPOINTS",
     "with_text_stats",
     "with_token_count",
@@ -823,3 +825,61 @@ def normalize_unicode(
         return s.map(one)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+#: BMP codepoint ranges per script class — written in the \x{hhhh}
+#: syntax BOTH regex engines accept (Java in Spark, RE2 in the DuckDB
+#: oracle), so the identical pattern strings run on both sides.
+#: Block ranges, not full Unicode Script properties: the common web
+#: scripts' core blocks, which is what routing needs (the property
+#: names differ between engines; the ranges don't).
+SCRIPT_RANGES: "dict[str, str]" = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hebrew": r"[\x{0590}-\x{05FF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]",
+}
+
+
+def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document writing-script profile — the routing stage BEFORE
+    language ID (stopword/n-gram langid only works once you know the
+    script; CJK/Arabic/Cyrillic text answers faster and more reliably
+    from codepoints alone). Appends, per :data:`SCRIPT_RANGES` class,
+    ``n_<script>`` counts plus ``n_chars_nws`` (non-whitespace chars),
+    ``frac_<script>`` (of non-whitespace, round 6) and
+    ``dominant_script`` (argmax, first-in-dict tie-break, ``und`` when
+    no script char at all).
+
+    Pure codegen — each class is ONE regexp_replace length diff, the
+    counts are staged as columns (the q199 inlining rule) and every
+    pattern string has a verbatim SQL twin. Map-only, zero exchanges
+    at any scale."""
+    t = F.col(text_col)
+    staged = df.withColumn(
+        "n_chars_nws", F.length(F.regexp_replace(t, r"\s", "")).cast("long")
+    )
+    staged = staged.withColumns(
+        {
+            f"n_{name}": (
+                F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+            ).cast("long")
+            for name, pat in SCRIPT_RANGES.items()
+        }
+    )
+    counts = {name: F.col(f"n_{name}") for name in SCRIPT_RANGES}
+    best = F.greatest(*counts.values())
+    dom = F.lit("und")
+    for name in reversed(list(SCRIPT_RANGES)):
+        dom = F.when((counts[name] == best) & (best > 0), F.lit(name)).otherwise(dom)
+    staged = staged.withColumn("dominant_script", dom)
+    denom = F.greatest(F.col("n_chars_nws"), F.lit(1)).cast("double")
+    return staged.withColumns(
+        {
+            f"frac_{name}": F.round(counts[name].cast("double") / denom, 6)
+            for name in SCRIPT_RANGES
+        }
+    )

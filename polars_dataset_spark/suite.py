@@ -11777,6 +11777,86 @@ def q242(spark, sf_dir):
     )
 
 
+# q243 planting — one pure-script class per SCRIPT_RANGES entry plus a
+# mixed latin/cyrillic/digit class; class 0 varies with doc_id so the
+# fractions aren't constant per class. Shared VERBATIM with the oracle.
+_Q243_TEXT_EXPR = """
+    CASE CAST(doc_id % 8 AS INT)
+      WHEN 0 THEN 'the quick brown fox ' || CAST(doc_id % 9 AS VARCHAR(8))
+      WHEN 1 THEN 'привет мир добрый день'
+      WHEN 2 THEN 'γειά σου κόσμε'
+      WHEN 3 THEN 'مرحبا بالعالم اليوم'
+      WHEN 4 THEN 'שלום עולם טוב'
+      WHEN 5 THEN 'नमस्ते दुनिया आज'
+      WHEN 6 THEN '你好世界 こんにちは 안녕하세요'
+      ELSE 'latin текст mix 123'
+    END
+"""
+
+
+def _q243_oracle() -> str:
+    from polars_dataset_spark.functions.text import SCRIPT_RANGES
+
+    cnt_cols = ",\n             ".join(
+        f"length(t) - length(regexp_replace(t, '{pat}', '', 'g')) AS n_{n}"
+        for n, pat in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    dom_case = (
+        "CASE WHEN best = 0 THEN 'und' "
+        + " ".join(f"WHEN n_{n} = best THEN '{n}'" for n in names)
+        + " ELSE 'und' END"
+    )
+    frac_cols = ",\n           ".join(
+        f"round(n_{n}::DOUBLE / greatest(n_chars_nws, 1), 6) AS frac_{n}"
+        for n in names
+    )
+    n_cols = ", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n in names)
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_Q243_TEXT_EXPR} AS t FROM documents),
+    c AS (
+      SELECT doc_id,
+             length(regexp_replace(t, '\\s', '', 'g')) AS n_chars_nws,
+             {cnt_cols}
+      FROM src),
+    g AS (SELECT *, greatest({", ".join("n_" + n for n in names)}) AS best
+          FROM c)
+    SELECT doc_id, CAST(n_chars_nws AS BIGINT) AS n_chars_nws, {n_cols},
+           {dom_case} AS dominant_script,
+           {frac_cols}
+    FROM g
+    """
+
+
+@query("q243_script_profile", _q243_oracle())
+def q243(spark, sf_dir):
+    """Writing-script profile (functions/text.with_script_profile):
+    the routing stage BEFORE language ID — CJK/Arabic/Cyrillic answer
+    from codepoints alone, and stopword langid is only meaningful once
+    the script is known. Pure codegen: per script class ONE
+    regexp_replace length diff over BMP block ranges written in the
+    \\x{{hhhh}} syntax both engines accept, counts staged as columns,
+    dominant = argmax with first-in-dict tie-break, fractions of
+    non-whitespace chars. Map-only, zero exchanges at any SF. FULL
+    value oracle: the IDENTICAL pattern strings replayed in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_script_profile
+    from polars_dataset_spark.functions.text import SCRIPT_RANGES
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q243_TEXT_EXPR).alias("text")
+    )
+    out = with_script_profile(docs)
+    names = list(SCRIPT_RANGES)
+    return out.select(
+        "doc_id", "n_chars_nws",
+        *[f"n_{n}" for n in names],
+        "dominant_script",
+        *[f"frac_{n}" for n in names],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
