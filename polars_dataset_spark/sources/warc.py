@@ -294,6 +294,7 @@ def write_warc(
     revisit_col: "str | None" = None,
     status_col: "str | None" = None,
     location_col: "str | None" = None,
+    record_type: str = "response",
 ) -> DataFrame:
     """The WRITE side of the archive loop (VERDICT r11 #3): pack
     records into per-file ``.warc.gz`` blobs of PER-RECORD GZIP MEMBERS
@@ -327,7 +328,12 @@ def write_warc(
     non-null location emits the HTTP ``Location`` header (3xx alias
     edges — the input functions/redirects.py resolves downstream).
     An archive that silently rewrote redirects as 200s would lose the
-    alias graph."""
+    alias graph.
+
+    ``record_type="conversion"`` writes WET-style derived-text records
+    (the Common Crawl companion format): no HTTP wrapper, payload =
+    the extracted text bytes, ``Content-Type: text/plain`` — see
+    :func:`write_wet`."""
     import base64
     import hashlib
     import re as _re
@@ -381,6 +387,12 @@ def write_warc(
                     },
                 )
                 kind, refers_to, status = "revisit", str(rev), None
+            elif record_type == "conversion":
+                rec = build_warc_record(
+                    "conversion", uri, payload, warc_date=str(date),
+                    content_type="text/plain", http_status=None,
+                )
+                kind, refers_to, status = "conversion", None, None
             else:
                 status = 200
                 if stat is not None and not (
@@ -503,3 +515,37 @@ def fetch_warc_records(
             yield out
 
     return joined.mapInPandas(fetch_batches, schema=out_schema)
+
+
+def write_wet(
+    df: DataFrame,
+    file_col: str = "wet_filename",
+    uri_col: str = "url",
+    text_col: str = "text",
+    date_col: "str | None" = None,
+    revisit_col: "str | None" = None,
+) -> DataFrame:
+    """The WET side of the archive pair: pack EXTRACTED TEXT into
+    per-file ``conversion``-record archives (the Common Crawl
+    companion format a text pipeline actually reads — same framing as
+    WARC, no HTTP wrapper, ``Content-Type: text/plain``, UTF-8 text
+    payloads). Exactly :func:`write_warc`'s plan shape (one
+    file-packing shuffle, per-record gzip members, (offset, length) +
+    digest recorded during the write, CDX-able via ``cdxj_line_col``),
+    so a WET sidecar costs one extra write job off the extracted
+    corpus — never a re-crawl. ``revisit_col`` (via
+    :func:`mark_revisits` on the TEXT bytes) dedups identical
+    extractions the same way."""
+    from pyspark.sql import functions as F
+
+    enc = df.withColumn("__wet_payload", F.encode(F.col(text_col), "utf-8"))
+    out = write_warc(
+        enc,
+        file_col=file_col,
+        uri_col=uri_col,
+        payload_col="__wet_payload",
+        date_col=date_col,
+        revisit_col=revisit_col,
+        record_type="conversion",
+    )
+    return out

@@ -11857,6 +11857,55 @@ def q243(spark, sf_dir):
     )
 
 
+_Q244_URL_EXPR = """
+    'http://w' || CAST(doc_id % 6 AS VARCHAR(8)) || '.example/t/'
+    || CAST(doc_id AS VARCHAR(16))
+"""
+
+
+@query(
+    "q244_wet_roundtrip",
+    f"""
+    SELECT {_Q244_URL_EXPR} AS url, 'conversion' AS kind,
+           'text/plain' AS ctype, text
+    FROM documents
+    """,
+)
+def q244(spark, sf_dir):
+    """WET writing (sources/warc.write_wet): the Common Crawl
+    companion format — extracted TEXT packed as ``conversion`` records
+    (no HTTP wrapper, text/plain, per-record gzip members with
+    (offset, length) + digest recorded during the write), so the text
+    corpus ships in the same rangeable, CDX-able framing as the raw
+    crawl; a WET sidecar costs one write job off the extracted corpus,
+    never a re-crawl. The check round-trips through the SERIALIZED
+    archive (write → re-parse with ``warc_records`` → byte-identical
+    text back out). Plan: the one file-packing shuffle + a map-only
+    parse. FULL value oracle: url/kind/content-type/text replayed
+    straight off the planted inputs — any framing or encoding defect
+    breaks the hash."""
+    _prep(spark)
+    from polars_dataset_spark.sources import warc_records, write_wet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_Q244_URL_EXPR).alias("url"),
+        F.col("text"),
+        F.concat(
+            F.lit("wet-"), (F.col("doc_id") % 32).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("wet_filename"),
+    )
+    files = write_wet(docs)
+    parsed = warc_records(files.select("wet_filename", "content"))
+    return parsed.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_type").alias("kind"),
+        F.col("content_type").alias("ctype"),
+        F.decode(F.col("payload"), "utf-8").alias("text"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -200,3 +200,56 @@ def test_write_warc_without_revisit_col_unchanged(spark):
     for row in files:
         assert all(r["kind"] == "response" for r in row["records"])
         assert all(r["refers_to"] is None for r in row["records"])
+
+
+def test_write_wet_conversion_records(spark):
+    import base64
+    import hashlib
+
+    from polars_dataset_spark.sources.warc import warc_records, write_wet
+
+    rows = [
+        ("w.warc.gz", "http://a.example/1", "alpha text"),
+        ("w.warc.gz", "http://a.example/2", "beta text"),
+    ]
+    df = spark.createDataFrame(rows, "wet_filename string, url string, text string")
+    files = write_wet(df)
+    (row,) = files.collect()
+    # members carry kind=conversion, no status, CC-style sha1 digest of
+    # the TEXT bytes
+    recs = {r["url"]: r for r in row["records"]}
+    assert all(r["kind"] == "conversion" for r in recs.values())
+    assert all(r["http_status"] is None for r in recs.values())
+    want = "sha1:" + base64.b32encode(hashlib.sha1(b"alpha text").digest()).decode()
+    assert recs["http://a.example/1"]["digest"] == want
+    # serialized bytes parse back as conversion records with exact text
+    parsed = {
+        r["target_uri"]: r
+        for r in warc_records(files.select("wet_filename", "content")).collect()
+    }
+    assert parsed["http://a.example/1"]["warc_type"] == "conversion"
+    assert parsed["http://a.example/1"]["content_type"] == "text/plain"
+    assert bytes(parsed["http://a.example/2"]["payload"]) == b"beta text"
+
+
+def test_write_warc_redirect_records(spark):
+    from polars_dataset_spark.sources.warc import warc_records, write_warc
+
+    rows = [
+        ("r.warc.gz", "http://a.example/old", b"", 301, "/new"),
+        ("r.warc.gz", "http://a.example/ok", b"hi", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "warc_filename string, url string, payload binary, "
+        "status int, location string",
+    )
+    files = write_warc(df, status_col="status", location_col="location")
+    parsed = {
+        r["target_uri"]: r
+        for r in warc_records(files.select("warc_filename", "content")).collect()
+    }
+    assert parsed["http://a.example/old"]["http_status"] == 301
+    assert parsed["http://a.example/old"]["http_location"] == "/new"
+    assert parsed["http://a.example/ok"]["http_status"] == 200
+    assert parsed["http://a.example/ok"]["http_location"] is None
