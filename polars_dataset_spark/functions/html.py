@@ -829,3 +829,65 @@ def html_page_meta(
             yield out
 
     return df.mapInPandas(meta_batches, schema=out_schema)
+
+
+#: robots-meta extraction patterns (RE2/Java-portable: no lookaround;
+#: (?i) inline flag; attribute order covered by the NAME-first and
+#: CONTENT-first variants). The matched group is the directives string.
+ROBOTS_META_NAME_FIRST_RE = (
+    r"(?i)<meta[^>]{0,256}?name\s*=\s*[\"']?robots[\"']?"
+    r"[^>]{0,256}?content\s*=\s*[\"']([^\"']*)[\"']"
+)
+ROBOTS_META_CONTENT_FIRST_RE = (
+    r"(?i)<meta[^>]{0,256}?content\s*=\s*[\"']([^\"']*)[\"']"
+    r"[^>]{0,256}?name\s*=\s*[\"']?robots[\"']?"
+)
+#: directive-token tests over the extracted string ('none' implies both
+#: per the public Robots Meta convention)
+ROBOTS_NOINDEX_RE = r"(?i)(^|[,\s])(noindex|none)([,\s]|$)"
+ROBOTS_NOFOLLOW_RE = r"(?i)(^|[,\s])(nofollow|none)([,\s]|$)"
+
+
+def with_robots_directives(
+    df: DataFrame,
+    html_col: str = "html",
+    header_col: "str | None" = None,
+) -> DataFrame:
+    """Append ``noindex`` / ``nofollow`` booleans from the page's own
+    robots signals — the in-page half of politeness that robots.txt
+    cannot express: ``<meta name=robots>`` (either attribute order,
+    first tag wins) and, when ``header_col`` is given, the
+    ``X-Robots-Tag`` HTTP header value; a directive in EITHER source
+    sets the flag, ``none`` implies both. A corpus that keeps noindex
+    pages republishes what the site withdrew; outlinks from nofollow
+    pages must not feed the frontier (compose with html_links).
+
+    Pure codegen — two regexp_extracts staged into a directives
+    column, two rlike tests, identical pattern strings replayable in
+    an ANSI-SQL oracle. Map-only, zero exchanges."""
+    from pyspark.sql import functions as F
+
+    h = F.col(html_col)
+    meta = F.nullif(
+        F.regexp_extract(h, ROBOTS_META_NAME_FIRST_RE, 1), F.lit("")
+    )
+    meta2 = F.nullif(
+        F.regexp_extract(h, ROBOTS_META_CONTENT_FIRST_RE, 1), F.lit("")
+    )
+    staged = df.withColumn("__robots_meta", F.coalesce(meta, meta2))
+    sources = [F.col("__robots_meta")]
+    if header_col is not None:
+        sources.append(F.col(header_col))
+
+    def flag(pattern: str):
+        tests = [F.coalesce(s.rlike(pattern), F.lit(False)) for s in sources]
+        out = tests[0]
+        for t in tests[1:]:
+            out = out | t
+        return out
+
+    return (
+        staged.withColumn("noindex", flag(ROBOTS_NOINDEX_RE))
+        .withColumn("nofollow", flag(ROBOTS_NOFOLLOW_RE))
+        .drop("__robots_meta")
+    )

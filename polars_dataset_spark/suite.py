@@ -11906,6 +11906,79 @@ def q244(spark, sf_dir):
     )
 
 
+# q245 planting — robots-meta permutations incl. the content-first
+# attribute order, the 'none' shorthand, a substring trap
+# ('noindexing' must NOT trip), a header-only class, and clean pages.
+_Q245_HTML_EXPR = """
+    CASE CAST(doc_id % 7 AS INT)
+      WHEN 0 THEN '<meta name="robots" content="noindex, nofollow"><p>a</p>'
+      WHEN 1 THEN '<meta name="robots" content="index, follow"><p>b</p>'
+      WHEN 2 THEN '<meta content="nofollow" name="robots"><p>c</p>'
+      WHEN 3 THEN '<meta name="robots" content="none"><p>d</p>'
+      WHEN 4 THEN '<meta name="robots" content="noindexing,archive"><p>e</p>'
+      WHEN 5 THEN '<p>header only</p>'
+      ELSE '<meta name="viewport" content="noindex"><p>f</p>'
+    END
+"""
+_Q245_XRT_EXPR = """
+    CASE WHEN CAST(doc_id % 7 AS INT) = 5 THEN 'noindex' ELSE NULL END
+"""
+
+
+def _q245_oracle() -> str:
+    from polars_dataset_spark.functions.html import (
+        ROBOTS_META_CONTENT_FIRST_RE,
+        ROBOTS_META_NAME_FIRST_RE,
+        ROBOTS_NOFOLLOW_RE,
+        ROBOTS_NOINDEX_RE,
+    )
+
+    p1 = ROBOTS_META_NAME_FIRST_RE.replace("'", "''")
+    p2 = ROBOTS_META_CONTENT_FIRST_RE.replace("'", "''")
+    ni = ROBOTS_NOINDEX_RE.replace("'", "''")
+    nf = ROBOTS_NOFOLLOW_RE.replace("'", "''")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_Q245_HTML_EXPR} AS html, {_Q245_XRT_EXPR} AS xrt
+      FROM documents),
+    m AS (
+      SELECT doc_id, xrt,
+             coalesce(nullif(regexp_extract(html, '{p1}', 1), ''),
+                      nullif(regexp_extract(html, '{p2}', 1), '')) AS meta
+      FROM src)
+    SELECT doc_id,
+           (coalesce(regexp_matches(meta, '{ni}'), FALSE)
+            OR coalesce(regexp_matches(xrt, '{ni}'), FALSE)) AS noindex,
+           (coalesce(regexp_matches(meta, '{nf}'), FALSE)
+            OR coalesce(regexp_matches(xrt, '{nf}'), FALSE)) AS nofollow
+    FROM m
+    """
+
+
+@query("q245_robots_directives", _q245_oracle())
+def q245(spark, sf_dir):
+    """In-page robots directives (functions/html.
+    with_robots_directives): ``<meta name=robots>`` (both attribute
+    orders, first tag wins, ``none`` implies both) OR-merged with the
+    ``X-Robots-Tag`` header — the page-level half of politeness that
+    robots.txt cannot express; a corpus keeping noindex pages
+    republishes withdrawn content, and nofollow outlinks must not
+    feed the frontier. Pure codegen (two staged regexp_extracts + two
+    token-boundary rlikes — 'noindexing' does not trip), map-only,
+    zero exchanges. FULL value oracle: the IDENTICAL pattern strings
+    replayed in SQL over the planted permutations."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_robots_directives
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_Q245_HTML_EXPR).alias("html"),
+        F.expr(_Q245_XRT_EXPR).alias("xrt"),
+    )
+    out = with_robots_directives(docs, header_col="xrt")
+    return out.select("doc_id", "noindex", "nofollow")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
