@@ -733,28 +733,59 @@ def classification_audit(
     parts exist and are nonzero-summed). Floats round to 6.
 
     Scale shape: the ONLY full-data pass is the (true, pred) confusion
-    count — one two-phase hash aggregate; everything after runs on the
-    K×K confusion matrix (label-count-sized, broadcast joins). Auditing
-    a 100 TB corpus costs exactly one aggregate."""
+    count — one two-phase hash aggregate. The per-class rollup is
+    derived from that K×K matrix in a SINGLE downstream pass: each
+    matrix cell explodes into its (truth-side, prediction-side,
+    diagonal) contributions and one conditional-sum aggregate folds
+    them — never three separate aggregates over ``cm``, which Catalyst
+    would answer by re-running the whole upstream pipeline once per
+    branch (the classifier itself, three times — the q199-class plan
+    disease, caught by the suite-wide EXPR_DUP audit). Auditing a
+    100 TB corpus costs exactly one full-data aggregate."""
     from polars_dataset_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
     cm = df.groupBy(
         F.col(true_col).alias("label_true"), F.col(pred_col).alias("label_pred")
     ).agg(F.count("*").alias("n"))
-    t = cm.groupBy(F.col("label_true").alias("label")).agg(
-        F.sum("n").alias("n_true")
+    contrib = (
+        cm.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("label_true").alias("label"),
+                        F.lit("t").alias("side"),
+                        F.col("n"),
+                    ),
+                    F.struct(
+                        F.col("label_pred").alias("label"),
+                        F.lit("p").alias("side"),
+                        F.col("n"),
+                    ),
+                    F.struct(
+                        F.when(
+                            F.col("label_true") == F.col("label_pred"),
+                            F.col("label_true"),
+                        ).alias("label"),
+                        F.lit("d").alias("side"),
+                        F.col("n"),
+                    ),
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+        .filter(F.col("label").isNotNull())
     )
-    p = cm.groupBy(F.col("label_pred").alias("label")).agg(
-        F.sum("n").alias("n_pred")
-    )
-    tp = cm.filter(F.col("label_true") == F.col("label_pred")).select(
-        F.col("label_true").alias("label"), F.col("n").alias("tp")
-    )
-    out = (
-        t.join(p, "label", "full")
-        .join(tp, "label", "left")
-        .fillna({"n_true": 0, "n_pred": 0, "tp": 0})
+    out = contrib.groupBy("label").agg(
+        F.sum(F.when(F.col("side") == "t", F.col("n")).otherwise(0)).alias(
+            "n_true"
+        ),
+        F.sum(F.when(F.col("side") == "p", F.col("n")).otherwise(0)).alias(
+            "n_pred"
+        ),
+        F.sum(F.when(F.col("side") == "d", F.col("n")).otherwise(0)).alias(
+            "tp"
+        ),
     )
     prec = F.when(
         F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")

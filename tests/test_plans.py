@@ -152,6 +152,12 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         # isnotnull(domain) pushdown re-derives the host regex in the
         # pushed filter; projection side is CSE'd (_common_expr) (0.7 s)
         "q179_url_filter": 9,
+        # same shape as q179: the profile-side left-join key inference
+        # (isnotnull(domain)) pushes the host-regex derivation into the
+        # scan filter; both projection sides stay CSE'd/staged; one
+        # pushed-filter eval per row with CASE short-circuit (2.1 s
+        # warm solo at sf0.01; off-scale x2.1 at x10 data)
+        "q237_domain_prior_drop": 9,
         # gopher_keep conjunction pushdown: 7 copies in the pushed
         # filter, ONE in the staged projection (0.6 s)
         "q172_curation_pipeline": 8,
