@@ -11979,6 +11979,68 @@ def q245(spark, sf_dir):
     return out.select("doc_id", "noindex", "nofollow")
 
 
+@query(
+    "q246_bloom_frontier",
+    """
+    SELECT CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+             AS n_members,
+           CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_strangers,
+           TRUE AS members_all_pass,
+           TRUE AS fp_within_bound
+    FROM documents
+    """,
+)
+def q246(spark, sf_dir):
+    """Partitioned Bloom-filter frontier membership (functions/bloom):
+    "have we seen this URL?" without the per-round anti-join shuffle —
+    one bitmap per key-space bucket built in a single hash-partitioned
+    pass (numpy bit ops per bucket), probed via ONE bucket-id join +
+    map-only bit tests; positions come from the SAME JVM-side
+    xxhash64 expressions on both paths so build/probe cannot drift.
+    At 10 B keys the bitmaps are ~14 GB of ordinary rows — never a
+    driver object, never a broadcast. CONTRACT oracle (sketch-family
+    precedent): exact member/stranger counts replayed in SQL plus two
+    stated guarantees — zero false negatives (structural) and measured
+    FP ≤ 3× the 1% target on disjoint keys; the suite pins geometry
+    and determinism in tests/test_bloom.py."""
+    _prep(spark)
+    from polars_dataset_spark.functions import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_member"),
+        F.concat(
+            F.lit("http://b.example/"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("m")).otherwise(F.lit("s")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    members = docs.filter("is_member").select("url")
+    idx = bloom_build(members, fp_rate=0.01)
+    probed = bloom_probe(idx, docs)
+    return probed.agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_strangers"),
+        (
+            F.sum(
+                F.when(F.col("is_member") & ~F.col("might_contain"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("members_all_pass"),
+        (
+            F.sum(
+                F.when(~F.col("is_member") & F.col("might_contain"), 1).otherwise(0)
+            ).cast("double")
+            <= 0.03 * F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        ).alias("fp_within_bound"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
