@@ -12041,6 +12041,84 @@ def q246(spark, sf_dir):
     )
 
 
+# q247 planting — two snapshots from doc_id arithmetic: every 5th url
+# vanishes (removed), every 3rd surviving url changes digest, every
+# 5th doc contributes a brand-new url (added); everything else is
+# byte-identical. Shared VERBATIM with the oracle.
+_Q247_URL_EXPR = """
+    'http://d' || CAST(doc_id % 8 AS VARCHAR(8)) || '.example/p'
+    || CAST(doc_id AS VARCHAR(16))
+"""
+_Q247_OLDD_EXPR = """
+    'd' || CAST(doc_id % 7 AS VARCHAR(8))
+"""
+_Q247_NEWD_EXPR = """
+    CASE WHEN CAST(doc_id % 3 AS INT) = 0
+         THEN 'x' || CAST(doc_id % 7 AS VARCHAR(8))
+         ELSE 'd' || CAST(doc_id % 7 AS VARCHAR(8)) END
+"""
+_Q247_ADDURL_EXPR = """
+    'http://d' || CAST(doc_id % 8 AS VARCHAR(8)) || '.example/add'
+    || CAST(doc_id AS VARCHAR(16))
+"""
+
+
+@query(
+    "q247_crawl_diff",
+    f"""
+    WITH old AS (
+      SELECT {_Q247_URL_EXPR} AS url, {_Q247_OLDD_EXPR} AS d
+      FROM documents),
+    nw AS (
+      SELECT {_Q247_URL_EXPR} AS url, {_Q247_NEWD_EXPR} AS d
+      FROM documents WHERE CAST(doc_id % 5 AS INT) <> 0
+      UNION ALL
+      SELECT {_Q247_ADDURL_EXPR} AS url, 'n0' AS d
+      FROM documents WHERE CAST(doc_id % 5 AS INT) = 0)
+    SELECT coalesce(old.url, nw.url) AS url,
+           old.d AS old_digest, nw.d AS new_digest,
+           CASE WHEN old.d IS NULL THEN 'added'
+                WHEN nw.d IS NULL THEN 'removed'
+                WHEN old.d <> nw.d THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL JOIN nw ON old.url = nw.url
+    """,
+)
+def q247(spark, sf_dir):
+    """Crawl snapshot diff (functions/snapshots.crawl_diff): which
+    URLs are added / removed / changed / unchanged between two crawls
+    — the verdict that drives every incremental cycle (only added +
+    changed re-enter extraction/dedup, removed tombstone the index,
+    change ratios feed the recrawl scheduler as fresh evidence).
+    Digests come from what the archive already carries (WARC payload
+    sha1s, CDX digest fields) — no bytes re-read. ONE full-outer hash
+    shuffle on the url key + a codegen status projection; no window,
+    no second pass. FULL value oracle: planting + FULL JOIN + status
+    CASE replayed."""
+    _prep(spark)
+    from polars_dataset_spark.functions import crawl_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select(
+        F.expr(_Q247_URL_EXPR).alias("url"),
+        F.expr(_Q247_OLDD_EXPR).alias("digest"),
+    )
+    new = (
+        docs.filter("CAST(doc_id % 5 AS INT) <> 0")
+        .select(
+            F.expr(_Q247_URL_EXPR).alias("url"),
+            F.expr(_Q247_NEWD_EXPR).alias("digest"),
+        )
+        .unionAll(
+            docs.filter("CAST(doc_id % 5 AS INT) = 0").select(
+                F.expr(_Q247_ADDURL_EXPR).alias("url"),
+                F.lit("n0").alias("digest"),
+            )
+        )
+    )
+    return crawl_diff(old, new)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
