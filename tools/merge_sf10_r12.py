@@ -49,6 +49,13 @@ R12_TOUCHED = {
     "q225_fetch_schedule",
     "q227_cdxj_surt",         # SURT fragment fix
     "q228_warc_range_fetch",  # warc.py shares the writer module
+    # session 3: warc.py gained http_location (parse schema) +
+    # status/location/record_type writer params — every query through
+    # parse_warc/write_warc re-earns on the r12 sf10s sweep
+    "q206_warc_ingest",
+    "q210_html_to_text",
+    "q231_warc_roundtrip",
+    "q236_warc_revisit_dedup",
 }
 
 # exclusions that REMAIN after r12, each individually adjudicated
