@@ -12119,6 +12119,75 @@ def q247(spark, sf_dir):
     return crawl_diff(old, new)
 
 
+# q248 planting — a 60-node link graph from doc_id arithmetic: 50
+# source nodes with two deterministic outlink rules plus a class
+# whose targets (n50..n59) have NO outlinks — real dangling sinks, so
+# the oracle proves the mass-redistribution term, not just the happy
+# path. Shared VERBATIM with the oracle.
+_Q248_SRC_EXPR = """
+    'n' || CAST(doc_id % 50 AS VARCHAR(8))
+"""
+_Q248_DST_EXPR = """
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'n' || CAST(((doc_id % 50) + 1) % 50 AS VARCHAR(8))
+      WHEN 1 THEN 'n' || CAST(((doc_id % 50) * 2 + 3) % 50 AS VARCHAR(8))
+      ELSE 'n' || CAST(50 + ((doc_id % 50) % 10) AS VARCHAR(8))
+    END
+"""
+
+
+def _q248_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT {_Q248_SRC_EXPR} AS src, {_Q248_DST_EXPR} AS dst
+      FROM documents),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""
+    c{i} AS (SELECT e.dst AS node, sum({p}.r / od.deg) AS m
+           FROM e JOIN {p} ON {p}.node = e.src
+           JOIN od ON od.src = e.src GROUP BY 1),
+    d{i} AS (SELECT coalesce(sum(r), 0.0) AS dm FROM {p}
+           WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = {p}.node)),
+    r{i} AS (SELECT nodes.node,
+                (1 - {damping}) / nn.n
+                + {damping} * (coalesce(c{i}.m, 0.0) + d{i}.dm / nn.n) AS r
+           FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node, nn, d{i})""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\n    SELECT node, round(r, 6) AS rank FROM r{iterations}"
+    )
+
+
+@query("q248_pagerank", _q248_oracle())
+def q248(spark, sf_dir):
+    """PageRank (functions/graph.pagerank): the crawl-prioritization
+    score — power iteration with the dangling-mass term naive
+    implementations drop (sink pages hand their mass back uniformly;
+    without it totals leak below 1 — pinned by the mass-conservation
+    test). Per iteration: ONE ranks⋈edges join on the source + ONE
+    hash aggregate on the destination (shuffle ∝ |edges|), plus a
+    1-row dangling aggregate broadcast back (the bounded q124-class
+    crossJoin, allowlisted). FULL value oracle: the recurrence
+    UNROLLED as three chained CTE iterations over the planted graph —
+    teleport, damping, dangling redistribution all value-checked at
+    round-6."""
+    _prep(spark)
+    from polars_dataset_spark.functions import pagerank
+
+    edges = load_table(spark, sf_dir, "documents").select(
+        F.expr(_Q248_SRC_EXPR).alias("src"),
+        F.expr(_Q248_DST_EXPR).alias("dst"),
+    )
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
