@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["estimate_change_rate"]
+__all__ = ["estimate_change_rate", "with_cache_hints"]
 
 #: next-fetch bounds (days): never refetch faster than daily off
 #: history alone, never let a URL go unvisited for more than a year.
@@ -125,3 +125,49 @@ def estimate_change_rate(
         .otherwise(F.lit("quarterly")),
     )
     return out
+
+
+#: Cache-Control token patterns (RE2/Java-portable, case-insensitive,
+#: token-boundary anchored so "s-maxage" never feeds "max-age")
+CC_MAX_AGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*([0-9]+)"
+CC_S_MAXAGE_RE = r"(?i)(?:^|[,\s])s-maxage\s*=\s*([0-9]+)"
+CC_NO_STORE_RE = r"(?i)(?:^|[,\s])no-store(?:$|[,\s])"
+CC_NO_CACHE_RE = r"(?i)(?:^|[,\s])no-cache(?:$|[,\s=])"
+
+
+def with_cache_hints(
+    df: DataFrame,
+    cache_control_col: str = "cache_control",
+    out_prefix: str = "cc_",
+) -> DataFrame:
+    """Parse the origin's OWN freshness claims out of a
+    ``Cache-Control`` header column — the third evidence source for
+    the recrawl scheduler beside observed change history
+    (:func:`estimate_change_rate`) and sitemap ``changefreq`` hints:
+
+    - ``cc_max_age_sec`` — ``max-age`` seconds, with ``s-maxage``
+      taking precedence when present (RFC 9111 §5.2.2.10: the shared-
+      cache value is the one a crawler is); null when neither present;
+    - ``cc_no_store`` / ``cc_no_cache`` — boolean directives (token-
+      boundary matched: ``no-cache=...`` qualifies, ``no-cachex``
+      does not).
+
+    Headers lie in both directions (max-age=0 on static pages,
+    year-long ages on daily-changing ones), which is exactly why this
+    returns EVIDENCE columns for the scheduler to weigh rather than a
+    schedule. Pure codegen, map-only, identical pattern strings
+    replayable in SQL."""
+    cc = F.col(cache_control_col)
+    s_age = F.nullif(F.regexp_extract(cc, CC_S_MAXAGE_RE, 1), F.lit(""))
+    age = F.nullif(F.regexp_extract(cc, CC_MAX_AGE_RE, 1), F.lit(""))
+    return df.withColumns(
+        {
+            f"{out_prefix}max_age_sec": F.coalesce(s_age, age).cast("bigint"),
+            f"{out_prefix}no_store": F.coalesce(
+                cc.rlike(CC_NO_STORE_RE), F.lit(False)
+            ),
+            f"{out_prefix}no_cache": F.coalesce(
+                cc.rlike(CC_NO_CACHE_RE), F.lit(False)
+            ),
+        }
+    )

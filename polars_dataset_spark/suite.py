@@ -12188,6 +12188,67 @@ def q248(spark, sf_dir):
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+# q249 planting — Cache-Control permutations incl. the s-maxage
+# precedence pair, a varying max-age, a null header, and the
+# token-boundary traps. Shared VERBATIM with the oracle.
+_Q249_CC_EXPR = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'public, max-age=' || CAST(60 + doc_id % 3600 AS VARCHAR(8))
+      WHEN 1 THEN 'no-cache, no-store'
+      WHEN 2 THEN 's-maxage=600, max-age=60'
+      WHEN 3 THEN 'private'
+      WHEN 4 THEN NULL
+      ELSE 'no-cachex, stale-while-revalidate=30'
+    END
+"""
+
+
+def _q249_oracle() -> str:
+    from polars_dataset_spark.functions.recrawl import (
+        CC_MAX_AGE_RE,
+        CC_NO_CACHE_RE,
+        CC_NO_STORE_RE,
+        CC_S_MAXAGE_RE,
+    )
+
+    ma = CC_MAX_AGE_RE.replace("'", "''")
+    sma = CC_S_MAXAGE_RE.replace("'", "''")
+    ns = CC_NO_STORE_RE.replace("'", "''")
+    nc = CC_NO_CACHE_RE.replace("'", "''")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_Q249_CC_EXPR} AS cc FROM documents)
+    SELECT doc_id,
+           CAST(coalesce(nullif(regexp_extract(cc, '{sma}', 1), ''),
+                         nullif(regexp_extract(cc, '{ma}', 1), ''))
+                AS BIGINT) AS cc_max_age_sec,
+           coalesce(regexp_matches(cc, '{ns}'), FALSE) AS cc_no_store,
+           coalesce(regexp_matches(cc, '{nc}'), FALSE) AS cc_no_cache
+    FROM src
+    """
+
+
+@query("q249_cache_hints", _q249_oracle())
+def q249(spark, sf_dir):
+    """HTTP freshness hints (functions/recrawl.with_cache_hints): the
+    origin's own Cache-Control claims as scheduler EVIDENCE —
+    max-age with RFC 9111 s-maxage precedence (a crawler is a shared
+    cache), no-store / no-cache token-boundary matched ('no-cachex'
+    and 'stale-while-revalidate' never trip). Third evidence source
+    beside observed change history (q239) and sitemap changefreq;
+    headers lie in both directions, so this emits columns to weigh,
+    not a schedule. Pure codegen, map-only, zero exchanges. FULL
+    value oracle: identical pattern strings replayed in SQL."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_cache_hints
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q249_CC_EXPR).alias("cache_control")
+    )
+    out = with_cache_hints(docs)
+    return out.select("doc_id", "cc_max_age_sec", "cc_no_store", "cc_no_cache")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
