@@ -12249,6 +12249,72 @@ def q249(spark, sf_dir):
     return out.select("doc_id", "cc_max_age_sec", "cc_no_store", "cc_no_cache")
 
 
+# q250 planting — one host class per IDN behavior: plain ASCII, a
+# real German IDN, the pаypal homograph (one Cyrillic а), a
+# cross-label mix (normal IDN usage — must NOT flag), invalid
+# punycode (claims IDN, decode must null), and a pure-Greek TLD
+# label. Expected strings are HAND-DERIVED from the RFC 3492
+# examples, not computed by the library under test (the q242 rule).
+_Q250_HOST_EXPR = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'www' || CAST(doc_id % 20 AS VARCHAR(8)) || '.example.com'
+      WHEN 1 THEN 'xn--bcher-kva.de'
+      WHEN 2 THEN 'xn--pypal-4ve.com'
+      WHEN 3 THEN 'mixed.xn--p1ai'
+      WHEN 4 THEN 'xn--bad-@@@.com'
+      ELSE 'xn--qxam.gr'
+    END
+"""
+
+
+@query(
+    "q250_idn_homograph",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q250_HOST_EXPR} AS host FROM documents)
+    SELECT doc_id,
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN 'www' || CAST(doc_id % 20 AS VARCHAR(8)) || '.example.com'
+        WHEN 1 THEN 'bücher.de'
+        WHEN 2 THEN 'pаypal.com'
+        WHEN 3 THEN 'mixed.рф'
+        WHEN 4 THEN NULL
+        ELSE 'ελ.gr'
+      END AS host_unicode,
+      (CAST(doc_id % 6 AS INT) <> 0) AS is_idn,
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 2 THEN TRUE
+        WHEN 4 THEN NULL
+        ELSE FALSE
+      END AS mixed_script_label
+    FROM src
+    """,
+)
+def q250(spark, sf_dir):
+    """IDN decoding + homograph flagging (functions/idn): ``xn--``
+    labels decode to their unicode form (RFC 3492 punycode via the
+    stdlib codec — the honest pandas-UDF class), so domain priors,
+    per-host budgets and dedup key ONE origin instead of two; invalid
+    punycode NULLs the decode and keeps the is_idn claim (gate, not
+    guess). The homograph flag is pure codegen over the DECODED host:
+    a single label mixing two confusable scripts (latin/cyrillic/
+    greek) flags — ``pаypal`` yes, ``bücher`` and the cross-label
+    ``mixed.рф`` no. Map-only, zero exchanges. FULL value oracle with
+    HAND-DERIVED expected strings (the library never computes the
+    oracle side)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        decode_idn_hosts,
+        flag_homograph_hosts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q250_HOST_EXPR).alias("host")
+    )
+    out = flag_homograph_hosts(decode_idn_hosts(docs))
+    return out.select("doc_id", "host_unicode", "is_idn", "mixed_script_label")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""
