@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["estimate_change_rate", "with_cache_hints"]
+__all__ = ["estimate_change_rate", "with_cache_hints", "revalidation_headers"]
 
 #: next-fetch bounds (days): never refetch faster than daily off
 #: history alone, never let a URL go unvisited for more than a year.
@@ -170,4 +170,48 @@ def with_cache_hints(
                 cc.rlike(CC_NO_CACHE_RE), F.lit(False)
             ),
         }
+    )
+
+
+def revalidation_headers(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+) -> DataFrame:
+    """Conditional-GET bookkeeping (RFC 9110 §13.1): from the fetch
+    history, the validators the NEXT fetch should send per url —
+    ``if_none_match`` (the latest fetch's ETag) and
+    ``if_modified_since`` (its Last-Modified), both from the SAME
+    latest response (mixing validators across fetches is how caches
+    revalidate the wrong entity), plus ``revalidatable`` (either
+    present). A 304 costs headers instead of a body — across a
+    billion-URL refetch wave this is most of the bandwidth budget.
+
+    One window (row_number over ts desc per url) — a single hash
+    shuffle on the url key; output is frontier-sized. Ties on ts take
+    the window's deterministic first row only if the caller's ts is
+    unique per url (fetch timestamps are); dedup upstream otherwise."""
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    w = Window.partitionBy("url").orderBy(F.col("ts").desc())
+    latest = (
+        df.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("ts"),
+            F.col(etag_col).alias("etag"),
+            F.col(last_modified_col).alias("lm"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return latest.select(
+        "url",
+        F.col("etag").alias("if_none_match"),
+        F.col("lm").alias("if_modified_since"),
+        (F.col("etag").isNotNull() | F.col("lm").isNotNull()).alias(
+            "revalidatable"
+        ),
     )

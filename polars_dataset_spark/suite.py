@@ -12315,6 +12315,69 @@ def q250(spark, sf_dir):
     return out.select("doc_id", "host_unicode", "is_idn", "mixed_script_label")
 
 
+# q251 planting — 40 urls × fetch history; validator class is
+# constant per url ((doc_id%40)%3: ETag-bearing / Last-Modified-only /
+# neither), values vary with the fetch day so only the LATEST row's
+# validators are correct. Shared VERBATIM with the oracle.
+_Q251_URL_EXPR = """
+    'http://h' || CAST(doc_id % 40 AS VARCHAR(8)) || '.example/p'
+"""
+_Q251_DAY_EXPR = """
+    CAST((doc_id - doc_id % 40) / 40 AS BIGINT)
+"""
+_Q251_ETAG_EXPR = """
+    CASE WHEN CAST((doc_id % 40) % 3 AS INT) = 0
+         THEN '"e-' || CAST(day AS VARCHAR(16)) || '"' END
+"""
+_Q251_LM_EXPR = """
+    CASE WHEN CAST((doc_id % 40) % 3 AS INT) = 1
+         THEN 'day-' || CAST(day AS VARCHAR(16)) END
+"""
+
+
+@query(
+    "q251_revalidation_headers",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_Q251_DAY_EXPR} AS day FROM documents),
+    f AS (
+      SELECT {_Q251_URL_EXPR} AS url, day,
+             {_Q251_ETAG_EXPR} AS etag, {_Q251_LM_EXPR} AS lm
+      FROM d),
+    m AS (SELECT url, max(day) AS dmax FROM f GROUP BY 1)
+    SELECT f.url, f.etag AS if_none_match, f.lm AS if_modified_since,
+           (f.etag IS NOT NULL OR f.lm IS NOT NULL) AS revalidatable
+    FROM f JOIN m ON f.url = m.url AND f.day = m.dmax
+    """,
+)
+def q251(spark, sf_dir):
+    """Conditional-GET bookkeeping (functions/recrawl.
+    revalidation_headers — RFC 9110 §13.1): the validators the next
+    fetch should send per url, taken from the LATEST response only
+    (mixing an old ETag with a new Last-Modified revalidates the
+    wrong entity — pinned by test). A 304 costs headers instead of a
+    body; across a billion-URL refetch wave that is most of the
+    bandwidth budget. ONE window shuffle on the url key,
+    frontier-sized output. FULL value oracle: planting + max-day
+    selection replayed."""
+    _prep(spark)
+    from polars_dataset_spark.functions import revalidation_headers
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_Q251_DAY_EXPR).alias("day"))
+        .select(
+            F.expr(_Q251_URL_EXPR).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1767225600) + F.col("day") * 86400
+            ).alias("fetch_ts"),
+            F.expr(_Q251_ETAG_EXPR).alias("etag"),
+            F.expr(_Q251_LM_EXPR).alias("last_modified"),
+        )
+    )
+    return revalidation_headers(docs)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -50,3 +50,42 @@ def test_case_insensitive(spark):
     got = _run(spark, ["Public, MAX-AGE=120", "NO-STORE"])
     assert got[0].cc_max_age_sec == 120
     assert got[1].cc_no_store
+
+
+def test_revalidation_headers_latest_fetch_wins(spark):
+    from datetime import datetime
+
+    from polars_dataset_spark.functions.recrawl import revalidation_headers
+
+    rows = [
+        ("u", datetime(2026, 1, 1), 'W/"old"', "day-1"),
+        ("u", datetime(2026, 1, 5), 'W/"new"', "day-5"),
+        ("v", datetime(2026, 1, 2), None, "day-2"),
+        ("w", datetime(2026, 1, 3), None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts timestamp, etag string, last_modified string"
+    )
+    got = {r.url: r for r in revalidation_headers(df).collect()}
+    assert got["u"].if_none_match == 'W/"new"'
+    assert got["u"].if_modified_since == "day-5"
+    assert got["u"].revalidatable
+    assert got["v"].if_none_match is None and got["v"].revalidatable
+    assert got["w"].revalidatable is False
+
+
+def test_revalidation_validators_same_response(spark):
+    # etag from one fetch must never pair with last-modified from another
+    from datetime import datetime
+
+    from polars_dataset_spark.functions.recrawl import revalidation_headers
+
+    rows = [
+        ("u", datetime(2026, 1, 1), 'W/"a"', None),
+        ("u", datetime(2026, 1, 2), None, "day-2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts timestamp, etag string, last_modified string"
+    )
+    (r,) = revalidation_headers(df).collect()
+    assert r.if_none_match is None and r.if_modified_since == "day-2"
