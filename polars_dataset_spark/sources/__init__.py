@@ -17,6 +17,7 @@ from polars_dataset_spark.sources.warc import (
     warc_record_at,
     warc_records,
     write_warc,
+    write_wat,
     write_wet,
 )
 
@@ -28,6 +29,7 @@ __all__ = [
     "build_warc_record",
     "mark_revisits",
     "write_warc",
+    "write_wat",
     "write_wet",
     "read_jsonl",
     "read_jsonl_split",

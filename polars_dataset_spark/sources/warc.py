@@ -387,12 +387,16 @@ def write_warc(
                     },
                 )
                 kind, refers_to, status = "revisit", str(rev), None
-            elif record_type == "conversion":
+            elif record_type in ("conversion", "metadata"):
                 rec = build_warc_record(
-                    "conversion", uri, payload, warc_date=str(date),
-                    content_type="text/plain", http_status=None,
+                    record_type, uri, payload, warc_date=str(date),
+                    content_type=(
+                        "text/plain" if record_type == "conversion"
+                        else "application/json"
+                    ),
+                    http_status=None,
                 )
-                kind, refers_to, status = "conversion", None, None
+                kind, refers_to, status = record_type, None, None
             else:
                 status = 200
                 if stat is not None and not (
@@ -549,3 +553,33 @@ def write_wet(
         record_type="conversion",
     )
     return out
+
+
+def write_wat(
+    df: DataFrame,
+    file_col: str = "wat_filename",
+    uri_col: str = "url",
+    meta_col: str = "meta",
+    date_col: "str | None" = None,
+) -> DataFrame:
+    """The WAT side of the archive triple (WARC / WAT / WET): page
+    METADATA packed as ``metadata`` records with JSON payloads — what
+    link-graph and head-field consumers read so they never touch the
+    raw crawl. ``meta_col`` is a STRUCT column (title, links, head
+    fields, whatever the pipeline extracted); it serializes with
+    ``to_json`` JVM-side and ships in the same rangeable gzip-member
+    framing as :func:`write_warc` (offsets + digests recorded during
+    the write, CDX-able, one file-packing shuffle)."""
+    from pyspark.sql import functions as F
+
+    enc = df.withColumn(
+        "__wat_payload", F.encode(F.to_json(F.col(meta_col)), "utf-8")
+    )
+    return write_warc(
+        enc,
+        file_col=file_col,
+        uri_col=uri_col,
+        payload_col="__wat_payload",
+        date_col=date_col,
+        record_type="metadata",
+    )

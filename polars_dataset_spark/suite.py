@@ -12378,6 +12378,66 @@ def q251(spark, sf_dir):
     return revalidation_headers(docs)
 
 
+@query(
+    "q252_wat_roundtrip",
+    f"""
+    WITH src AS (
+      SELECT doc_id, {_Q241_HTML_EXPR} AS html FROM documents)
+    SELECT 'http://w' || CAST(doc_id % 6 AS VARCHAR(8)) || '.example/m/'
+             || CAST(doc_id AS VARCHAR(16)) AS url,
+           'metadata' AS kind,
+           nullif(regexp_extract(html,
+             'property="og:title" content="([^"]*)"', 1), '') AS og_title,
+           nullif(regexp_extract(html,
+             'rel="canonical" href="([^"]*)"', 1), '') AS canonical,
+           nullif(regexp_extract(html, '"@type":"([^"]*)"', 1), '')
+             AS jsonld_type
+    FROM src
+    """,
+)
+def q252(spark, sf_dir):
+    """WAT writing (sources/warc.write_wat): the third Common Crawl
+    sidecar — page METADATA as ``metadata`` records with JSON
+    payloads, so link-graph and head-field consumers never touch the
+    raw crawl. The chain runs END-TO-END: q241's planted HTML →
+    html_page_meta extraction → struct → to_json (JVM-side) →
+    write_wat (same rangeable gzip-member framing, one file-packing
+    shuffle) → re-parse with warc_records → get_json_object pulls the
+    fields back off the serialized archive. FULL value oracle: the
+    head fields re-derived from the planting with q241's anchored
+    regexes — any extraction, serialization or framing defect breaks
+    the hash."""
+    _prep(spark)
+    from polars_dataset_spark.functions import html_page_meta
+    from polars_dataset_spark.sources import warc_records, write_wat
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://w"), (F.col("doc_id") % 6).cast("string"),
+            F.lit(".example/m/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(F.expr(_Q241_HTML_EXPR), "utf-8").alias("payload"),
+        F.concat(
+            F.lit("wat-"), (F.col("doc_id") % 32).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("wat_filename"),
+    )
+    meta = html_page_meta(docs).withColumn(
+        "meta", F.struct("og_title", "canonical", "jsonld_type")
+    )
+    files = write_wat(meta.select("wat_filename", "url", "meta"))
+    parsed = warc_records(files.select("wat_filename", "content"))
+    body = F.decode(F.col("payload"), "utf-8")
+    return parsed.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_type").alias("kind"),
+        F.get_json_object(body, "$.og_title").alias("og_title"),
+        F.get_json_object(body, "$.canonical").alias("canonical"),
+        F.get_json_object(body, "$.jsonld_type").alias("jsonld_type"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

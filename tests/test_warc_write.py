@@ -253,3 +253,25 @@ def test_write_warc_redirect_records(spark):
     assert parsed["http://a.example/old"]["http_location"] == "/new"
     assert parsed["http://a.example/ok"]["http_status"] == 200
     assert parsed["http://a.example/ok"]["http_location"] is None
+
+
+def test_write_wat_metadata_records(spark):
+    from pyspark.sql import functions as F
+
+    from polars_dataset_spark.sources.warc import warc_records, write_wat
+
+    rows = [("w.warc.gz", "http://a.example/1", "T1", 3)]
+    df = spark.createDataFrame(
+        rows, "wat_filename string, url string, title string, n_links int"
+    ).withColumn("meta", F.struct("title", "n_links"))
+    files = write_wat(df)
+    (row,) = files.collect()
+    assert row["records"][0]["kind"] == "metadata"
+    parsed = warc_records(files.select("wat_filename", "content")).collect()
+    (rec,) = parsed
+    assert rec["warc_type"] == "metadata"
+    assert rec["content_type"] == "application/json"
+    import json
+
+    body = json.loads(bytes(rec["payload"]).decode())
+    assert body == {"title": "T1", "n_links": 3}
