@@ -891,3 +891,34 @@ def with_robots_directives(
         .withColumn("nofollow", flag(ROBOTS_NOFOLLOW_RE))
         .drop("__robots_meta")
     )
+
+
+#: <html lang=...> extraction (RE2/Java-portable; BCP 47 primary
+#: subtag captured, region/script subtags dropped by the '-' boundary)
+HTML_LANG_RE = (
+    r"(?i)<html[^>]{0,256}?lang\s*=\s*[\"']?([A-Za-z]{2,8})"
+)
+
+
+def with_declared_lang(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "declared_lang",
+) -> DataFrame:
+    """Append the page's OWN language claim — the ``<html lang=…>``
+    attribute, lowercased primary subtag (``ES-419`` → ``es``) — for
+    cross-checking against content-based language ID: systematic
+    disagreement on a host is a template-misconfiguration signal, and
+    agreement upgrades confidence where the stopword classifier is
+    weak. Null when the attribute is absent. Pure codegen (one
+    regexp_extract), map-only, replayable verbatim in SQL."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        out_col,
+        F.lower(
+            F.nullif(
+                F.regexp_extract(F.col(html_col), HTML_LANG_RE, 1), F.lit("")
+            )
+        ),
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "REDIRECT_STATUSES",
     "resolve_location_col",
     "extract_redirect_edges",
+    "extract_meta_refresh_edges",
     "resolve_redirects",
 ]
 
@@ -189,3 +190,49 @@ def resolve_redirects(
         )
     )
     return out
+
+
+#: meta-refresh extraction (the HTML-level redirect 3xx headers can't
+#: see): content="<secs>;url=<target>" with either attribute order.
+META_REFRESH_NAME_FIRST_RE = (
+    r"(?i)<meta[^>]{0,256}?http-equiv\s*=\s*[\"']?refresh[\"']?"
+    r"[^>]{0,512}?content\s*=\s*[\"']\s*[0-9]+\s*;\s*url\s*=\s*([^\"'>]+)"
+)
+META_REFRESH_CONTENT_FIRST_RE = (
+    r"(?i)<meta[^>]{0,256}?content\s*=\s*[\"']\s*[0-9]+\s*;\s*url\s*="
+    r"\s*([^\"'>]+)[\"'][^>]{0,256}?http-equiv\s*=\s*[\"']?refresh"
+)
+
+
+def extract_meta_refresh_edges(
+    df: DataFrame,
+    uri_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """HTML meta-refresh redirects → ``(src, dst)`` alias edges — the
+    soft-redirect layer 3xx extraction can't see (parked pages,
+    legacy CMSes, splash screens); real crawls resolve BOTH sources
+    into one alias map (union with :func:`extract_redirect_edges`
+    then :func:`resolve_redirects`). Either attribute order; the
+    target resolves against the page's own URI with the same
+    :func:`resolve_location_col` branches; pages without a refresh
+    and self-loops drop. Map-only, zero exchanges."""
+    h = F.col(html_col)
+    target = F.coalesce(
+        F.nullif(F.regexp_extract(h, META_REFRESH_NAME_FIRST_RE, 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract(h, META_REFRESH_CONTENT_FIRST_RE, 1), F.lit("")
+        ),
+    )
+    staged = df.withColumn("__refresh_target", F.trim(target))
+    edges = (
+        staged.filter(F.col("__refresh_target").isNotNull())
+        .select(
+            F.col(uri_col).alias("src"),
+            resolve_location_col(
+                F.col(uri_col), F.col("__refresh_target")
+            ).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    return edges

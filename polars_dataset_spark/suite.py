@@ -12438,6 +12438,182 @@ def q252(spark, sf_dir):
     )
 
 
+# q253 planting — declared-vs-predicted language permutations: two
+# agreeing classes, an en-declared/french-bodied template
+# misconfiguration, a region-subtag declaration (ES-419 → es), a
+# missing attribute (filtered), and a declared-but-junk body (→ und).
+_Q253_HTML_EXPR = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN '<html lang="de"><body>x</body></html>'
+      WHEN 1 THEN '<html lang="en"><body>x</body></html>'
+      WHEN 2 THEN '<html lang="en"><body>x</body></html>'
+      WHEN 3 THEN '<html lang="ES-419"><body>x</body></html>'
+      WHEN 4 THEN '<html><body>x</body></html>'
+      ELSE '<html lang=fr><body>x</body></html>'
+    END
+"""
+_Q253_TEXT_EXPR = f"""
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN '{_Q240_SENT["de"]}'
+      WHEN 1 THEN '{_Q240_SENT["en"]}'
+      WHEN 2 THEN '{_Q240_SENT["fr"]}'
+      WHEN 3 THEN '{_Q240_SENT["es"]}'
+      WHEN 4 THEN '{_Q240_SENT["en"]}'
+      ELSE 'zzz qqq xxx'
+    END
+"""
+
+
+def _q253_oracle() -> str:
+    from polars_dataset_spark.functions.html import HTML_LANG_RE
+
+    lang_re = HTML_LANG_RE.replace("'", "''")
+    toks = r"regexp_split_to_array(trim(lower(ltext)), '\s+')"
+    hit_cols = ",\n             ".join(
+        f"len(list_filter({toks}, x -> list_contains({words!r}, x))) AS h_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    pred_case = (
+        "CASE WHEN best = 0 THEN 'und' "
+        + " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {_Q253_HTML_EXPR} AS html, {_Q253_TEXT_EXPR} AS ltext
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             lower(nullif(regexp_extract(html, '{lang_re}', 1), ''))
+               AS declared_lang,
+             ltext
+      FROM src),
+    h AS (
+      SELECT declared_lang,
+             {hit_cols}
+      FROM d WHERE declared_lang IS NOT NULL),
+    g AS (SELECT *, greatest({", ".join("h_" + l for l in langs)}) AS best
+          FROM h),
+    p AS (SELECT declared_lang, {pred_case} AS lang_pred FROM g)
+    SELECT declared_lang, lang_pred, count(*) AS n
+    FROM p GROUP BY 1, 2
+    """
+
+
+@query("q253_declared_lang_agreement", _q253_oracle())
+def q253(spark, sf_dir):
+    """Declared-vs-detected language cross-check (functions/html.
+    with_declared_lang ∘ functions/text.with_language_id): the
+    ``<html lang>`` claim against content-based ID — systematic
+    disagreement on a host is a template-misconfiguration signal;
+    agreement upgrades confidence where the stopword classifier is
+    weak. Declared lang is one codegen regexp (BCP 47 primary subtag,
+    ES-419 → es); pages without the attribute are excluded (no claim,
+    nothing to audit). ONE full-data pass (the (declared, predicted)
+    two-phase count). FULL value oracle: attribute regex + classifier
+    + rollup replayed."""
+    _prep(spark)
+    from polars_dataset_spark.functions import with_declared_lang
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_Q253_HTML_EXPR).alias("html"),
+        F.expr(_Q253_TEXT_EXPR).alias("text"),
+    )
+    out = with_language_id(with_declared_lang(docs))
+    return (
+        out.filter(F.col("declared_lang").isNotNull())
+        .groupBy("declared_lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# q254 planting — a redirect topology whose chains CROSS mechanisms:
+# %4==1 is an HTTP 301, %4==2 a meta-refresh, %4==3 a relative
+# meta-refresh, %4==0 the 200 terminal; base = doc_id - doc_id%4
+# fixes the host (the q238 staging rule). Both edge layers must land
+# in ONE alias map for the chains to resolve.
+_Q254_STATUS_EXPR = """
+    CASE WHEN CAST(doc_id % 4 AS INT) = 1 THEN 301 ELSE 200 END
+"""
+_Q254_LOC_EXPR = """
+    CASE WHEN CAST(doc_id % 4 AS INT) = 1
+         THEN '/p' || CAST(doc_id - 1 AS VARCHAR(16)) END
+"""
+_Q254_HTML_EXPR = """
+    CASE WHEN CAST(doc_id % 4 AS INT) = 2
+         THEN '<meta http-equiv="refresh" content="0;url=/p'
+              || CAST(doc_id - 1 AS VARCHAR(16)) || '"><p>x</p>'
+         WHEN CAST(doc_id % 4 AS INT) = 3
+         THEN '<meta http-equiv="refresh" content="5; url=p'
+              || CAST(doc_id - 1 AS VARCHAR(16)) || '"><p>y</p>'
+         ELSE '<p>plain page</p>'
+    END
+"""
+
+
+@query(
+    "q254_soft_redirect_resolution",
+    f"""
+    WITH RECURSIVE h AS (
+      SELECT doc_id, {_Q238_HOST_EXPR} AS host FROM documents),
+    e AS (
+      SELECT {_Q238_URL_EXPR} AS src,
+             'http://' || host || '/p' || CAST(doc_id - 1 AS VARCHAR(16))
+               AS dst
+      FROM h WHERE CAST(doc_id % 4 AS INT) <> 0),
+    m AS (SELECT src, max(dst) AS dst FROM e GROUP BY src),
+    walk AS (
+      SELECT src, dst AS cur, 1 AS hops FROM m
+      UNION ALL
+      SELECT w.src, m.dst AS cur, w.hops + 1
+      FROM walk w JOIN m ON m.src = w.cur
+      WHERE w.hops < 8),
+    term AS (
+      SELECT w.src, w.cur, w.hops FROM walk w
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.src = w.cur))
+    SELECT m.src, t.cur AS final_url, CAST(t.hops AS BIGINT) AS hops,
+           (t.cur IS NOT NULL) AS resolved
+    FROM m LEFT JOIN term t ON t.src = m.src
+    """,
+)
+def q254(spark, sf_dir):
+    """Soft-redirect resolution (functions/redirects.
+    extract_meta_refresh_edges ∪ extract_redirect_edges →
+    resolve_redirects): the HTML meta-refresh layer 3xx extraction
+    can't see (parked pages, legacy CMSes) UNIONED with the HTTP
+    Location edges into ONE alias map — the planted chains CROSS
+    mechanisms (a 301 landing on a refresh page landing on a
+    terminal), so neither layer alone resolves them. Same
+    pointer-jumping plan as q238. FULL value oracle: the unified edge
+    arithmetic walked by a bounded recursive CTE."""
+    _prep(spark)
+    from polars_dataset_spark.functions import (
+        extract_meta_refresh_edges,
+        extract_redirect_edges,
+        resolve_redirects,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_Q238_HOST_EXPR).alias("host"))
+        .select(
+            "doc_id",
+            F.expr(_Q238_URL_EXPR).alias("url"),
+            F.expr(_Q254_STATUS_EXPR).cast("int").alias("http_status"),
+            F.expr(_Q254_LOC_EXPR).alias("http_location"),
+            F.expr(_Q254_HTML_EXPR).alias("html"),
+        )
+    )
+    hard = extract_redirect_edges(
+        docs, uri_col="url", status_col="http_status",
+        location_col="http_location",
+    )
+    soft = extract_meta_refresh_edges(docs, uri_col="url", html_col="html")
+    return resolve_redirects(hard.unionAll(soft), max_hops=8)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -174,3 +174,43 @@ def test_warc_roundtrip_to_resolution(spark):
     assert got["http://s.example/a"].final_url == "http://s.example/final"
     assert got["http://s.example/a"].hops == 2
     assert got["http://s.example/b"].hops == 1
+
+
+def test_meta_refresh_edges(spark):
+    from polars_dataset_spark.functions.redirects import (
+        extract_meta_refresh_edges,
+    )
+
+    rows = [
+        ("http://a.example/1",
+         '<meta http-equiv="refresh" content="0;url=/2"><p>x</p>'),
+        ("http://a.example/3",
+         '<meta content="5; URL=http://b.example/z" http-equiv="refresh">'),
+        ("http://a.example/4", "<p>no refresh</p>"),
+        ("http://a.example/5",
+         '<meta http-equiv="refresh" content="30">'),  # reload, no url
+        ("http://a.example/6",
+         '<META HTTP-EQUIV=REFRESH CONTENT="0; url=next.html">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.src: r.dst for r in extract_meta_refresh_edges(df).collect()}
+    assert got == {
+        "http://a.example/1": "http://a.example/2",
+        "http://a.example/3": "http://b.example/z",
+        "http://a.example/6": "http://a.example/next.html",
+    }
+
+
+def test_declared_lang_extraction(spark):
+    from polars_dataset_spark.functions.html import with_declared_lang
+
+    rows = [
+        (0, '<html lang="de"><body>x</body></html>'),
+        (1, "<html LANG='ES-419'><body>x</body></html>"),
+        (2, '<html dir="ltr" lang=fr><body>x</body></html>'),
+        (3, "<html><body>no lang</body></html>"),
+        (4, '<div lang="en">not the html tag</div>'),
+    ]
+    df = spark.createDataFrame(rows, "id int, html string")
+    got = {r.id: r.declared_lang for r in with_declared_lang(df).collect()}
+    assert got == {0: "de", 1: "es", 2: "fr", 3: None, 4: None}
