@@ -12614,6 +12614,56 @@ def q254(spark, sf_dir):
     return resolve_redirects(hard.unionAll(soft), max_hops=8)
 
 
+@query(
+    "q255_budget_apportionment",
+    """
+    WITH w AS (
+      SELECT 'd' || CAST(doc_id % 40 AS VARCHAR(8)) AS key,
+             CAST(sum(1 + doc_id % 7) AS DOUBLE) AS weight
+      FROM documents GROUP BY 1),
+    t AS (SELECT sum(weight) AS tw FROM w),
+    d AS (SELECT key, weight, 1000.0 * weight / t.tw AS ex FROM w, t),
+    f AS (SELECT key, weight, ex, CAST(floor(ex) AS BIGINT) AS fl,
+                 ex - floor(ex) AS rem
+          FROM d),
+    s AS (SELECT sum(fl) AS fs FROM f),
+    r AS (SELECT f.key, f.weight, f.fl,
+                 row_number() OVER (ORDER BY f.rem DESC, f.key) AS rk,
+                 s.fs
+          FROM f, s)
+    SELECT key, weight,
+           CAST(fl + CASE WHEN rk <= 1000 - fs THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM r
+    """,
+)
+def q255(spark, sf_dir):
+    """Crawl-budget apportionment (functions/budget.allocate_budget —
+    Hamilton's largest-remainder method): integer per-domain quotas
+    summing to EXACTLY the cycle budget, proportional to weight —
+    round-up over-commits the fetch fleet, round-down leaves budget on
+    the floor; largest remainders get the leftover units
+    (key-ascending tie-break). The remainder RANKING is the repo's
+    two-pass distributed prefix sum (range partitions + per-partition
+    offsets) — never a single-partition global sort; the two scalar
+    totals are bounded 1-row broadcasts (q124 class, allowlisted).
+    FULL value oracle: the whole apportionment replayed in SQL (the
+    oracle may single-partition sort; the engine may not)."""
+    _prep(spark)
+    from polars_dataset_spark.functions import allocate_budget
+
+    weights = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            F.concat(F.lit("d"), (F.col("doc_id") % 40).cast("string")).alias(
+                "key"
+            )
+        )
+        .agg(F.sum(F.lit(1) + F.col("doc_id") % 7).alias("weight"))
+    )
+    return allocate_budget(weights, budget=1000)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() query: the star join (q06) through the Dataset API —
     construct, join, filter, aggregate, sort in one plan."""

@@ -122,6 +122,7 @@ def test_suite_wide_scale_red_flag_audit(spark, sf_dir):
         "q198_numeric_outliers": {"BNL"},  # two 1-row scalar (median, MAD) broadcast crossJoins
         "q200_bm25_topk_many": {"BNL"},  # two 1-row broadcasts: vocab-size agg (retrieval.py idf) + corpus totals crossJoin — same bounded class as q195
         "q248_pagerank": {"BNL"},  # per-iteration 1-row broadcasts (node count init + dangling-mass aggregate) — the bounded q124 class; the per-edge work is a keyed hash join + hash agg
+        "q255_budget_apportionment": {"BNL"},  # two 1-row scalar broadcasts (Σweight, Σfloor) — q124 class; the remainder rank rides the distributed prefix sum
         # NO SINGLE_PART entries: SINGLE_PART means an UNBOUNDED
         # single-partition exchange (consumer is a Sort/Window/map over
         # instance-scale data). Bounded final-global-aggregate single
