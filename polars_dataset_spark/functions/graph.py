@@ -342,12 +342,22 @@ def pagerank(
     e = ensure_parallelism(edges).select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # PIN the loop-invariant frames: every iteration joins `e` and
+    # `outdeg` again, and without a lineage cut Catalyst re-derives
+    # them from the SOURCE each round (measured: 111 scans in the
+    # 3-iteration plan — K extra full passes over the edge input at
+    # scale). Non-eager localCheckpoint materializes each once at
+    # first use; same fault-tolerance tradeoff as connected_components
+    # (blocks pinned on executors, lineage truncated).
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    outdeg = e.groupBy("src").agg(
+        F.count("*").alias("__deg")
+    ).localCheckpoint(eager=False)
     n_total = nodes.agg(F.count("*").cast("double").alias("__n"))
     # rank init 1/N: the one 1-row broadcast the whole loop shares
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
