@@ -1321,7 +1321,16 @@ def edit_distance_join(
     l = left.select(
         F.col(left_id).alias("id_a"), sv.alias("__sa"), F.explode(all_keys).alias("__blk")
     )
-    joined = l.join(r, on="__blk")
+    # Explicit repartition by the block key, NOT ENSURE_REQUIREMENTS
+    # exchanges: the segment-key shuffle is tiny (short substring keys)
+    # so AQE's byte-based coalescing collapses it to ONE post-shuffle
+    # partition — but the join OUTPUT explodes (every pair sharing a
+    # segment) and the levenshtein verify then runs single-task
+    # (measured: 6.5 s of single-core verify at sf0.1; guide §2.5's
+    # "coalesced by input bytes, exploded by output" trap). A
+    # user-specified hash repartition keeps the verify spread at
+    # spark.sql.shuffle.partitions regardless of input byte size.
+    joined = l.repartition("__blk").join(r.repartition("__blk"), on="__blk")
     return (
         joined.withColumn("dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
         .filter(F.col("dist") <= max_dist)

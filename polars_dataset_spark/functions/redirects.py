@@ -149,9 +149,18 @@ def resolve_redirects(
     from polars_dataset_spark.session import ensure_parallelism
 
     edges = ensure_parallelism(edges)
+    # PIN the collapsed map: `m` is referenced by BOTH sides of every
+    # doubling round plus the terminal anti-semijoin — without a lineage
+    # cut Catalyst re-derives it (and the whole edge-extraction pipeline
+    # below it, which for WARC-sourced edges is an applyInPandas write +
+    # mapInPandas parse) once PER REFERENCE: the q238 plan carried 18
+    # copies of the archive write/parse stages. Non-eager localCheckpoint
+    # materializes it once at first use — the connected_components /
+    # pagerank precedent, same fault-tolerance tradeoff (blocks pinned on
+    # executors, lineage truncated).
     m = edges.groupBy(F.col(src_col).alias("src")).agg(
         F.max(dst_col).alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     # the partial map: src -> (cur, steps); cur is the node reached
     # after `steps` hops, early-stopped at terminals (nodes that are
     # not themselves redirect sources simply never match the join)
@@ -175,6 +184,12 @@ def resolve_redirects(
                 .otherwise(F.col("steps"))
                 .alias("steps"),
             )
+            # each round references the previous `j` TWICE (probe + build
+            # side of the self-join): without a per-round cut the plan
+            # doubles per round — 2^rounds subtrees — exactly the disease
+            # connected_components checkpoints away. One cut per round
+            # keeps the plan flat and every round's work computed once.
+            .localCheckpoint(eager=False)
         )
     # terminal iff the reached node is not itself a redirect source
     srcs = m.select(F.col("src").alias("t_src"))
