@@ -10748,7 +10748,12 @@ def q231(spark, sf_dir):
             F.lit(".warc.gz"),
         ).alias("warc_filename"),
     )
-    files = write_warc(docs)
+    # `files` fans out to TWO consumers (the blob side of the ranged
+    # fetch AND the exploded index rows) — without a lineage cut the
+    # applyInPandas archive write runs once per consumer (r12 plan
+    # audit: 2x FlatMapGroupsInPandas). Non-eager localCheckpoint
+    # materializes the (one-row-per-file) frame once.
+    files = write_warc(docs).localCheckpoint(eager=False)
     blobs = files.select(
         F.col("warc_filename").alias("filename"), "content"
     )
