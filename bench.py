@@ -114,6 +114,23 @@ def _warmup(spark, sf_dir: str) -> None:
         .save()
     )
 
+    # Package-import warm (r12): a Python worker that unpickles any UDF
+    # referencing package modules pays the full package-tree import
+    # (~0.7 s: pandas + core + sources) ONCE per worker process. Workers
+    # are reused (spark.python.worker.reuse), so without this the first
+    # package-UDF queries absorb 32 x ~0.7 s of pool time (measured:
+    # q229's 32-task stage carried 18.7 s of executor run for 0.1 s of
+    # CPU). One 32-partition pass importing the deepest shared module
+    # warms every pooled worker; no data is precomputed.
+    def _pkg_import_warm(it):
+        import polars_dataset_spark.functions.pdf_crypt  # noqa: F401
+
+        yield from it
+
+    spark.range(0, 32, 1, 32).mapInPandas(_pkg_import_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     def _dot_fn(a):
         import numpy as _np
 

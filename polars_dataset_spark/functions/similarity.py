@@ -754,6 +754,12 @@ def semantic_dedup(
         _norm(vec_col).alias("__n"),
         cell_of(F.col(vec_col)).alias("cell"),
     )
+    # `assigned` is referenced THREE times (both sides of the within-cell
+    # pair join + the final keep join): without a lineage cut the scan,
+    # norm and the Arrow-batched centroid argmin all run once per
+    # reference. Non-eager localCheckpoint computes the assignment once
+    # (same precedent as connected_components/pagerank).
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "cell",
