@@ -47,6 +47,17 @@ def get_spark(app_name: str = "polars_dataset_spark", shuffle_partitions: int | 
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.memory", os.environ.get("SPARK_GRAFT_PY_WORKER_MEM", "1g"))
         .config("spark.python.worker.faulthandler.enabled", "true")
+        # Arrow batch sizing for the media/archive operators (guide §4.2):
+        # the row-count cap alone lets a 10k-row batch of ~MB binary cells
+        # balloon to GBs inside one Python worker; the Spark-4 byte cap
+        # bounds each batch regardless of row width. 64 MiB is inert for
+        # the narrow numeric/text kernels (they never reach it) and caps
+        # worker RSS on blob columns at any scale. Parameterised for
+        # cluster tuning.
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(64 * 1024 * 1024)),
+        )
     )
     alloc = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                          "conf", "fairscheduler.xml")
