@@ -976,7 +976,14 @@ def remove_repeated_substrings(
 
     from polars_dataset_spark.functions.text import tokenize
 
-    t = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    # pin the tokenized corpus: `t` feeds both the gram stage (which is
+    # itself consumed twice — the duplicate-key aggregate and the
+    # position semi-join) and the token stream, so the regex
+    # tokenization of every document would otherwise run once per
+    # reference (r12 audit: 4 scans of the source in the plan)
+    t = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=False)
     # gram key = md5 over the CONCATENATION OF PER-TOKEN md5 DIGESTS:
     # fixed-length hex segments make the key injective in the token
     # sequence — a separator-joined form would collide when a token itself

@@ -52,6 +52,13 @@ def funnel_stages(
                 F.col("__ts").cast("double")
                 <= F.col("step_1_ts").cast("double") + F.lit(within_seconds)
             )
+        # pin the previous stage: `cur` is referenced TWICE per step
+        # (join probe + the right join-back), so without a lineage cut
+        # the plan doubles per step and the EVENTS scan below step 1 ran
+        # once per reference (7 scans for a 3-step funnel; k scans — one
+        # per step filter — is the design). The frame is per-user
+        # scalars, tiny next to the raw events.
+        cur = cur.localCheckpoint(eager=False)
         cur = (
             nxt.join(cur, user_col)
             .filter(cond)
