@@ -166,7 +166,7 @@ def resolve_redirects(
     # not themselves redirect sources simply never match the join)
     j = m.select("src", F.col("dst").alias("cur"), F.lit(1).alias("steps"))
     rounds = max_hops.bit_length() - 1  # log2 of a power of two
-    for _ in range(rounds):
+    for rnd in range(rounds):
         b = j.select(
             F.col("src").alias("b_src"),
             F.col("cur").alias("b_cur"),
@@ -184,13 +184,17 @@ def resolve_redirects(
                 .otherwise(F.col("steps"))
                 .alias("steps"),
             )
-            # each round references the previous `j` TWICE (probe + build
-            # side of the self-join): without a per-round cut the plan
-            # doubles per round — 2^rounds subtrees — exactly the disease
-            # connected_components checkpoints away. One cut per round
-            # keeps the plan flat and every round's work computed once.
-            .localCheckpoint(eager=False)
         )
+        # each round references the previous `j` TWICE (probe + build
+        # side of the self-join): without a per-round cut the plan
+        # doubles per round — 2^rounds subtrees — exactly the disease
+        # connected_components checkpoints away. One cut per round keeps
+        # the plan flat and every round's work computed once. The FINAL
+        # round is exempt: its result feeds only the terminal join
+        # (single reference), so a cut there would be a pure extra
+        # materialization pass.
+        if rnd < rounds - 1:
+            j = j.localCheckpoint(eager=False)
     # terminal iff the reached node is not itself a redirect source
     srcs = m.select(F.col("src").alias("t_src"))
     out = (
