@@ -64,6 +64,17 @@ def domain_quality_profile(
     from polars_dataset_spark.functions.pii import with_pii_counts
     from polars_dataset_spark.functions.text import with_quality_score
     from polars_dataset_spark.functions.urls import _HOST_RE, registered_domain_col
+    from polars_dataset_spark.session import ensure_parallelism
+
+    # The per-row work below is HEAVY map work (host + registered-domain
+    # regexes, the quality-score regex set, and five sequential PII
+    # regexp_replace passes), not a cheap-expression pipeline: a
+    # one-file/one-row-group scan would run it all on a single core
+    # (measured at sf0.1: ~3.8 s of single-task regex CPU for a ~2 s
+    # query). One small shuffle of the raw text buys full map-side
+    # parallelism; on many-file inputs (the 100 TB shape) this is a
+    # no-op.
+    df = ensure_parallelism(df)
 
     # Stage the host regex into its own projection BEFORE deriving the
     # registered domain: registered_domain_col references its input 8
