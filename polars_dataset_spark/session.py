@@ -68,6 +68,36 @@ def get_spark(app_name: str = "polars_dataset_spark", shuffle_partitions: int | 
     return spark
 
 
+def pin(df, eager: bool = False):
+    """Materialize an intermediate and truncate its lineage — the
+    engine's single chokepoint for every iterative/fan-out checkpoint
+    (redirects, connected components, pagerank, semantic_dedup, funnel,
+    prefix sums, chunked rolling windows).
+
+    Default: ``localCheckpoint`` — blocks live on executors, which is
+    fast but NOT fault-tolerant: losing an executor after the pin fails
+    downstream actions instead of recomputing (fine in local mode and
+    for short-lived results). For cluster runs set
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` to switch every site to
+    reliable-storage ``checkpoint()`` (requires a checkpoint dir:
+    ``spark.checkpoint.dir`` / ``SparkContext.setCheckpointDir``, or
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` which this helper applies on first
+    use)."""
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            cdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+            if not cdir:
+                raise RuntimeError(
+                    "SPARK_GRAFT_RELIABLE_CHECKPOINT=1 needs a checkpoint "
+                    "dir: set spark.checkpoint.dir / setCheckpointDir() or "
+                    "SPARK_GRAFT_CHECKPOINT_DIR"
+                )
+            sc.setCheckpointDir(cdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def ensure_parallelism(df, min_parts: int | None = None):
     """Round-robin repartition a DataFrame whose plan currently yields
     fewer partitions than the session's core count — used by operators

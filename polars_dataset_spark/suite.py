@@ -2631,8 +2631,13 @@ def q79(spark, sf_dir):
 )
 def q80(spark, sf_dir):
     """polars ``rolling_median`` / ``rolling_quantile``: exact order
-    statistics over a trailing rows frame — JVM-side window aggregates,
-    unique index so the frame is deterministic."""
+    statistics over a trailing rows frame — unique index so the frame
+    is deterministic. Both quantiles come from ONE chunked
+    order-statistics pass (``rolling_quantiles``, r13): the former
+    JVM window capped parallelism at the 5 priority traces (measured
+    6.2 s CPU across 5 single-core tasks at sf0.1); the chunked pass
+    range-partitions on (trace, index) with an overlap carry, so
+    parallelism scales with the cluster (guide §2.6)."""
     _prep(spark)
     od = load_table(spark, sf_dir, "orders")
     ds = Dataset(
@@ -2640,7 +2645,11 @@ def q80(spark, sf_dir):
         index="o_orderkey",
         id_vars=["o_orderpriority"],
     )
-    out = ds.rolling_median("o_totalprice", 7).rolling_quantile("o_totalprice", 0.25, 7)
+    out = ds.rolling_quantiles(
+        "o_totalprice",
+        {"o_totalprice_rolling_median": 0.5, "o_totalprice_rolling_q": 0.25},
+        7,
+    )
     return out.df.select(
         "o_orderkey",
         "o_orderpriority",
