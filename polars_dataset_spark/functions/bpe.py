@@ -87,7 +87,9 @@ def bpe_learn(
     driver-side, and the only per-round driver traffic is the single
     argmax row."""
     spark = df.sparkSession
-    vocab = _vocab(df, text_col).localCheckpoint(eager=True)
+    from polars_dataset_spark.session import pin
+
+    vocab = pin(_vocab(df, text_col), eager=True)
     merges: "list[tuple[str, str]]" = []
     rows = []
     chars = F.concat(F.split(F.col("token"), ""), F.array(F.lit(EOW)))

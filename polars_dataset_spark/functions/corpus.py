@@ -207,7 +207,9 @@ def with_bigram_surprisal(
     # unigram table; without it the token-keyed aggregation (a full shuffle
     # of every token instance) executes twice. Checkpointed size is the
     # vocabulary — Heaps'-law sublinear in the corpus, never instance-scale.
-    uni = tok.groupBy("token").agg(F.count("*").alias("c1")).localCheckpoint(eager=True)
+    from polars_dataset_spark.session import pin
+
+    uni = pin(tok.groupBy("token").agg(F.count("*").alias("c1")), eager=True)
     vocab_size = uni.count()  # scalar: |vocabulary|
     bi = big.groupBy("prev", "token").agg(F.count("*").alias("cb"))
     bits = F.round(

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from polars_dataset_spark.functions.text import tokenize
+from polars_dataset_spark.session import pin
 
 
 def _swap_cache(result: DataFrame, intermediate: DataFrame) -> DataFrame:
@@ -570,7 +571,7 @@ def append_to_banded_index(index, sigs: DataFrame, sig_col: str = "__sig") -> No
         )
         .select("bk.chunk", "bk.key", "__csig")
     )
-    merged = index.banded.union(new_banded).localCheckpoint(eager=True)
+    merged = pin(index.banded.union(new_banded), eager=True)
     index.banded.unpersist(blocking=False)
     index.banded = merged
 
@@ -824,7 +825,7 @@ def fuzzy_join(
     # bare persist it is ContextCleaner-collected when the caller drops
     # the frame, so repeated fuzzy_join calls don't accumulate cached
     # blocks for the session lifetime — then free the input-sized caches
-    out = out.localCheckpoint(eager=True)
+    out = pin(out, eager=True)
     sig_l.unpersist()
     sig_r.unpersist()
     return out
@@ -920,12 +921,12 @@ def neardup_filter_against(
     ).join(shingles_c, on="__cid")
     inter = F.size(F.array_intersect("__dsh", "__csh")).cast("double")
     union = F.size(F.array_union("__dsh", "__csh")).cast("double")
-    hit = (
+    hit = pin(
         ver.filter(F.round(inter / union, 6) >= F.lit(threshold))
         .select(F.col("__did").alias(id_col))
-        .distinct()
-        .localCheckpoint(eager=True)  # output-sized; frees sig_d safely
-    )
+        .distinct(),
+        eager=True,
+    )  # output-sized pin; frees sig_d safely
     sig_d.unpersist()
     return docs.join(hit, on=id_col, how="left_anti")
 
@@ -981,9 +982,9 @@ def remove_repeated_substrings(
     # position semi-join) and the token stream, so the regex
     # tokenization of every document would otherwise run once per
     # reference (r12 audit: 4 scans of the source in the plan)
-    t = df.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
-    ).localCheckpoint(eager=False)
+    t = pin(
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    )
     # gram key = md5 over the CONCATENATION OF PER-TOKEN md5 DIGESTS:
     # fixed-length hex segments make the key injective in the token
     # sequence — a separator-joined form would collide when a token itself

@@ -127,14 +127,18 @@ def dsir_score(
     single-row cross join instead of a separate collect action, so the
     whole score is one job. The ratio table (≤ ``buckets`` rows) is
     broadcast."""
-    feats = hashed_gram_features(
-        df.withColumn("__is_target", target.cast("boolean")),
-        id_col,
-        text_col,
-        buckets,
-        salt,
-        carry_cols=["__is_target"],
-    ).localCheckpoint(eager=False)
+    from polars_dataset_spark.session import pin
+
+    feats = pin(
+        hashed_gram_features(
+            df.withColumn("__is_target", target.cast("boolean")),
+            id_col,
+            text_col,
+            buckets,
+            salt,
+            carry_cols=["__is_target"],
+        )
+    )
     marg = feats.groupBy("bucket").agg(
         F.sum("cnt").alias("r_b"),
         F.sum(F.when(F.col("__is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(

@@ -95,10 +95,10 @@ def merge_mg_summaries(
     collect and the caller's consumption execute the upstream summary
     pipeline ONCE — without it, the per-partition MG pass ran twice per
     call (measured 2× per-micro-batch cost in the streaming path)."""
-    combined = (
-        summaries.groupBy(item_col)
-        .agg(F.sum(est_col).alias(est_col))
-        .localCheckpoint(eager=True)
+    from polars_dataset_spark.session import pin
+
+    combined = pin(
+        summaries.groupBy(item_col).agg(F.sum(est_col).alias(est_col)), eager=True
     )
     top = combined.orderBy(F.col(est_col).desc()).limit(k + 1).collect()
     if len(top) <= k:

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_dataset_spark.session import pin
+
 __all__ = ["funnel_stages", "funnel_counts", "cohort_retention"]
 
 
@@ -58,7 +60,7 @@ def funnel_stages(
         # once per reference (7 scans for a 3-step funnel; k scans — one
         # per step filter — is the design). The frame is per-user
         # scalars, tiny next to the raw events.
-        cur = cur.localCheckpoint(eager=False)
+        cur = pin(cur)
         cur = (
             nxt.join(cur, user_col)
             .filter(cond)

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_dataset_spark.session import pin
+
 __all__ = ["connected_components", "dedup_by_components", "chain_edges", "pagerank"]
 
 
@@ -211,7 +213,7 @@ def connected_components(
         # distinct so the first fingerprint sees canonical multiplicity
         # (the in-loop contractions get theirs from small-star's own)
         e = _large_star_salted(e).distinct()
-    e = e.localCheckpoint(eager=False)
+    e = pin(e)
     n, h, star = _fingerprint(e)
     # Near-dup pair graphs are often ALREADY star unions (tiny
     # diameter); the star test is exact and FREE inside the fingerprint
@@ -237,7 +239,7 @@ def connected_components(
         while rounds_done < max_iter:
             step = 1 if rounds_done == 0 else min(2, max_iter - rounds_done)
             for _ in range(step):
-                e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+                e = pin(_small_star(_large_star(e)))
                 rounds_done += 1
             n, h, star = _fingerprint(e)
             if star or (n, h) == prev:
@@ -351,7 +353,7 @@ def pagerank(
     runs (the connected_components precedent). Float note: round
     downstream, not here — sum order across partitions is engine's
     choice."""
-    from polars_dataset_spark.session import ensure_parallelism
+    from polars_dataset_spark.session import ensure_parallelism, pin
 
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -367,15 +369,13 @@ def pagerank(
     # scale). Non-eager localCheckpoint materializes each once at
     # first use; same fault-tolerance tradeoff as connected_components
     # (blocks pinned on executors, lineage truncated).
-    e = e.localCheckpoint(eager=False)
+    e = pin(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(
-        F.count("*").alias("__deg")
-    ).localCheckpoint(eager=False)
+    outdeg = pin(e.groupBy("src").agg(F.count("*").alias("__deg")))
     n_total = nodes.agg(F.count("*").cast("double").alias("__n"))
     # rank init 1/N: the one 1-row broadcast the whole loop shares
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
@@ -411,5 +411,5 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = pin(ranks)
     return ranks.select("node", "rank")

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_dataset_spark.session import pin
+
 __all__ = ["pack_sequences"]
 
 
@@ -55,7 +57,7 @@ def _global_prefix_sum(
     d = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
-    d = d.localCheckpoint(eager=False)  # pin partition ids across reuse
+    d = pin(d)  # pin partition ids across reuse
     totals = (
         d.groupBy("__pid").agg(F.sum(F.col(tokens_col)).alias("__t")).collect()
     )

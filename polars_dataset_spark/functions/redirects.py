@@ -146,7 +146,7 @@ def resolve_redirects(
     at the same number)."""
     if max_hops < 2 or max_hops & (max_hops - 1):
         raise ValueError("max_hops must be a power of two >= 2")
-    from polars_dataset_spark.session import ensure_parallelism
+    from polars_dataset_spark.session import ensure_parallelism, pin
 
     edges = ensure_parallelism(edges)
     # PIN the collapsed map: `m` is referenced by BOTH sides of every
@@ -158,9 +158,9 @@ def resolve_redirects(
     # materializes it once at first use — the connected_components /
     # pagerank precedent, same fault-tolerance tradeoff (blocks pinned on
     # executors, lineage truncated).
-    m = edges.groupBy(F.col(src_col).alias("src")).agg(
-        F.max(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    m = pin(
+        edges.groupBy(F.col(src_col).alias("src")).agg(F.max(dst_col).alias("dst"))
+    )
     # the partial map: src -> (cur, steps); cur is the node reached
     # after `steps` hops, early-stopped at terminals (nodes that are
     # not themselves redirect sources simply never match the join)
@@ -194,7 +194,7 @@ def resolve_redirects(
         # (single reference), so a cut there would be a pure extra
         # materialization pass.
         if rnd < rounds - 1:
-            j = j.localCheckpoint(eager=False)
+            j = pin(j)
     # terminal iff the reached node is not itself a redirect source
     srcs = m.select(F.col("src").alias("t_src"))
     out = (

@@ -759,7 +759,9 @@ def semantic_dedup(
     # norm and the Arrow-batched centroid argmin all run once per
     # reference. Non-eager localCheckpoint computes the assignment once
     # (same precedent as connected_components/pagerank).
-    assigned = assigned.localCheckpoint(eager=False)
+    from polars_dataset_spark.session import pin
+
+    assigned = pin(assigned)
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "cell",

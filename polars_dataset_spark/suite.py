@@ -53,6 +53,7 @@ from polars_dataset_spark.functions import (
     with_text_stats,
 )
 from polars_dataset_spark.functions.text import STOPWORDS
+from polars_dataset_spark.session import pin
 from polars_dataset_spark.sources.tables import load_table
 from polars_dataset_spark.streaming import sessionize_batch, session_agg, windowed_agg
 
@@ -1305,7 +1306,7 @@ def q40(spark, sf_dir):
     import numpy as np
 
     # one materialized rollup, two consumers (common-day probe + regrid)
-    traces = _daily_traces(spark, sf_dir).localCheckpoint(eager=True)
+    traces = pin(_daily_traces(spark, sf_dir), eager=True)
     days = _common_days(traces)
     ds = Dataset(
         traces.withColumn("day", F.col("day").cast("double")),
@@ -1364,7 +1365,7 @@ def q41(spark, sf_dir):
     import numpy as np
 
     # one materialized rollup, two consumers (common-day probe + DFT input)
-    traces = _daily_traces(spark, sf_dir).localCheckpoint(eager=True)
+    traces = pin(_daily_traces(spark, sf_dir), eager=True)
     days = _common_days(traces)[:256]
     sub = traces.filter(F.col("day").isin([int(d) for d in days])).select(
         "l_returnflag",
@@ -2424,7 +2425,7 @@ def q76(spark, sf_dir):
     # re-run the lineitem scan+aggregation otherwise. At scale the traces
     # frame is tiny (days x traces) while the scan is the 100-TB part —
     # checkpointing the rollup is the right plan shape.
-    traces = _daily_traces(spark, sf_dir).localCheckpoint(eager=True)
+    traces = pin(_daily_traces(spark, sf_dir), eager=True)
     keys = ["l_returnflag", "l_linestatus"]
     row = (
         traces.groupBy(*keys)
@@ -2503,7 +2504,7 @@ def q77(spark, sf_dir):
     # one materialized rollup (span probe + regrid input), and the regrid
     # output checkpointed too — its per-group pandas kernel feeds BOTH the
     # FFT and the sample-sum cross-check and must not run twice
-    traces = _daily_traces(spark, sf_dir).localCheckpoint(eager=True)
+    traces = pin(_daily_traces(spark, sf_dir), eager=True)
     keys = ["l_returnflag", "l_linestatus"]
     row = (
         traces.groupBy(*keys)
@@ -2518,7 +2519,7 @@ def q77(spark, sf_dir):
         id_vars=keys,
     )
     g = regrid(ds, np.linspace(lo, hi, 128))
-    g = Dataset(g.df.localCheckpoint(eager=True), index="day", id_vars=keys)
+    g = Dataset(pin(g.df, eager=True), index="day", id_vars=keys)
     f = fourier_transform(g).df
     ssum = g.df.groupBy(*keys).agg(
         F.sum("revenue").alias("sample_sum"),
@@ -5282,7 +5283,7 @@ def q146(spark, sf_dir):
     exact = cosine_topk(probes, emb, k=10).select("query_id", "neighbor_id")
     # two consumers (recall join + per-query sizes): materialize the IVF
     # result once instead of re-running train/assign/probe per consumer
-    approx = ivf_topk(probes, emb, k=10, n_cells=16, n_probe=8).localCheckpoint(
+    approx = pin(ivf_topk(probes, emb, k=10, n_cells=16, n_probe=8),
         eager=True
     )
     hits = (
@@ -5549,7 +5550,7 @@ def q151(spark, sf_dir):
     from polars_dataset_spark.operators import interpolate_frame
 
     # one materialized rollup, two consumers (common-day probe + interp)
-    traces = _daily_traces(spark, sf_dir).localCheckpoint(eager=True)
+    traces = pin(_daily_traces(spark, sf_dir), eager=True)
     days = _common_days(traces)
     ds = Dataset(
         traces.withColumn("day", F.col("day").cast("double")),
@@ -10109,7 +10110,7 @@ def q224(spark, sf_dir):
         # an eager localCheckpoint severs the lineage without pulling
         # the corpus through the driver (a collect() here was a
         # driver-memory hazard at larger SFs).
-        out = good.filter(F.col("doc_id") >= 0).localCheckpoint(eager=True)
+        out = pin(good.filter(F.col("doc_id") >= 0), eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out.select(
@@ -10786,7 +10787,7 @@ def q231(spark, sf_dir):
     # applyInPandas archive write runs once per consumer (r12 plan
     # audit: 2x FlatMapGroupsInPandas). Non-eager localCheckpoint
     # materializes the (one-row-per-file) frame once.
-    files = write_warc(docs).localCheckpoint(eager=False)
+    files = pin(write_warc(docs))
     blobs = files.select(
         F.col("warc_filename").alias("filename"), "content"
     )
