@@ -1329,16 +1329,23 @@ def edit_distance_join(
     l = left.select(
         F.col(left_id).alias("id_a"), sv.alias("__sa"), F.explode(all_keys).alias("__blk")
     )
-    # Explicit repartition by the block key, NOT ENSURE_REQUIREMENTS
-    # exchanges: the segment-key shuffle is tiny (short substring keys)
-    # so AQE's byte-based coalescing collapses it to ONE post-shuffle
-    # partition — but the join OUTPUT explodes (every pair sharing a
-    # segment) and the levenshtein verify then runs single-task
-    # (measured: 6.5 s of single-core verify at sf0.1; guide §2.5's
-    # "coalesced by input bytes, exploded by output" trap). A
-    # user-specified hash repartition keeps the verify spread at
-    # spark.sql.shuffle.partitions regardless of input byte size.
-    joined = l.repartition("__blk").join(r.repartition("__blk"), on="__blk")
+    # Explicit NUMBERED repartition by the block key on the probe side:
+    # the segment-key shuffle is tiny (short substring keys) so AQE's
+    # byte-based coalescing collapses it to ONE post-shuffle partition —
+    # but the join OUTPUT explodes (every pair sharing a segment) and the
+    # levenshtein verify then runs single-task (measured: 6.5 s of
+    # single-core verify at sf0.1; guide §2.5's "coalesced by input
+    # bytes, exploded by output" trap). repartition(n, col) has
+    # REPARTITION_BY_NUM origin, which AQE's CoalesceShufflePartitions
+    # NEVER coalesces — the column-only form (REPARTITION_BY_COL) is in
+    # its supported origins and could still collapse under different
+    # advisory sizes (ADVICE r12). The build side carries no repartition:
+    # its ENSURE_REQUIREMENTS exchange aligns to the probe's partition
+    # count when the join shuffles, and when AQE promotes it to a
+    # broadcast the probe-side spread survives as the join's output
+    # partitioning with no wasted build-side shuffle.
+    n_spread = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    joined = l.repartition(n_spread, "__blk").join(r, on="__blk")
     return (
         joined.withColumn("dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
         .filter(F.col("dist") <= max_dist)

@@ -25,7 +25,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_zordered", "zorder_key"]
+__all__ = ["write_zordered", "with_zorder_key", "zorder_key"]
 
 _BITS = 6  # 64 quantile buckets per column
 
@@ -92,19 +92,29 @@ def with_zorder_key(
     column instead of once per interleaved bit (r12: the inlined form
     cost ~6x the comparisons; measured ~11 s of executor CPU on the
     1 M-row q165 write at sf0.1)."""
+    # collision guard (ADVICE r12): the staging projections and the key
+    # itself must not silently overwrite the caller's columns
+    taken = set(df.columns)
+    if out_col in taken:
+        raise ValueError(f"with_zorder_key: out_col {out_col!r} already exists")
+    stage_names = []
+    for ci in range(len(cols)):
+        name = f"__zb_{ci}"
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        stage_names.append(name)
     n_buckets = (1 << bits) - 1
     probs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
     all_edges = df.approxQuantile(cols, probs, 0.01)
     staged = df.withColumns(
         {
-            f"__zb_{ci}": _bucket_expr(c, all_edges[ci])
+            stage_names[ci]: _bucket_expr(c, all_edges[ci])
             for ci, c in enumerate(cols)
         }
     )
-    z = _interleave([F.col(f"__zb_{ci}") for ci in range(len(cols))], bits)
-    return staged.withColumn(out_col, z).drop(
-        *[f"__zb_{ci}" for ci in range(len(cols))]
-    )
+    z = _interleave([F.col(n) for n in stage_names], bits)
+    return staged.withColumn(out_col, z).drop(*stage_names)
 
 
 def write_zordered(
