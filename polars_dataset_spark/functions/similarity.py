@@ -547,19 +547,59 @@ def cosine_pairs_block(
     if n_tiles == 1:
         return slim.mapInPandas(tile_scorer(slim.toPandas()), schema=out_schema)
 
-    parts = []
+    # Tiled path, ONE distributed job (r13 — the previous realization
+    # collected each tile to the driver SERIALLY and re-scanned the
+    # corpus once per tile): a block-matrix product via cogroup. Corpus
+    # rows keep their hash tile t; probe rows keep a hash block p; each
+    # side is replicated across the OTHER axis, so group (p, t) holds
+    # probe block p and corpus tile t and scores them with one matmul.
+    # Every ordered pair lands in exactly one group and the id_a < id_b
+    # keep dedups, exactly as the broadcast form. Memory per task is
+    # bounded by one block + one tile (block count >= tile count, so a
+    # block is never larger than max_broadcast_bytes); the driver never
+    # touches vector data. Shuffle cost: each side moves ~sqrt(#groups)
+    # times — the block-matmul optimum for an inherently quadratic
+    # product.
+    n_blocks = max(n_tiles, -(-int(spark.sparkContext.defaultParallelism) // n_tiles))
     tile_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles))
-    for t in range(n_tiles):
-        tile_pdf = slim.filter(tile_of == t).toPandas()
-        if len(tile_pdf) == 0:
-            continue
-        parts.append(slim.mapInPandas(tile_scorer(tile_pdf), schema=out_schema))
-    if not parts:
-        return spark.createDataFrame([], out_schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    all_tiles = F.array(*[F.lit(t) for t in range(n_tiles)])
+    all_blocks = F.array(*[F.lit(p) for p in range(n_blocks)])
+    probes = slim.withColumn("__pb", block_of).withColumn(
+        "__tile", F.explode(all_tiles)
+    )
+    corpus_rep = slim.withColumn("__tile", tile_of).withColumn(
+        "__pb", F.explode(all_blocks)
+    )
+
+    def score_group(left_pdf, right_pdf):
+        if len(left_pdf) == 0 or len(right_pdf) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []},
+                columns=["id_a", "id_b", "cosine"],
+            )
+        qids = left_pdf[id_col].to_numpy()
+        q = np.stack(left_pdf[vec_col].to_numpy()).astype(np.float64)
+        cids = right_pdf[id_col].to_numpy()
+        cmat = np.stack(right_pdf[vec_col].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(q, axis=1)
+        cnorms = np.linalg.norm(cmat, axis=1)
+        sims = (q @ cmat.T) / (qn[:, None] * cnorms[None, :])
+        rows_i, rows_j = np.nonzero(sims >= threshold)
+        keep = qids[rows_i] < cids[rows_j]  # dedup + drop self-pairs
+        return pd.DataFrame(
+            {
+                "id_a": qids[rows_i[keep]],
+                "id_b": cids[rows_j[keep]],
+                "cosine": np.round(sims[rows_i[keep], rows_j[keep]], round_to),
+            }
+        )
+
+    return (
+        probes.groupBy("__pb", "__tile")
+        .cogroup(corpus_rep.groupBy("__pb", "__tile"))
+        .applyInPandas(score_group, schema=out_schema)
+    )
 
 
 def _dot(a: str, b: str):

@@ -149,6 +149,18 @@ def test_cosine_pairs_block_tiled_matches_untiled(vecs):
     assert a == b and len(a) >= 2  # (0,100) and (1,101) at least
 
 
+def test_cosine_pairs_block_tiled_is_one_distributed_plan(vecs):
+    """r13: the tiled path is a single cogroup block product — no
+    per-tile driver collect, no per-tile corpus rescan (the pre-r13
+    form ran one toPandas + one full mapInPandas scan PER TILE)."""
+    from polars_dataset_spark.functions import cosine_pairs_block
+
+    tiled = cosine_pairs_block(vecs, threshold=0.3, max_broadcast_bytes=300)
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Union" not in plan  # not a per-tile union of scans
+
+
 def test_multimodal_plumbing(docs):
     bm = binary_with_metadata(docs, "text", "text/plain")
     row = bm.filter(F.col("doc_id") == 0).select("media_meta.*").first()
