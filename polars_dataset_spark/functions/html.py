@@ -297,36 +297,46 @@ def extract_text(
       neighbors — use for prose-page corpora, not snippet pages."""
     if mode not in ("link", "density"):
         raise ValueError(f"extract_text: unknown mode {mode!r}")
+    blocks, title = _parse_blocks(html)
+    drop = _boilerplate_drops(blocks, mode) if drop_boilerplate else [False] * len(blocks)
+    kept = [t for (b, t), d in zip(blocks, drop) if not d]
+    return {
+        "text": "\n".join(kept),
+        "title": title,
+        "n_blocks": len(blocks),
+        "n_dropped": sum(drop),
+    }
+
+
+def _parse_blocks(html: str) -> "tuple[list, str | None]":
+    """Parse ONCE: the non-empty text blocks and the title — shared by
+    every boilerplate classifier (the r13 fused multi-mode pass exists
+    so one parse can feed several classifiers)."""
     parser = _TextExtractor()
     try:
         parser.feed(html)
         parser.close()
     except Exception:  # noqa: BLE001 — tokenizer blew up mid-document:
         pass  # keep whatever was collected before the bad byte run
-    blocks: "list[tuple[_Block, str]]" = [
-        (b, t) for b in parser.blocks if (t := b.text())
-    ]
-    n_blocks = len(blocks)
-    drop = [False] * n_blocks
-    if drop_boilerplate and mode == "link":
-        drop = [_is_boilerplate(b, t) for b, t in blocks]
-    elif drop_boilerplate:
-        feats = [
-            _Feat(len(t.split()), (b.link_chars / b.chars) if b.chars else 0.0)
-            for b, t in blocks
-        ]
-        for i in range(n_blocks):
-            prev = feats[i - 1] if i > 0 else _EMPTY_FEAT
-            nxt = feats[i + 1] if i + 1 < n_blocks else _EMPTY_FEAT
-            drop[i] = _numwords_boilerplate(prev, feats[i], nxt)
-    kept = [t for (b, t), d in zip(blocks, drop) if not d]
+    blocks = [(b, t) for b in parser.blocks if (t := b.text())]
     title = _WS_RE.sub(" ", "".join(parser.title_parts)).strip() or None
-    return {
-        "text": "\n".join(kept),
-        "title": title,
-        "n_blocks": n_blocks,
-        "n_dropped": sum(drop),
-    }
+    return blocks, title
+
+
+def _boilerplate_drops(blocks: "list", mode: str) -> "list[bool]":
+    n_blocks = len(blocks)
+    if mode == "link":
+        return [_is_boilerplate(b, t) for b, t in blocks]
+    feats = [
+        _Feat(len(t.split()), (b.link_chars / b.chars) if b.chars else 0.0)
+        for b, t in blocks
+    ]
+    drop = [False] * n_blocks
+    for i in range(n_blocks):
+        prev = feats[i - 1] if i > 0 else _EMPTY_FEAT
+        nxt = feats[i + 1] if i + 1 < n_blocks else _EMPTY_FEAT
+        drop[i] = _numwords_boilerplate(prev, feats[i], nxt)
+    return drop
 
 
 _HTML_FIELDS = [
@@ -389,33 +399,131 @@ def html_to_text(
     return df.mapInPandas(extract_batches, schema=out_schema)
 
 
+def html_to_text_modes(
+    df: DataFrame,
+    modes: "tuple[str, ...]" = ("link", "density"),
+    body_col: str = "payload",
+    content_type_col: "str | None" = None,
+) -> DataFrame:
+    """Every boilerplate classifier over the same pages in ONE Arrow
+    pass: each document is decoded and PARSED ONCE, then each mode's
+    rules run over the shared block list — one row per (input row,
+    mode), columns = input columns + ``mode, text, title, charset``.
+    The per-mode composition (:func:`html_to_text` once per mode,
+    unioned) decodes and parses every page once PER MODE and ships the
+    raw bytes through the Python boundary as many times (guide §4)."""
+    for m in modes:
+        if m not in ("link", "density"):
+            raise ValueError(f"html_to_text_modes: unknown mode {m!r}")
+    from polars_dataset_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("mode", T.StringType())] + _HTML_FIELDS
+    )
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {n: [] for n in ("mode", "text", "title", "charset")}
+            idx = []
+            ctypes = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            for i, (blob, ctype) in enumerate(zip(pdf[body_col], ctypes)):
+                if blob is None:
+                    for m in modes:
+                        idx.append(i)
+                        out_rows["mode"].append(m)
+                        for n in ("text", "title", "charset"):
+                            out_rows[n].append(None)
+                    continue
+                raw, charset = decode_html(
+                    bytes(blob), None if ctype is None else str(ctype)
+                )
+                blocks, title = _parse_blocks(raw)  # once per document
+                for m in modes:
+                    drop = _boilerplate_drops(blocks, m)
+                    kept = [t for (b, t), d in zip(blocks, drop) if not d]
+                    idx.append(i)
+                    out_rows["mode"].append(m)
+                    out_rows["text"].append("\n".join(kept))
+                    out_rows["title"].append(title)
+                    out_rows["charset"].append(charset)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            for n in ("mode", "text", "title", "charset"):
+                out[n] = pd.array(out_rows[n], dtype="object")
+            yield out
+
+    return df.mapInPandas(extract_batches, schema=out_schema)
+
+
 def warc_text_corpus(
     df: DataFrame,
     content_col: str = "content",
     drop_boilerplate: bool = True,
     boilerplate_mode: str = "link",
 ) -> DataFrame:
-    """WARC blobs -> text corpus in one composition: explode records,
-    keep 200-status ``text/html`` responses, extract. Output columns:
-    ``target_uri, warc_date, charset, title, text`` — feed straight
-    into clean_corpus / language id / dedup."""
-    from pyspark.sql import functions as F
+    """WARC blobs -> text corpus in ONE fused Arrow pass: explode
+    records, keep 200-status ``text/html`` responses, extract — all
+    inside a single ``mapInPandas``, so the record payloads cross the
+    JVM/Python boundary once (the pre-r13 composition ran warc_records
+    then html_to_text: every payload crossed Python -> JVM -> Python,
+    with non-HTML payloads making the round trip just to be filtered —
+    guide §4's boundary cost, linear in crawl bytes at 100 TB). Output
+    columns: ``target_uri, warc_date, charset, title, text`` — feed
+    straight into clean_corpus / language id / dedup."""
+    from polars_dataset_spark.session import ensure_parallelism
+    from polars_dataset_spark.sources.warc import parse_warc
 
-    from polars_dataset_spark.sources.warc import warc_records
-
-    pages = warc_records(df, content_col=content_col).filter(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        # servers emit Text/HTML, TEXT/HTML, ... — match case-blind
-        & F.lower(F.col("http_content_type")).startswith("text/html")
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(
+        [
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("warc_date", T.StringType()),
+            T.StructField("charset", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
     )
-    return html_to_text(
-        pages,
-        body_col="payload",
-        content_type_col="http_content_type",
-        drop_boilerplate=drop_boilerplate,
-        boilerplate_mode=boilerplate_mode,
-    ).select("target_uri", "warc_date", "charset", "title", "text")
+
+    def corpus_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[content_col]:
+                if blob is None:
+                    continue
+                for rec in parse_warc(bytes(blob)):
+                    ctype = rec["http_content_type"]
+                    if (
+                        rec["warc_type"] != "response"
+                        or rec["http_status"] != 200
+                        # servers emit Text/HTML, TEXT/HTML — case-blind
+                        or ctype is None
+                        or not ctype.lower().startswith("text/html")
+                    ):
+                        continue
+                    raw, charset = decode_html(rec["payload"], str(ctype))
+                    info = extract_text(
+                        raw,
+                        drop_boilerplate=drop_boilerplate,
+                        mode=boilerplate_mode,
+                    )
+                    rows.append(
+                        (
+                            rec["target_uri"],
+                            rec["warc_date"],
+                            charset,
+                            info["title"],
+                            info["text"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInPandas(corpus_batches, schema=out_schema)
 
 
 class _StructureExtractor(HTMLParser):

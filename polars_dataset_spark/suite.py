@@ -9805,10 +9805,13 @@ def q220(spark, sf_dir):
     contract. Page 1 is a >40-word article after link-dense nav: the
     nav drops in both modes, and the long block survives the tree's
     prev-link-dense branch unconditionally.
-    One map-only Arrow pass per mode. Contract oracle: literal
-    expected text per (page, mode)."""
+    ONE fused map-only Arrow pass for BOTH modes (r13,
+    html_to_text_modes): each page is decoded and parsed once, both
+    classifiers run over the shared block list — the former per-mode
+    union decoded and parsed every page once per mode. Contract
+    oracle: literal expected text per (page, mode)."""
     _prep(spark)
-    from polars_dataset_spark.functions import html_to_text
+    from polars_dataset_spark.functions import html_to_text_modes
 
     p0 = (
         "<html><body>"
@@ -9831,13 +9834,9 @@ def q220(spark, sf_dir):
     pages = spark.createDataFrame(
         [(0, bytearray(p0)), (1, bytearray(p1))], "page_id long, payload binary"
     )
-    both = None
-    for mode in ("link", "density"):
-        got = html_to_text(pages, boilerplate_mode=mode).select(
-            "page_id", F.lit(mode).alias("mode"), "text"
-        )
-        both = got if both is None else both.unionByName(got)
-    return both
+    return html_to_text_modes(pages, modes=("link", "density")).select(
+        "page_id", "mode", "text"
+    )
 
 
 # q221: PII planted into every k-th document — the planting CASE is
