@@ -20,6 +20,7 @@ per key. No Python in any of it.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -623,10 +624,7 @@ def stream_heavy_hitters(
     just POSIX."""
     import math
 
-    from polars_dataset_spark.functions.frequency import (
-        merge_mg_summaries,
-        mg_candidates,
-    )
+    from polars_dataset_spark.functions.frequency import mg_candidates
     from polars_dataset_spark.streaming.state_fs import (
         hfs_exists,
         repair_state,
@@ -637,17 +635,52 @@ def stream_heavy_hitters(
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     k = math.ceil(1.0 / phi) - 1
     spark = stream_df.sparkSession
+    # In-session state cache (r13): the merged summary is <= k counters
+    # BY CONSTRUCTION, so it lives in driver memory between batches and
+    # the itemwise merge runs driver-side over bounded rows (the same
+    # Agarwal et al. rule merge_mg_summaries applies, over <= k x
+    # (partitions + 1) rows — the scale of the collects the batch op
+    # already does). The distributed work per batch is exactly the
+    # per-partition MG pass over the batch's rows, whose summary is one
+    # bounded collect. Crash-safety is UNCHANGED: every batch still
+    # writes the state parquet through the staging+swap protocol; the
+    # cache only removes the per-batch read-back (None = not loaded:
+    # a restarted query re-reads the surviving state once).
+    cache: "dict[str, list[tuple[str, int]] | None]" = {"state": None}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         repair_state(spark, state_path)
         vals = batch_df.select(F.col(col).cast("string").alias("item")).filter(
             F.col("item").isNotNull()
         )
-        batch_summary = mg_candidates(vals, "item", k)
-        if hfs_exists(spark, state_path):
-            state = spark.read.parquet(state_path).select("item", "est")
-            batch_summary = batch_summary.unionByName(state)
-        merged = merge_mg_summaries(batch_summary, k)
+        if cache["state"] is None:
+            cache["state"] = (
+                [
+                    (r["item"], int(r["est"]))
+                    for r in spark.read.parquet(state_path)
+                    .select("item", "est")
+                    .collect()
+                ]
+                if hfs_exists(spark, state_path)
+                else []
+            )
+        counters: "dict[str, int]" = dict(cache["state"])
+        # bounded collect: <= k counters per upstream partition
+        for r in mg_candidates(vals, "item", k).collect():
+            counters[r["item"]] = counters.get(r["item"], 0) + int(r["est"])
+        if len(counters) > k:
+            # Agarwal et al. merge rule — identical to merge_mg_summaries
+            sub = sorted(counters.values(), reverse=True)[k]
+            counters = {i: c - sub for i, c in counters.items() if c > sub}
+        rows = sorted(counters.items())
+        cache["state"] = rows
+        # pandas input -> Arrow local relation: ONE partition, one small
+        # file (a python-list relation would inherit defaultParallelism
+        # partitions, and coalesce(1) over those measures ~6 s here)
+        merged = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["item", "est"]),
+            schema="item string, est long",
+        )
         merged.write.mode("overwrite").parquet(f"{state_path}__staging")
         swap_state(spark, state_path)
 
